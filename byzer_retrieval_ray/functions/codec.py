@@ -1,0 +1,124 @@
+"""Posting-list compression: docID delta + varint (LEB128), with per-block max-score
+metadata for block-max WAND.
+
+This is the from-scratch codec the north rule asks for: postings are stored as
+
+    doc_bytes : varint(delta(doc_ids))      (doc_ids strictly increasing)
+    tf_bytes  : varint(tf per posting)
+    norm_bytes: raw uint8 per posting       (byte4-quantized doc length)
+    blocks    : every BLOCK_SIZE postings → (first_doc, max_tf, min_norm_byte)
+
+Encode/decode are numpy-vectorized: varint encoding computes per-value byte widths,
+scatters 7-bit groups into a flat buffer; decoding rebuilds values from continuation
+bits with a cumulative-offset gather. No per-value Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int64 array (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # byte width per value: ceil(bit_length / 7), min 1
+    bits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nonzero = tmp > 0
+    # bit length via log2 would risk float error; do it with a shift loop (<=10 iters)
+    width = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while (tmp > 0).any():
+        grow = tmp > 0
+        width[grow] += 1
+        tmp = tmp >> np.uint64(7)
+    del bits, nonzero
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(width, out=offsets[1:])
+    total = int(offsets[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    # scatter 7-bit groups: group g of value i lands at offsets[i] + g
+    max_w = int(width.max())
+    for g in range(max_w):
+        active = width > g
+        idx = offsets[:-1][active] + g
+        chunk = (v[active] >> np.uint64(7 * g)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (width[active] - 1 > g).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to uint64 (vectorized)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (buf & 0x80) != 0
+    # value start positions: position 0 and every position after a terminating byte
+    ends = np.flatnonzero(~cont)  # terminating byte of each value
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    n = ends.size
+    out = np.zeros(n, dtype=np.uint64)
+    width = ends - starts + 1
+    max_w = int(width.max())
+    payload = (buf & 0x7F).astype(np.uint64)
+    for g in range(max_w):
+        active = width > g
+        out[active] |= payload[starts[active] + g] << np.uint64(7 * g)
+    if count is not None and n != count:
+        raise ValueError(f"decoded {n} values, expected {count}")
+    return out
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 doc ids → first id + positive gaps."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return d.astype(np.uint64)
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    if d.size > 1 and (deltas[1:] <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing")
+    return deltas.astype(np.uint64)
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.uint64)).astype(np.int64)
+
+
+def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray):
+    """Encode one posting run. Returns (doc_bytes, tf_bytes, norm_bytes,
+    block_first_docs, block_max_tf, block_min_norm)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norm_bytes, dtype=np.uint8)
+    n = doc_ids.size
+    doc_bytes = varint_encode(delta_encode(doc_ids))
+    tf_bytes = varint_encode(tfs.astype(np.uint64))
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    first = doc_ids[::BLOCK_SIZE].copy()
+    pad = n_blocks * BLOCK_SIZE - n
+    if pad:
+        tf_p = np.concatenate([tfs, np.zeros(pad, dtype=np.int64)])
+        no_p = np.concatenate([norms, np.full(pad, 255, dtype=np.uint8)])
+    else:
+        tf_p, no_p = tfs, norms
+    max_tf = tf_p.reshape(n_blocks, BLOCK_SIZE).max(axis=1)
+    min_norm = no_p.reshape(n_blocks, BLOCK_SIZE).min(axis=1)
+    return doc_bytes, tf_bytes, norms.tobytes(), first, max_tf, min_norm
+
+
+def decode_posting(doc_bytes: bytes, tf_bytes: bytes, norm_bytes: bytes, df: int):
+    """Decode a posting run → (doc_ids int64, tfs int64, norms uint8)."""
+    doc_ids = delta_decode(varint_decode(doc_bytes, df))
+    tfs = varint_decode(tf_bytes, df).astype(np.int64)
+    norms = np.frombuffer(norm_bytes, dtype=np.uint8)
+    return doc_ids, tfs, norms

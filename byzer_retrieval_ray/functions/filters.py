@@ -1,0 +1,131 @@
+"""Filter-tree compiler.
+
+The reference compiles a JSON filter tree into a Lucene BooleanQuery
+(Utils.buildFilter, Utils.java:258-304): ``{"and":[...]}`` → MUST, ``{"or":[...]}`` →
+SHOULD, leaves are ``{"field": f, "value": v}`` (exact match, or — for ``analyze``
+fields — parsed-query match, i.e. OR over the whitespace tokens of ``v``) or
+``{"field": f, "min": a, "max": b}`` (inclusive range, either bound optional).
+
+Here the same tree compiles to two targets:
+  * ``to_expression``: a ``pyarrow.dataset`` expression for parquet predicate pushdown
+    (only when no analyzed-field leaf is present);
+  * ``evaluate``: a boolean mask over an Arrow table using pyarrow.compute kernels —
+    fully vectorized, analyzed leaves included (token containment via
+    ``match_substring`` on a space-padded copy of the text).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+def _is_leaf(node: dict) -> bool:
+    return "field" in node
+
+
+def _leaf_expression(node: dict, analyzed: set[str]):
+    f = node["field"]
+    if f in analyzed:
+        return None  # token-match not expressible as a dataset expression
+    if "value" in node:
+        return pads.field(f) == node["value"]
+    expr = None
+    if node.get("min") is not None:
+        expr = pads.field(f) >= node["min"]
+    if node.get("max") is not None:
+        e2 = pads.field(f) <= node["max"]
+        expr = e2 if expr is None else expr & e2
+    if expr is None:
+        raise ValueError(f"empty range filter on {f!r}")
+    return expr
+
+
+def to_expression(tree: dict, analyzed: set[str] | None = None):
+    """Compile to a pyarrow.dataset expression, or None if not expressible."""
+    analyzed = analyzed or set()
+    if not tree:
+        return None
+
+    def go(node):
+        if _is_leaf(node):
+            return _leaf_expression(node, analyzed)
+        if "and" in node:
+            parts = [go(c) for c in node["and"]]
+            if any(p is None for p in parts):
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p
+            return out
+        if "or" in node:
+            parts = [go(c) for c in node["or"]]
+            if any(p is None for p in parts):
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out | p
+            return out
+        raise ValueError(f"bad filter node: {node!r}")
+
+    return go(tree)
+
+
+def _leaf_mask(table: pa.Table, node: dict, analyzed: set[str]) -> pa.ChunkedArray:
+    f = node["field"]
+    col = table[f]
+    if "value" in node:
+        v = node["value"]
+        if f in analyzed:
+            # OR over the whitespace tokens of v (SimpleQueryParser default OR)
+            # last arg of binary_join_element_wise is the separator: " "+text+" "
+            padded = pc.binary_join_element_wise(
+                pa.scalar(" "), pc.cast(col, pa.string()), pa.scalar(" "), pa.scalar(""),
+                null_handling="replace")
+            mask = None
+            for tok in str(v).split():
+                m = pc.match_substring(padded, f" {tok} ")
+                mask = m if mask is None else pc.or_(mask, m)
+            if mask is None:
+                return pc.equal(pa.nulls(len(table), pa.bool_()), True)
+            return mask
+        # numeric leaves arrive as JSON numbers; cast the literal to the column type
+        return pc.equal(col, pa.scalar(v).cast(col.type))
+    mask = None
+    if node.get("min") is not None:
+        mask = pc.greater_equal(col, pa.scalar(node["min"]).cast(col.type))
+    if node.get("max") is not None:
+        m2 = pc.less_equal(col, pa.scalar(node["max"]).cast(col.type))
+        mask = m2 if mask is None else pc.and_(mask, m2)
+    if mask is None:
+        raise ValueError(f"empty range filter on {f!r}")
+    return mask
+
+
+def evaluate(table: pa.Table, tree: dict, analyzed: set[str] | None = None) -> pa.ChunkedArray:
+    """Boolean mask (nulls treated as False) over ``table`` for the filter tree."""
+    analyzed = analyzed or set()
+    if not tree:
+        import numpy as np
+        return pa.chunked_array([pa.array(np.ones(len(table), dtype=bool))])
+
+    def go(node):
+        if _is_leaf(node):
+            return _leaf_mask(table, node, analyzed)
+        if "and" in node:
+            parts = [go(c) for c in node["and"]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = pc.and_kleene(out, p)
+            return out
+        if "or" in node:
+            parts = [go(c) for c in node["or"]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = pc.or_kleene(out, p)
+            return out
+        raise ValueError(f"bad filter node: {node!r}")
+
+    mask = go(tree)
+    return pc.fill_null(mask, False)

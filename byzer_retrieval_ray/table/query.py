@@ -1,0 +1,74 @@
+"""Client-facing records: TableSettings and SearchQuery.
+
+JSON-compatible mirrors of the reference's records (TableSettings.java:16-24,
+SearchQuery.java:18-142) — this is the API-conformance surface: a SearchQuery dict that
+works against the reference works here.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class TableSettings:
+    database: str
+    table: str
+    schema: str  # the compact DSL string, e.g. st(field(url,string),...)
+    location: str
+    num_shards: int = 1
+    status: str = "open"
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "TableSettings":
+        return cls(**json.loads(s))
+
+
+@dataclass
+class SearchQuery:
+    """One retrieval query (keyword and/or vector recall).
+
+    Fields mirror SearchQuery.java:18-142: ``filters`` is the and/or tree
+    (Utils.java:258-304), ``sorts`` a list of single-entry {field: "asc"|"desc"} maps,
+    ``keyword`` the SimpleQueryParser input ("*" = match-all), ``fields`` the analyzed
+    fields searched (weight 1.0 each), ``vector``/``vectorField`` the KNN recall, and
+    ``limit`` the per-shard and final top-k.
+    """
+
+    database: str
+    table: str
+    filters: dict = field(default_factory=dict)
+    sorts: list = field(default_factory=list)
+    keyword: Optional[str] = None
+    fields: list = field(default_factory=list)
+    vector: list = field(default_factory=list)
+    vectorField: Optional[str] = None
+    limit: int = 10
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "SearchQuery":
+        known = {f: d[f] for f in cls.__dataclass_fields__ if f in d}
+        return cls(**known)
+
+    @classmethod
+    def list_from_json(cls, s: str) -> list["SearchQuery"]:
+        data = json.loads(s)
+        if isinstance(data, dict):
+            data = [data]
+        return [cls.from_dict(d) for d in data]
+
+    @property
+    def has_keyword(self) -> bool:
+        return self.keyword is not None
+
+    @property
+    def has_vector(self) -> bool:
+        return self.vectorField is not None and len(self.vector) > 0
