@@ -77,6 +77,76 @@ def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def varint_encode_segments(values: np.ndarray, seg_offsets: np.ndarray) -> list[bytes]:
+    """Encode many runs in ONE vectorized pass.
+
+    ``values`` is the concatenation of all runs; ``seg_offsets`` (len n_runs+1) the run
+    boundaries. Returns per-run byte blobs. This keeps per-run Python work to a single
+    buffer slice — the hot path of posting construction encodes a whole batch's runs
+    with one call.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return [b""] * (len(seg_offsets) - 1)
+    width = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while (tmp > 0).any():
+        grow = tmp > 0
+        width[grow] += 1
+        tmp = tmp >> np.uint64(7)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(width, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    max_w = int(width.max())
+    for g in range(max_w):
+        active = width > g
+        idx = offsets[:-1][active] + g
+        chunk = (v[active] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (width[active] - 1 > g).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    byte_bounds = offsets[np.asarray(seg_offsets, dtype=np.int64)]
+    buf = out.tobytes()
+    return [buf[byte_bounds[i]:byte_bounds[i + 1]] for i in range(len(seg_offsets) - 1)]
+
+
+def delta_encode_segments(doc_ids: np.ndarray, seg_offsets: np.ndarray) -> np.ndarray:
+    """Per-run delta encoding of concatenated sorted runs (first value absolute)."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return d.astype(np.uint64)
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    starts = np.asarray(seg_offsets[:-1], dtype=np.int64)
+    starts = starts[starts < d.size]
+    deltas[starts] = d[starts]  # reset each run: first value absolute
+    if (deltas < 0).any() or _has_internal_dups(deltas, starts):
+        raise ValueError("doc_ids must be strictly increasing within each run")
+    return deltas.astype(np.uint64)
+
+
+def _has_internal_dups(deltas: np.ndarray, starts: np.ndarray) -> bool:
+    mask = np.zeros(deltas.size, dtype=bool)
+    mask[starts] = True
+    return bool((deltas[~mask] == 0).any())
+
+
+def delta_decode_segments(deltas: np.ndarray, seg_offsets: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode_segments: cumsum with reset at run starts."""
+    g = np.asarray(deltas, dtype=np.int64)
+    if g.size == 0:
+        return g
+    cs = np.cumsum(g)
+    starts = np.asarray(seg_offsets[:-1], dtype=np.int64)
+    starts = starts[starts < g.size]
+    # value before each run start must be subtracted from that run's cumsum
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    lengths = np.diff(np.concatenate([starts, [g.size]]))
+    return cs - np.repeat(base, lengths)
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 doc ids → first id + positive gaps."""
     d = np.asarray(doc_ids, dtype=np.int64)

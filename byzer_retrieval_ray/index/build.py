@@ -1,0 +1,307 @@
+"""The Ray-Data-native index build pipeline.
+
+    read_parquet(web_pages)                               # url, warc_ts, html, text, lang
+      └─ map_batches(extract_text)        [stateless]     # byte-identical text per url
+      └─ map_batches(route to doc_part)   [stateless]     # reference Utils.route parity
+      └─ groupby(doc_part).map_groups     [shuffle: key]  # dedup latest-by-key (ref upsert,
+           (dedup → doc_ids → norms →                     #  RetrievalWorker.java:232-238),
+            write docstore partition)                     #  deterministic doc_id assignment
+      └─ driver: stats.json (N, sum_ttf)  [tiny]          # global BM25 collection stats
+      └─ read(docstore) → map_batches(emit_runs)          # combiner: per-batch posting runs
+      └─ groupby(range_part).map_groups(merge+write)      # [shuffle: term-range] skew-
+                                                          #  rebalanced sorted partitions
+Resumability: every partition write is atomic (tmp+rename) and records a lineage entry
+under gen-<g>/_partials/; a rerun of the same build skips partitions whose entry and
+output file already exist. Determinism: doc ids, norms, runs and merges are pure
+functions of the input rows, independent of batch boundaries and parallelism (asserted
+in tests at two parallelism levels).
+
+Scale notes (100 TB): the only all-to-all exchanges are the key-hash dedup shuffle and
+the term-range run shuffle; runs are pre-combined per batch so the term shuffle carries
+compressed blobs (~index size), not one row per posting. Term-range boundaries are
+sampled and byte-balanced so stopword-scale terms don't skew partitions; `html` is
+dropped right after extraction so the wide binary column never enters a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from byzer_retrieval_ray.functions import murmur3
+from byzer_retrieval_ray.functions.extract import extract_text
+from byzer_retrieval_ray.functions.smallfloat import int_to_byte4_np
+from byzer_retrieval_ray.functions.tokenize import doc_lengths, term_frequencies
+from byzer_retrieval_ray.index import postings as P
+from byzer_retrieval_ray.index.manifest import Manifest, atomic_write_json, read_json
+from byzer_retrieval_ray.schema import dsl
+
+STRIDE_BITS = 40
+
+
+def _atomic_write_parquet(table: pa.Table, path: str, **kw) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, **kw)
+    os.replace(tmp, path)
+
+
+def _analyzed_fields(st: dsl.StructType) -> list[str]:
+    return [f.name for f in st.fields if f.analyze]
+
+
+def _schema_columns(st: dsl.StructType) -> list[str]:
+    return [f.name for f in st.fields]
+
+
+def build_index(
+    source,
+    manifest: Manifest,
+    *,
+    key_field: str,
+    version_field: str | None = None,
+    extract: tuple[str, str] | None = None,   # (html_col, text_col)
+    num_doc_parts: int = 8,
+    num_term_parts: int = 8,
+    generation: int | None = None,
+    sample_docs: int = 2000,
+) -> dict:
+    """Build a new index generation and publish it. Returns the gen_info dict.
+
+    ``source`` is a ray.data.Dataset or parquet path(s). Ray must already be
+    initialized by the caller — this function never calls ray.init().
+    """
+    t0 = time.perf_counter()
+    st = dsl.parse_schema(manifest.data["schema"])
+    analyzed = _analyzed_fields(st)
+    columns = _schema_columns(st)
+    key_is_long = isinstance(st.field(key_field).data_type, dsl.SingleType) and \
+        st.field(key_field).data_type.name in ("long", "int")
+    gen = generation if generation is not None else manifest.data["generation"] + 1
+    gdir = manifest.gen_dir(gen)
+    partials = os.path.join(gdir, "_partials")
+    os.makedirs(partials, exist_ok=True)
+
+    bucket_spec = ({"mode": "mod", "parts": num_doc_parts} if key_is_long
+                   else {"mode": "stride", "bits": STRIDE_BITS})
+
+    if isinstance(source, (str, list)):
+        read_cols = None  # schema may not cover all input cols; prune to schema below
+        source = ray.data.read_parquet(source, columns=read_cols)
+    ds = source
+
+    # ---- Stage A: extract → route → dedup → doc ids → norms → docstore ----
+    extract_src = extract[0] if extract else None
+    extract_dst = extract[1] if extract else None
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if extract_src is not None:
+            txt = extract_text(batch[extract_src].combine_chunks())
+            if extract_dst in batch.column_names:
+                batch = batch.drop_columns([extract_dst])
+            batch = batch.append_column(extract_dst, txt)
+        keep = [c for c in columns if c in batch.column_names]
+        if version_field is not None and version_field not in keep \
+                and version_field in batch.column_names:
+            keep.append(version_field)
+        batch = batch.select(keep)
+        keys = batch[key_field].to_numpy(zero_copy_only=False)
+        if key_is_long:
+            part = (keys.astype(np.int64) % num_doc_parts).astype(np.int32)
+        else:
+            part = murmur3.route_np(keys, num_doc_parts).astype(np.int32)
+        return batch.append_column("__doc_part", pa.array(part))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+
+    docstore_dir = os.path.join(gdir, "docstore")
+
+    def write_docstore(group: pa.Table) -> pa.Table:
+        p = int(group["__doc_part"][0].as_py())
+        out_path = os.path.join(docstore_dir, f"part-{p:05d}.parquet")
+        entry_path = os.path.join(partials, f"docstore-{p:05d}.json")
+        if os.path.exists(entry_path) and os.path.exists(out_path):
+            e = read_json(entry_path)  # resume: partition already built
+            return pa.table({"summary": [json.dumps(e)]})
+        group = group.drop_columns(["__doc_part"])
+        # dedup latest-by-key (upsert semantics: latest version wins)
+        if version_field is not None:
+            group = group.sort_by([(key_field, "ascending"), (version_field, "descending")])
+            keys = group[key_field].to_numpy(zero_copy_only=False)
+            keep = np.empty(len(keys), dtype=bool)
+            keep[0] = True
+            keep[1:] = keys[1:] != keys[:-1]
+            group = group.filter(pa.array(keep))
+        else:
+            group = group.sort_by([(key_field, "ascending")])
+            keys = group[key_field].to_numpy(zero_copy_only=False)
+            if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+                raise ValueError(
+                    f"duplicate {key_field!r} in partition {p} with no version_field "
+                    "(reference requires _id per doc: RetrievalMaster.java:116-122)")
+        if version_field is not None and version_field not in columns \
+                and version_field in group.column_names:
+            group = group.drop_columns([version_field])
+        n = len(group)
+        if key_is_long:
+            doc_ids = group[key_field].to_numpy().astype(np.int64)
+            order = np.argsort(doc_ids, kind="stable")
+            group = group.take(pa.array(order))
+            doc_ids = doc_ids[order]
+        else:
+            doc_ids = (np.int64(p) << STRIDE_BITS) + np.arange(n, dtype=np.int64)
+        if "doc_id" in group.column_names:
+            group = group.drop_columns(["doc_id"])
+        group = group.append_column("doc_id", pa.array(doc_ids, pa.int64()))
+        sums = {}
+        for fld in analyzed:
+            dls = doc_lengths(group[fld].combine_chunks())
+            group = group.append_column(f"__dl_{fld}", pa.array(dls, pa.int64()))
+            group = group.append_column(f"__norm_{fld}", pa.array(int_to_byte4_np(dls)))
+            sums[fld] = int(dls.sum())
+        _atomic_write_parquet(group, out_path)
+        keys_str = group[key_field].cast(pa.string()).to_numpy(zero_copy_only=False)
+        fp = int(np.bitwise_xor.reduce(
+            murmur3.murmur3_np(keys_str).astype(np.int64))) if n else 0
+        entry = {"part": p, "n_docs": n, "sum_dl": sums, "path": out_path,
+                 "fingerprint": fp}
+        atomic_write_json(entry_path, entry)
+        return pa.table({"summary": [json.dumps(entry)]})
+
+    t_a = time.perf_counter()
+    summaries = [json.loads(r["summary"]) for r in
+                 ds.groupby("__doc_part").map_groups(
+                     write_docstore, batch_format="pyarrow").take_all()]
+    t_docstore = time.perf_counter() - t_a
+
+    n_docs = sum(e["n_docs"] for e in summaries)
+    stats = {
+        "n_docs": n_docs,
+        "fields": {fld: {"sum_ttf": sum(e["sum_dl"].get(fld, 0) for e in summaries),
+                         "doc_count": n_docs} for fld in analyzed},
+    }
+    atomic_write_json(os.path.join(gdir, "stats.json"), stats)
+
+    # ---- term-range boundaries from a sample (byte-balanced → skew rebalancing) ----
+    boundaries = _sample_boundaries(summaries, analyzed, num_term_parts, sample_docs)
+    atomic_write_json(os.path.join(gdir, "boundaries.json"), boundaries)
+
+    # ---- Stage C/D: runs → term-range shuffle → merged skew-balanced partitions ----
+    docstore_files = sorted(e["path"] for e in summaries if e["n_docs"] > 0)
+    post_cols = ["doc_id"] + analyzed + [f"__norm_{f}" for f in analyzed]
+    postings_dir = os.path.join(gdir, "postings")
+    termstats_dir = os.path.join(gdir, "termstats")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return P.emit_runs(batch, analyzed, boundaries, bucket_spec)
+
+    def merge_write(group: pa.Table) -> pa.Table:
+        r = int(group["range_part"][0].as_py())
+        post_path = os.path.join(postings_dir, f"part-{r:05d}.parquet")
+        ts_path = os.path.join(termstats_dir, f"part-{r:05d}.parquet")
+        entry_path = os.path.join(partials, f"postings-{r:05d}.json")
+        if os.path.exists(entry_path) and os.path.exists(post_path):
+            return pa.table({"meta": [json.dumps(read_json(entry_path))]})
+        run_bytes = group.nbytes
+        post_tbl, ts_tbl = P.merge_runs(group.drop_columns(["range_part"]))
+        _atomic_write_parquet(post_tbl, post_path, row_group_size=2048)
+        _atomic_write_parquet(ts_tbl, ts_path)
+        entry = {"range_part": r, "n_runs": len(group), "run_bytes": int(run_bytes),
+                 "n_postings_rows": len(post_tbl), "n_terms": len(ts_tbl),
+                 "n_postings": int(pc.sum(post_tbl["df"]).as_py() or 0),
+                 "posting_bytes": int(post_tbl.nbytes),
+                 "postings_path": post_path, "termstats_path": ts_path}
+        atomic_write_json(entry_path, entry)
+        return pa.table({"meta": [json.dumps(entry)]})
+
+    t_c = time.perf_counter()
+    if docstore_files:
+        runs = ray.data.read_parquet(docstore_files, columns=post_cols) \
+            .map_batches(emit, batch_format="pyarrow")
+        metas = [json.loads(r["meta"]) for r in
+                 runs.groupby("range_part").map_groups(
+                     merge_write, batch_format="pyarrow").take_all()]
+    else:
+        metas = []
+    t_postings = time.perf_counter() - t_c
+
+    wall = time.perf_counter() - t0
+    n_postings = sum(m["n_postings"] for m in metas)
+    gen_info = {
+        "generation": gen,
+        "n_docs": n_docs,
+        "num_doc_parts": num_doc_parts,
+        "num_term_parts": num_term_parts,
+        "bucket_spec": bucket_spec,
+        "analyzed_fields": analyzed,
+        "key_field": key_field,
+        "boundaries": boundaries,
+        "stats": stats,
+        "docstore": {str(e["part"]): {k: e[k] for k in ("n_docs", "path", "fingerprint")}
+                     for e in summaries},
+        "postings": {str(m["range_part"]): m for m in metas},
+        "metrics": {
+            "wall_sec": wall,
+            "docstore_sec": t_docstore,
+            "postings_sec": t_postings,
+            "docs_per_sec": n_docs / wall if wall else 0.0,
+            "n_postings": n_postings,
+            "postings_per_sec": n_postings / t_postings if t_postings else 0.0,
+            "shuffle_run_bytes": sum(m["run_bytes"] for m in metas),
+            "index_bytes": sum(m["posting_bytes"] for m in metas),
+        },
+    }
+    manifest.data["num_doc_parts"] = num_doc_parts
+    manifest.data["key_field"] = key_field
+    manifest.publish(gen, gen_info)
+    return gen_info
+
+
+def _sample_boundaries(summaries, analyzed, num_term_parts, sample_docs) -> list[str]:
+    """Byte-balanced term-range cut points from a docstore sample.
+
+    Reads up to ``sample_docs`` docs from the first non-empty docstore partition,
+    estimates per-term posting bytes (~4.5 B/posting + fixed row overhead), sorts terms
+    and cuts the cumulative byte curve into ``num_term_parts`` equal slices. Heavy
+    (stopword-scale) terms therefore occupy partitions sized by bytes — the explicit
+    skew handling the term shuffle relies on.
+    """
+    if num_term_parts <= 1:
+        return []
+    paths = [e["path"] for e in sorted(summaries, key=lambda e: e["part"])
+             if e["n_docs"] > 0]
+    if not paths:
+        return []
+    acc: dict[str, int] = {}
+    read = 0
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        batch = next(pf.iter_batches(batch_size=min(sample_docs - read, 8192)))
+        tbl = pa.Table.from_batches([batch])
+        for fld in analyzed:
+            if fld not in tbl.column_names:
+                continue
+            tf = term_frequencies(tbl[fld].combine_chunks(),
+                                  np.arange(len(tbl), dtype=np.int64))
+            terms = tf["term"].to_numpy(zero_copy_only=False)
+            for t in terms:
+                acc[t] = acc.get(t, 0) + 1
+        read += len(tbl)
+        if read >= sample_docs:
+            break
+    if not acc:
+        return []
+    terms = np.array(sorted(acc.keys()), dtype=object)
+    weights = np.array([acc[t] * 4.5 + 96.0 for t in terms])
+    cum = np.cumsum(weights)
+    targets = cum[-1] * np.arange(1, num_term_parts) / num_term_parts
+    idx = np.searchsorted(cum, targets)
+    cuts = sorted(set(str(terms[i]) for i in idx if i < len(terms)))
+    return cuts

@@ -1,0 +1,230 @@
+"""Posting-list construction kernels.
+
+Two stages, both fully vectorized:
+
+* ``emit_runs`` — the ``map_batches`` combiner. One input batch (a doc_id-sorted slice
+  of a docstore partition) becomes one row per (field, term, bucket): a compressed
+  posting *run* (docID-delta varint + varint tfs + raw norm bytes). This is the
+  pre-aggregation that keeps the term shuffle small: the groupby moves ~|vocab|×|blocks|
+  compact runs instead of one row per posting (SURVEY.md §4.2).
+
+* ``merge_runs`` — the ``groupby(range_part).map_groups`` merge. Runs of the same
+  (field, term, bucket) are disjoint, ordered doc_id ranges (batches are contiguous
+  slices of doc_id-sorted files), so the merge is a validated concatenation: decode all
+  runs in one vectorized pass, re-encode per merged posting, attach per-block
+  (first_doc, max_tf, min_norm) metadata for block-max WAND.
+
+Terms are routed to output partitions by *range* (``np.searchsorted`` over sampled,
+byte-balanced boundaries) — the skew-rebalancing: a stopword-scale term lands in a
+partition sized by its posting bytes, not its term count (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from byzer_retrieval_ray.functions import codec
+from byzer_retrieval_ray.functions.tokenize import term_frequencies
+
+RUN_SCHEMA = pa.schema([
+    ("range_part", pa.int32()),
+    ("field", pa.string()),
+    ("term", pa.large_string()),
+    ("bucket", pa.int32()),
+    ("min_doc", pa.int64()),
+    ("df", pa.int64()),
+    ("ttf", pa.int64()),
+    ("doc_bytes", pa.large_binary()),
+    ("tf_bytes", pa.large_binary()),
+    ("norm_bytes", pa.large_binary()),
+])
+
+POSTING_SCHEMA = pa.schema([
+    ("bucket", pa.int32()),
+    ("field", pa.string()),
+    ("term", pa.large_string()),
+    ("df", pa.int64()),
+    ("ttf", pa.int64()),
+    ("doc_bytes", pa.large_binary()),
+    ("tf_bytes", pa.large_binary()),
+    ("norm_bytes", pa.large_binary()),
+    ("block_first", pa.list_(pa.int64())),
+    ("block_max_tf", pa.list_(pa.int64())),
+    ("block_min_norm", pa.list_(pa.uint8())),
+])
+
+
+def bucket_of(doc_ids: np.ndarray, bucket_spec: dict) -> np.ndarray:
+    """Doc→serving-bucket assignment.
+
+    stride mode: synthetic ids doc_id = part << bits | rank → bucket = id >> bits.
+    mod mode: user-supplied long ids → bucket = id % parts (reference Utils.route
+    semantics for long ids, Utils.java:137-141).
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if bucket_spec["mode"] == "stride":
+        return (d >> bucket_spec["bits"]).astype(np.int32)
+    return (d % bucket_spec["parts"]).astype(np.int32)
+
+
+def route_terms(terms: np.ndarray, boundaries: list[str]) -> np.ndarray:
+    """range_part of each term: index of the boundary range containing it."""
+    if not boundaries:
+        return np.zeros(len(terms), dtype=np.int32)
+    b = np.asarray(boundaries, dtype=object)
+    return np.searchsorted(b, terms, side="right").astype(np.int32)
+
+
+def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str],
+              bucket_spec: dict) -> pa.Table:
+    """One batch of docstore rows → posting-run rows (the shuffle combiner)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    order = np.argsort(doc_ids, kind="stable")
+    if not (np.diff(doc_ids) > 0).all():
+        batch = batch.take(pa.array(order))
+        doc_ids = doc_ids[order]
+
+    out_chunks = []
+    for fld in analyzed_fields:
+        texts = batch[fld].combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        tf_tbl = term_frequencies(texts, doc_ids)
+        if len(tf_tbl) == 0:
+            continue
+        norms_by_doc = batch[f"__norm_{fld}"].to_numpy().astype(np.uint8)
+        tdoc = tf_tbl["doc_id"].to_numpy()
+        tf = tf_tbl["tf"].to_numpy().astype(np.int64)
+        terms = tf_tbl["term"].to_numpy(zero_copy_only=False)
+        # dictionary-encode terms for a fast lexsort
+        codes = pa.array(terms).dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        buckets = bucket_of(tdoc, bucket_spec)
+        order2 = np.lexsort((tdoc, buckets, codes))
+        tdoc, tf, codes, buckets = tdoc[order2], tf[order2], codes[order2], buckets[order2]
+        terms = terms[order2]
+        norms = norms_by_doc[np.searchsorted(doc_ids, tdoc)]
+
+        change = np.empty(tdoc.size, dtype=bool)
+        change[0] = True
+        np.logical_or(codes[1:] != codes[:-1], buckets[1:] != buckets[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        offsets = np.concatenate([starts, [tdoc.size]])
+        gaps = codec.delta_encode_segments(tdoc, offsets)
+        doc_blobs = codec.varint_encode_segments(gaps, offsets)
+        tf_blobs = codec.varint_encode_segments(tf.astype(np.uint64), offsets)
+        norm_buf = norms.tobytes()
+        norm_blobs = [norm_buf[offsets[i]:offsets[i + 1]] for i in range(len(starts))]
+        df = np.diff(offsets)
+        ttf = np.add.reduceat(tf, starts)
+        run_terms = terms[starts]
+        out_chunks.append(pa.table({
+            "range_part": pa.array(route_terms(run_terms, boundaries), pa.int32()),
+            "field": pa.array([fld] * len(starts), pa.string()),
+            "term": pa.array(run_terms, pa.large_string()),
+            "bucket": pa.array(buckets[starts], pa.int32()),
+            "min_doc": pa.array(tdoc[starts], pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "ttf": pa.array(ttf, pa.int64()),
+            "doc_bytes": pa.array(doc_blobs, pa.large_binary()),
+            "tf_bytes": pa.array(tf_blobs, pa.large_binary()),
+            "norm_bytes": pa.array(norm_blobs, pa.large_binary()),
+        }))
+    if not out_chunks:
+        return RUN_SCHEMA.empty_table()
+    return pa.concat_tables(out_chunks)
+
+
+def merge_runs(group: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """All runs of one term-range partition → (postings table, termstats table).
+
+    Postings rows come out bucket-major (sorted by bucket, field, term) so serving
+    actors can prune parquet row groups on the bucket column; termstats aggregates
+    (field, term) → global df/ttf across buckets for idf computation.
+    """
+    group = group.sort_by([("field", "ascending"), ("term", "ascending"),
+                           ("bucket", "ascending"), ("min_doc", "ascending")])
+    fields = group["field"].to_numpy(zero_copy_only=False)
+    terms = group["term"].to_numpy(zero_copy_only=False)
+    buckets = group["bucket"].to_numpy()
+    df = group["df"].to_numpy()
+    ttf = group["ttf"].to_numpy()
+    n_runs = len(group)
+    if n_runs == 0:
+        return POSTING_SCHEMA.empty_table(), pa.schema(
+            [("field", pa.string()), ("term", pa.large_string()),
+             ("df", pa.int64()), ("ttf", pa.int64())]).empty_table()
+
+    fcodes = pa.array(fields).dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    tcodes = pa.array(terms).dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    change = np.empty(n_runs, dtype=bool)
+    change[0] = True
+    change[1:] = ((fcodes[1:] != fcodes[:-1]) | (tcodes[1:] != tcodes[:-1])
+                  | (buckets[1:] != buckets[:-1]))
+    post_starts = np.flatnonzero(change)          # run index where each merged posting begins
+
+    # decode every run in one pass
+    run_offsets = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(df, out=run_offsets[1:])
+    doc_cat = b"".join(group["doc_bytes"].to_pylist())
+    tf_cat = b"".join(group["tf_bytes"].to_pylist())
+    norm_cat = b"".join(group["norm_bytes"].to_pylist())
+    gaps = codec.varint_decode(doc_cat, int(run_offsets[-1])).astype(np.int64)
+    docs = codec.delta_decode_segments(gaps, run_offsets)
+    tfs = codec.varint_decode(tf_cat, int(run_offsets[-1])).astype(np.int64)
+    norms = np.frombuffer(norm_cat, dtype=np.uint8)
+
+    # merged posting boundaries in posting space
+    post_offsets = np.concatenate([run_offsets[post_starts], [int(run_offsets[-1])]])
+    # runs of one (field, term, bucket) must concatenate to a strictly increasing list
+    merged_gaps = codec.delta_encode_segments(docs, post_offsets)
+    doc_blobs = codec.varint_encode_segments(merged_gaps, post_offsets)
+    tf_blobs = codec.varint_encode_segments(tfs.astype(np.uint64), post_offsets)
+    norm_buf = norms.tobytes()
+    norm_blobs = [norm_buf[post_offsets[i]:post_offsets[i + 1]]
+                  for i in range(len(post_starts))]
+
+    n_posts = len(post_starts)
+    post_df = np.diff(post_offsets)
+    post_ttf = np.add.reduceat(tfs, post_offsets[:-1])
+    # per-block metadata (BLOCK_SIZE postings per block, per merged posting)
+    blk_first, blk_max_tf, blk_min_norm = [], [], []
+    B = codec.BLOCK_SIZE
+    for i in range(n_posts):
+        lo, hi = int(post_offsets[i]), int(post_offsets[i + 1])
+        starts_b = np.arange(lo, hi, B)
+        blk_first.append(docs[starts_b])
+        blk_max_tf.append(np.maximum.reduceat(tfs[lo:hi], starts_b - lo))
+        blk_min_norm.append(np.minimum.reduceat(norms[lo:hi], starts_b - lo))
+
+    postings = pa.table({
+        "bucket": pa.array(buckets[post_starts], pa.int32()),
+        "field": pa.array(fields[post_starts], pa.string()),
+        "term": pa.array(terms[post_starts], pa.large_string()),
+        "df": pa.array(post_df, pa.int64()),
+        "ttf": pa.array(post_ttf, pa.int64()),
+        "doc_bytes": pa.array(doc_blobs, pa.large_binary()),
+        "tf_bytes": pa.array(tf_blobs, pa.large_binary()),
+        "norm_bytes": pa.array(norm_blobs, pa.large_binary()),
+        "block_first": pa.array([x.tolist() for x in blk_first], pa.list_(pa.int64())),
+        "block_max_tf": pa.array([x.tolist() for x in blk_max_tf], pa.list_(pa.int64())),
+        "block_min_norm": pa.array([x.tolist() for x in blk_min_norm], pa.list_(pa.uint8())),
+    }).sort_by([("bucket", "ascending"), ("field", "ascending"), ("term", "ascending")])
+
+    # (field, term) global stats across buckets
+    ft_change = np.concatenate([[True],
+                                (fcodes[post_starts][1:] != fcodes[post_starts][:-1]) |
+                                (tcodes[post_starts][1:] != tcodes[post_starts][:-1])])
+    ft_starts = np.flatnonzero(ft_change)
+    ft_ends = np.concatenate([ft_starts[1:], [n_posts]])
+    term_df = np.add.reduceat(post_df, ft_starts)
+    term_ttf = np.add.reduceat(post_ttf, ft_starts)
+    termstats = pa.table({
+        "field": pa.array(fields[post_starts][ft_starts], pa.string()),
+        "term": pa.array(terms[post_starts][ft_starts], pa.large_string()),
+        "df": pa.array(term_df, pa.int64()),
+        "ttf": pa.array(term_ttf, pa.int64()),
+    })
+    del ft_ends
+    return postings, termstats

@@ -1,0 +1,471 @@
+"""Query execution over a published index generation.
+
+Per-bucket search (the ST1 equivalent of the reference's per-shard Lucene searcher,
+RetrievalWorker.java:309-380) with *global* collection statistics, so results are
+partition-count invariant (SURVEY.md §7.3 — an intentional improvement over the
+reference's per-shard stats; the conformance configuration is the reference's 1-shard
+setup, which we reproduce exactly at any parallelism).
+
+Semantics replicated:
+  * keyword parsing: whitespace terms, OR default (SimpleQueryParser subset); "*" →
+    MatchAllDocsQuery with constant score 1.0 (RetrievalWorker.java:336-341)
+  * filters are non-scoring FILTER clauses; with a keyword SHOULD clause present,
+    filter-matching docs with zero keyword score still match (Lucene BooleanQuery
+    semantics). Divergence note: the reference's and/or subtrees are added as MUST
+    (Utils.java:263-275), which accidentally lets TermQuery filter leaves contribute
+    BM25 score; we keep every filter non-scoring — deterministic and documented.
+  * vector recall: cosine KNN scored (1 + cos) / 2 (Lucene VectorSimilarityFunction
+    .COSINE), optional filter (RetrievalWorker.java:346-366)
+  * unscored `filter` op: filter + typed multi-field sort + limit
+    (RetrievalWorker.java:273-307)
+  * ties broken by doc_id ascending (Lucene per-segment docID order)
+
+Two scoring engines, verified identical in tests:
+  * TAAT — vectorized term-at-a-time (numpy), the brute-force oracle path
+  * BMW — block-max WAND: per-block (max_tf, min_norm) score bounds prune doc ranges
+    below the running top-k threshold; surviving ranges are scored vectorized. This is
+    the serving path the north rule mandates.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from byzer_retrieval_ray.functions import bm25, codec, filters as F
+from byzer_retrieval_ray.functions.tokenize import tokenize_query
+from byzer_retrieval_ray.index.manifest import read_json
+from byzer_retrieval_ray.schema import dsl
+from byzer_retrieval_ray.table.query import SearchQuery
+
+
+class GenerationReader:
+    """Paths, stats and term routing for one published generation (read-only)."""
+
+    def __init__(self, manifest_data: dict, gen: int | None = None):
+        self.m = manifest_data
+        g = gen if gen is not None else manifest_data["generation"]
+        self.gen = g
+        if str(g) not in manifest_data.get("generations", {}):
+            raise RuntimeError(
+                f"table {manifest_data.get('database')}.{manifest_data.get('table')} "
+                f"has no published generation {g}")
+        self.info = manifest_data["generations"][str(g)]
+        self.schema = dsl.parse_schema(manifest_data["schema"])
+        self.analyzed = set(self.info["analyzed_fields"])
+        self.stats = self.info["stats"]
+        self.boundaries = self.info["boundaries"]
+        self.bucket_spec = self.info["bucket_spec"]
+        self.num_doc_parts = self.info["num_doc_parts"]
+        self.key_field = self.info["key_field"]
+
+    def route_term(self, term: str) -> int:
+        b = self.boundaries
+        if not b:
+            return 0
+        lo, hi = 0, len(b)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if b[mid] < term or b[mid] == term:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def docstore_path(self, bucket: int) -> str | None:
+        e = self.info["docstore"].get(str(bucket))
+        return e["path"] if e else None
+
+    def postings_path(self, range_part: int) -> str | None:
+        e = self.info["postings"].get(str(range_part))
+        return e["postings_path"] if e else None
+
+    def termstats_path(self, range_part: int) -> str | None:
+        e = self.info["postings"].get(str(range_part))
+        return e["termstats_path"] if e else None
+
+    def buckets(self) -> list[int]:
+        return sorted(int(b) for b in self.info["docstore"].keys())
+
+    def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
+        """(field, term) → (df, ttf) global stats; missing terms → (0, 0)."""
+        out = {p: (0, 0) for p in pairs}
+        by_part: dict[int, list[tuple[str, str]]] = {}
+        for f, t in pairs:
+            by_part.setdefault(self.route_term(t), []).append((f, t))
+        for r, ps in by_part.items():
+            path = self.termstats_path(r)
+            if path is None or not os.path.exists(path):
+                continue
+            terms = list({t for _, t in ps})
+            tbl = pq.read_table(path, filters=[("term", "in", terms)])
+            for row in tbl.to_pylist():
+                key = (row["field"], row["term"])
+                if key in out:
+                    out[key] = (row["df"], row["ttf"])
+        return out
+
+    def tombstones(self) -> np.ndarray:
+        ids: list[int] = []
+        for p in self.m.get("tombstone_files", []):
+            if os.path.exists(p):
+                ids.extend(read_json(p)["doc_ids"])
+        return np.unique(np.array(ids, dtype=np.int64)) if ids else np.empty(0, np.int64)
+
+
+class Posting:
+    __slots__ = ("docs", "tfs", "norms", "blk_first", "blk_max_tf", "blk_min_norm", "df")
+
+    def __init__(self, docs, tfs, norms, blk_first, blk_max_tf, blk_min_norm):
+        self.docs, self.tfs, self.norms = docs, tfs, norms
+        self.blk_first, self.blk_max_tf, self.blk_min_norm = blk_first, blk_max_tf, blk_min_norm
+        self.df = len(docs)
+
+
+_EMPTY = Posting(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
+                 np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8))
+
+
+class BucketSearcher:
+    """Stateful per-bucket searcher: loads its postings/doc-store slice lazily and
+    caches decoded postings — the engine's segment-actor workhorse."""
+
+    def __init__(self, manifest_data: dict, bucket: int, cache_postings: int = 4096):
+        self.gen = GenerationReader(manifest_data)
+        self.bucket = bucket
+        self._postings_cache: OrderedDict[tuple[str, str], Posting] = OrderedDict()
+        self._cache_cap = cache_postings
+        self._docstore_cols: dict[str, pa.ChunkedArray] = {}
+        self._docstore_len: int | None = None
+        self._tombstones = self.gen.tombstones()
+        self._ts_in_bucket = self._tombstones[self._bucket_of(self._tombstones) == bucket] \
+            if self._tombstones.size else self._tombstones
+
+    # ---------- storage access ----------
+
+    def _bucket_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        from byzer_retrieval_ray.index.postings import bucket_of
+        return bucket_of(doc_ids, self.gen.bucket_spec)
+
+    def _docstore(self, columns: list[str]) -> pa.Table:
+        path = self.gen.docstore_path(self.bucket)
+        missing = [c for c in columns if c not in self._docstore_cols]
+        if missing:
+            if path is None:
+                raise KeyError(f"bucket {self.bucket} has no docstore")
+            t = pq.read_table(path, columns=missing)
+            for c in missing:
+                self._docstore_cols[c] = t[c]
+            self._docstore_len = len(t)
+        return pa.table({c: self._docstore_cols[c] for c in columns})
+
+    def doc_ids(self) -> np.ndarray:
+        return self._docstore(["doc_id"])["doc_id"].to_numpy()
+
+    def fetch_postings(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], Posting]:
+        out = {}
+        todo_by_part: dict[int, list[tuple[str, str]]] = {}
+        for key in pairs:
+            if key in self._postings_cache:
+                self._postings_cache.move_to_end(key)
+                out[key] = self._postings_cache[key]
+            else:
+                todo_by_part.setdefault(self.gen.route_term(key[1]), []).append(key)
+        for r, keys in todo_by_part.items():
+            path = self.gen.postings_path(r)
+            found = {}
+            if path is not None and os.path.exists(path):
+                terms = list({t for _, t in keys})
+                tbl = pq.read_table(path, filters=[("bucket", "=", self.bucket),
+                                                   ("term", "in", terms)])
+                for row in range(len(tbl)):
+                    f = tbl["field"][row].as_py()
+                    t = tbl["term"][row].as_py()
+                    df = tbl["df"][row].as_py()
+                    docs, tfs, norms = codec.decode_posting(
+                        tbl["doc_bytes"][row].as_py(), tbl["tf_bytes"][row].as_py(),
+                        tbl["norm_bytes"][row].as_py(), df)
+                    found[(f, t)] = Posting(
+                        docs, tfs, norms,
+                        np.array(tbl["block_first"][row].as_py(), dtype=np.int64),
+                        np.array(tbl["block_max_tf"][row].as_py(), dtype=np.int64),
+                        np.array(tbl["block_min_norm"][row].as_py(), dtype=np.uint8))
+            for key in keys:
+                p = found.get(key, _EMPTY)
+                out[key] = p
+                self._postings_cache[key] = p
+                if len(self._postings_cache) > self._cache_cap:
+                    self._postings_cache.popitem(last=False)
+        return out
+
+    # ---------- filter / candidates ----------
+
+    def _stored_columns(self) -> list[str]:
+        return [f.name for f in self.gen.schema.fields if not f.analyze]
+
+    def filter_candidates(self, tree: dict) -> np.ndarray | None:
+        """Sorted doc_ids of this bucket matching the filter tree (None = no filter)."""
+        if not tree:
+            return None
+        cols = sorted({"doc_id"} | _filter_fields(tree))
+        tbl = self._docstore(cols)
+        mask = F.evaluate(tbl, tree, analyzed=self.gen.analyzed)
+        ids = tbl.filter(mask)["doc_id"].to_numpy()
+        return self._drop_tombstones(np.sort(ids))
+
+    def _drop_tombstones(self, sorted_ids: np.ndarray) -> np.ndarray:
+        ts = self._ts_in_bucket
+        if ts.size == 0 or sorted_ids.size == 0:
+            return sorted_ids
+        keep = ~np.isin(sorted_ids, ts, assume_unique=False)
+        return sorted_ids[keep]
+
+    # ---------- keyword search ----------
+
+    def search_keyword(self, q: SearchQuery, precision: str = "float32",
+                       algorithm: str = "bmw") -> tuple[np.ndarray, np.ndarray]:
+        """Per-bucket top-limit (doc_ids, scores) for a keyword recall."""
+        dtype = np.float32 if precision == "float32" else np.float64
+        limit = q.limit
+        candidates = self.filter_candidates(q.filters)
+        keyword = (q.keyword or "").strip()
+
+        if keyword == "*":
+            ids = candidates if candidates is not None \
+                else self._drop_tombstones(np.sort(self.doc_ids()))
+            ids = ids[:limit]
+            return ids, np.ones(ids.size, dtype=dtype)
+
+        terms = tokenize_query(keyword)
+        pairs = [(f, t) for t in terms for f in (q.fields or sorted(self.gen.analyzed))]
+        mult: dict[tuple[str, str], int] = {}
+        for p in pairs:
+            mult[p] = mult.get(p, 0) + 1
+        uniq_pairs = list(mult.keys())  # insertion-ordered = clause order
+        stats = self.gen.term_stats(uniq_pairs)
+        posts = self.fetch_postings([p for p in uniq_pairs if stats[p][0] > 0])
+
+        scorers = []
+        for key in uniq_pairs:
+            df, _ = stats[key]
+            if df == 0:
+                continue
+            fld = key[0]
+            fstats = self.gen.stats["fields"][fld]
+            avgdl = bm25.avg_field_length(fstats["sum_ttf"], fstats["doc_count"], dtype=dtype)
+            cache = bm25.norm_inverse_cache(avgdl, dtype=dtype)
+            w = bm25.term_weight(fstats["doc_count"], df, boost=float(mult[key]), dtype=dtype)
+            scorers.append((key, posts[key], cache, w))
+
+        if not scorers:
+            if candidates is None:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            ids = candidates[:limit]
+            return ids, np.zeros(ids.size, dtype=dtype)
+
+        if algorithm == "bmw" and candidates is None and self._ts_in_bucket.size == 0:
+            ids, scores = self._search_bmw(scorers, limit, dtype)
+        else:
+            ids, scores = self._search_taat(scorers, candidates, limit, dtype)
+        return ids, scores
+
+    def _term_scores(self, posting: Posting, cache, w, dtype, lo=None, hi=None):
+        s = slice(lo, hi)
+        return posting.docs[s], bm25.score_tf_norm(posting.tfs[s], posting.norms[s],
+                                                   cache, w, dtype=dtype)
+
+    def _search_taat(self, scorers, candidates, limit, dtype):
+        """Vectorized term-at-a-time; exact; supports filter candidates + tombstones."""
+        all_docs = []
+        for _, posting, cache, w in scorers:
+            all_docs.append(posting.docs)
+        union = np.unique(np.concatenate(all_docs)) if all_docs else np.empty(0, np.int64)
+        if candidates is not None:
+            union = union[np.isin(union, candidates, assume_unique=True)]
+        else:
+            ts = self._ts_in_bucket
+            if ts.size:
+                union = union[~np.isin(union, ts)]
+        acc = np.zeros(union.size, dtype=np.float64)
+        for _, posting, cache, w in scorers:   # clause order = float addition order
+            docs, scores = self._term_scores(posting, cache, w, dtype)
+            idx = np.searchsorted(union, docs)
+            valid = (idx < union.size)
+            valid[valid] &= union[idx[valid]] == docs[valid]
+            np.add.at(acc, idx[valid], scores[valid].astype(np.float64))
+        scores = acc.astype(dtype)
+        if candidates is not None:
+            # zero-score filter matches still qualify (SHOULD + FILTER semantics)
+            zero = candidates[~np.isin(candidates, union, assume_unique=True)]
+            union = np.concatenate([union, zero])
+            scores = np.concatenate([scores, np.zeros(zero.size, dtype=dtype)])
+        order = np.lexsort((union, -scores.astype(np.float64)))[:limit]
+        return union[order], scores[order]
+
+    def _search_bmw(self, scorers, limit, dtype):
+        """Block-max WAND at block-range granularity.
+
+        Sweep candidate doc ranges delimited by the union of all terms' block starts;
+        a range whose summed per-term block score bounds can't beat the running top-k
+        threshold is skipped without decoding scores; surviving ranges are scored
+        vectorized in clause order (identical float addition order to TAAT).
+        """
+        n_t = len(scorers)
+        bounds_per_term = []
+        for key, posting, cache, w in scorers:
+            bb = bm25.max_block_score_bound(posting.blk_max_tf, posting.blk_min_norm,
+                                            cache, w, dtype=dtype).astype(np.float64)
+            bounds_per_term.append(bb)
+        # breakpoints: every block start of every term, plus +inf sentinel
+        edges = np.unique(np.concatenate([s[1].blk_first for s in scorers]))
+        topk: list[float] = []   # min-heap of the current top-k scores
+        out_docs, out_scores = [], []
+        B = codec.BLOCK_SIZE
+
+        for ei in range(edges.size):
+            lo_doc = edges[ei]
+            hi_doc = edges[ei + 1] if ei + 1 < edges.size else np.iinfo(np.int64).max
+            # upper bound: sum of the active block bound of each term in this range
+            ub = 0.0
+            active = []
+            for ti, (key, posting, cache, w) in enumerate(scorers):
+                bi = np.searchsorted(posting.blk_first, lo_doc, side="right") - 1
+                if bi < 0:
+                    continue
+                blk_start = bi * B
+                blk_end = min(blk_start + B, posting.df)
+                # does this term have postings in [lo_doc, hi_doc)?
+                plo = np.searchsorted(posting.docs, lo_doc)
+                if plo >= posting.df or posting.docs[plo] >= hi_doc:
+                    continue
+                phi = np.searchsorted(posting.docs, hi_doc)
+                # range may span into the next block for the LAST edge gap; bound with
+                # max over touched blocks
+                bi2 = np.searchsorted(posting.blk_first, posting.docs[phi - 1], side="right") - 1
+                ub += float(bounds_per_term[ti][bi:bi2 + 1].max())
+                active.append((ti, plo, phi))
+            if not active:
+                continue
+            if len(topk) >= limit and ub <= topk[0]:
+                continue
+            # score the range exactly (vectorized), clause order preserved
+            segs = []
+            for ti, plo, phi in active:
+                segs.append(scorers[ti][1].docs[plo:phi])
+            union = np.unique(np.concatenate(segs))
+            acc = np.zeros(union.size, dtype=np.float64)
+            for ti, plo, phi in active:
+                key, posting, cache, w = scorers[ti]
+                docs, scores = self._term_scores(posting, cache, w, dtype, plo, phi)
+                idx = np.searchsorted(union, docs)
+                np.add.at(acc, idx, scores.astype(np.float64))
+            sc = acc.astype(dtype)
+            for d, s in zip(union.tolist(), sc.tolist()):
+                if len(topk) < limit:
+                    heapq.heappush(topk, s)
+                    out_docs.append(d)
+                    out_scores.append(s)
+                elif s > topk[0]:
+                    heapq.heapreplace(topk, s)
+                    out_docs.append(d)
+                    out_scores.append(s)
+        docs = np.array(out_docs, dtype=np.int64)
+        scores = np.array(out_scores, dtype=dtype)
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:limit]
+        return docs[order], scores[order]
+
+    # ---------- vector search ----------
+
+    def _vectors(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        tbl = self._docstore(["doc_id", field])
+        col = tbl[field].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        n = len(col)
+        dim = flat.size // n if n else 0
+        return tbl["doc_id"].to_numpy(), flat.reshape(n, dim)
+
+    def search_vector(self, q: SearchQuery, precision: str = "float32"):
+        """Cosine KNN scored (1+cos)/2 (Lucene COSINE), with optional filter."""
+        dtype = np.float32 if precision == "float32" else np.float64
+        ids, mat = self._vectors(q.vectorField)
+        qv = np.asarray(q.vector, dtype=dtype)
+        mat = mat.astype(dtype)
+        candidates = self.filter_candidates(q.filters)
+        if candidates is not None:
+            keep = np.isin(ids, candidates)
+            ids, mat = ids[keep], mat[keep]
+        else:
+            ts = self._ts_in_bucket
+            if ts.size:
+                keep = ~np.isin(ids, ts)
+                ids, mat = ids[keep], mat[keep]
+        if ids.size == 0:
+            return np.empty(0, np.int64), np.empty(0, dtype)
+        dots = mat @ qv
+        norms = np.sqrt((mat * mat).sum(axis=1)) * np.sqrt((qv * qv).sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(norms > 0, dots / norms, 0.0)
+        scores = ((1.0 + cos) / 2.0).astype(dtype)
+        order = np.lexsort((ids, -scores.astype(np.float64)))[:q.limit]
+        return ids[order], scores[order]
+
+    # ---------- unscored filter op ----------
+
+    def filter_op(self, q: SearchQuery) -> pa.Table:
+        """Filter + typed multi-field sort + limit (RetrievalWorker.java:273-307)."""
+        sort_fields = [list(s.keys())[0] for s in q.sorts]
+        cols = sorted({"doc_id", *_filter_fields(q.filters), *sort_fields,
+                       *[c for c in self._stored_columns()]})
+        cols = [c for c in cols if c in _available_columns(self)]
+        tbl = self._docstore(cols)
+        mask = F.evaluate(tbl, q.filters, analyzed=self.gen.analyzed)
+        tbl = tbl.filter(mask)
+        ts = self._ts_in_bucket
+        if ts.size:
+            keep = ~np.isin(tbl["doc_id"].to_numpy(), ts)
+            tbl = tbl.filter(pa.array(keep))
+        keys = [(list(s.keys())[0], "descending" if list(s.values())[0] == "desc"
+                 else "ascending") for s in q.sorts]
+        keys.append(("doc_id", "ascending"))
+        tbl = tbl.sort_by(keys)
+        return tbl.slice(0, q.limit)
+
+    # ---------- result materialization ----------
+
+    def fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:
+        cols = [c for c in self._stored_columns() if c in _available_columns(self)]
+        if "doc_id" not in cols:
+            cols = ["doc_id"] + cols
+        tbl = self._docstore(cols)
+        mask = pc.is_in(tbl["doc_id"], value_set=pa.array(doc_ids, pa.int64()))
+        return tbl.filter(mask)
+
+
+def _filter_fields(tree: dict) -> set[str]:
+    out: set[str] = set()
+
+    def go(node):
+        if "field" in node:
+            out.add(node["field"])
+        for k in ("and", "or"):
+            for c in node.get(k, []):
+                go(c)
+
+    if tree:
+        go(tree)
+    return out
+
+
+def _available_columns(searcher: BucketSearcher) -> set[str]:
+    path = searcher.gen.docstore_path(searcher.bucket)
+    if path is None:
+        return set()
+    if not hasattr(searcher, "_avail_cols"):
+        searcher._avail_cols = set(pq.ParquetFile(path).schema_arrow.names)
+    return searcher._avail_cols

@@ -1,7 +1,336 @@
-"""Table lifecycle API (M1–M9 surface) — filled in as the engine layers land."""
+"""Table lifecycle API — the M1–M9 surface of the reference
+(RetrievalMaster / LocalRetrievalMaster / RetrievalGateway), re-expressed over the
+manifest + generation model: cluster state lives on disk (manifest.json per table), so
+"restore" is just re-reading manifests (RetrievalGateway.java:90-137 semantics without
+actor-pinning — index data is plain partitioned parquet on shared storage).
+
+Serving modes:
+  * local  — BucketSearcher objects in-process (tests, the driver correctness gate)
+  * actors — one IndexSegmentActor per bucket (`ray.remote`), scatter-gather with the
+    reference's 30 s deadline (RetrievalMaster.java:222, :322)
+
+Mutations are generation/tombstone based:
+  * build_*        → new generation, latest-version-wins dedup (upsert, M1)
+  * delete_by_ids  → tombstone file with resolved doc_ids (M2)
+  * delete_by_filter → same via filter resolution (M3)
+  * commit         → manifest republish/fsync (M4; builds publish atomically already)
+  * truncate       → drop generations, reset manifest (M5)
+  * close / close_and_delete → status flip / directory removal (M6)
+"""
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
 
-class RetrievalCluster:  # placeholder; implemented with the index/serving layers
-    pass
+import numpy as np
+import pyarrow as pa
+
+from byzer_retrieval_ray.index import master as M
+from byzer_retrieval_ray.index.build import build_index
+from byzer_retrieval_ray.index.manifest import Manifest, atomic_write_json
+from byzer_retrieval_ray.index.searcher import BucketSearcher, GenerationReader
+from byzer_retrieval_ray.table.query import SearchQuery, TableSettings
+
+QUERY_TIMEOUT_SEC = 30.0  # RetrievalMaster.java:222, :322
+
+
+class RetrievalCluster:
+    """A named retrieval cluster rooted at a storage location."""
+
+    def __init__(self, location: str, name: str = "cluster"):
+        self.location = location
+        self.name = name
+        self._manifests: dict[tuple[str, str], Manifest] = {}
+        self._local_searchers: dict[tuple[str, str], list[BucketSearcher]] = {}
+        self._actors: dict[tuple[str, str], list] = {}
+        os.makedirs(location, exist_ok=True)
+
+    # ------------- lifecycle (M7/M8/M9) -------------
+
+    def create_table(self, settings: TableSettings) -> bool:
+        m = Manifest(self.location, settings.database, settings.table)
+        m.data["schema"] = settings.schema
+        m.data["status"] = "open"
+        m.save()
+        self._manifests[(settings.database, settings.table)] = m
+        return True
+
+    def manifest(self, database: str, table: str) -> Manifest:
+        key = (database, table)
+        if key not in self._manifests:
+            m = Manifest(self.location, database, table)
+            if not m.exists:
+                raise KeyError(f"table {database}.{table} does not exist")
+            self._manifests[key] = m
+        return self._manifests[key]
+
+    def cluster_info(self) -> dict:
+        """Serialized cluster metadata — the checkpoint format (M9)."""
+        tables = []
+        if os.path.isdir(self.location):
+            for db in sorted(os.listdir(self.location)):
+                dbdir = os.path.join(self.location, db)
+                if not os.path.isdir(dbdir):
+                    continue
+                for tbl in sorted(os.listdir(dbdir)):
+                    if os.path.exists(os.path.join(dbdir, tbl, "manifest.json")):
+                        m = Manifest(self.location, db, tbl)
+                        tables.append({
+                            "database": db, "table": tbl,
+                            "schema": m.data["schema"],
+                            "status": m.data["status"],
+                            "generation": m.data["generation"],
+                        })
+        return {"name": self.name, "location": self.location, "tables": tables}
+
+    @classmethod
+    def restore_from_cluster_info(cls, info: dict) -> "RetrievalCluster":
+        """M8: state is on disk; restore = point a new cluster at the location."""
+        return cls(info["location"], info.get("name", "cluster"))
+
+    # ------------- ingestion / build (S1–S4, M1) -------------
+
+    def build_from_parquet(self, database: str, table: str, source,
+                           key_field: str, version_field: str | None = None,
+                           extract: tuple[str, str] | None = None,
+                           num_doc_parts: int = 8, num_term_parts: int = 8) -> dict:
+        m = self.manifest(database, table)
+        info = build_index(source, m, key_field=key_field, version_field=version_field,
+                           extract=extract, num_doc_parts=num_doc_parts,
+                           num_term_parts=num_term_parts)
+        self._invalidate(database, table)
+        return info
+
+    def build_from_local(self, database: str, table: str, docs: list[dict],
+                         key_field: str = "_id", num_doc_parts: int = 4,
+                         num_term_parts: int = 4) -> bool:
+        """S3/S4 equivalent: inline records, upserted over the current generation.
+
+        The reference upserts each doc by _id into its Lucene shard
+        (RetrievalWorker.java:243-270); here an upsert batch triggers a generation
+        rebuild over (previous docs ∪ new docs) with new docs winning key conflicts.
+        Incremental delta generations are the documented scale path.
+        """
+        import ray.data
+
+        m = self.manifest(database, table)
+        for d in docs:
+            if key_field not in d:
+                raise ValueError(
+                    f"build: a document misses the key field {key_field!r} "
+                    "(reference throws, RetrievalMaster.java:116-122)")
+        new_ds = ray.data.from_items([{**d, "__upsert_seq": 1} for d in docs])
+        source = new_ds
+        if m.data["generation"] > 0:
+            gr = GenerationReader(m.data)
+            paths = [gr.docstore_path(b) for b in gr.buckets()]
+            paths = [p for p in paths if p and os.path.exists(p)]
+            if paths:
+                old = ray.data.read_parquet(paths)
+                drop = [c for c in old.schema().names
+                        if c.startswith("__") or c == "doc_id"]
+                if drop:
+                    old = old.drop_columns(drop)
+                old = old.map_batches(
+                    lambda t: t.append_column("__upsert_seq", pa.array([0] * len(t), pa.int64())),
+                    batch_format="pyarrow")
+                source = old.union(new_ds)
+        build_index(source, m, key_field=key_field, version_field="__upsert_seq",
+                    num_doc_parts=num_doc_parts, num_term_parts=num_term_parts)
+        self._invalidate(database, table)
+        return True
+
+    def commit(self, database: str, table: str) -> bool:
+        """M4: builds already publish atomically; commit re-saves the manifest."""
+        self.manifest(database, table).save()
+        return True
+
+    # ------------- mutations (M2/M3/M5/M6) -------------
+
+    def delete_by_ids(self, database: str, table: str, ids: list) -> bool:
+        m = self.manifest(database, table)
+        gr = GenerationReader(m.data)
+        key = gr.key_field
+        doc_ids: list[int] = []
+        for s in self._searchers(database, table):
+            tbl = s._docstore(["doc_id", key])
+            keys = tbl[key].to_numpy(zero_copy_only=False)
+            mask = np.isin(keys, np.array(ids, dtype=keys.dtype))
+            doc_ids.extend(tbl["doc_id"].to_numpy()[mask].tolist())
+        return self._append_tombstones(m, doc_ids)
+
+    def delete_by_filter(self, database: str, table: str, condition: dict) -> bool:
+        """M3: condition is a {field: value, ...} map — AND of exact matches
+        (RetrievalWorker.java:103-124)."""
+        m = self.manifest(database, table)
+        tree = {"and": [{"field": k, "value": v} for k, v in condition.items()]}
+        doc_ids: list[int] = []
+        for s in self._searchers(database, table):
+            cand = s.filter_candidates(tree)
+            if cand is not None:
+                doc_ids.extend(cand.tolist())
+        return self._append_tombstones(m, doc_ids)
+
+    def _append_tombstones(self, m: Manifest, doc_ids: list[int]) -> bool:
+        if not doc_ids:
+            return True
+        n = len(m.data.get("tombstone_files", []))
+        path = os.path.join(m.gen_dir(), f"tombstones-{n}.json")
+        atomic_write_json(path, {"doc_ids": sorted(set(int(d) for d in doc_ids)),
+                                 "created_at": time.time()})
+        m.add_tombstone_file(path)
+        self._invalidate(m.database, m.table)
+        return True
+
+    def truncate(self, database: str, table: str) -> bool:
+        m = self.manifest(database, table)
+        for g in list(m.data["generations"]):
+            gd = m.gen_dir(int(g))
+            if os.path.isdir(gd):
+                shutil.rmtree(gd)
+        m.data["generations"] = {}
+        m.data["generation"] = 0
+        m.data["tombstone_files"] = []
+        m.save()
+        self._invalidate(database, table)
+        return True
+
+    def close(self, database: str, table: str) -> bool:
+        m = self.manifest(database, table)
+        m.data["status"] = "close"
+        m.save()
+        self._invalidate(database, table)
+        return True
+
+    def close_and_delete_file(self, database: str, table: str) -> bool:
+        self.close(database, table)
+        tdir = os.path.dirname(self.manifest(database, table).path)
+        shutil.rmtree(tdir, ignore_errors=True)
+        self._manifests.pop((database, table), None)
+        return True
+
+    def truncate_clear(self):
+        self._local_searchers.clear()
+
+    # ------------- query (Q1–Q9) -------------
+
+    def activate(self, database: str, table: str, mode: str = "actors") -> int:
+        """Spawn the serving actor pool (one IndexSegmentActor per bucket)."""
+        from byzer_retrieval_ray.index.actors import make_segment_actor
+
+        m = self.manifest(database, table)
+        gr = GenerationReader(m.data)
+        actors = [make_segment_actor(m.data, b) for b in gr.buckets()]
+        self._actors[(database, table)] = actors
+        return len(actors)
+
+    def deactivate(self, database: str, table: str) -> None:
+        import ray
+        for a in self._actors.pop((database, table), []):
+            ray.kill(a)
+
+    def _searchers(self, database: str, table: str) -> list[BucketSearcher]:
+        key = (database, table)
+        if key not in self._local_searchers:
+            m = self.manifest(database, table)
+            gr = GenerationReader(m.data)
+            self._local_searchers[key] = [BucketSearcher(m.data, b)
+                                          for b in gr.buckets()]
+        return self._local_searchers[key]
+
+    def _invalidate(self, database: str, table: str) -> None:
+        self._local_searchers.pop((database, table), None)
+        key = (database, table)
+        if key in self._actors:
+            import ray
+            m = self.manifest(database, table)
+            ray.get([a.reload.remote(m.data) for a in self._actors[key]])
+
+    def search(self, database: str, table: str, queries,
+               precision: str = "float32", algorithm: str = "bmw") -> list[list[dict]]:
+        """Q1/Q2/Q5–Q8: list of SearchQuery (dicts or dataclasses) → per-query ranked
+        docs with _score injected (reference S7 result shape)."""
+        qs = self._as_queries(database, table, queries)
+        use_actors = (database, table) in self._actors
+        out = []
+        for q in qs:
+            recalls: dict[str, list] = {}
+            if use_actors:
+                import ray
+                actors = self._actors[(database, table)]
+                futs = {}
+                if q.has_keyword:
+                    futs["keyword"] = [a.search_keyword.remote(q.__dict__, precision, algorithm)
+                                       for a in actors]
+                if q.has_vector:
+                    futs["vector"] = [a.search_vector.remote(q.__dict__, precision)
+                                      for a in actors]
+                for name, fs in futs.items():
+                    recalls[name] = ray.get(fs, timeout=QUERY_TIMEOUT_SEC)
+            else:
+                searchers = self._searchers(database, table)
+                if q.has_keyword:
+                    recalls["keyword"] = [s.search_keyword(q, precision, algorithm)
+                                          for s in searchers]
+                if q.has_vector:
+                    recalls["vector"] = [s.search_vector(q, precision)
+                                         for s in searchers]
+            if not recalls:
+                out.append([])
+                continue
+            ids, scores = M.run_query(recalls, q, precision)
+            out.append(self._materialize(database, table, ids, scores, use_actors))
+        return out
+
+    def filter(self, database: str, table: str, queries) -> list[list[dict]]:
+        """Q4: unscored filter + sort + limit; master concatenates and re-sorts
+        (RetrievalMaster.java:201-250)."""
+        qs = self._as_queries(database, table, queries)
+        use_actors = (database, table) in self._actors
+        out = []
+        for q in qs:
+            if use_actors:
+                import ray
+                tbls = ray.get([a.filter_op.remote(q.__dict__)
+                                for a in self._actors[(database, table)]],
+                               timeout=QUERY_TIMEOUT_SEC)
+            else:
+                tbls = [s.filter_op(q) for s in self._searchers(database, table)]
+            tbls = [t for t in tbls if len(t)]
+            if not tbls:
+                out.append([])
+                continue
+            merged = pa.concat_tables(tbls, promote_options="default")
+            keys = [(list(s.keys())[0], "descending" if list(s.values())[0] == "desc"
+                     else "ascending") for s in q.sorts]
+            keys.append(("doc_id", "ascending"))
+            merged = merged.sort_by(keys).slice(0, q.limit)
+            out.append(merged.to_pylist())
+        return out
+
+    def _materialize(self, database, table, ids, scores, use_actors) -> list[dict]:
+        if len(ids) == 0:
+            return []
+        if use_actors:
+            import ray
+            tbls = ray.get([a.fetch_docs.remote(np.asarray(ids))
+                            for a in self._actors[(database, table)]],
+                           timeout=QUERY_TIMEOUT_SEC)
+        else:
+            tbls = [s.fetch_docs(np.asarray(ids))
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        docs = pa.concat_tables(tbls, promote_options="default")
+        return M.attach_scores(docs, np.asarray(ids), np.asarray(scores)).to_pylist()
+
+    def _as_queries(self, database, table, queries) -> list[SearchQuery]:
+        if isinstance(queries, (dict, SearchQuery)):
+            queries = [queries]
+        out = []
+        for q in queries:
+            if isinstance(q, dict):
+                q = SearchQuery.from_dict({"database": database, "table": table, **q})
+            out.append(q)
+        return out

@@ -5,9 +5,13 @@ import pytest
 def ray_session():
     """One Ray session for the whole pytest run (local mode, small CPU count)."""
     import ray
+    from ray.data import DataContext
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
-                 ignore_reinit_error=True)
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
