@@ -1,0 +1,178 @@
+"""Training-data ops: dedup family, ANN, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from byzer_retrieval_ray.ops import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def ray_mod(ray_session):
+    import ray.data
+    return ray.data
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_text(self, ray_mod):
+        rows = [{"id": i, "text": f"doc {i % 7} body"} for i in range(30)]
+        ds = ray_mod.from_items(rows)
+        out = dedup.exact_dedup(ds, "text", "id").to_pandas()
+        assert sorted(out["id"]) == list(range(7))
+
+
+class TestMinHash:
+    def test_detects_planted_near_dups(self, ray_mod):
+        rng = np.random.default_rng(0)
+        vocab = [f"w{i}" for i in range(500)]
+        base = [" ".join(rng.choice(vocab, 60)) for _ in range(20)]
+        rows = [{"id": i, "text": t} for i, t in enumerate(base)]
+        # planted near-dups: copy of doc 0 and doc 5 with one word changed
+        for j, src in enumerate((0, 5)):
+            toks = base[src].split()
+            toks[3] = "CHANGED"
+            rows.append({"id": 100 + j, "text": " ".join(toks)})
+        ds = ray_mod.from_items(rows)
+        out = dedup.minhash_lsh_dedup(ds, "text", "id", num_perm=64, bands=16,
+                                      shingle_k=3, jaccard=0.5).to_pandas()
+        got = dict(zip(out["id"], out["dup_of"]))
+        assert got.get(100) == 0
+        assert got.get(101) == 5
+        # unrelated docs are not flagged
+        assert not (set(got) & set(range(20)))
+
+    def test_jaccard_kernel(self):
+        assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert dedup.ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+class TestSimHash:
+    def test_exact_copies_collide(self, ray_mod):
+        rows = [{"id": i, "text": f"unique text number {i} with words"} for i in range(10)]
+        rows.append({"id": 99, "text": rows[4]["text"]})
+        ds = ray_mod.from_items(rows)
+        out = dedup.simhash_dedup(ds, "text", "id").to_pandas()
+        assert list(out["id"]) == [99]
+
+    def test_simhash_locality(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        toks = a.split()
+        toks[7] = "cat"
+        b = " ".join(toks)
+        ha, hb = dedup.simhash_values(np.array([a, b], dtype=object))
+        ham = bin(int(ha) ^ int(hb)).count("1")
+        assert ham <= 16  # near-identical docs → small hamming distance
+
+
+class TestEmbeddingDedup:
+    def test_cosine_neardup(self, ray_mod):
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((40, 16))
+        vecs[30] = vecs[3] + 1e-3 * rng.standard_normal(16)  # planted near-dup
+        rows = [{"id": i, "emb": vecs[i].astype(np.float32).tolist()} for i in range(40)]
+        ds = ray_mod.from_items(rows)
+        out = dedup.embedding_dedup(ds, "emb", "id", threshold=0.98).to_pandas()
+        got = dict(zip(out["id"], out["dup_of"]))
+        assert got.get(30) == 3
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_mod):
+        return ray_mod.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_brute_force_matches_numpy(self, emb_ds):
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        queries = mat[:3]
+        got = ann.brute_force_topk(emb_ds, "embedding", "vec_id", queries, k=5)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = matn @ qn.T
+        for qi in range(3):
+            order = np.lexsort((ids, -sims[:, qi]))[:5]
+            g = got[got.query_id == qi]
+            assert list(g["id"]) == list(ids[order])
+            np.testing.assert_allclose(g["score"].to_numpy(), sims[order, qi], rtol=1e-9)
+
+    def test_ivf_recall(self, emb_ds):
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        queries = mat[10:13]
+        exact = ann.brute_force_topk(emb_ds, "embedding", "vec_id", queries, k=10)
+        approx = ann.ivf_topk(emb_ds, "embedding", "vec_id", queries, k=10,
+                              n_centroids=8, nprobe=4)
+        recalls = []
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi]["id"])
+            a = set(approx[approx.query_id == qi]["id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6  # nprobe=half the cells → decent recall
+
+
+class TestTextOps:
+    def test_token_counts(self):
+        t = pa.table({"text": ["hello world", "a b  c", ""]})
+        out = text.add_token_counts(t)
+        assert out["n_tokens"].to_pylist() == [2, 3, 0]
+        assert out["n_bpe_tokens"].to_pylist()[0] >= 2
+
+    def test_quality_scorer(self):
+        t = pa.table({"text": [
+            "the cat sat on the mat and it was a good day for everyone involved",
+            "!!! ??? ### $$$ %%%",
+        ]})
+        out = text.QualityScorer()(t)
+        q = out["quality"].to_pylist()
+        assert q[0] > q[1]
+
+    def test_lang_id(self):
+        t = pa.table({"text": [
+            "the cat is on the mat and it is a fine day",
+            "der hund ist nicht mit der katze und das ist gut",
+            "el perro es de la casa y los gatos en el patio",
+            "这是一个中文文档的例子 其中包含很多汉字",
+        ]})
+        out = text.LangId()(t)
+        assert out["lang_pred"].to_pylist() == ["en", "de", "es", "zh"]
+
+    def test_fingerprint_overlap(self):
+        a = " ".join(f"tok{i}" for i in range(100))
+        b = " ".join(f"tok{i}" for i in range(50, 150))   # 50-token shared passage
+        c = " ".join(f"other{i}" for i in range(100))
+        fa, fb, fc = text.rolling_fingerprint(np.array([a, b, c], dtype=object))
+        assert set(fa) & set(fb)          # shared passage → shared fingerprints
+        assert not (set(fa) & set(fc))    # disjoint text → disjoint fingerprints
+
+
+class TestMultimodal:
+    def test_image_pipeline_plumbing(self, ray_mod):
+        t = multimodal.synth_media_table(32, "image")
+        ds = ray_mod.from_arrow(t)
+        out = ds.map_batches(multimodal.ImageDecode(fake=True), batch_format="pyarrow",
+                             batch_size=8, concurrency=2).to_pandas()
+        assert len(out) == 32 and "channel_mean" in out
+        out2 = ds.map_batches(multimodal.ImageResize(fake=True), batch_format="pyarrow",
+                              batch_size=8, concurrency=2).to_pandas()
+        assert len(out2["image_embedding"].iloc[0]) == 64
+
+    def test_real_decode_raises(self):
+        t = multimodal.synth_media_table(2, "image")
+        with pytest.raises(NotImplementedError):
+            multimodal.ImageDecode(fake=False)(t)
+
+    def test_audio_plumbing(self, ray_mod):
+        t = multimodal.synth_media_table(8, "audio")
+        ds = ray_mod.from_arrow(t)
+        out = ds.map_batches(multimodal.AudioFrameSample(fake=True),
+                             batch_format="pyarrow", batch_size=4).to_pandas()
+        assert len(out) == 8 and "frame_energy" in out
+
+    def test_fake_decode_deterministic(self):
+        t = multimodal.synth_media_table(4, "image")
+        a = multimodal.ImageDecode(fake=True)(t)
+        b = multimodal.ImageDecode(fake=True)(t)
+        assert a["channel_mean"].to_pylist() == b["channel_mean"].to_pylist()
