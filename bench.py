@@ -1,0 +1,189 @@
+"""Benchmark harness.
+
+Headline pipeline (the north-rule workload): deterministic Common-Crawl-shaped webpage
+corpus → full index build (extract → dedup → doc ids → posting runs → term-range
+shuffle → merged skew-balanced partitions) → BM25 top-k query set served by
+index-segment actors with block-max WAND; plus the dedup/ANN dataset ops.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N, "build": {...}}
+
+--scaling: runs the identical job twice in fresh processes (num_cpus=8 then 32, same
+input) and reports throughput at both plus scaling efficiency (T8/T32)/4 — the
+sandbox stand-in for N vs 4N nodes (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus size per sf tier (FIXTURES.md): sf0.001→500, sf0.01→5k, sf0.1→50k
+CORPUS_ROWS = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}
+
+
+def corpus_rows() -> int:
+    override = os.environ.get("GRAFT_BENCH_ROWS")
+    if override:
+        return int(override)
+    tier = os.path.basename(os.path.normpath(SF_DIR))
+    return CORPUS_ROWS.get(tier, 50_000)
+
+
+def bench_queries(n_pages: int):
+    """Deterministic reference-shaped query mix over the corpus vocabulary."""
+    from byzer_retrieval_ray.corpus.webpages import vocab
+    v = vocab()
+    qs = []
+    for r in (0, 1, 2, 5, 10, 50, 100, 500, 1000, 5000):
+        qs.append(str(v[r]))                                   # single terms by rank
+    for a, b in ((0, 3), (1, 200), (7, 2000), (100, 5000)):
+        qs.append(f"{v[a]} {v[b]}")                            # 2-term OR
+    qs.append(f"{v[2]} {v[30]} {v[400]} {v[6000]}")            # 4-term OR
+    qs.append("*")
+    return qs
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from byzer_retrieval_ray import RetrievalCluster, SearchQuery, TableSettings
+    from byzer_retrieval_ray.corpus.webpages import write_corpus
+
+    n = corpus_rows()
+    corpus_dir = f"/tmp/byzer_bench_corpus/{n}"
+    write_corpus(corpus_dir, n)        # untimed; also warms the page cache
+
+    loc = f"/tmp/byzer_bench_idx/{n}-{NUM_CPUS}"
+    shutil.rmtree(loc, ignore_errors=True)
+    schema = ("st(field(url,string),field(warc_ts,date,sort),"
+              "field(html,binary,no_index),field(text,string,analyze),"
+              "field(lang,string))")
+    cluster = RetrievalCluster(loc)
+    cluster.create_table(TableSettings("web", "pages", schema, loc))
+
+    queries: dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    # ---- build ----
+    tb = time.perf_counter()
+    # partitioning scheme is pinned (NOT a function of num_cpus) so the scaling runs
+    # compare the identical job at two parallelism levels
+    info = cluster.build_from_parquet(
+        "web", "pages", corpus_dir, key_field="url", version_field="warc_ts",
+        extract=("html", "text"), num_doc_parts=16, num_term_parts=16)
+    build_sec = time.perf_counter() - tb
+    queries["build_pages"] = round(build_sec, 3)
+
+    # ---- serving: segment actors + block-max WAND ----
+    ta = time.perf_counter()
+    cluster.activate("web", "pages")
+    queries["activate_actors"] = round(time.perf_counter() - ta, 3)
+    qs = bench_queries(n)
+    lat = []
+    for kw in qs:
+        q = SearchQuery("web", "pages", keyword=kw, fields=["text"], limit=10)
+        tq = time.perf_counter()
+        cluster.search("web", "pages", q, algorithm="bmw")
+        lat.append(time.perf_counter() - tq)
+    lat_arr = np.array(lat)
+    queries["bm25_queries_total"] = round(float(lat_arr.sum()), 3)
+    queries["bm25_p50"] = round(float(np.percentile(lat_arr, 50)), 4)
+    queries["bm25_p99"] = round(float(np.percentile(lat_arr, 99)), 4)
+    cluster.deactivate("web", "pages")
+
+    # ---- dataset ops over the driver tables ----
+    import ray.data
+    from byzer_retrieval_ray.ops.dedup import exact_dedup, minhash_lsh_dedup
+    from byzer_retrieval_ray.ops.ann import brute_force_topk
+    import pyarrow.parquet as pq
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    exact_dedup(ds, "text", "doc_id").count()
+    queries["dedup_exact_docs"] = round(time.perf_counter() - td, 3)
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    minhash_lsh_dedup(ds, "text", "doc_id", num_perm=64, bands=16).count()
+    queries["dedup_minhash_docs"] = round(time.perf_counter() - td, 3)
+
+    td = time.perf_counter()
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    qv = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+                   for i in range(8)])
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    brute_force_topk(ds, "embedding", "vec_id", qv, k=10)
+    queries["ann_bruteforce"] = round(time.perf_counter() - td, 3)
+
+    total = time.perf_counter() - t0
+    m = info["metrics"]
+    result = {
+        "metric": "webpage index build + BM25 top-k serving + dataset ops",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "build": {
+            "n_docs": info["n_docs"],
+            "docs_per_sec": round(info["n_docs"] / build_sec, 1),
+            "n_postings": m["n_postings"],
+            "postings_per_sec": round(m["n_postings"] / build_sec, 1),
+            "shuffle_run_bytes": m["shuffle_run_bytes"],
+            "index_bytes": m["index_bytes"],
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Same job, two parallelism levels, fresh processes (the sandbox stand-in for
+    N vs 4N nodes). The scaling corpus is larger (default 400k docs) so parallel
+    compute dominates the fixed pipeline/driver overhead — measuring scaling on a
+    seconds-long job would only measure scheduler constants."""
+    rows = os.environ.get("GRAFT_SCALING_ROWS", "400000")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r8, r32 = run(8), run(32)
+    t8, t32 = r8["value"], r32["value"]
+    b8, b32 = r8["queries"]["build_pages"], r32["queries"]["build_pages"]
+    out = {
+        "sec_8": t8, "sec_32": t32,
+        "build_sec_8": b8, "build_sec_32": b32,
+        "docs_per_sec_8": r8["build"]["docs_per_sec"],
+        "docs_per_sec_32": r32["build"]["docs_per_sec"],
+        "scaling_efficiency_total": round((t8 / t32) / 4.0, 3),
+        "scaling_efficiency_build": round((b8 / b32) / 4.0, 3),
+        "sf": r32["sf"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,19 +1,20 @@
 """Deterministic synthetic web-page corpus (FIXTURES.md §1).
 
 Parquet table ``(url:string, warc_ts:timestamp[us], html:binary, text:string,
-lang:string)`` — Common-Crawl-shaped per BASELINE.json's input_hint. Every row is a
-pure function of (seed, row index): generation is chunked and order-independent, so any
-Ray parallelism produces the identical table (hash-asserted in tests).
+lang:string)`` — Common-Crawl-shaped per BASELINE.json's input_hint. Generation is
+CHUNKED and order-independent: rows [c*CHUNK, (c+1)*CHUNK) are a pure function of
+(SEED, c), fully vectorized inside the chunk, so any request range and any Ray
+parallelism produce identical rows (asserted in tests).
 
 Properties:
-  * ``text`` is a Zipf(s≈1.07) token sequence over a ~20k-term vocabulary, length
-    lognormal(μ≈300 tokens) clipped to [10, 2000] — webtext-like term skew, so the
-    posting-list skew handling actually gets exercised.
+  * ``text``: Zipf(s≈1.07) tokens over a ~20k-term vocabulary, length lognormal
+    (μ≈300) clipped [10, 2000] — webtext-like head/tail term skew, so posting-list
+    skew handling is actually exercised.
   * ``html`` embeds the text as ``<html><head><title>…</title></head><body><p>{text}
     </p></body></html>`` so ``extract_text(html) == text`` byte-identically (the
     per-row invariant vs the reference).
   * ~1% of rows re-use an earlier row's url with a later warc_ts and different text —
-    upsert-by-key fodder (latest wins, reference RetrievalWorker.java:232-238).
+    upsert fodder (latest wins, reference RetrievalWorker.java:232-238).
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
+CHUNK = 1024
 VOCAB_SIZE = 20_000
 ZIPF_S = 1.07
 MEAN_TOKENS = 300.0
@@ -37,18 +39,19 @@ _ZIPF_CDF: np.ndarray | None = None
 
 
 def vocab() -> np.ndarray:
-    """~20k deterministic ASCII words: w<base36ish suffix> with varied lengths."""
+    """~20k deterministic ASCII words (rank order = Zipf frequency order)."""
     global _VOCAB
     if _VOCAB is None:
         rng = np.random.default_rng(SEED)
-        alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
         lens = rng.integers(3, 11, size=VOCAB_SIZE)
-        words = []
-        seen = set()
-        for i in range(VOCAB_SIZE):
-            w = "".join(alphabet[rng.integers(0, 26, size=lens[i])])
+        letters = rng.integers(0, 26, size=int(lens.sum()))
+        words, seen, pos = [], set(), 0
+        for ln in lens:
+            w = "".join(alphabet[letters[pos + j]] for j in range(ln))
+            pos += ln
             while w in seen:
-                w = w + alphabet[rng.integers(0, 26)]
+                w += alphabet[(len(w) * 7) % 26]
             seen.add(w)
             words.append(w)
         _VOCAB = np.array(words)
@@ -65,65 +68,97 @@ def _zipf_cdf() -> np.ndarray:
     return _ZIPF_CDF
 
 
-def _row_rng(i: int) -> np.random.Generator:
-    return np.random.default_rng(np.random.SeedSequence([SEED, int(i)]))
+def hash_frac(i) -> np.ndarray:
+    """Deterministic uniform [0,1) per row index (vectorized splitmix-style)."""
+    x = (np.asarray(i, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         + np.uint64(SEED))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x & np.uint64((1 << 53) - 1)).astype(np.float64) / float(1 << 53)
 
 
-def generate_rows(start: int, stop: int) -> pa.Table:
-    """Rows [start, stop) — pure function of row index, any chunking yields same rows."""
+def _lang_of(idx: np.ndarray) -> np.ndarray:
+    return LANGS[np.searchsorted(LANG_CDF, hash_frac(idx))]
+
+
+def _generate_chunk(c: int) -> pa.Table:
+    """Rows [c*CHUNK, (c+1)*CHUNK) — one vectorized rng stream per chunk."""
     v = vocab()
     cdf = _zipf_cdf()
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in range(start, stop):
-        rng = _row_rng(i)
-        n_tok = int(np.clip(rng.lognormal(np.log(MEAN_TOKENS), 0.7), 10, 2000))
-        toks = v[np.searchsorted(cdf, rng.random(n_tok))]
-        text = " ".join(toks)
-        # ~1% duplicate an earlier url (same url, later ts, different text)
-        if i > 100 and rng.random() < 0.01:
-            j = int(rng.integers(0, i - 1))
-            lang = LANGS[int(np.searchsorted(LANG_CDF, (hash_frac(j))))]
-            url = f"https://site{j % 977}.example/{lang}/page/{j}"
-        else:
-            lang = LANGS[int(np.searchsorted(LANG_CDF, hash_frac(i)))]
-            url = f"https://site{i % 977}.example/{lang}/page/{i}"
-        title = f"page {i}"
-        html = (f"<html><head><title>{title}</title></head>"
-                f"<body><p>{text}</p></body></html>").encode("utf-8")
-        urls.append(url)
-        tss.append(EPOCH_2024 + i * 737_000_000)
-        htmls.append(html)
-        texts.append(text)
-        langs.append(lang)
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, int(c)]))
+    start = c * CHUNK
+    idx = np.arange(start, start + CHUNK, dtype=np.int64)
+
+    n_tok = np.clip(rng.lognormal(np.log(MEAN_TOKENS), 0.7, CHUNK), 10, 2000).astype(np.int64)
+    total = int(n_tok.sum())
+    toks = v[np.searchsorted(cdf, rng.random(total))]
+    offs = np.zeros(CHUNK + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offs[1:])
+    texts = [" ".join(toks[offs[i]:offs[i + 1]]) for i in range(CHUNK)]
+
+    # ~1% duplicate an earlier url (same url, later ts, different text)
+    dup_roll = rng.random(CHUNK)
+    dup_src = rng.integers(0, np.maximum(idx, 1), CHUNK)
+    is_dup = (dup_roll < 0.01) & (idx > 100)
+    url_idx = np.where(is_dup, dup_src, idx)
+    langs = _lang_of(url_idx)
+    urls = [f"https://site{j % 977}.example/{l}/page/{j}"
+            for j, l in zip(url_idx.tolist(), langs.tolist())]
+    htmls = [(f"<html><head><title>page {j}</title></head>"
+              f"<body><p>{t}</p></body></html>").encode("utf-8")
+             for j, t in zip(idx.tolist(), texts)]
     return pa.table({
         "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(np.array(tss, dtype=np.int64)).cast(pa.timestamp("us")),
+        "warc_ts": pa.array(EPOCH_2024 + idx * 737_000_000).cast(pa.timestamp("us")),
         "html": pa.array(htmls, pa.binary()),
         "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
+        "lang": pa.array(langs.tolist(), pa.string()),
     })
 
 
-def hash_frac(i: int) -> float:
-    """Deterministic uniform [0,1) from the row index (independent of the row rng)."""
-    x = (int(i) * 0x9E3779B97F4A7C15 + SEED) & ((1 << 64) - 1)
-    x ^= x >> 33
-    x = (x * 0xFF51AFD7ED558CCD) & ((1 << 64) - 1)
-    x ^= x >> 33
-    return (x & ((1 << 53) - 1)) / float(1 << 53)
+def generate_rows(start: int, stop: int) -> pa.Table:
+    """Rows [start, stop) — any chunk-covering request yields identical rows."""
+    c0, c1 = start // CHUNK, (stop + CHUNK - 1) // CHUNK
+    tables = [_generate_chunk(c) for c in range(c0, c1)]
+    t = pa.concat_tables(tables) if tables else _generate_chunk(0).slice(0, 0)
+    return t.slice(start - c0 * CHUNK, stop - start)
 
 
-def write_corpus(path: str, n_rows: int, rows_per_file: int = 10_000) -> str:
-    """Write the corpus as one-or-more parquet files under ``path`` (idempotent)."""
+def write_corpus(path: str, n_rows: int, rows_per_file: int = 16_384,
+                 use_ray: bool | None = None) -> str:
+    """Write the corpus under ``path`` (idempotent; parallelized via Ray Data when
+    available and the corpus is large)."""
     os.makedirs(path, exist_ok=True)
     done_marker = os.path.join(path, f"_DONE_{n_rows}")
     if os.path.exists(done_marker):
         return path
-    for start in range(0, n_rows, rows_per_file):
-        stop = min(start + rows_per_file, n_rows)
-        fp = os.path.join(path, f"part-{start:010d}.parquet")
+    spans = [(s, min(s + rows_per_file, n_rows))
+             for s in range(0, n_rows, rows_per_file)]
+    if use_ray is None:
+        import ray
+        use_ray = ray.is_initialized() and n_rows >= 100_000
+
+    def write_span(span) -> str:
+        s, e = span
+        fp = os.path.join(path, f"part-{s:010d}.parquet")
         if not os.path.exists(fp):
-            pq.write_table(generate_rows(start, stop), fp)
+            tmp = fp + ".tmp"
+            pq.write_table(generate_rows(s, e), tmp)
+            os.replace(tmp, fp)
+        return fp
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _w(span):
+            return write_span(span)
+
+        ray.get([_w.remote(sp) for sp in spans])
+    else:
+        for sp in spans:
+            write_span(sp)
     with open(done_marker, "w") as f:
         f.write(str(n_rows))
     return path
