@@ -64,6 +64,7 @@ class GenerationReader:
         self.bucket_spec = self.info["bucket_spec"]
         self.num_doc_parts = self.info["num_doc_parts"]
         self.key_field = self.info["key_field"]
+        self._ts_cache: dict[int, dict] = {}   # range_part → {(field,term): (df,ttf)}
 
     def route_term(self, term: str) -> int:
         b = self.boundaries
@@ -94,21 +95,24 @@ class GenerationReader:
         return sorted(int(b) for b in self.info["docstore"].keys())
 
     def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
-        """(field, term) → (df, ttf) global stats; missing terms → (0, 0)."""
+        """(field, term) → (df, ttf) global stats; missing terms → (0, 0).
+
+        The per-range termstats table is loaded once into a dict (it is ~|vocab| /
+        num_term_parts rows) and cached — serving queries never re-read it."""
         out = {p: (0, 0) for p in pairs}
-        by_part: dict[int, list[tuple[str, str]]] = {}
         for f, t in pairs:
-            by_part.setdefault(self.route_term(t), []).append((f, t))
-        for r, ps in by_part.items():
-            path = self.termstats_path(r)
-            if path is None or not os.path.exists(path):
-                continue
-            terms = list({t for _, t in ps})
-            tbl = pq.read_table(path, filters=[("term", "in", terms)])
-            for row in tbl.to_pylist():
-                key = (row["field"], row["term"])
-                if key in out:
-                    out[key] = (row["df"], row["ttf"])
+            r = self.route_term(t)
+            if r not in self._ts_cache:
+                cache: dict = {}
+                path = self.termstats_path(r)
+                if path is not None and os.path.exists(path):
+                    tbl = pq.read_table(path)
+                    for fld, term, df, ttf in zip(
+                            tbl["field"].to_pylist(), tbl["term"].to_pylist(),
+                            tbl["df"].to_pylist(), tbl["ttf"].to_pylist()):
+                        cache[(fld, term)] = (df, ttf)
+                self._ts_cache[r] = cache
+            out[(f, t)] = self._ts_cache[r].get((f, t), (0, 0))
         return out
 
     def tombstones(self) -> np.ndarray:

@@ -142,6 +142,43 @@ class RetrievalCluster:
         self._invalidate(database, table)
         return True
 
+    def build_from_jsonl(self, database: str, table: str, data_location: str,
+                         key_field: str = "_id", **kw) -> bool:
+        """S1 equivalent (RetrievalWorker.java:176-211): index a directory of JSONL.
+
+        Unlike the reference — where every worker reads the WHOLE directory
+        ("just for test") — read_json shards the files into blocks for free."""
+        import ray.data
+
+        self.build_from_parquet(database, table, ray.data.read_json(data_location),
+                                key_field=key_field, **kw)
+        return True
+
+    def scan_table(self, database: str, table: str):
+        """S5/S6 equivalent: full scan of all stored docs as a streaming Dataset
+        (reference: iterateAllDocs / the Arrow batch-export server)."""
+        import numpy as np
+        import ray.data
+
+        m = self.manifest(database, table)
+        gr = GenerationReader(m.data)
+        paths = [gr.docstore_path(b) for b in gr.buckets()]
+        paths = [p for p in paths if p and os.path.exists(p)]
+        ds = ray.data.read_parquet(paths)
+        drop = [c for c in ds.schema().names if c.startswith("__")]
+        if drop:
+            ds = ds.drop_columns(drop)
+        tombstones = gr.tombstones()
+        if tombstones.size:
+            ts = tombstones
+
+            def drop_deleted(t: pa.Table) -> pa.Table:
+                keep = ~np.isin(t["doc_id"].to_numpy(), ts)
+                return t.filter(pa.array(keep))
+
+            ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
+        return ds
+
     def commit(self, database: str, table: str) -> bool:
         """M4: builds already publish atomically; commit re-saves the manifest."""
         self.manifest(database, table).save()
@@ -246,7 +283,17 @@ class RetrievalCluster:
         if key in self._actors:
             import ray
             m = self.manifest(database, table)
-            ray.get([a.reload.remote(m.data) for a in self._actors[key]])
+            try:
+                buckets = GenerationReader(m.data).buckets()
+            except RuntimeError:
+                self.deactivate(database, table)
+                return
+            if len(buckets) != len(self._actors[key]):
+                # generation changed the serving bucket set → respawn the pool
+                self.deactivate(database, table)
+                self.activate(database, table)
+            else:
+                ray.get([a.reload.remote(m.data) for a in self._actors[key]])
 
     def search(self, database: str, table: str, queries,
                precision: str = "float32", algorithm: str = "bmw") -> list[list[dict]]:
@@ -254,20 +301,26 @@ class RetrievalCluster:
         docs with _score injected (reference S7 result shape)."""
         qs = self._as_queries(database, table, queries)
         use_actors = (database, table) in self._actors
-        out = []
-        for q in qs:
-            recalls: dict[str, list] = {}
-            if use_actors:
-                import ray
-                actors = self._actors[(database, table)]
-                futs = {}
+        # multi-query fan-out (Q8): in actor mode every recall of every query is
+        # submitted before any gather, with the reference's 30 s deadline
+        all_futs: list[dict] = []
+        if use_actors:
+            actors = self._actors[(database, table)]
+            for q in qs:
+                futs: dict[str, list] = {}
                 if q.has_keyword:
                     futs["keyword"] = [a.search_keyword.remote(q.__dict__, precision, algorithm)
                                        for a in actors]
                 if q.has_vector:
                     futs["vector"] = [a.search_vector.remote(q.__dict__, precision)
                                       for a in actors]
-                for name, fs in futs.items():
+                all_futs.append(futs)
+        out = []
+        for qi, q in enumerate(qs):
+            recalls: dict[str, list] = {}
+            if use_actors:
+                import ray
+                for name, fs in all_futs[qi].items():
                     recalls[name] = ray.get(fs, timeout=QUERY_TIMEOUT_SEC)
             else:
                 searchers = self._searchers(database, table)

@@ -1,0 +1,100 @@
+"""Source/sink and serving extras: JSONL ingestion (S1), full-scan export (S5/S6),
+multi-query fan-out (Q8), actor generation reload (ST2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from byzer_retrieval_ray import RetrievalCluster, SearchQuery, TableSettings
+
+SCHEMA = "st(field(_id,long),field(content,string,analyze),field(tag,string))"
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jsonl")
+    for f in range(3):
+        with open(os.path.join(d, f"part-{f}.jsonl"), "w") as fh:
+            for i in range(f * 20, (f + 1) * 20):
+                fh.write(json.dumps({"_id": i, "content": f"json doc {i} shared",
+                                     "tag": f"t{i % 3}"}) + "\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def cluster(ray_session, tmp_path_factory, jsonl_dir):
+    loc = str(tmp_path_factory.mktemp("jcluster"))
+    c = RetrievalCluster(loc)
+    c.create_table(TableSettings("db", "j", SCHEMA, loc))
+    c.build_from_jsonl("db", "j", jsonl_dir, key_field="_id",
+                       num_doc_parts=2, num_term_parts=2)
+    return c
+
+
+class TestJsonlSource:
+    def test_build_and_search(self, cluster):
+        res = cluster.search("db", "j", {"keyword": "shared", "fields": ["content"],
+                                         "limit": 100})[0]
+        assert len(res) == 60
+        res = cluster.search("db", "j", {"keyword": "shared", "fields": ["content"],
+                                         "filters": {"and": [{"field": "tag", "value": "t1"}]},
+                                         "limit": 100})[0]
+        assert sorted(r["_id"] for r in res) == [i for i in range(60) if i % 3 == 1]
+
+
+class TestScanTable:
+    def test_full_scan(self, cluster):
+        ds = cluster.scan_table("db", "j")
+        df = ds.to_pandas()
+        assert sorted(df["_id"]) == list(range(60))
+        assert "__norm_content" not in df.columns
+        # scan drops tombstoned docs
+        cluster.delete_by_ids("db", "j", [5, 6])
+        df = cluster.scan_table("db", "j").to_pandas()
+        assert 5 not in set(df["_id"]) and len(df) == 58
+
+
+class TestMultiQuery:
+    def test_query_list(self, cluster):
+        qs = [
+            {"keyword": "shared", "fields": ["content"], "limit": 5},
+            {"keyword": "json", "fields": ["content"], "limit": 3},
+            {"keyword": "absent_term_zz", "fields": ["content"], "limit": 5},
+        ]
+        res = cluster.search("db", "j", qs)
+        assert len(res) == 3
+        assert len(res[0]) == 5 and len(res[1]) == 3 and len(res[2]) == 0
+
+    def test_query_list_actors(self, cluster):
+        cluster.activate("db", "j")
+        try:
+            qs = [{"keyword": "shared", "fields": ["content"], "limit": 4},
+                  {"keyword": "json", "fields": ["content"], "limit": 4}]
+            res = cluster.search("db", "j", qs)
+            assert [len(r) for r in res] == [4, 4]
+        finally:
+            cluster.deactivate("db", "j")
+
+
+class TestActorReload:
+    def test_reload_sees_new_generation(self, ray_session, tmp_path):
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "r", SCHEMA, loc))
+        c.build_from_local("db", "r", [{"_id": 1, "content": "first gen", "tag": "a"}],
+                          key_field="_id", num_doc_parts=2, num_term_parts=2)
+        c.activate("db", "r")
+        try:
+            res = c.search("db", "r", {"keyword": "first", "fields": ["content"], "limit": 5})[0]
+            assert len(res) == 1
+            # upsert triggers a new generation; _invalidate reloads the actors (ST2)
+            c.build_from_local("db", "r", [{"_id": 2, "content": "second gen", "tag": "b"}],
+                              key_field="_id", num_doc_parts=2, num_term_parts=2)
+            res = c.search("db", "r", {"keyword": "second", "fields": ["content"], "limit": 5})[0]
+            assert [r["_id"] for r in res] == [2]
+            res = c.search("db", "r", {"keyword": "gen", "fields": ["content"], "limit": 5})[0]
+            assert len(res) == 2
+        finally:
+            c.deactivate("db", "r")
