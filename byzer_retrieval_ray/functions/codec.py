@@ -89,16 +89,19 @@ def varint_encode_segments(values: np.ndarray, seg_offsets: np.ndarray) -> list[
     n = v.size
     if n == 0:
         return [b""] * (len(seg_offsets) - 1)
+    vmax = int(v.max())
+    if vmax < 128:
+        # single-byte fast path (the common case for doc-gap/tf streams)
+        buf = v.astype(np.uint8).tobytes()
+        so = np.asarray(seg_offsets, dtype=np.int64)
+        return [buf[so[i]:so[i + 1]] for i in range(len(so) - 1)]
+    max_w = max(1, (vmax.bit_length() + 6) // 7)
     width = np.ones(n, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while (tmp > 0).any():
-        grow = tmp > 0
-        width[grow] += 1
-        tmp = tmp >> np.uint64(7)
+    for g in range(1, max_w):
+        width += v >= np.uint64(1 << (7 * g))
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(width, out=offsets[1:])
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
-    max_w = int(width.max())
     for g in range(max_w):
         active = width > g
         idx = offsets[:-1][active] + g

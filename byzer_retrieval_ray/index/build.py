@@ -125,18 +125,52 @@ def build_index(
             part = murmur3.route_np(keys, num_doc_parts).astype(np.int32)
         return batch.append_column("__doc_part", pa.array(part))
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-
     docstore_dir = os.path.join(gdir, "docstore")
+    spill_dir = os.path.join(gdir, "_spill")
+    spill_marker = os.path.join(spill_dir, "_A1_DONE.json")
 
-    def write_docstore(group: pa.Table) -> pa.Table:
-        p = int(group["__doc_part"][0].as_py())
+    # ---- Stage A1: explicit partitioned exchange (disk, not object-store sort) ----
+    # Each map task routes its batch and appends one parquet file per touched doc
+    # partition under _spill/part=<p>/. The wide rows (html payload) therefore flow
+    # read → spill-write exactly once; no all-to-all sort materializes them. This is
+    # the scalable wide-row exchange; the term shuffle (stage C/D) stays a Ray Data
+    # groupby because runs are compact.
+    def spill(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        batch = prep(batch)
+        parts_np = batch["__doc_part"].to_numpy()
+        batch = batch.drop_columns(["__doc_part"])
+        written = []
+        for p in np.unique(parts_np):
+            sub = batch.filter(pa.array(parts_np == p))
+            d = os.path.join(spill_dir, f"part={p:05d}")
+            os.makedirs(d, exist_ok=True)
+            fp = os.path.join(d, f"blk-{uuid.uuid4().hex}.parquet")
+            _atomic_write_parquet(sub, fp)
+            written.append(fp)
+        return pa.table({"files": [json.dumps(written)]})
+
+    def finalize_and_emit(item: pa.Table) -> pa.Table:
+        """Stage A2 fused with the run combiner: dedup → doc ids → norms → write the
+        docstore partition, then emit this partition's posting runs directly (the
+        text is already in memory — no second read/tokenize pass over the docstore).
+        """
+        p = int(item["part"][0].as_py())
+        files = json.loads(item["files"][0].as_py())
         out_path = os.path.join(docstore_dir, f"part-{p:05d}.parquet")
         entry_path = os.path.join(partials, f"docstore-{p:05d}.json")
         if os.path.exists(entry_path) and os.path.exists(out_path):
-            e = read_json(entry_path)  # resume: partition already built
-            return pa.table({"summary": [json.dumps(e)]})
-        group = group.drop_columns(["__doc_part"])
+            # resume: docstore partition already built → emit runs from it
+            post_cols = ["doc_id"] + analyzed + [f"__norm_{f}" for f in analyzed]
+            done = pq.read_table(out_path, columns=post_cols)
+            return P.emit_runs(done, analyzed, boundaries, bucket_spec)
+        if not files:
+            entry = {"part": p, "n_docs": 0, "sum_dl": {f: 0 for f in analyzed},
+                     "path": out_path, "fingerprint": 0}
+            atomic_write_json(entry_path, entry)
+            return P.RUN_SCHEMA.empty_table()
+        group = pa.concat_tables([pq.read_table(f) for f in files])
         # dedup latest-by-key (upsert semantics: latest version wins)
         if version_field is not None:
             group = group.sort_by([(key_field, "ascending"), (version_field, "descending")])
@@ -179,34 +213,40 @@ def build_index(
         entry = {"part": p, "n_docs": n, "sum_dl": sums, "path": out_path,
                  "fingerprint": fp}
         atomic_write_json(entry_path, entry)
-        return pa.table({"summary": [json.dumps(entry)]})
+        return P.emit_runs(group, analyzed, boundaries, bucket_spec)
 
+    # ---- Stage A1: spill exchange (skipped when every partition is finalized) ----
     t_a = time.perf_counter()
-    summaries = [json.loads(r["summary"]) for r in
-                 ds.groupby("__doc_part").map_groups(
-                     write_docstore, batch_format="pyarrow").take_all()]
-    t_docstore = time.perf_counter() - t_a
-
-    n_docs = sum(e["n_docs"] for e in summaries)
-    stats = {
-        "n_docs": n_docs,
-        "fields": {fld: {"sum_ttf": sum(e["sum_dl"].get(fld, 0) for e in summaries),
-                         "doc_count": n_docs} for fld in analyzed},
-    }
-    atomic_write_json(os.path.join(gdir, "stats.json"), stats)
+    all_parts_done = all(
+        os.path.exists(os.path.join(partials, f"docstore-{p:05d}.json"))
+        for p in range(num_doc_parts))
+    spill_files: list[str] = []
+    if not all_parts_done:
+        if os.path.exists(spill_marker):
+            spill_files = read_json(spill_marker)["files"]
+        else:
+            # an interrupted A1 leaves unlisted spill blocks around: start clean
+            if os.path.isdir(spill_dir):
+                import shutil as _sh
+                _sh.rmtree(spill_dir)
+            spill_ds = ds.map_batches(spill, batch_format="pyarrow")
+            spill_files = []
+            for r in spill_ds.take_all():
+                spill_files.extend(json.loads(r["files"]))
+            if os.environ.get("BYZER_BUILD_STATS"):
+                print("=== spill stage stats ===\n", spill_ds.stats())
+            atomic_write_json(spill_marker, {"files": sorted(spill_files)})
+    t_spill = time.perf_counter() - t_a
 
     # ---- term-range boundaries from a sample (byte-balanced → skew rebalancing) ----
-    boundaries = _sample_boundaries(summaries, analyzed, num_term_parts, sample_docs)
+    sample_paths = spill_files if spill_files else [
+        os.path.join(docstore_dir, f"part-{p:05d}.parquet")
+        for p in range(num_doc_parts)]
+    boundaries = _sample_boundaries(sample_paths, analyzed, num_term_parts, sample_docs)
     atomic_write_json(os.path.join(gdir, "boundaries.json"), boundaries)
 
-    # ---- Stage C/D: runs → term-range shuffle → merged skew-balanced partitions ----
-    docstore_files = sorted(e["path"] for e in summaries if e["n_docs"] > 0)
-    post_cols = ["doc_id"] + analyzed + [f"__norm_{f}" for f in analyzed]
     postings_dir = os.path.join(gdir, "postings")
     termstats_dir = os.path.join(gdir, "termstats")
-
-    def emit(batch: pa.Table) -> pa.Table:
-        return P.emit_runs(batch, analyzed, boundaries, bucket_spec)
 
     def merge_write(group: pa.Table) -> pa.Table:
         r = int(group["range_part"][0].as_py())
@@ -215,10 +255,15 @@ def build_index(
         entry_path = os.path.join(partials, f"postings-{r:05d}.json")
         if os.path.exists(entry_path) and os.path.exists(post_path):
             return pa.table({"meta": [json.dumps(read_json(entry_path))]})
+        t_m0 = time.perf_counter()
         run_bytes = group.nbytes
         post_tbl, ts_tbl = P.merge_runs(group.drop_columns(["range_part"]))
+        t_m1 = time.perf_counter()
         _atomic_write_parquet(post_tbl, post_path, row_group_size=2048)
         _atomic_write_parquet(ts_tbl, ts_path)
+        if os.environ.get("BYZER_TIMING"):
+            print(f"MERGEW part={r} runs={len(group)} merge={t_m1 - t_m0:.2f} "
+                  f"write={time.perf_counter() - t_m1:.2f}", flush=True)
         entry = {"range_part": r, "n_runs": len(group), "run_bytes": int(run_bytes),
                  "n_postings_rows": len(post_tbl), "n_terms": len(ts_tbl),
                  "n_postings": int(pc.sum(post_tbl["df"]).as_py() or 0),
@@ -227,18 +272,61 @@ def build_index(
         atomic_write_json(entry_path, entry)
         return pa.table({"meta": [json.dumps(entry)]})
 
+    # ---- fused pipeline: finalize docstore partitions → emit runs →
+    #      groupby(range_part) term shuffle → merge → skew-balanced partitions ----
     t_c = time.perf_counter()
-    if docstore_files:
-        runs = ray.data.read_parquet(
-            docstore_files, columns=post_cols,
-            override_num_blocks=max(n_blocks, len(docstore_files))) \
-            .map_batches(emit, batch_format="pyarrow")
-        metas = [json.loads(r["meta"]) for r in
-                 runs.groupby("range_part").map_groups(
-                     merge_write, batch_format="pyarrow").take_all()]
+    all_postings_done = all(
+        os.path.exists(os.path.join(partials, f"postings-{r:05d}.json"))
+        for r in range(num_term_parts))
+    if all_parts_done and all_postings_done:
+        metas = [read_json(os.path.join(partials, f"postings-{r:05d}.json"))
+                 for r in range(num_term_parts)]
     else:
-        metas = []
+        by_part: dict[int, list[str]] = {p: [] for p in range(num_doc_parts)}
+        for f in spill_files:
+            p = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            by_part[p].append(f)
+        part_items = [{"part": p, "files": json.dumps(sorted(fs))}
+                      for p, fs in sorted(by_part.items())]
+        meta_ds = ray.data.from_items(part_items,
+                                      override_num_blocks=len(part_items)) \
+            .map_batches(finalize_and_emit, batch_format="pyarrow", batch_size=1) \
+            .groupby("range_part") \
+            .map_groups(merge_write, batch_format="pyarrow")
+        metas = [json.loads(r["meta"]) for r in meta_ds.take_all()]
+        if os.environ.get("BYZER_BUILD_STATS"):
+            print("=== index pipeline stats ===\n", meta_ds.stats())
+        # term-range partitions with no runs at all: record an empty entry so a
+        # rerun can prove completeness without re-running the pipeline
+        seen_parts = {m["range_part"] for m in metas}
+        for r in range(num_term_parts):
+            ep = os.path.join(partials, f"postings-{r:05d}.json")
+            if r not in seen_parts and not os.path.exists(ep):
+                atomic_write_json(ep, {"range_part": r, "n_runs": 0, "run_bytes": 0,
+                                       "n_postings_rows": 0, "n_terms": 0,
+                                       "n_postings": 0, "posting_bytes": 0,
+                                       "postings_path": "", "termstats_path": ""})
+    metas = [m for m in metas if m.get("n_postings_rows", 0) > 0 or m.get("n_runs", 0) > 0]
+
+    summaries = [read_json(os.path.join(partials, f"docstore-{p:05d}.json"))
+                 for p in range(num_doc_parts)
+                 if os.path.exists(os.path.join(partials, f"docstore-{p:05d}.json"))]
+    summaries = [e for e in summaries if e["n_docs"] > 0]
+    n_docs = sum(e["n_docs"] for e in summaries)
+    stats = {
+        "n_docs": n_docs,
+        "fields": {fld: {"sum_ttf": sum(e["sum_dl"].get(fld, 0) for e in summaries),
+                         "doc_count": n_docs} for fld in analyzed},
+    }
+    atomic_write_json(os.path.join(gdir, "stats.json"), stats)
+
+    # the spill exchange is garbage once every partition is finalized (a rerun
+    # re-spills if an entry were ever removed)
+    if len(summaries) >= 0 and os.path.isdir(spill_dir):
+        import shutil as _sh
+        _sh.rmtree(spill_dir, ignore_errors=True)
     t_postings = time.perf_counter() - t_c
+    t_docstore = t_spill
 
     wall = time.perf_counter() - t0
     n_postings = sum(m["n_postings"] for m in metas)
@@ -272,26 +360,30 @@ def build_index(
     return gen_info
 
 
-def _sample_boundaries(summaries, analyzed, num_term_parts, sample_docs) -> list[str]:
-    """Byte-balanced term-range cut points from a docstore sample.
+def _sample_boundaries(paths, analyzed, num_term_parts, sample_docs) -> list[str]:
+    """Byte-balanced term-range cut points from a corpus sample.
 
-    Reads up to ``sample_docs`` docs from the first non-empty docstore partition,
-    estimates per-term posting bytes (~4.5 B/posting + fixed row overhead), sorts terms
-    and cuts the cumulative byte curve into ``num_term_parts`` equal slices. Heavy
-    (stopword-scale) terms therefore occupy partitions sized by bytes — the explicit
-    skew handling the term shuffle relies on.
+    Reads up to ``sample_docs`` docs from the given parquet files (spill blocks or
+    docstore partitions), estimates per-term posting work by sampled TOTAL term
+    frequency (df saturates at the sample size for head terms and would underweight
+    them ~4×, measured), and cuts the cumulative curve into ``num_term_parts`` equal
+    slices. Heavy (stopword-scale) terms therefore occupy partitions sized by their
+    posting bytes — the explicit skew handling the term shuffle relies on.
     """
     if num_term_parts <= 1:
         return []
-    paths = [e["path"] for e in sorted(summaries, key=lambda e: e["part"])
-             if e["n_docs"] > 0]
+    paths = [p for p in paths if os.path.exists(p)]
     if not paths:
         return []
     acc: dict[str, int] = {}
     read = 0
     for path in paths:
         pf = pq.ParquetFile(path)
-        batch = next(pf.iter_batches(batch_size=min(sample_docs - read, 8192)))
+        try:
+            batch = next(pf.iter_batches(batch_size=min(sample_docs - read, 8192),
+                                         columns=[f for f in analyzed]))
+        except StopIteration:
+            continue
         tbl = pa.Table.from_batches([batch])
         for fld in analyzed:
             if fld not in tbl.column_names:
@@ -299,15 +391,16 @@ def _sample_boundaries(summaries, analyzed, num_term_parts, sample_docs) -> list
             tf = term_frequencies(tbl[fld].combine_chunks(),
                                   np.arange(len(tbl), dtype=np.int64))
             terms = tf["term"].to_numpy(zero_copy_only=False)
-            for t in terms:
-                acc[t] = acc.get(t, 0) + 1
+            tfs = tf["tf"].to_numpy()
+            for t, c in zip(terms, tfs):
+                acc[t] = acc.get(t, 0) + int(c)
         read += len(tbl)
         if read >= sample_docs:
             break
     if not acc:
         return []
     terms = np.array(sorted(acc.keys()), dtype=object)
-    weights = np.array([acc[t] * 4.5 + 96.0 for t in terms])
+    weights = np.array([acc[t] * 2.5 + 96.0 for t in terms])
     cum = np.cumsum(weights)
     targets = cum[-1] * np.arange(1, num_term_parts) / num_term_parts
     idx = np.searchsorted(cum, targets)

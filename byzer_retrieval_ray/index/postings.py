@@ -79,7 +79,15 @@ def route_terms(terms: np.ndarray, boundaries: list[str]) -> np.ndarray:
 
 def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str],
               bucket_spec: dict) -> pa.Table:
-    """One batch of docstore rows → posting-run rows (the shuffle combiner)."""
+    """One batch of docstore rows → posting-run rows (the shuffle combiner).
+
+    Single fused pass per field: tokenize (Arrow), dictionary-encode the token
+    stream, one lexsort of (term_code, doc) token instances, run-length to get tfs
+    and run boundaries — no hash group-by, no second sort. Run doc-gaps are encoded
+    relative to the run's ``min_doc`` (stored in the row), keeping every varint
+    small."""
+    import pyarrow.compute as pc
+
     doc_ids = batch["doc_id"].to_numpy()
     order = np.argsort(doc_ids, kind="stable")
     if not (np.diff(doc_ids) > 0).all():
@@ -89,42 +97,78 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
     out_chunks = []
     for fld in analyzed_fields:
         texts = batch[fld].combine_chunks()
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        tf_tbl = term_frequencies(texts, doc_ids)
-        if len(tf_tbl) == 0:
+        toks = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat = pc.filter(flat, mask)
+        parents = pc.filter(parents, mask).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
             continue
-        norms_by_doc = batch[f"__norm_{fld}"].to_numpy().astype(np.uint8)
-        tdoc = tf_tbl["doc_id"].to_numpy()
-        tf = tf_tbl["tf"].to_numpy().astype(np.int64)
-        terms = tf_tbl["term"].to_numpy(zero_copy_only=False)
-        # dictionary-encode terms for a fast lexsort
-        codes = pa.array(terms).dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_terms = dict_arr.dictionary.to_numpy(zero_copy_only=False)
+
+        # one combined-key argsort of token instances: (term_code, local_doc) packed
+        # into a single int64 (doc_ids are ascending, so sorting by parent index is
+        # sorting by doc) — half the memory passes of a two-key lexsort
+        n_local = len(batch)
+        key = codes.astype(np.int64) * np.int64(n_local) + parents
+        order2 = np.argsort(key, kind="stable")
+        key_s = key[order2]
+        del key, order2
+        # token-instance run-length → (term_code, doc) postings with tf
+        inst_change = np.empty(key_s.size, dtype=bool)
+        inst_change[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=inst_change[1:])
+        pstarts = np.flatnonzero(inst_change)
+        del inst_change
+        tf = np.empty(pstarts.size, dtype=np.int64)
+        np.subtract(pstarts[1:], pstarts[:-1], out=tf[:-1])
+        tf[-1] = key_s.size - pstarts[-1]
+        pkeys = key_s[pstarts]
+        del key_s
+        tdoc = doc_ids[pkeys % n_local]
+        pcodes = pkeys // n_local
         buckets = bucket_of(tdoc, bucket_spec)
-        order2 = np.lexsort((tdoc, buckets, codes))
-        tdoc, tf, codes, buckets = tdoc[order2], tf[order2], codes[order2], buckets[order2]
-        terms = terms[order2]
+
+        norms_by_doc = batch[f"__norm_{fld}"].to_numpy().astype(np.uint8)
         norms = norms_by_doc[np.searchsorted(doc_ids, tdoc)]
 
+        # runs: consecutive postings sharing (term_code, bucket); postings are
+        # already sorted by (term_code, doc) and bucket is monotone in doc for
+        # stride ids / groups contiguously for mod ids after a secondary sort
+        if bucket_spec["mode"] == "mod":
+            order3 = np.lexsort((tdoc, buckets, pcodes))
+            tdoc, pcodes, buckets = tdoc[order3], pcodes[order3], buckets[order3]
+            tf, norms = tf[order3], norms[order3]
         change = np.empty(tdoc.size, dtype=bool)
         change[0] = True
-        np.logical_or(codes[1:] != codes[:-1], buckets[1:] != buckets[:-1], out=change[1:])
+        np.logical_or(pcodes[1:] != pcodes[:-1], buckets[1:] != buckets[:-1],
+                      out=change[1:])
         starts = np.flatnonzero(change)
         offsets = np.concatenate([starts, [tdoc.size]])
-        gaps = codec.delta_encode_segments(tdoc, offsets)
-        doc_blobs = codec.varint_encode_segments(gaps, offsets)
+        df = np.diff(offsets)
+        min_doc = tdoc[starts]
+        # gaps relative to the run's min_doc (first gap = 0) → tiny varints
+        gaps = np.empty_like(tdoc)
+        gaps[0] = 0
+        np.subtract(tdoc[1:], tdoc[:-1], out=gaps[1:])
+        gaps[starts] = 0
+        if (gaps[~change] <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing within a run")
+        doc_blobs = codec.varint_encode_segments(gaps.astype(np.uint64), offsets)
         tf_blobs = codec.varint_encode_segments(tf.astype(np.uint64), offsets)
         norm_buf = norms.tobytes()
         norm_blobs = [norm_buf[offsets[i]:offsets[i + 1]] for i in range(len(starts))]
-        df = np.diff(offsets)
         ttf = np.add.reduceat(tf, starts)
-        run_terms = terms[starts]
+        run_terms = uniq_terms[pcodes[starts]]
         out_chunks.append(pa.table({
             "range_part": pa.array(route_terms(run_terms, boundaries), pa.int32()),
             "field": pa.array([fld] * len(starts), pa.string()),
             "term": pa.array(run_terms, pa.large_string()),
             "bucket": pa.array(buckets[starts], pa.int32()),
-            "min_doc": pa.array(tdoc[starts], pa.int64()),
+            "min_doc": pa.array(min_doc, pa.int64()),
             "df": pa.array(df, pa.int64()),
             "ttf": pa.array(ttf, pa.int64()),
             "doc_bytes": pa.array(doc_blobs, pa.large_binary()),
@@ -134,6 +178,18 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
     if not out_chunks:
         return RUN_SCHEMA.empty_table()
     return pa.concat_tables(out_chunks)
+
+
+def _concat_binary(col: pa.ChunkedArray | pa.Array) -> bytes:
+    """Zero-copy concatenation of a large_binary column's values (rows are stored
+    back-to-back in the data buffer after combine_chunks)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return b""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
+                         offset=arr.offset * 8)
+    data = arr.buffers()[2]
+    return data[int(offs[0]):int(offs[-1])].to_pybytes()
 
 
 def merge_runs(group: pa.Table) -> tuple[pa.Table, pa.Table]:
@@ -164,14 +220,15 @@ def merge_runs(group: pa.Table) -> tuple[pa.Table, pa.Table]:
                   | (buckets[1:] != buckets[:-1]))
     post_starts = np.flatnonzero(change)          # run index where each merged posting begins
 
-    # decode every run in one pass
+    # decode every run in one pass (run doc-gaps are relative to the run's min_doc)
     run_offsets = np.zeros(n_runs + 1, dtype=np.int64)
     np.cumsum(df, out=run_offsets[1:])
-    doc_cat = b"".join(group["doc_bytes"].to_pylist())
-    tf_cat = b"".join(group["tf_bytes"].to_pylist())
-    norm_cat = b"".join(group["norm_bytes"].to_pylist())
+    doc_cat = _concat_binary(group["doc_bytes"])
+    tf_cat = _concat_binary(group["tf_bytes"])
+    norm_cat = _concat_binary(group["norm_bytes"])
     gaps = codec.varint_decode(doc_cat, int(run_offsets[-1])).astype(np.int64)
-    docs = codec.delta_decode_segments(gaps, run_offsets)
+    min_docs = group["min_doc"].to_numpy()
+    docs = codec.delta_decode_segments(gaps, run_offsets) + np.repeat(min_docs, df)
     tfs = codec.varint_decode(tf_cat, int(run_offsets[-1])).astype(np.int64)
     norms = np.frombuffer(norm_cat, dtype=np.uint8)
 

@@ -254,12 +254,21 @@ class RetrievalCluster:
     # ------------- query (Q1–Q9) -------------
 
     def activate(self, database: str, table: str, mode: str = "actors") -> int:
-        """Spawn the serving actor pool (one IndexSegmentActor per bucket)."""
+        """Spawn the serving actor pool (one IndexSegmentActor per bucket).
+
+        The per-actor CPU reservation is sized so the whole pool always schedules
+        even when buckets > cluster CPUs (a 1.0 reservation each would leave actors
+        pending forever and queries timing out)."""
+        import ray
+
         from byzer_retrieval_ray.index.actors import make_segment_actor
 
         m = self.manifest(database, table)
         gr = GenerationReader(m.data)
-        actors = [make_segment_actor(m.data, b) for b in gr.buckets()]
+        buckets = gr.buckets()
+        total_cpus = ray.cluster_resources().get("CPU", 8)
+        per_actor = min(1.0, round(max(total_cpus * 0.8 / max(len(buckets), 1), 0.05), 2))
+        actors = [make_segment_actor(m.data, b, num_cpus=per_actor) for b in buckets]
         self._actors[(database, table)] = actors
         return len(actors)
 
