@@ -25,6 +25,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# scratch root for corpus + index artifacts; --scaling points this at tmpfs so both
+# levels measure compute/shuffle scaling rather than the box's single shared disk
+SCRATCH = os.environ.get("GRAFT_SCRATCH", "/tmp")
 # corpus size per sf tier (FIXTURES.md): sf0.001→500, sf0.01→5k, sf0.1→50k
 CORPUS_ROWS = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}
 
@@ -65,10 +68,10 @@ def run_bench() -> dict:
     from byzer_retrieval_ray.corpus.webpages import write_corpus
 
     n = corpus_rows()
-    corpus_dir = f"/tmp/byzer_bench_corpus/{n}"
+    corpus_dir = f"{SCRATCH}/byzer_bench_corpus/{n}"
     write_corpus(corpus_dir, n)        # untimed; also warms the page cache
 
-    loc = f"/tmp/byzer_bench_idx/{n}-{NUM_CPUS}"
+    loc = f"{SCRATCH}/byzer_bench_idx/{n}-{NUM_CPUS}"
     shutil.rmtree(loc, ignore_errors=True)
     schema = ("st(field(url,string),field(warc_ts,date,sort),"
               "field(html,binary,no_index),field(text,string,analyze),"
@@ -171,9 +174,13 @@ def run_scaling():
     levels."""
     rows = os.environ.get("GRAFT_SCALING_ROWS", "400000")
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(","))
+    scratch = os.environ.get("GRAFT_SCRATCH",
+                             "/dev/shm/byzer_scaling" if os.access("/dev/shm", os.W_OK)
+                             else "/tmp")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows,
+                   GRAFT_SCRATCH=scratch)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
