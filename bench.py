@@ -88,7 +88,7 @@ def run_bench() -> dict:
     # compare the identical job at two parallelism levels
     info = cluster.build_from_parquet(
         "web", "pages", corpus_dir, key_field="url", version_field="warc_ts",
-        extract=("html", "text"), num_doc_parts=16, num_term_parts=16)
+        extract=("html", "text"), num_doc_parts=16, num_term_parts=32)
     build_sec = time.perf_counter() - tb
     queries["build_pages"] = round(build_sec, 3)
 
