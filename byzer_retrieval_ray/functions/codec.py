@@ -150,6 +150,126 @@ def delta_decode_segments(deltas: np.ndarray, seg_offsets: np.ndarray) -> np.nda
     return cs - np.repeat(base, lengths)
 
 
+# ---------------------------------------------------------------------------
+# PForDelta (NewPFD-style) block codec — the alternative posting compression.
+#
+# Values are cut into blocks of PFOR_BLOCK; each block picks the smallest bit
+# width b covering ≥ 90% of its values, bit-packs the low b bits of every value
+# (little-endian bit order), and stores the ≤10% "exceptions" (their positions
+# and high bits) as varints after the packed payload. Encoding/decoding is
+# vectorized across all blocks of equal width at once (np.packbits/unpackbits).
+#
+# Blob layout: varint(n_values) ++ per-block [u8 width, u8 n_exceptions,
+# packed_low_bits, exceptions: varint(pos)*, varint(high_bits)*].
+# ---------------------------------------------------------------------------
+
+PFOR_BLOCK = 128
+
+
+def _pack_width_group(vals2d: np.ndarray, b: int) -> np.ndarray:
+    """(k, PFOR_BLOCK) uint64 → (k, PFOR_BLOCK*b//8) packed low-bit bytes."""
+    k = vals2d.shape[0]
+    if b == 0:
+        return np.zeros((k, 0), dtype=np.uint8)
+    bits = ((vals2d[:, :, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1))
+    return np.packbits(bits.astype(np.uint8).reshape(k, -1), axis=1,
+                       bitorder="little")
+
+
+def _unpack_width_group(packed: np.ndarray, b: int, k: int) -> np.ndarray:
+    if b == 0:
+        return np.zeros((k, PFOR_BLOCK), dtype=np.uint64)
+    bits = np.unpackbits(packed.reshape(k, -1), axis=1, bitorder="little",
+                         count=PFOR_BLOCK * b).reshape(k, PFOR_BLOCK, b)
+    out = np.zeros((k, PFOR_BLOCK), dtype=np.uint64)
+    for j in range(b):
+        out |= bits[:, :, j].astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """NewPFD-encode a non-negative uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return header
+    n_blocks = (n + PFOR_BLOCK - 1) // PFOR_BLOCK
+    padded = np.zeros(n_blocks * PFOR_BLOCK, dtype=np.uint64)
+    padded[:n] = v
+    blocks = padded.reshape(n_blocks, PFOR_BLOCK)
+    # width covering the 90th percentile of each block (0 allowed for all-zero)
+    q = np.quantile(blocks, 0.9, axis=1).astype(np.uint64)
+    widths = np.array([int(x).bit_length() for x in q], dtype=np.int64)
+    payloads: list[bytes | None] = [None] * n_blocks
+    for b in np.unique(widths):
+        sel = np.flatnonzero(widths == b)
+        packed = _pack_width_group(blocks[sel], int(b))
+        for row, bi in enumerate(sel):
+            payloads[bi] = packed[row].tobytes()
+    parts = [header]
+    for bi in range(n_blocks):
+        b = int(widths[bi])
+        blk = blocks[bi]
+        exc_pos = np.flatnonzero(blk >> np.uint64(b) if b else blk)
+        exc_hi = (blk[exc_pos] >> np.uint64(b)).astype(np.uint64)
+        parts.append(bytes([b, len(exc_pos)]))
+        parts.append(payloads[bi])
+        if len(exc_pos):
+            parts.append(varint_encode(exc_pos.astype(np.uint64)))
+            parts.append(varint_encode(exc_hi))
+    return b"".join(parts)
+
+
+def pfor_decode(blob: bytes, count: int | None = None) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    # read n_values varint
+    pos = 0
+    n = 0
+    shift = 0
+    while True:
+        byte = int(buf[pos])
+        n |= (byte & 0x7F) << shift
+        pos += 1
+        shift += 7
+        if not byte & 0x80:
+            break
+    if count is not None and n != count:
+        raise ValueError(f"pfor blob holds {n} values, expected {count}")
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_blocks = (n + PFOR_BLOCK - 1) // PFOR_BLOCK
+    out = np.empty(n_blocks * PFOR_BLOCK, dtype=np.uint64)
+    for bi in range(n_blocks):
+        b = int(buf[pos]); n_exc = int(buf[pos + 1]); pos += 2
+        nbytes = (PFOR_BLOCK * b + 7) // 8
+        vals = _unpack_width_group(buf[pos:pos + nbytes], b, 1)[0]
+        pos += nbytes
+        if n_exc:
+            exc_pos, used = _varint_read(buf, pos, n_exc)
+            pos = used
+            exc_hi, used = _varint_read(buf, pos, n_exc)
+            pos = used
+            vals[exc_pos] |= exc_hi << np.uint64(b)
+        out[bi * PFOR_BLOCK:(bi + 1) * PFOR_BLOCK] = vals
+    return out[:n]
+
+
+def _varint_read(buf: np.ndarray, pos: int, count: int) -> tuple[np.ndarray, int]:
+    """Decode exactly ``count`` varints starting at ``pos`` → (values, next_pos)."""
+    vals = np.zeros(count, dtype=np.uint64)
+    for i in range(count):
+        shift = 0
+        while True:
+            byte = int(buf[pos])
+            vals[i] |= np.uint64((byte & 0x7F)) << np.uint64(shift)
+            pos += 1
+            shift += 7
+            if not byte & 0x80:
+                break
+    return vals, pos
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 doc ids → first id + positive gaps."""
     d = np.asarray(doc_ids, dtype=np.int64)
@@ -189,9 +309,14 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray)
     return doc_bytes, tf_bytes, norms.tobytes(), first, max_tf, min_norm
 
 
-def decode_posting(doc_bytes: bytes, tf_bytes: bytes, norm_bytes: bytes, df: int):
+def decode_posting(doc_bytes: bytes, tf_bytes: bytes, norm_bytes: bytes, df: int,
+                   codec_name: str = "varint"):
     """Decode a posting run → (doc_ids int64, tfs int64, norms uint8)."""
-    doc_ids = delta_decode(varint_decode(doc_bytes, df))
-    tfs = varint_decode(tf_bytes, df).astype(np.int64)
+    if codec_name == "pfor":
+        doc_ids = delta_decode(pfor_decode(doc_bytes, df))
+        tfs = pfor_decode(tf_bytes, df).astype(np.int64)
+    else:
+        doc_ids = delta_decode(varint_decode(doc_bytes, df))
+        tfs = varint_decode(tf_bytes, df).astype(np.int64)
     norms = np.frombuffer(norm_bytes, dtype=np.uint8)
     return doc_ids, tfs, norms

@@ -72,6 +72,7 @@ def build_index(
     num_term_parts: int = 8,
     generation: int | None = None,
     sample_docs: int = 2000,
+    codec: str = "varint",   # posting compression: "varint" | "pfor" (NewPFD)
 ) -> dict:
     """Build a new index generation and publish it. Returns the gen_info dict.
 
@@ -257,7 +258,8 @@ def build_index(
             return pa.table({"meta": [json.dumps(read_json(entry_path))]})
         t_m0 = time.perf_counter()
         run_bytes = group.nbytes
-        post_tbl, ts_tbl = P.merge_runs(group.drop_columns(["range_part"]))
+        post_tbl, ts_tbl = P.merge_runs(group.drop_columns(["range_part"]),
+                                        codec_name=codec)
         t_m1 = time.perf_counter()
         _atomic_write_parquet(post_tbl, post_path, row_group_size=2048)
         _atomic_write_parquet(ts_tbl, ts_path)
@@ -338,6 +340,7 @@ def build_index(
         "bucket_spec": bucket_spec,
         "analyzed_fields": analyzed,
         "key_field": key_field,
+        "codec": codec,
         "boundaries": boundaries,
         "stats": stats,
         "docstore": {str(e["part"]): {k: e[k] for k in ("n_docs", "path", "fingerprint")}

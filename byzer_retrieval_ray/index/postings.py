@@ -192,7 +192,7 @@ def _concat_binary(col: pa.ChunkedArray | pa.Array) -> bytes:
     return data[int(offs[0]):int(offs[-1])].to_pybytes()
 
 
-def merge_runs(group: pa.Table) -> tuple[pa.Table, pa.Table]:
+def merge_runs(group: pa.Table, codec_name: str = "varint") -> tuple[pa.Table, pa.Table]:
     """All runs of one term-range partition → (postings table, termstats table).
 
     Postings rows come out bucket-major (sorted by bucket, field, term) so serving
@@ -236,8 +236,15 @@ def merge_runs(group: pa.Table) -> tuple[pa.Table, pa.Table]:
     post_offsets = np.concatenate([run_offsets[post_starts], [int(run_offsets[-1])]])
     # runs of one (field, term, bucket) must concatenate to a strictly increasing list
     merged_gaps = codec.delta_encode_segments(docs, post_offsets)
-    doc_blobs = codec.varint_encode_segments(merged_gaps, post_offsets)
-    tf_blobs = codec.varint_encode_segments(tfs.astype(np.uint64), post_offsets)
+    if codec_name == "pfor":
+        doc_blobs = [codec.pfor_encode(merged_gaps[post_offsets[i]:post_offsets[i + 1]])
+                     for i in range(len(post_starts))]
+        tf_blobs = [codec.pfor_encode(tfs[post_offsets[i]:post_offsets[i + 1]]
+                                      .astype(np.uint64))
+                    for i in range(len(post_starts))]
+    else:
+        doc_blobs = codec.varint_encode_segments(merged_gaps, post_offsets)
+        tf_blobs = codec.varint_encode_segments(tfs.astype(np.uint64), post_offsets)
     norm_buf = norms.tobytes()
     norm_blobs = [norm_buf[post_offsets[i]:post_offsets[i + 1]]
                   for i in range(len(post_starts))]

@@ -64,6 +64,7 @@ class GenerationReader:
         self.bucket_spec = self.info["bucket_spec"]
         self.num_doc_parts = self.info["num_doc_parts"]
         self.key_field = self.info["key_field"]
+        self.codec = self.info.get("codec", "varint")
         self._ts_cache: dict[int, dict] = {}   # range_part → {(field,term): (df,ttf)}
 
     def route_term(self, term: str) -> int:
@@ -194,7 +195,8 @@ class BucketSearcher:
                     df = tbl["df"][row].as_py()
                     docs, tfs, norms = codec.decode_posting(
                         tbl["doc_bytes"][row].as_py(), tbl["tf_bytes"][row].as_py(),
-                        tbl["norm_bytes"][row].as_py(), df)
+                        tbl["norm_bytes"][row].as_py(), df,
+                        codec_name=self.gen.codec)
                     found[(f, t)] = Posting(
                         docs, tfs, norms,
                         np.array(tbl["block_first"][row].as_py(), dtype=np.int64),
@@ -246,14 +248,22 @@ class BucketSearcher:
             ids = ids[:limit]
             return ids, np.ones(ids.size, dtype=dtype)
 
-        terms = tokenize_query(keyword)
-        pairs = [(f, t) for t in terms for f in (q.fields or sorted(self.gen.analyzed))]
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+
+        should, must, must_not = parse_keyword(keyword)
+        fields = q.fields or sorted(self.gen.analyzed)
+        scored_terms = should + must    # MUST clauses score too (Lucene BooleanQuery)
+        pairs = [(f, t) for t in scored_terms for f in fields]
         mult: dict[tuple[str, str], int] = {}
         for p in pairs:
             mult[p] = mult.get(p, 0) + 1
         uniq_pairs = list(mult.keys())  # insertion-ordered = clause order
-        stats = self.gen.term_stats(uniq_pairs)
-        posts = self.fetch_postings([p for p in uniq_pairs if stats[p][0] > 0])
+        must_pairs = [(f, t) for t in must for f in fields]
+        not_pairs = [(f, t) for t in must_not for f in fields]
+        stats = self.gen.term_stats(list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs)))
+        posts = self.fetch_postings(
+            [p for p in dict.fromkeys(uniq_pairs + must_pairs + not_pairs)
+             if stats[p][0] > 0])
 
         scorers = []
         for key in uniq_pairs:
@@ -267,16 +277,38 @@ class BucketSearcher:
             w = bm25.term_weight(fstats["doc_count"], df, boost=float(mult[key]), dtype=dtype)
             scorers.append((key, posts[key], cache, w))
 
+        # +term: candidates must contain the term in ≥1 searched field (OR over
+        # fields, AND over must terms); -term: excluded if present in any field
+        if must:
+            for t in must:
+                docs_any = [posts[(f, t)].docs for f in fields if stats[(f, t)][0] > 0]
+                term_docs = (np.unique(np.concatenate(docs_any))
+                             if docs_any else np.empty(0, np.int64))
+                candidates = term_docs if candidates is None else \
+                    candidates[np.isin(candidates, term_docs, assume_unique=True)]
+            candidates = self._drop_tombstones(candidates)
+        excluded = None
+        if must_not:
+            ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
+            if ex:
+                excluded = np.unique(np.concatenate(ex))
+
         if not scorers:
             if candidates is None:
                 return np.empty(0, np.int64), np.empty(0, dtype)
-            ids = candidates[:limit]
+            ids = candidates
+            if excluded is not None:
+                ids = ids[~np.isin(ids, excluded, assume_unique=True)]
+            ids = ids[:limit]
             return ids, np.zeros(ids.size, dtype=dtype)
 
-        if algorithm == "bmw" and candidates is None and self._ts_in_bucket.size == 0:
+        if algorithm == "bmw" and candidates is None and excluded is None \
+                and self._ts_in_bucket.size == 0:
             ids, scores = self._search_bmw(scorers, limit, dtype)
         else:
-            ids, scores = self._search_taat(scorers, candidates, limit, dtype)
+            ids, scores = self._search_taat(scorers, candidates, limit, dtype,
+                                            excluded=excluded,
+                                            zero_fill=bool(q.filters) and not must)
         return ids, scores
 
     def _term_scores(self, posting: Posting, cache, w, dtype, lo=None, hi=None):
@@ -284,8 +316,11 @@ class BucketSearcher:
         return posting.docs[s], bm25.score_tf_norm(posting.tfs[s], posting.norms[s],
                                                    cache, w, dtype=dtype)
 
-    def _search_taat(self, scorers, candidates, limit, dtype):
-        """Vectorized term-at-a-time; exact; supports filter candidates + tombstones."""
+    def _search_taat(self, scorers, candidates, limit, dtype, excluded=None,
+                     zero_fill=False):
+        """Vectorized term-at-a-time; exact; supports filter candidates, +/- term
+        constraints and tombstones. ``zero_fill`` adds zero-score filter matches
+        (SHOULD + FILTER BooleanQuery semantics)."""
         all_docs = []
         for _, posting, cache, w in scorers:
             all_docs.append(posting.docs)
@@ -296,6 +331,8 @@ class BucketSearcher:
             ts = self._ts_in_bucket
             if ts.size:
                 union = union[~np.isin(union, ts)]
+        if excluded is not None and union.size:
+            union = union[~np.isin(union, excluded, assume_unique=True)]
         acc = np.zeros(union.size, dtype=np.float64)
         for _, posting, cache, w in scorers:   # clause order = float addition order
             docs, scores = self._term_scores(posting, cache, w, dtype)
@@ -304,9 +341,11 @@ class BucketSearcher:
             valid[valid] &= union[idx[valid]] == docs[valid]
             np.add.at(acc, idx[valid], scores[valid].astype(np.float64))
         scores = acc.astype(dtype)
-        if candidates is not None:
+        if candidates is not None and zero_fill:
             # zero-score filter matches still qualify (SHOULD + FILTER semantics)
             zero = candidates[~np.isin(candidates, union, assume_unique=True)]
+            if excluded is not None and zero.size:
+                zero = zero[~np.isin(zero, excluded, assume_unique=True)]
             union = np.concatenate([union, zero])
             scores = np.concatenate([scores, np.zeros(zero.size, dtype=dtype)])
         order = np.lexsort((union, -scores.astype(np.float64)))[:limit]

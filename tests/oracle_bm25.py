@@ -30,15 +30,29 @@ class OracleIndex:
 
     def search(self, keyword: str, limit: int, dtype=np.float32,
                candidate_ids: list[int] | None = None):
-        """→ (ids, scores) ranked by score desc, doc_id asc."""
+        """→ (ids, scores) ranked by score desc, doc_id asc. Supports the
+        SimpleQueryParser subset: OR terms, +must, -must_not."""
         cand = set(candidate_ids) if candidate_ids is not None else None
         if keyword.strip() == "*":
             ids = sorted(cand if cand is not None else self.doc_ids)[:limit]
             return np.array(ids, np.int64), np.ones(len(ids), dtype=dtype)
+        should = [t for t in keyword.replace("|", " ").split()
+                  if not t.startswith(("+", "-"))]
+        must = [t[1:] for t in keyword.split() if t.startswith("+") and len(t) > 1]
+        must_not = [t[1:] for t in keyword.split() if t.startswith("-") and len(t) > 1]
+        for t in must:
+            docs = set(self.postings.get(t, {}))
+            cand = docs if cand is None else cand & docs
+        banned = set()
+        for t in must_not:
+            banned |= set(self.postings.get(t, {}))
+        if cand is not None:
+            cand -= banned
+        zero_fill = candidate_ids is not None and not must
         norm_of = dict(zip(self.doc_ids, self.norm_bytes))
         avgdl = dtype(self.sum_ttf / float(self.n))
         acc: dict[int, float] = {}
-        for term in keyword.split():   # clause order
+        for term in should + must:   # clause order
             post = self.postings.get(term)
             if not post:
                 continue
@@ -48,12 +62,14 @@ class OracleIndex:
             for d, tf in post.items():
                 if cand is not None and d not in cand:
                     continue
+                if d in banned:
+                    continue
                 dl = dtype(LENGTH_TABLE[norm_of[d]])
                 ninv = dtype(1.0) / (dtype(K1) * ((dtype(1.0) - dtype(B)) + dtype(B) * dl / avgdl))
                 s = w - w / (dtype(1.0) + dtype(tf) * ninv)
                 acc[d] = acc.get(d, 0.0) + float(s)
         scored = {d: dtype(s) for d, s in acc.items()}
-        if cand is not None:
+        if cand is not None and zero_fill:
             for d in cand:
                 scored.setdefault(d, dtype(0.0))
         items = sorted(scored.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:limit]

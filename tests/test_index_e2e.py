@@ -41,7 +41,10 @@ def _engine_topk(cluster, keyword, limit=10, filters=None, algorithm="bmw"):
 
 
 QUERIES = ["the", "window merge", "scan join order sort", "zzz_absent", "*",
-           "customer", "merge merge"]
+           "customer", "merge merge",
+           # SimpleQueryParser operator subset (+must, -must_not, | = OR)
+           "+merge window", "window -merge", "window +merge -scan",
+           "customer | merge", "+zzz_absent window", "-the"]
 
 
 class TestBM25Parity:
