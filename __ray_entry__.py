@@ -35,6 +35,8 @@ EVENTS_SCHEMA = ("st(field(event_id,long),field(ts,date,sort),field(user_id,long
                  "field(props,string,no_index))")
 DOCSVEC_SCHEMA = ("st(field(doc_id,long),field(text,string,analyze),"
                   "field(lang,string),field(vector,array(float)))")
+DOCS2_SCHEMA = ("st(field(doc_id,long),field(title,string,analyze),"
+                "field(content,string,analyze),field(lang,string))")
 
 P_DOC = 4      # doc partitions / serving buckets (doc_id % 4 for long keys)
 P_TERM = 4     # term-range partitions
@@ -114,6 +116,22 @@ def _docsvec_cluster(sf_dir: str) -> RetrievalCluster:
         joined = d.append_column("vector", e["embedding"])
         return ray.data.from_arrow(joined)
     return _get_cluster(sf_dir, "docsvec", DOCSVEC_SCHEMA, "doc_id", make_source)
+
+
+def _docs2_cluster(sf_dir: str) -> RetrievalCluster:
+    """documents split into two analyzed fields: title = first 3 whitespace tokens,
+    content = the rest — exercises the multi-field search path (Q1 fields list)."""
+    def make_source():
+        import ray.data
+        d = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "lang"])
+        texts = d["text"].to_pylist()
+        titles = [" ".join(t.split()[:3]) for t in texts]
+        contents = [" ".join(t.split()[3:]) for t in texts]
+        t = pa.table({"doc_id": d["doc_id"], "title": titles,
+                      "content": contents, "lang": d["lang"]})
+        return ray.data.from_arrow(t)
+    return _get_cluster(sf_dir, "docs2", DOCS2_SCHEMA, "doc_id", make_source)
 
 
 def _get_cluster(sf_dir: str, table: str, schema: str, key: str, source_fn) -> RetrievalCluster:
@@ -249,6 +267,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          vector=_query_vector(sf), vectorField="vector", limit=10)
         return _search_rows(c, "docsvec", qq)
     q["hybrid_rrf"] = hybrid_rrf
+
+    # --- multi-field search (fields list, per-field stats) ---
+    def bm25_multi_field(sf):
+        c = _docs2_cluster(sf)
+        qq = SearchQuery("db", "docs2", keyword="merge sort", fields=["title", "content"],
+                         limit=20)
+        return _search_rows(c, "docs2", qq)
+    q["bm25_multi_field"] = bm25_multi_field
+
+    # --- full scan export (S5/S6: iterateAllDocs / Arrow batch export) ---
+    def full_scan(sf):
+        c = _docs_cluster(sf)
+        df = c.scan_table("db", "docs").to_pandas()
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "text": pa.array(df["text"], pa.string()),
+            "lang": pa.array(df["lang"], pa.string()),
+            "source": pa.array(df["source"], pa.string()),
+            "n_chars": pa.array(df["n_chars"], pa.int64()),
+        })
+    q["full_scan"] = full_scan
 
     # --- aggregations over the index (term stats, collection stats) ---
     def term_df(sf):
@@ -460,6 +500,52 @@ ver AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r 
 fused AS (SELECT doc_id, SUM(1.0e0 / (CAST(r AS DOUBLE) + 60.0e0)) AS score
           FROM (SELECT * FROM kwr UNION ALL SELECT * FROM ver) GROUP BY doc_id)
 SELECT doc_id, ROUND(score, 4) AS score FROM fused ORDER BY score DESC, doc_id LIMIT 10"""
+
+    sql["bm25_multi_field"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS all_toks
+  FROM documents
+),
+flds AS (
+  SELECT doc_id, 'title' AS fld, list_slice(all_toks, 1, 3) AS toks FROM base
+  UNION ALL
+  SELECT doc_id, 'content' AS fld, list_slice(all_toks, 4, len(all_toks)) AS toks FROM base
+),
+toks AS (SELECT doc_id, fld, unnest(toks) AS term FROM flds),
+dls AS (SELECT doc_id, fld, len(toks) AS dl FROM flds),
+stats AS (SELECT fld, count(*) AS n, sum(dl) AS sum_ttf FROM dls GROUP BY fld),
+dlq AS (
+  SELECT doc_id, fld, CASE WHEN dl < 24 THEN dl
+    ELSE 24 + (CASE WHEN dl - 24 < 8 THEN dl - 24
+               ELSE ((dl - 24) >> (length(bin(dl - 24)) - 4)) << (length(bin(dl - 24)) - 4)
+               END) END AS dl_q
+  FROM dls
+),
+tf AS (SELECT doc_id, fld, term, count(*) AS tf FROM toks GROUP BY doc_id, fld, term),
+df AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY fld, term),
+qterms AS (SELECT unnest(['merge', 'sort']) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                                   / (CAST(df.df AS DOUBLE) + 0.5e0)))
+              - (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                                     / (CAST(df.df AS DOUBLE) + 0.5e0)))
+                / (1.0e0 + CAST(tf.tf AS DOUBLE)
+                   * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                         / (CAST(stats.sum_ttf AS DOUBLE) / CAST(stats.n AS DOUBLE)))))) ) AS score
+  FROM tf
+  JOIN qterms ON tf.term = qterms.term
+  JOIN df ON df.fld = tf.fld AND df.term = tf.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id AND dlq.fld = tf.fld
+  JOIN stats ON stats.fld = tf.fld
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    sql["full_scan"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"""
 
     sql["term_df"] = """
 WITH toks AS (
