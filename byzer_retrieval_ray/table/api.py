@@ -346,6 +346,22 @@ class RetrievalCluster:
             out.append(self._materialize(database, table, ids, scores, use_actors))
         return out
 
+    def search_arrow(self, database: str, table: str, queries,
+                     precision: str = "float32", algorithm: str = "bmw"):
+        """S8 equivalent (RetrievalFlightServer.java:369-407): per query an Arrow
+        table ``(id: string, score: float32)`` — the reference's do_get stream
+        schema, with the table's key as the id."""
+        m = self.manifest(database, table)
+        gr = GenerationReader(m.data)
+        key = gr.key_field
+        out = []
+        for res in self.search(database, table, queries, precision, algorithm):
+            out.append(pa.table({
+                "id": pa.array([str(r[key]) for r in res], pa.string()),
+                "score": pa.array(np.array([r["_score"] for r in res], np.float32)),
+            }))
+        return out
+
     def filter(self, database: str, table: str, queries) -> list[list[dict]]:
         """Q4: unscored filter + sort + limit; master concatenates and re-sorts
         (RetrievalMaster.java:201-250)."""
