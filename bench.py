@@ -94,7 +94,7 @@ def run_bench() -> dict:
 
     # ---- serving: segment actors + block-max WAND ----
     ta = time.perf_counter()
-    cluster.activate("web", "pages")
+    cluster.activate("web", "pages", preload=True)   # ST1: segment loads its slice once
     queries["activate_actors"] = round(time.perf_counter() - ta, 3)
     # untimed warm-up: first contact loads term stats + docstore column metadata
     cluster.search("web", "pages",

@@ -28,14 +28,24 @@ class SegmentActorImpl:
         self.searcher = BucketSearcher(manifest_data, self.bucket)
         return True
 
-    def search_keyword(self, q: dict, precision: str, algorithm: str):
+    def preload(self) -> int:
+        return self.searcher.preload()
+
+    def search_keyword(self, q: dict, precision: str, algorithm: str,
+                       with_docs: bool = False):
         ids, scores = self.searcher.search_keyword(
             SearchQuery.from_dict(q), precision=precision, algorithm=algorithm)
+        if with_docs:
+            # ship the stored fields of this shard's top-limit with the scores —
+            # one round trip, like the reference workers (RetrievalWorker.java:372-376)
+            return np.asarray(ids), np.asarray(scores), self.searcher.fetch_docs(ids)
         return np.asarray(ids), np.asarray(scores)
 
-    def search_vector(self, q: dict, precision: str):
+    def search_vector(self, q: dict, precision: str, with_docs: bool = False):
         ids, scores = self.searcher.search_vector(SearchQuery.from_dict(q),
                                                   precision=precision)
+        if with_docs:
+            return np.asarray(ids), np.asarray(scores), self.searcher.fetch_docs(ids)
         return np.asarray(ids), np.asarray(scores)
 
     def filter_op(self, q: dict) -> pa.Table:

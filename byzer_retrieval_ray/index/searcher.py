@@ -173,6 +173,32 @@ class BucketSearcher:
     def doc_ids(self) -> np.ndarray:
         return self._docstore(["doc_id"])["doc_id"].to_numpy()
 
+    def preload(self) -> int:
+        """Decode this bucket's full postings slice into the cache (ST1 semantics:
+        the segment loads its partition once; queries then never touch storage).
+        Returns the number of postings loaded. Intended for serving actors where
+        the per-bucket slice fits in heap — the lazy path remains the default."""
+        self._cache_cap = 1 << 62
+        n = 0
+        for r in range(max(self.gen.info["num_term_parts"], 1)):
+            path = self.gen.postings_path(r)
+            if path is None or not os.path.exists(path):
+                continue
+            tbl = pq.read_table(path, filters=[("bucket", "=", self.bucket)])
+            for row in range(len(tbl)):
+                key = (tbl["field"][row].as_py(), tbl["term"][row].as_py())
+                df = tbl["df"][row].as_py()
+                docs, tfs, norms = codec.decode_posting(
+                    tbl["doc_bytes"][row].as_py(), tbl["tf_bytes"][row].as_py(),
+                    tbl["norm_bytes"][row].as_py(), df, codec_name=self.gen.codec)
+                self._postings_cache[key] = Posting(
+                    docs, tfs, norms,
+                    np.array(tbl["block_first"][row].as_py(), dtype=np.int64),
+                    np.array(tbl["block_max_tf"][row].as_py(), dtype=np.int64),
+                    np.array(tbl["block_min_norm"][row].as_py(), dtype=np.uint8))
+                n += df
+        return n
+
     def fetch_postings(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], Posting]:
         out = {}
         todo_by_part: dict[int, list[tuple[str, str]]] = {}
@@ -482,12 +508,18 @@ class BucketSearcher:
     # ---------- result materialization ----------
 
     def fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:
+        """Stored fields for the given ids — a direct predicate-pushdown parquet read
+        (row-group pruned on the sorted doc_id column), deliberately NOT cached:
+        stored fields can carry wide payloads (html) that must not live in the
+        serving actor's heap."""
         cols = [c for c in self._stored_columns() if c in _available_columns(self)]
         if "doc_id" not in cols:
             cols = ["doc_id"] + cols
-        tbl = self._docstore(cols)
-        mask = pc.is_in(tbl["doc_id"], value_set=pa.array(doc_ids, pa.int64()))
-        return tbl.filter(mask)
+        path = self.gen.docstore_path(self.bucket)
+        if path is None:
+            return pa.table({c: [] for c in cols})
+        ids = [int(d) for d in np.asarray(doc_ids)]
+        return pq.read_table(path, columns=cols, filters=[("doc_id", "in", ids)])
 
 
 def _filter_fields(tree: dict) -> set[str]:

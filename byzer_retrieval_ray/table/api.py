@@ -253,7 +253,8 @@ class RetrievalCluster:
 
     # ------------- query (Q1–Q9) -------------
 
-    def activate(self, database: str, table: str, mode: str = "actors") -> int:
+    def activate(self, database: str, table: str, mode: str = "actors",
+                 preload: bool = False) -> int:
         """Spawn the serving actor pool (one IndexSegmentActor per bucket).
 
         The per-actor CPU reservation is sized so the whole pool always schedules
@@ -270,6 +271,8 @@ class RetrievalCluster:
         per_actor = min(1.0, round(max(total_cpus * 0.8 / max(len(buckets), 1), 0.05), 2))
         actors = [make_segment_actor(m.data, b, num_cpus=per_actor) for b in buckets]
         self._actors[(database, table)] = actors
+        if preload:
+            ray.get([a.preload.remote() for a in actors])
         return len(actors)
 
     def deactivate(self, database: str, table: str) -> None:
@@ -318,19 +321,23 @@ class RetrievalCluster:
             for q in qs:
                 futs: dict[str, list] = {}
                 if q.has_keyword:
-                    futs["keyword"] = [a.search_keyword.remote(q.__dict__, precision, algorithm)
-                                       for a in actors]
+                    futs["keyword"] = [
+                        a.search_keyword.remote(q.__dict__, precision, algorithm, True)
+                        for a in actors]
                 if q.has_vector:
-                    futs["vector"] = [a.search_vector.remote(q.__dict__, precision)
+                    futs["vector"] = [a.search_vector.remote(q.__dict__, precision, True)
                                       for a in actors]
                 all_futs.append(futs)
         out = []
         for qi, q in enumerate(qs):
             recalls: dict[str, list] = {}
+            doc_tbls: list[pa.Table] = []
             if use_actors:
                 import ray
                 for name, fs in all_futs[qi].items():
-                    recalls[name] = ray.get(fs, timeout=QUERY_TIMEOUT_SEC)
+                    results = ray.get(fs, timeout=QUERY_TIMEOUT_SEC)
+                    recalls[name] = [(r[0], r[1]) for r in results]
+                    doc_tbls.extend(r[2] for r in results if len(r) > 2 and len(r[2]))
             else:
                 searchers = self._searchers(database, table)
                 if q.has_keyword:
@@ -343,8 +350,18 @@ class RetrievalCluster:
                 out.append([])
                 continue
             ids, scores = M.run_query(recalls, q, precision)
-            out.append(self._materialize(database, table, ids, scores, use_actors))
+            if use_actors:
+                out.append(self._attach_from(doc_tbls, ids, scores))
+            else:
+                out.append(self._materialize(database, table, ids, scores, False))
         return out
+
+    def _attach_from(self, doc_tbls: list, ids, scores) -> list[dict]:
+        if len(ids) == 0 or not doc_tbls:
+            return []
+        docs = pa.concat_tables(doc_tbls, promote_options="default")
+        # the same doc can arrive from both recalls — attach_scores dedups by id
+        return M.attach_scores(docs, np.asarray(ids), np.asarray(scores)).to_pylist()
 
     def search_arrow(self, database: str, table: str, queries,
                      precision: str = "float32", algorithm: str = "bmw"):
