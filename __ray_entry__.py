@@ -434,6 +434,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": pa.array(sorted(out["doc_id"]), pa.int64())})
     q["fingerprint"] = fingerprints
 
+    # --- windowed aggregate over the event stream (tumbling 1h, combiner) ---
+    def events_window(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.windows import tumbling_window_agg
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["ts", "event_type", "value"])
+        out = tumbling_window_agg(ds, "ts", "event_type", "value", 3600).to_pandas()
+        out = out.sort_values(["key", "window_start"]).reset_index(drop=True)
+        return pa.table({
+            "key": pa.array(out["key"], pa.string()),
+            "window_start": pa.array(out["window_start"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_v": pa.array(np.round(out["sum_v"].to_numpy(), 3), pa.float64()),
+            "min_v": pa.array(np.round(out["min_v"].to_numpy(), 6), pa.float64()),
+            "max_v": pa.array(np.round(out["max_v"].to_numpy(), 6), pa.float64()),
+        })
+    q["events_window"] = events_window
+
     # --- multimodal plumbing (stubbed decode, real Ray plumbing) ---
     def multimodal_image(sf):
         import ray.data
@@ -576,6 +594,15 @@ sims AS (
 SELECT query_id, vec_id, ROUND(score, 4) AS score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) rn
   FROM sims) WHERE rn <= 5"""
+
+    sql["events_window"] = """
+SELECT event_type AS key,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+       count(*) AS n,
+       ROUND(SUM(value), 3) AS sum_v,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
     sql["token_counts"] = """
 SELECT doc_id,

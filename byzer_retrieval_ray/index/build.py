@@ -165,7 +165,7 @@ def build_index(
             # resume: docstore partition already built → emit runs from it
             post_cols = ["doc_id"] + analyzed + [f"__norm_{f}" for f in analyzed]
             done = pq.read_table(out_path, columns=post_cols)
-            return P.emit_runs(done, analyzed, boundaries, bucket_spec)
+            return _emit_chunked(done, analyzed, boundaries, bucket_spec)
         if not files:
             entry = {"part": p, "n_docs": 0, "sum_dl": {f: 0 for f in analyzed},
                      "path": out_path, "fingerprint": 0}
@@ -214,7 +214,7 @@ def build_index(
         entry = {"part": p, "n_docs": n, "sum_dl": sums, "path": out_path,
                  "fingerprint": fp}
         atomic_write_json(entry_path, entry)
-        return P.emit_runs(group, analyzed, boundaries, bucket_spec)
+        return _emit_chunked(group, analyzed, boundaries, bucket_spec)
 
     # ---- Stage A1: spill exchange (skipped when every partition is finalized) ----
     t_a = time.perf_counter()
@@ -361,6 +361,22 @@ def build_index(
     manifest.data["key_field"] = key_field
     manifest.publish(gen, gen_info)
     return gen_info
+
+
+EMIT_CHUNK_DOCS = 16_384
+
+
+def _emit_chunked(tbl: pa.Table, analyzed, boundaries, bucket_spec) -> pa.Table:
+    """Emit posting runs in bounded doc slices so a large doc partition never
+    materializes its whole token stream at once (the runs of consecutive slices are
+    disjoint doc ranges and merge downstream like any other runs)."""
+    if len(tbl) <= EMIT_CHUNK_DOCS:
+        return P.emit_runs(tbl, analyzed, boundaries, bucket_spec)
+    parts = []
+    for start in range(0, len(tbl), EMIT_CHUNK_DOCS):
+        sl = tbl.slice(start, EMIT_CHUNK_DOCS)
+        parts.append(P.emit_runs(sl, analyzed, boundaries, bucket_spec))
+    return pa.concat_tables(parts)
 
 
 def _sample_boundaries(paths, analyzed, num_term_parts, sample_docs) -> list[str]:

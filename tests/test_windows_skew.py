@@ -1,0 +1,55 @@
+"""Tumbling-window aggregate op and term-partition skew balance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestTumblingWindow:
+    def test_matches_pandas(self, ray_session):
+        import ray.data
+        from byzer_retrieval_ray.ops.windows import tumbling_window_agg
+
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                                   columns=["ts", "event_type", "value"])
+        got = tumbling_window_agg(ds, "ts", "event_type", "value", 3600).to_pandas()
+        got = got.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+        import pyarrow.parquet as pq
+        df = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+        df["window_start"] = (df["ts"].astype("int64") // 10**6 // 3600) * 3600
+        want = df.groupby(["event_type", "window_start"]).agg(
+            n=("value", "size"), sum_v=("value", "sum"),
+            min_v=("value", "min"), max_v=("value", "max")).reset_index()
+        want = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert list(got["key"]) == list(want["event_type"])
+        np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+        np.testing.assert_allclose(got["sum_v"], want["sum_v"], rtol=1e-9)
+        np.testing.assert_allclose(got["min_v"], want["min_v"], rtol=0)
+
+
+class TestSkewBalance:
+    def test_term_partitions_byte_balanced(self, ray_session, tmp_path):
+        """Sampled ttf-weighted boundaries must keep per-partition posting bytes
+        within a reasonable band despite Zipf term skew."""
+        from byzer_retrieval_ray import RetrievalCluster, TableSettings
+        from byzer_retrieval_ray.corpus import webpages
+        from byzer_retrieval_ray.index.build import build_index
+
+        d = tmp_path / "corpus"
+        webpages.write_corpus(str(d), 2000, rows_per_file=1000)
+        loc = str(tmp_path / "idx")
+        c = RetrievalCluster(loc)
+        schema = ("st(field(url,string),field(warc_ts,date,sort),"
+                  "field(html,binary,no_index),field(text,string,analyze),"
+                  "field(lang,string))")
+        c.create_table(TableSettings("web", "pages", schema, loc))
+        info = build_index(str(d), c.manifest("web", "pages"), key_field="url",
+                           version_field="warc_ts", extract=("html", "text"),
+                           num_doc_parts=4, num_term_parts=8)
+        sizes = np.array([m["posting_bytes"] for m in info["postings"].values()
+                          if m["posting_bytes"] > 0], dtype=np.float64)
+        assert sizes.size >= 6
+        ratio = sizes.max() / np.median(sizes)
+        assert ratio < 4.0, f"term partitions skewed: {sizes}"
