@@ -138,7 +138,7 @@ def _get_cluster(sf_dir: str, table: str, schema: str, key: str, source_fn) -> R
     cache_key = (sf_dir, table)
     if cache_key in _CLUSTERS:
         return _CLUSTERS[cache_key]
-    tag = hashlib.md5(f"{sf_dir}:{table}:v4".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:{table}:v5".encode()).hexdigest()[:10]
     loc = f"/tmp/byzer_ray_gate/{tag}"
     c = RetrievalCluster(loc)
     try:
@@ -434,6 +434,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": pa.array(sorted(out["doc_id"]), pa.int64())})
     q["fingerprint"] = fingerprints
 
+    # --- grouped top-k (per-group sort inside map_groups) ---
+    def top_docs_per_lang(sf):
+        import ray.data
+
+        def topk(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+            return g.slice(0, 3)
+
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "lang", "n_chars"])
+        out = ds.groupby("lang").map_groups(topk, batch_format="pyarrow").to_pandas()
+        out = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_chars": pa.array(out["n_chars"], pa.int64()),
+        })
+    q["top_docs_per_lang"] = top_docs_per_lang
+
     # --- windowed aggregate over the event stream (tumbling 1h, combiner) ---
     def events_window(sf):
         import ray.data
@@ -594,6 +613,12 @@ sims AS (
 SELECT query_id, vec_id, ROUND(score, 4) AS score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) rn
   FROM sims) WHERE rn <= 5"""
+
+    sql["top_docs_per_lang"] = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3 ORDER BY lang, doc_id"""
 
     sql["events_window"] = """
 SELECT event_type AS key,
