@@ -278,6 +278,11 @@ class BucketSearcher:
 
         should, must, must_not = parse_keyword(keyword)
         fields = q.fields or sorted(self.gen.analyzed)
+        bad = [f for f in fields if f not in self.gen.analyzed]
+        if bad:
+            raise ValueError(
+                f"search fields {bad} are not analyzed (schema options: analyze); "
+                f"analyzed fields: {sorted(self.gen.analyzed)}")
         scored_terms = should + must    # MUST clauses score too (Lucene BooleanQuery)
         pairs = [(f, t) for t in scored_terms for f in fields]
         mult: dict[tuple[str, str], int] = {}
