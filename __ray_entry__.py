@@ -109,9 +109,13 @@ def _events_cluster(sf_dir: str) -> RetrievalCluster:
 def _docsvec_cluster(sf_dir: str) -> RetrievalCluster:
     def make_source():
         import ray.data
+        import pyarrow.compute as pc_
         d = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "text", "lang"]).sort_by("doc_id")
         e = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+        # inner join on doc_id == vec_id (matches the oracle SQL's JOIN)
+        d = d.filter(pc_.is_in(d["doc_id"], value_set=e["vec_id"].combine_chunks()))
+        e = e.filter(pc_.is_in(e["vec_id"], value_set=d["doc_id"].combine_chunks()))
         assert d["doc_id"].to_pylist() == e["vec_id"].to_pylist()
         joined = d.append_column("vector", e["embedding"])
         return ray.data.from_arrow(joined)
