@@ -129,16 +129,27 @@ class RetrievalCluster:
             paths = [p for p in paths if p and os.path.exists(p)]
             if paths:
                 old = ray.data.read_parquet(paths)
-                drop = [c for c in old.schema().names
-                        if c.startswith("__") or c == "doc_id"]
-                if drop:
-                    old = old.drop_columns(drop)
-                old = old.map_batches(
-                    lambda t: t.append_column("__upsert_seq", pa.array([0] * len(t), pa.int64())),
-                    batch_format="pyarrow")
-                source = old.union(new_ds)
+                tombstones = gr.tombstones()
+
+                def carry_forward(t: pa.Table) -> pa.Table:
+                    # deleted docs must NOT resurrect through the rebuild (M2 durability)
+                    if tombstones.size:
+                        t = t.filter(pa.array(
+                            ~np.isin(t["doc_id"].to_numpy(), tombstones)))
+                    drop = [c for c in t.column_names
+                            if c.startswith("__") or c == "doc_id"]
+                    if "doc_id" in t.column_names and key_field == "doc_id":
+                        drop.remove("doc_id")
+                    if drop:
+                        t = t.drop_columns(drop)
+                    return t.append_column("__upsert_seq",
+                                           pa.array([0] * len(t), pa.int64()))
+
+                source = old.map_batches(carry_forward, batch_format="pyarrow") \
+                            .union(new_ds)
         build_index(source, m, key_field=key_field, version_field="__upsert_seq",
                     num_doc_parts=num_doc_parts, num_term_parts=num_term_parts)
+        m.clear_tombstones()   # baked into the new generation
         self._invalidate(database, table)
         return True
 

@@ -168,6 +168,14 @@ class TestLifecycle:
         res = c.search("db", "t", {"keyword": "common", "fields": ["content"], "limit": 30})[0]
         assert len(res) == 16 and 5 not in [r["_id"] for r in res]
 
+        # deleted docs must not resurrect through a later upsert rebuild (M2)
+        assert c.build_from_local("db", "t", [{"_id": 50, "content": "common new doc",
+                                               "name": "n50"}],
+                                  key_field="_id", num_doc_parts=2, num_term_parts=2)
+        res = c.search("db", "t", {"keyword": "common", "fields": ["content"], "limit": 40})[0]
+        got = {r["_id"] for r in res}
+        assert 50 in got and not {0, 1, 5} & got
+
         # truncate (M5)
         assert c.truncate("db", "t")
         with pytest.raises(RuntimeError):
