@@ -58,8 +58,9 @@ def run_bench() -> dict:
     import numpy as np
     import ray
 
+    # log_to_driver=False: worker stdout must not pollute the single JSON output line
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
