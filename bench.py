@@ -186,7 +186,11 @@ def run_scaling():
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # high level first (a preceding run leaves shared-box residue that biases the
+    # follower; order hurts the 4N leg more), short settle pause between legs
+    r_hi = run(hi)
+    time.sleep(10)
+    r_lo = run(lo)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     b_lo, b_hi = r_lo["queries"]["build_pages"], r_hi["queries"]["build_pages"]
     factor = hi / lo
