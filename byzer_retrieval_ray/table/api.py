@@ -295,6 +295,8 @@ class RetrievalCluster:
         key = (database, table)
         if key not in self._local_searchers:
             m = self.manifest(database, table)
+            if m.data.get("status") == "close":
+                raise RuntimeError(f"table {database}.{table} is closed (M6)")
             gr = GenerationReader(m.data)
             self._local_searchers[key] = [BucketSearcher(m.data, b)
                                           for b in gr.buckets()]
