@@ -599,7 +599,7 @@ GROUP BY term ORDER BY df DESC, term LIMIT 20"""
 
     sql["collection_stats"] = """
 SELECT count(*) AS n_docs,
-       sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS sum_ttf
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS sum_ttf
 FROM documents"""
 
     sql["dedup_exact"] = """

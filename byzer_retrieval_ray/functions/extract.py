@@ -39,8 +39,10 @@ def extract_text_one(html: bytes) -> str:
 def extract_text(htmls: pa.Array) -> pa.Array:
     """Vectorized extraction over an Arrow binary array → string array."""
     s = pc.cast(htmls, pa.string())
-    has_p = pc.match_substring_regex(s, "(?s)<p[^>]*>.*?</p>")
+    # strip <head> FIRST so has_p agrees with the scalar oracle when a document's
+    # only <p> lives inside <head> (batch/scalar byte-identity invariant)
     s = pc.replace_substring_regex(s, pattern="(?s)<head>.*?</head>", replacement="")
+    has_p = pc.match_substring_regex(s, "(?s)<p[^>]*>.*?</p>")
     # capture all <p> bodies: replace the whole doc by its p-contents joined by space.
     # Arrow lacks findall, so: kill everything outside <p>…</p> by (a) splitting on
     # closing tags is fragile — instead mark p-content, strip the rest.

@@ -78,10 +78,14 @@ def _leaf_mask(table: pa.Table, node: dict, analyzed: set[str]) -> pa.ChunkedArr
     if "value" in node:
         v = node["value"]
         if f in analyzed:
-            # OR over the whitespace tokens of v (SimpleQueryParser default OR)
+            # OR over the whitespace tokens of v (SimpleQueryParser default OR).
+            # Normalize ALL whitespace to single spaces first so tokens delimited by
+            # tabs/newlines (whitespace-analyzer separators) still match, then pad.
             # last arg of binary_join_element_wise is the separator: " "+text+" "
+            norm = pc.replace_substring_regex(
+                pc.cast(col, pa.string()), pattern=r"\s", replacement=" ")
             padded = pc.binary_join_element_wise(
-                pa.scalar(" "), pc.cast(col, pa.string()), pa.scalar(" "), pa.scalar(""),
+                pa.scalar(" "), norm, pa.scalar(" "), pa.scalar(""),
                 null_handling="replace")
             mask = None
             for tok in str(v).split():

@@ -240,11 +240,19 @@ def build_index(
     t_spill = time.perf_counter() - t_a
 
     # ---- term-range boundaries from a sample (byte-balanced → skew rebalancing) ----
-    sample_paths = spill_files if spill_files else [
-        os.path.join(docstore_dir, f"part-{p:05d}.parquet")
-        for p in range(num_doc_parts)]
-    boundaries = _sample_boundaries(sample_paths, analyzed, num_term_parts, sample_docs)
-    atomic_write_json(os.path.join(gdir, "boundaries.json"), boundaries)
+    # Boundaries are part of the generation's DURABLE state: a resumed rerun must
+    # reuse the cuts the completed postings partitions were built under (re-sampling
+    # from a different source — spill blocks vs docstore — yields different cuts and
+    # would silently mis-route queries to partitions merged under the old cuts).
+    boundaries_path = os.path.join(gdir, "boundaries.json")
+    if os.path.exists(boundaries_path):
+        boundaries = read_json(boundaries_path)
+    else:
+        sample_paths = spill_files if spill_files else [
+            os.path.join(docstore_dir, f"part-{p:05d}.parquet")
+            for p in range(num_doc_parts)]
+        boundaries = _sample_boundaries(sample_paths, analyzed, num_term_parts, sample_docs)
+        atomic_write_json(boundaries_path, boundaries)
 
     postings_dir = os.path.join(gdir, "postings")
     termstats_dir = os.path.join(gdir, "termstats")

@@ -100,6 +100,12 @@ class RetrievalCluster:
         info = build_index(source, m, key_field=key_field, version_field=version_field,
                            extract=extract, num_doc_parts=num_doc_parts,
                            num_term_parts=num_term_parts)
+        # Tombstone doc_ids are generation-scoped (stride ids = part<<40|rank): a
+        # stale id applied to the new generation would delete an unrelated new doc
+        # and let the originally-deleted key resurrect. A full rebuild from a fresh
+        # source replaces the corpus wholesale, so clear them on publish
+        # (build_from_local instead folds them in before clearing).
+        m.clear_tombstones()
         self._invalidate(database, table)
         return info
 
