@@ -167,6 +167,46 @@ def _search_rows(cluster: RetrievalCluster, table: str, q: SearchQuery) -> pa.Ta
     })
 
 
+# ----------------------- near-dup augmentation (seeded copies) -----------------------
+# The near-dup gate entries need provably non-empty results: every key % 10 == 0 row
+# is duplicated with key + AUG_OFFSET. The oracle SQL applies the identical UNION ALL.
+
+AUG_OFFSET = 1_000_000
+
+
+def _augmented_docs(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc_
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    cp = t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0))
+    cp = cp.set_column(0, "doc_id", pc_.add(cp["doc_id"], AUG_OFFSET))
+    return pa.concat_tables([t, cp])
+
+
+def _augmented_embeddings(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc_
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = t.column_names.index("vec_id")
+    cp = t.filter(pa.array(t["vec_id"].to_numpy() % 10 == 0))
+    cp = cp.set_column(idx, "vec_id", pc_.add(cp["vec_id"], AUG_OFFSET))
+    return pa.concat_tables([t, cp])
+
+
+_SQL_AUG_DOCS = f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {AUG_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_SQL_AUG_EMB = f"""
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {AUG_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+
 # ------------------------------- BM25 entries -------------------------------
 
 def _bm25(sf_dir: str, keyword: str, limit: int, filters: dict | None = None) -> pa.Table:
@@ -315,6 +355,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["collection_stats"] = collection_stats
 
     # --- dedup family ---
+    # The near-dup entries run over the documents/embeddings table AUGMENTED with
+    # exact copies (key + AUG_OFFSET for key % 10 == 0) so the result is provably
+    # non-empty, and with configs that make the operator EXACT (minhash: poly hash
+    # family + jaccard=1.0 ⇒ signature equality, SQL-computable; embedding:
+    # num_planes=0 ⇒ single LSH bucket, recall 1.0) — each has a value-level
+    # DuckDB oracle that mirrors the same augmentation.
     def dedup_exact(sf):
         import ray.data
         from byzer_retrieval_ray.ops.dedup import exact_dedup
@@ -327,10 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_minhash(sf):
         import ray.data
         from byzer_retrieval_ray.ops.dedup import minhash_lsh_dedup
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
-                                   columns=["doc_id", "text"])
+        ds = ray.data.from_arrow(_augmented_docs(sf))
         out = minhash_lsh_dedup(ds, "text", "doc_id", num_perm=64, bands=16,
-                                shingle_k=3, jaccard=0.9).to_pandas()
+                                shingle_k=3, jaccard=1.0, hash_fn="poly").to_pandas()
         out = out.sort_values(["id", "dup_of"]).reset_index(drop=True)
         return pa.table({"id": pa.array(out["id"], pa.int64()),
                          "dup_of": pa.array(out["dup_of"], pa.int64())})
@@ -339,8 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_simhash(sf):
         import ray.data
         from byzer_retrieval_ray.ops.dedup import simhash_dedup
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
-                                   columns=["doc_id", "text"])
+        ds = ray.data.from_arrow(_augmented_docs(sf))
         out = simhash_dedup(ds, "text", "doc_id").to_pandas()
         ids = sorted(out["id"]) if "id" in out.columns else []
         return pa.table({"id": pa.array(ids, pa.int64())})
@@ -349,8 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_embedding(sf):
         import ray.data
         from byzer_retrieval_ray.ops.dedup import embedding_dedup
-        ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
-        out = embedding_dedup(ds, "embedding", "vec_id", threshold=0.99).to_pandas()
+        ds = ray.data.from_arrow(_augmented_embeddings(sf))
+        out = embedding_dedup(ds, "embedding", "vec_id", threshold=0.999999,
+                              num_planes=0).to_pandas()
         if "id" not in out.columns:
             return pa.table({"id": pa.array([], pa.int64()),
                              "dup_of": pa.array([], pa.int64())})
@@ -376,13 +421,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_bruteforce"] = ann_bruteforce
 
     def ann_ivf(sf):
+        # gate config: nprobe = n_centroids probes EVERY cell ⇒ exact, so the
+        # brute-force cosine SQL is a value-level oracle for the IVF path too
+        # (recall < 1 configs are covered by the recall tests in tests/test_ops.py)
         import ray.data
         from byzer_retrieval_ray.ops.ann import ivf_topk
         t = pq.read_table(os.path.join(sf, "embeddings.parquet"))
         qs = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
                        for i in range(3)])
         ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
-        out = ivf_topk(ds, "embedding", "vec_id", qs, k=5, n_centroids=8, nprobe=4)
+        out = ivf_topk(ds, "embedding", "vec_id", qs, k=5, n_centroids=8, nprobe=8)
         return pa.table({
             "query_id": pa.array(out["query_id"].astype(np.int32)),
             "vec_id": pa.array(out["id"], pa.int64()),
@@ -424,18 +472,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              concurrency=2) \
                 .select_columns(["doc_id", "quality"]).to_pandas()
         out = out.sort_values("doc_id").reset_index(drop=True)
-        out["quality"] = np.round(out["quality"].to_numpy(), 4)
+        # round-half-away-from-zero to match DuckDB's ROUND (np.round is half-even)
+        out["quality"] = np.floor(out["quality"].to_numpy() * 1e4 + 0.5) / 1e4
         return pa.Table.from_pandas(out, preserve_index=False)
     q["quality_score"] = quality
 
     def fingerprints(sf):
+        # poly hash family (SQL-replicable, functions/polyhash.py) and exploded
+        # (doc_id, fp) rows so every fingerprint VALUE is oracle-checked
         import ray.data
         from byzer_retrieval_ray.ops.text import add_fingerprints
+
+        def explode(batch: pa.Table) -> pa.Table:
+            b = add_fingerprints(batch, hash_fn="poly")
+            col = b["fingerprint"].combine_chunks() \
+                if isinstance(b["fingerprint"], pa.ChunkedArray) else b["fingerprint"]
+            import pyarrow.compute as pc_
+            parents = pc_.list_parent_indices(col).to_numpy(zero_copy_only=False)
+            flat = pc_.list_flatten(col)
+            ids = b["doc_id"].to_numpy()[parents]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()), "fp": flat})
+
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
-        out = ds.map_batches(add_fingerprints, batch_format="pyarrow") \
-                .select_columns(["doc_id"]).to_pandas()
-        return pa.table({"doc_id": pa.array(sorted(out["doc_id"]), pa.int64())})
+        out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+        out = out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "fp": pa.array(out["fp"], pa.int64())})
     q["fingerprint"] = fingerprints
 
     # --- grouped top-k (per-group sort inside map_groups) ---
@@ -638,7 +701,194 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens
 FROM documents ORDER BY doc_id"""
 
-    # rows-only entries (non-SQL-expressible: sketches/heuristics/approx/actor stubs):
-    # dedup_minhash, dedup_simhash, dedup_embedding, ann_ivf, lang_id, quality_score,
-    # fingerprint, multimodal_image
+    # --- near-dup family (augmented corpus, exact configs — see queries()) ---
+
+    # simhash: identical 64-bit SimHash ⟺ identical token MULTISET for this corpus
+    # (the sign of all 64 bit-sums agreeing for distinct multisets is checked empty
+    # by the rehearsal); oracle groups by the sorted token list.
+    sql["dedup_simhash"] = f"""
+WITH {_SQL_AUG_DOCS},
+keyd AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), chr(0)) AS k
+  FROM aug
+),
+g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS m, count(*) OVER (PARTITION BY k) AS c
+  FROM keyd
+)
+SELECT doc_id AS id FROM g WHERE c >= 2 AND doc_id <> m ORDER BY id"""
+
+    # minhash with hash_fn="poly" and jaccard=1.0: a pair is a duplicate iff the two
+    # 64-lane signatures are IDENTICAL; the poly family's arithmetic is exactly
+    # computable in SQL (Horner(31) mod 2^32 token hash → Horner(1000003) mod 2^64
+    # shingle fold reduced mod 2^32 → (a_j·h + b_j) mod 2^61-1 lane minima), so the
+    # oracle groups documents by the full signature vector.
+    from byzer_retrieval_ray.ops.dedup import minhash_perm_params
+    _a, _b = minhash_perm_params(64, 7, "poly")
+    _al = ", ".join(str(int(x)) for x in _a)
+    _bl = ", ".join(str(int(x)) for x in _b)
+    _i64max = 9223372036854775807
+    sql["dedup_minhash"] = f"""
+WITH {_SQL_AUG_DOCS},
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM aug
+),
+th AS (
+  SELECT doc_id, list_transform(t, tok -> list_reduce(
+     list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT)),
+     (acc, cp) -> (acc*31 + cp) % 4294967296)) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN []
+         WHEN len(h) < 3 THEN [list_reduce(h, (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296]
+         ELSE list_transform(range(1, len(h) - 1), i ->
+              list_reduce(list_slice(h, i, i + 2), (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296)
+    END AS g
+  FROM th
+),
+sig AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(1, 65), j -> CAST(
+      CASE WHEN len(g) = 0 THEN CAST({_i64max} AS HUGEINT)
+           ELSE list_min(list_transform(g, x -> (([{_al}])[j] * x + ([{_bl}])[j]) % 2305843009213693951))
+      END AS VARCHAR)), ',') AS k
+  FROM sh
+),
+grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS m, count(*) OVER (PARTITION BY k) AS c
+  FROM sig
+)
+SELECT doc_id AS id, m AS dup_of FROM grp WHERE c >= 2 AND doc_id <> m ORDER BY id, dup_of"""
+
+    # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
+    # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold
+    # (np.argmax first-max = smallest id on exact ties).
+    sql["dedup_embedding"] = f"""
+WITH {_SQL_AUG_EMB},
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS dup_of,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+  FROM aug a JOIN aug b ON b.vec_id < a.vec_id
+),
+best AS (
+  SELECT id, dup_of, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, dup_of) AS rn
+  FROM pairs
+)
+SELECT id, dup_of FROM best WHERE rn = 1 AND score >= 0.999999e0 ORDER BY id, dup_of"""
+
+    # IVF with nprobe = n_centroids is exact ⇒ the brute-force cosine SQL applies.
+    sql["ann_ivf"] = sql["ann_bruteforce"]
+
+    # --- text analysis ---
+    def _stop_hits_sql(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted({
+            "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "on"],
+            "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+            "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+            "es": ["el", "la", "los", "las", "y", "es", "de", "que", "en", "por", "una"],
+        }[lang]))
+        return f"len(list_filter(toks, x -> list_contains([{words}], lower(x))))"
+
+    sql["lang_id"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk,
+         greatest(length(text), 1) AS n_chars
+  FROM documents
+),
+h AS (
+  SELECT doc_id, toks,
+         CAST(n_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE) AS cjk_ratio,
+         {_stop_hits_sql('en')} AS h_en, {_stop_hits_sql('de')} AS h_de,
+         {_stop_hits_sql('fr')} AS h_fr, {_stop_hits_sql('es')} AS h_es
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+       WHEN len(toks) = 0 THEN 'unknown'
+       WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       WHEN h_fr >= h_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h ORDER BY doc_id"""
+
+    # quality: the engine formula verbatim in DOUBLE arithmetic (same op order);
+    # both sides round half-away-from-zero to 4 decimals. \\p{{L}}\\p{{N}}_ matches
+    # Python's re \\w over letters/digits (RE2 Unicode classes).
+    _stop_en = _stop_hits_sql("en").replace("toks", "toks")
+    sql["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars_i,
+         len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS n_punct_i,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha_i
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(n_chars_i AS DOUBLE) AS n_chars,
+         CAST(n_punct_i AS DOUBLE) AS n_punct,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN
+           CAST({_stop_en} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0e0 END AS stop_ratio,
+         CAST(n_alpha_i AS DOUBLE) / greatest(CAST(n_chars_i AS DOUBLE), 1.0e0) AS alpha
+  FROM base
+),
+f AS (
+  SELECT doc_id, stop_ratio, alpha,
+         CASE WHEN n_tok > 0 THEN (n_chars - greatest(n_tok - 1.0e0, 0.0e0)) / greatest(n_tok, 1.0e0)
+              ELSE 0.0e0 END AS mean_wl,
+         least(greatest(n_tok / 100.0e0, 0.0e0), 1.0e0) AS len_score,
+         1.0e0 - least(greatest(n_punct / greatest(n_chars, 1.0e0) * 5.0e0, 0.0e0), 1.0e0) AS punct_score
+  FROM c
+)
+SELECT doc_id,
+  ROUND(0.3e0 * len_score + 0.2e0 * punct_score
+        + 0.2e0 * least(greatest(stop_ratio * 4.0e0, 0.0e0), 1.0e0)
+        + 0.15e0 * (1.0e0 - least(greatest(abs(mean_wl - 5.0e0) / 5.0e0, 0.0e0), 1.0e0))
+        + 0.15e0 * least(greatest(alpha * 1.25e0, 0.0e0), 1.0e0), 4) AS quality
+FROM f ORDER BY doc_id"""
+
+    # winnowing fingerprints with the poly hash family: token hash Horner(31) mod
+    # 2^32 → k-gram fold Horner(1000003) mod 2^64 → min per 8-gram window →
+    # distinct, exploded to (doc_id, fp) rows (fp = signed int64 view).
+    sql["fingerprint"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(t, tok -> list_reduce(
+     list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT)),
+     (acc, cp) -> (acc*31 + cp) % 4294967296)) AS h
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, h,
+    CASE WHEN len(h) >= 5 THEN list_transform(range(1, len(h) - 3), i ->
+         list_reduce(list_slice(h, i, i + 4), (a, b) -> (a*1000003 + b) % 18446744073709551616))
+    ELSE NULL END AS g
+  FROM th
+),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN len(h) < 5 THEN list_distinct(h)
+         WHEN len(g) <= 8 THEN [list_min(g)]
+         ELSE list_distinct(list_transform(range(1, len(g) - 6), i -> list_min(list_slice(g, i, i + 7))))
+    END AS fps
+  FROM grams
+)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fp
+FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
+ORDER BY doc_id, fp"""
+
+    # rows-only entries (actor-pool stub plumbing, no SQL semantics): multimodal_image
     return sql

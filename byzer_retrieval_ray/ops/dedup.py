@@ -1,13 +1,26 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All operators are Ray-Data-first: vectorized hashing/sketching inside ``map_batches``
-(the combiner), one hash-bucket ``groupby`` as the only shuffle, and per-bucket
-vectorized resolution inside ``map_groups`` (one call per bucket, not per key). The
-reference engine has no dedup beyond upsert-by-_id (SURVEY.md §2.6); these extend it.
+All operators are Ray-Data-first and 100 TB-shaped:
 
-Scale notes: every operator shuffles only (hash, id[, signature]) rows — never the
-documents themselves; the winner sets are joined back broadcast-style. Buckets are
-``hash % num_buckets`` so group count (and per-group memory) is a tunable constant.
+* the only shuffled rows are **narrow sketches** — (hash, id) for exact dedup,
+  (id, band, band_hash) for MinHash-LSH, (id, simhash) for SimHash — the documents
+  and the 64-lane signatures never enter a shuffle;
+* winners/losers are resolved per hash bucket with vectorized numpy inside
+  ``map_groups`` (one call per bucket, not per key);
+* the loser/candidate id sets (tiny relative to the corpus: only duplicates and
+  band-collision candidates) are broadcast once via ``ray.put`` and applied inside
+  ``map_batches`` — a broadcast semi-join, not an all-to-all of the corpus.
+
+The reference engine has no dedup beyond upsert-by-_id (SURVEY.md §2.6); these
+extend it.
+
+Hash families: ``hash_fn="murmur3"`` (default) uses murmur3_x86_32 shingle hashing;
+``hash_fn="poly"`` uses the Horner polynomial family from functions/polyhash.py whose
+arithmetic is exactly replicable in SQL (DuckDB list_reduce), making the MinHash
+pipeline oracle-checkable end-to-end: token hash = Horner(31) mod 2^32 over
+codepoints, shingle hash = Horner(1000003) mod 2^64 over k token hashes reduced
+mod 2^32, permutation j = (a_j·h + b_j) mod (2^61-1) with a_j < 2^31 so every
+product is exact in uint64/HUGEINT on both sides.
 """
 
 from __future__ import annotations
@@ -17,8 +30,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from byzer_retrieval_ray.functions.murmur3 import murmur3_np
+from byzer_retrieval_ray.functions.polyhash import poly_hash_np
 
 _M61 = (1 << 61) - 1
+_GRAM_MULT = np.uint64(1000003)
+_MASK32 = np.uint64(0xFFFFFFFF)
 
 
 def _content_hash(texts: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -28,30 +44,56 @@ def _content_hash(texts: np.ndarray, seed: int = 0) -> np.ndarray:
     return (h1 << 32) | h2
 
 
-def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
-    """Exact duplicate removal: keep the smallest id per identical text.
+# ---------------- exact dedup ----------------
 
-    hash-partition (bucket = content_hash % B) → per-bucket vectorized first-per-hash.
-    Returns the deduplicated Dataset (all original columns).
-    """
+def _hash_rows(ds, text_col: str, id_col: str, num_buckets: int):
+    """Narrow (hash, id, bucket) rows — the ONLY thing the exact-dedup shuffle moves."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         h = _content_hash(texts)
-        batch = batch.append_column("__h", pa.array(h, pa.int64()))
-        return batch.append_column("__b", pa.array(
-            (h % num_buckets).astype(np.int32)))
+        return pa.table({
+            "__h": pa.array(h, pa.int64()),
+            id_col: batch[id_col],
+            "__b": pa.array((h % num_buckets).astype(np.int32)),
+        })
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        group = group.sort_by([("__h", "ascending"), (id_col, "ascending")])
-        h = group["__h"].to_numpy()
-        keep = np.empty(len(h), dtype=bool)
-        keep[0] = True
-        keep[1:] = h[1:] != h[:-1]
-        return group.filter(pa.array(keep)).drop_columns(["__h", "__b"])
+    return ds.map_batches(add_hash, batch_format="pyarrow")
 
-    return ds.map_batches(add_hash, batch_format="pyarrow") \
-             .groupby("__b").map_groups(keep_first, batch_format="pyarrow")
+
+def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
+    """Exact duplicate removal: keep the smallest id per identical text.
+
+    Shuffle carries (hash, id) only; per-bucket vectorized resolution finds the
+    LOSERS (non-minimal ids per hash); the loser id set — duplicates only, tiny
+    relative to the corpus — is broadcast via ray.put and filtered out of the
+    original dataset in a second streaming pass. The documents themselves never
+    enter a shuffle. Returns the deduplicated Dataset (all original columns).
+    """
+    import ray
+
+    def losers(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("__h", "ascending"), (id_col, "ascending")])
+        h = g["__h"].to_numpy()
+        dup = np.zeros(len(h), dtype=bool)
+        dup[1:] = h[1:] == h[:-1]
+        return pa.table({id_col: g[id_col].filter(pa.array(dup))})
+
+    loser_tbl = _hash_rows(ds, text_col, id_col, num_buckets) \
+        .groupby("__b").map_groups(losers, batch_format="pyarrow").to_pandas()
+    # a fully-unique corpus yields an empty result whose schema may be columnless
+    loser_ids = (np.sort(loser_tbl[id_col].to_numpy())
+                 if id_col in loser_tbl.columns else np.empty(0, np.int64))
+    ref = ray.put(loser_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        l = ray.get(ref)
+        if l.size == 0:
+            return batch
+        ids = batch[id_col].to_numpy()
+        return batch.filter(pa.array(~np.isin(ids, l)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------- MinHash + LSH near-dup ----------------
@@ -62,55 +104,122 @@ def _word_shingles(tokens: list[str], k: int) -> list[str]:
     return [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
 
 
+def minhash_perm_params(num_perm: int, seed: int = 7,
+                        hash_fn: str = "murmur3") -> tuple[np.ndarray, np.ndarray]:
+    """The (a_j, b_j) universal-hash family. For hash_fn="poly", a_j < 2^31 so
+    a_j·h + b_j is exact in uint64 (and HUGEINT on the SQL side)."""
+    rng = np.random.default_rng(seed)
+    if hash_fn == "poly":
+        a = rng.integers(1, 2 ** 31, size=num_perm, dtype=np.int64)
+    else:
+        a = rng.integers(1, _M61, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _M61, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(s, s+c) for each (s, c) — vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    rep = np.repeat(starts - np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    return rep + np.arange(total, dtype=np.int64)
+
+
+def _poly_shingle_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat shingle hashes < 2^32 as uint64, per-doc offsets) for hash_fn="poly".
+
+    token hash = Horner(31, codepoints) mod 2^32; shingle hash = Horner(1000003)
+    over the k token hashes, mod 2^64 during the fold, reduced mod 2^32 at the end.
+    Docs with 0 < n_tok < k contribute a single shingle (fold of all their tokens),
+    matching ``_word_shingles``'s join-all fallback; the SQL oracle mirrors this.
+    """
+    all_toks: list[str] = []
+    offs = [0]
+    for t in texts:
+        all_toks.extend(t.split())
+        offs.append(len(all_toks))
+    tok_offs = np.asarray(offs, dtype=np.int64)
+    th = poly_hash_np(all_toks, bits=32)          # uint64 < 2^32
+    n_tok = np.diff(tok_offs)
+    counts = np.where(n_tok == 0, 0, np.where(n_tok < k, 1, n_tok - k + 1))
+    out_offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+
+    big = n_tok >= k
+    if big.any():
+        total = th.size
+        if total >= k:
+            g = th[: total - k + 1].copy()
+            for j in range(1, k):
+                g = g * _GRAM_MULT + th[j: total - k + 1 + j]
+            src = _concat_ranges(tok_offs[:-1][big], counts[big])
+            dst = _concat_ranges(out_offs[:-1][big], counts[big])
+            out[dst] = g[src]
+    small = (n_tok > 0) & (n_tok < k)
+    if small.any():
+        # masked iterative fold over (≤ k-1)-token docs, no per-doc Python loop
+        s_starts = tok_offs[:-1][small]
+        s_lens = n_tok[small]
+        h = np.zeros(int(small.sum()), dtype=np.uint64)
+        for i in range(int(s_lens.max())):
+            act = s_lens > i
+            h[act] = h[act] * _GRAM_MULT + th[s_starts[act] + i]
+        out[out_offs[:-1][small]] = h
+    return out & _MASK32, out_offs
+
+
 def minhash_signatures(texts: np.ndarray, num_perm: int, shingle_k: int,
-                       seed: int = 7) -> np.ndarray:
+                       seed: int = 7, hash_fn: str = "murmur3") -> np.ndarray:
     """(n, num_perm) int64 MinHash signatures over word shingles (vectorized).
 
-    Shingles are hashed once with murmur3; the permutation family is the standard
-    (a_i * x + b_i) mod p universal hashes over a Mersenne prime.
+    The permutation family is (a_j·x + b_j) mod (2^61-1); per-doc minima are one
+    ``np.minimum.reduceat`` over the (shingles × perms) hash matrix — no Python
+    loop over documents or permutations.
     """
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _M61, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _M61, size=num_perm, dtype=np.int64)
-    out = np.full((len(texts), num_perm), np.iinfo(np.int64).max, dtype=np.int64)
-    # flatten all shingles across the batch, hash once, then segment-min
-    all_shingles: list[str] = []
-    offsets = [0]
-    for t in texts:
-        sh = _word_shingles(t.split(), shingle_k)
-        all_shingles.extend(sh)
-        offsets.append(len(all_shingles))
-    if not all_shingles:
+    n = len(texts)
+    out = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+    if n == 0:
         return out
-    base = murmur3_np(np.array(all_shingles, dtype=object)).astype(np.int64) & 0xFFFFFFFF
-    for j in range(num_perm):
-        hj = (a[j] * base + b[j]) % _M61
-        for i in range(len(texts)):
-            lo, hi = offsets[i], offsets[i + 1]
-            if hi > lo:
-                out[i, j] = hj[lo:hi].min()
+    a, b = minhash_perm_params(num_perm, seed, hash_fn)
+    if hash_fn == "poly":
+        base, offs = _poly_shingle_hashes(texts, shingle_k)
+        if base.size == 0:
+            return out
+        H = ((a.astype(np.uint64)[None, :] * base[:, None]
+              + b.astype(np.uint64)[None, :]) % np.uint64(_M61)).astype(np.int64)
+    else:
+        all_shingles: list[str] = []
+        offs_l = [0]
+        for t in texts:
+            all_shingles.extend(_word_shingles(t.split(), shingle_k))
+            offs_l.append(len(all_shingles))
+        offs = np.asarray(offs_l, dtype=np.int64)
+        if not all_shingles:
+            return out
+        base = murmur3_np(np.array(all_shingles, dtype=object)).astype(np.int64) & 0xFFFFFFFF
+        # int64 wrap-around multiply then mod — identical values to the historical
+        # per-permutation loop (numpy wraps deterministically)
+        H = (a[None, :] * base[:, None] + b[None, :]) % _M61
+    lens = np.diff(offs)
+    nz = np.flatnonzero(lens > 0)
+    if nz.size:
+        out[nz] = np.minimum.reduceat(H, offs[:-1][nz], axis=0)
     return out
 
 
-def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
-                      bands: int = 16, shingle_k: int = 3, jaccard: float = 0.8,
-                      num_buckets: int = 64):
-    """MinHash+LSH near-duplicate detection.
-
-    map_batches: shingle → minhash → (band_id, band_hash, id, signature) rows;
-    groupby(bucket of band hash): per-bucket candidate groups; pairs sharing a band
-    bucket are verified by estimated Jaccard (signature agreement rate ≥ ``jaccard``);
-    each verified duplicate maps to the smallest id it matched ("min-label", one
-    round — transitively-chained near-dups beyond one hop are kept, documented).
-
-    Returns a Dataset of (id, dup_of) rows for ids that should be dropped.
-    """
+def _band_rows(ds, text_col: str, id_col: str, num_perm: int, bands: int,
+               shingle_k: int, num_buckets: int, seed: int = 7,
+               hash_fn: str = "murmur3"):
+    """Narrow (id, band, bh, bucket) rows — the ONLY thing the LSH shuffle moves.
+    The 64-lane signatures are NOT shipped (they are recomputed for the candidate
+    ids only in the verification pass)."""
     rows_per_band = num_perm // bands
 
-    def emit_bands(batch: pa.Table) -> pa.Table:
+    def emit(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy()
-        sig = minhash_signatures(texts, num_perm, shingle_k)
+        sig = minhash_signatures(texts, num_perm, shingle_k, seed, hash_fn)
         n = len(texts)
         band_hash = np.empty((n, bands), dtype=np.int64)
         for bnd in range(bands):
@@ -119,52 +228,95 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
             for c in range(rows_per_band):
                 h = (h * np.int64(1000003) + seg[:, c]) % _M61
             band_hash[:, bnd] = h
-        out_ids = np.repeat(ids, bands)
-        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
         out_hash = band_hash.reshape(-1)
-        sig_rep = np.repeat(sig.astype(np.int64), bands, axis=0)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.table({
-            "id": pa.array(out_ids, pa.int64()),
+            "id": pa.array(np.repeat(ids, bands), pa.int64()),
             "band": pa.array(out_band, pa.int32()),
             "bh": pa.array(out_hash, pa.int64()),
-            "sig": pa.array(list(sig_rep), pa.list_(pa.int64(), num_perm)),
             "__b": pa.array(((out_hash + out_band) % num_buckets).astype(np.int32)),
         })
 
-    def resolve(group: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = group.to_pandas()
-        dup_rows = []
-        for (_, _), g in df.groupby(["band", "bh"]):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("id")
-            sigs = np.stack(g["sig"].to_numpy())
-            ids = g["id"].to_numpy()
-            anchor = sigs[0]
-            agree = (sigs[1:] == anchor).mean(axis=1)
-            for i, frac in enumerate(agree):
-                if frac >= jaccard:
-                    dup_rows.append((int(ids[i + 1]), int(ids[0])))
-        if not dup_rows:
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3, jaccard: float = 0.8,
+                      num_buckets: int = 64, seed: int = 7,
+                      hash_fn: str = "murmur3"):
+    """MinHash+LSH near-duplicate detection, two narrow passes.
+
+    Pass 1 shuffles (id, band, band_hash) rows only; each hash bucket resolves its
+    (band, bh) groups vectorized and emits candidate pairs (id, anchor=min id of
+    the group). Pass 2 recomputes signatures for the candidate ids only (candidate
+    id set broadcast via ray.put — duplicates + band collisions, tiny vs corpus)
+    and verifies estimated Jaccard (signature agreement rate ≥ ``jaccard``).
+    Each verified duplicate maps to the smallest anchor it matched ("min-label",
+    one round — transitively-chained near-dups beyond one hop are kept,
+    documented).
+
+    Returns a Dataset of (id, dup_of) rows for ids that should be dropped.
+    """
+    import ray
+    import ray.data
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("band", "ascending"), ("bh", "ascending"),
+                           ("id", "ascending")])
+        band = g["band"].to_numpy()
+        bh = g["bh"].to_numpy()
+        ids = g["id"].to_numpy()
+        if len(ids) == 0:
             return pa.table({"id": pa.array([], pa.int64()),
                              "dup_of": pa.array([], pa.int64())})
-        d, o = zip(*dup_rows)
-        return pa.table({"id": pa.array(d, pa.int64()), "dup_of": pa.array(o, pa.int64())})
+        new = np.empty(len(ids), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        grp = np.cumsum(new) - 1
+        anchors = ids[new][grp]
+        mask = ids != anchors
+        return pa.table({"id": pa.array(ids[mask], pa.int64()),
+                         "dup_of": pa.array(anchors[mask], pa.int64())})
 
-    dups = ds.map_batches(emit_bands, batch_format="pyarrow") \
-             .groupby("__b").map_groups(resolve, batch_format="pyarrow")
+    pairs = _band_rows(ds, text_col, id_col, num_perm, bands, shingle_k,
+                       num_buckets, seed, hash_fn) \
+        .groupby("__b").map_groups(pairs_in_bucket, batch_format="pyarrow") \
+        .to_pandas().drop_duplicates()
 
-    def min_label(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("id", "ascending"), ("dup_of", "ascending")])
-        ids = g["id"].to_numpy()
-        keep = np.empty(len(ids), dtype=bool)
-        if len(ids):
-            keep[0] = True
-            keep[1:] = ids[1:] != ids[:-1]
-        return g.filter(pa.array(keep))
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "dup_of": pa.array([], pa.int64())})
+    if len(pairs) == 0:
+        return ray.data.from_arrow(empty)
 
-    return dups.groupby("id").map_groups(min_label, batch_format="pyarrow")
+    need = np.unique(np.concatenate([pairs["id"].to_numpy(),
+                                     pairs["dup_of"].to_numpy()]))
+    ref = ray.put(need)
+
+    def sigs_for_candidates(batch: pa.Table) -> pa.Table:
+        cand = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = np.isin(ids, cand)
+        if not m.any():
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.int64(), num_perm))})
+        texts = batch[text_col].to_numpy(zero_copy_only=False)[m]
+        sig = minhash_signatures(texts, num_perm, shingle_k, seed, hash_fn)
+        return pa.table({"id": pa.array(ids[m], pa.int64()),
+                         "sig": pa.array(list(sig), pa.list_(pa.int64(), num_perm))})
+
+    sig_df = ds.map_batches(sigs_for_candidates, batch_format="pyarrow").to_pandas()
+    sig_of = {int(i): s for i, s in zip(sig_df["id"], sig_df["sig"])}
+    A = np.stack([sig_of[int(i)] for i in pairs["id"]])
+    B = np.stack([sig_of[int(i)] for i in pairs["dup_of"]])
+    agree = (A == B).mean(axis=1)
+    ok = pairs[agree >= jaccard]
+    if len(ok) == 0:
+        return ray.data.from_arrow(empty)
+    lab = ok.groupby("id", as_index=False)["dup_of"].min().sort_values("id")
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(lab["id"].to_numpy(), pa.int64()),
+        "dup_of": pa.array(lab["dup_of"].to_numpy(), pa.int64()),
+    }))
 
 
 # ---------------- SimHash ----------------
@@ -195,7 +347,8 @@ def simhash_values(texts: np.ndarray, seed: int = 0) -> np.ndarray:
 
 
 def simhash_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
-    """Near-dup by identical 64-bit SimHash (keep smallest id per hash)."""
+    """Near-dup by identical 64-bit SimHash (keep smallest id per hash).
+    The shuffle carries (id, simhash) rows only."""
 
     def add(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
@@ -237,9 +390,10 @@ def embedding_dedup(ds, emb_col: str, id_col: str, threshold: float = 0.98,
 
     map_batches: sign-sketch each embedding with ``num_planes`` random hyperplanes →
     (sketch, id, vec); groupby(sketch bucket): exact pairwise cosine within bucket
-    (buckets are small by construction), emit (id, dup_of=min matching id). Pairs in
-    different sketch buckets are missed with probability (1-θ/π)^planes — documented
-    recall/cost dial.
+    (buckets are small by construction), emit (id, dup_of=argmax-similarity smaller
+    id). Pairs in different sketch buckets are missed with probability
+    (1-θ/π)^planes — documented recall/cost dial. ``num_planes=0`` puts everything
+    in one bucket: exact (recall 1.0), used by the oracle-checked gate config.
     """
 
     def emit(batch: pa.Table) -> pa.Table:

@@ -176,3 +176,58 @@ class TestMultimodal:
         a = multimodal.ImageDecode(fake=True)(t)
         b = multimodal.ImageDecode(fake=True)(t)
         assert a["channel_mean"].to_pylist() == b["channel_mean"].to_pylist()
+
+
+class TestNarrowShuffles:
+    """100 TB shape: the dedup shuffles carry sketches only — never documents or
+    per-band signature copies (round-1 review items 2-3)."""
+
+    def test_exact_dedup_shuffle_schema(self, ray_mod):
+        rows = [{"id": i, "text": f"payload {i}"} for i in range(10)]
+        ds = ray_mod.from_items(rows)
+        names = dedup._hash_rows(ds, "text", "id", 8).schema().names
+        assert sorted(names) == ["__b", "__h", "id"]  # no text column
+
+    def test_minhash_band_shuffle_schema(self, ray_mod):
+        rows = [{"id": i, "text": f"tok{i} alpha beta gamma delta"} for i in range(10)]
+        ds = ray_mod.from_items(rows)
+        names = dedup._band_rows(ds, "text", "id", 64, 16, 3, 8).schema().names
+        assert sorted(names) == ["__b", "band", "bh", "id"]  # no text, no signature
+
+
+class TestPolyHash:
+    def test_poly_hash_values(self):
+        from byzer_retrieval_ray.functions.polyhash import poly_hash_np
+        # Horner(31) over codepoints: "a" -> 97, "ab" -> 97*31+98
+        h = poly_hash_np(["a", "ab", ""], bits=64)
+        assert int(h[0]) == 97 and int(h[1]) == 97 * 31 + 98 and int(h[2]) == 0
+        h32 = poly_hash_np(["x" * 40], bits=32)
+        assert int(h32[0]) < 2 ** 32
+
+    def test_poly_signatures_match_legacy_semantics(self):
+        texts = np.array(["a b c d e f", "a b c d e f", "totally different words here",
+                          "", "one"], dtype=object)
+        sig = dedup.minhash_signatures(texts, 32, 3, hash_fn="poly")
+        assert (sig[0] == sig[1]).all()            # identical texts → identical sigs
+        assert not (sig[0] == sig[2]).all()
+        assert (sig[3] == np.iinfo(np.int64).max).all()   # no shingles → max lanes
+
+    def test_minhash_poly_mode_exact_dups(self, ray_mod):
+        rows = [{"id": i, "text": f"alpha bravo charlie delta echo unique{i}"}
+                for i in range(12)]
+        rows.append({"id": 50, "text": rows[3]["text"]})
+        rows.append({"id": 51, "text": rows[3]["text"]})
+        ds = ray_mod.from_items(rows)
+        out = dedup.minhash_lsh_dedup(ds, "text", "id", num_perm=64, bands=16,
+                                      shingle_k=3, jaccard=1.0,
+                                      hash_fn="poly").to_pandas()
+        got = dict(zip(out["id"], out["dup_of"]))
+        assert got == {50: 3, 51: 3}
+
+    def test_fingerprint_poly_deterministic_and_shared(self):
+        a = "the quick brown fox jumps over the lazy dog again and again " * 3
+        b = a + "completely different tail with many extra words appended here now"
+        fps = text.rolling_fingerprint(np.array([a, a, b], dtype=object), hash_fn="poly")
+        assert fps[0] == fps[1]
+        shared = set(fps[0]) & set(fps[2])
+        assert shared  # overlapping passages share fingerprint values
