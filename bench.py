@@ -74,9 +74,13 @@ def run_bench() -> dict:
 
     loc = f"{SCRATCH}/byzer_bench_idx/{n}-{NUM_CPUS}"
     shutil.rmtree(loc, ignore_errors=True)
+    # html is consumed by the extract stage but NOT declared in the schema, so the
+    # wide binary column is dropped before the partitioned exchange and never
+    # spilled or stored — at 100 TB the raw html stays in the lake; the index
+    # docstore carries the extracted text (+ stored metadata) only. Declaring
+    # field(html,binary,no_index) is still supported for raw_content-style tables.
     schema = ("st(field(url,string),field(warc_ts,date,sort),"
-              "field(html,binary,no_index),field(text,string,analyze),"
-              "field(lang,string))")
+              "field(text,string,analyze),field(lang,string))")
     cluster = RetrievalCluster(loc)
     cluster.create_table(TableSettings("web", "pages", schema, loc))
 

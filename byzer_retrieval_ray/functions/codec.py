@@ -320,3 +320,43 @@ def decode_posting(doc_bytes: bytes, tf_bytes: bytes, norm_bytes: bytes, df: int
         tfs = varint_decode(tf_bytes, df).astype(np.int64)
     norms = np.frombuffer(norm_bytes, dtype=np.uint8)
     return doc_ids, tfs, norms
+
+
+def decode_postings_batch(doc_blobs: list, tf_blobs: list, norm_blobs: list,
+                          dfs: np.ndarray, codec_name: str = "varint"):
+    """Decode MANY posting runs in one vectorized pass (the serving-activation hot
+    path: per-run varint_decode calls dominated preload profiling, ~55 µs each ×
+    2 per term). All blobs are concatenated and LEB128-decoded once; per-run
+    doc_ids are recovered from the global delta cumsum with a per-segment base
+    correction. Returns (docs, tfs, norms, offsets) where each run i is the
+    [offsets[i]:offsets[i+1]] slice. Falls back to per-run decode for "pfor".
+    """
+    dfs = np.asarray(dfs, dtype=np.int64)
+    offs = np.zeros(dfs.size + 1, dtype=np.int64)
+    np.cumsum(dfs, out=offs[1:])
+    total = int(offs[-1])
+    if codec_name != "varint":
+        docs = np.empty(total, np.int64)
+        tfs = np.empty(total, np.int64)
+        norms = np.empty(total, np.uint8)
+        for i in range(dfs.size):
+            d, t, nm = decode_posting(doc_blobs[i], tf_blobs[i], norm_blobs[i],
+                                      int(dfs[i]), codec_name=codec_name)
+            docs[offs[i]:offs[i + 1]] = d
+            tfs[offs[i]:offs[i + 1]] = t
+            norms[offs[i]:offs[i + 1]] = nm
+        return docs, tfs, norms, offs
+    deltas = varint_decode(b"".join(doc_blobs), total)
+    g = np.cumsum(deltas)
+    starts = offs[:-1][dfs > 0]
+    corr = np.zeros(total, dtype=np.uint64)
+    if starts.size:
+        base = g[starts] - deltas[starts]
+        counts = np.diff(np.concatenate([starts, [total]]))
+        corr = np.repeat(base, counts)
+    docs = (g - corr).astype(np.int64)
+    tfs = varint_decode(b"".join(tf_blobs), total).astype(np.int64)
+    norms = np.frombuffer(b"".join(norm_blobs), dtype=np.uint8)
+    if norms.size != total:
+        raise ValueError(f"norm bytes {norms.size} != postings {total}")
+    return docs, tfs, norms, offs

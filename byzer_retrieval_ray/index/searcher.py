@@ -137,6 +137,44 @@ _EMPTY = Posting(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.ui
                  np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8))
 
 
+def _postings_from_table(tbl: pa.Table, codec_name: str):
+    """Decode a postings-parquet slice into {(field, term): Posting} with columnar
+    access — one to_pylist per scalar column and offset-sliced flat buffers for the
+    block-metadata list columns (no per-row .as_py(), which dominated activation
+    time in profiling)."""
+    out: dict[tuple[str, str], Posting] = {}
+    if len(tbl) == 0:
+        return out
+    tbl = tbl.combine_chunks()
+    fields = tbl["field"].to_pylist()
+    terms = tbl["term"].to_pylist()
+    dfs = tbl["df"].to_pylist()
+    doc_b = tbl["doc_bytes"].to_pylist()
+    tf_b = tbl["tf_bytes"].to_pylist()
+    norm_b = tbl["norm_bytes"].to_pylist()
+
+    def _flat(col_name, dtype):
+        col = tbl[col_name].combine_chunks() \
+            if isinstance(tbl[col_name], pa.ChunkedArray) else tbl[col_name].chunk(0)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(dtype)
+        return offs, vals
+
+    bf_o, bf_v = _flat("block_first", np.int64)
+    bm_o, bm_v = _flat("block_max_tf", np.int64)
+    bn_o, bn_v = _flat("block_min_norm", np.uint8)
+    docs, tfs, norms, po = codec.decode_postings_batch(
+        doc_b, tf_b, norm_b, np.asarray(dfs, dtype=np.int64), codec_name=codec_name)
+    for row in range(len(tbl)):
+        out[(fields[row], terms[row])] = Posting(
+            docs[po[row]:po[row + 1]], tfs[po[row]:po[row + 1]],
+            norms[po[row]:po[row + 1]],
+            bf_v[bf_o[row]:bf_o[row + 1]],
+            bm_v[bm_o[row]:bm_o[row + 1]],
+            bn_v[bn_o[row]:bn_o[row + 1]])
+    return out
+
+
 class BucketSearcher:
     """Stateful per-bucket searcher: loads its postings/doc-store slice lazily and
     caches decoded postings — the engine's segment-actor workhorse."""
@@ -185,18 +223,10 @@ class BucketSearcher:
             if path is None or not os.path.exists(path):
                 continue
             tbl = pq.read_table(path, filters=[("bucket", "=", self.bucket)])
-            for row in range(len(tbl)):
-                key = (tbl["field"][row].as_py(), tbl["term"][row].as_py())
-                df = tbl["df"][row].as_py()
-                docs, tfs, norms = codec.decode_posting(
-                    tbl["doc_bytes"][row].as_py(), tbl["tf_bytes"][row].as_py(),
-                    tbl["norm_bytes"][row].as_py(), df, codec_name=self.gen.codec)
-                self._postings_cache[key] = Posting(
-                    docs, tfs, norms,
-                    np.array(tbl["block_first"][row].as_py(), dtype=np.int64),
-                    np.array(tbl["block_max_tf"][row].as_py(), dtype=np.int64),
-                    np.array(tbl["block_min_norm"][row].as_py(), dtype=np.uint8))
-                n += df
+            decoded = _postings_from_table(tbl, self.gen.codec)
+            for key, p in decoded.items():
+                self._postings_cache[key] = p
+                n += p.df
         return n
 
     def fetch_postings(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], Posting]:
@@ -215,19 +245,7 @@ class BucketSearcher:
                 terms = list({t for _, t in keys})
                 tbl = pq.read_table(path, filters=[("bucket", "=", self.bucket),
                                                    ("term", "in", terms)])
-                for row in range(len(tbl)):
-                    f = tbl["field"][row].as_py()
-                    t = tbl["term"][row].as_py()
-                    df = tbl["df"][row].as_py()
-                    docs, tfs, norms = codec.decode_posting(
-                        tbl["doc_bytes"][row].as_py(), tbl["tf_bytes"][row].as_py(),
-                        tbl["norm_bytes"][row].as_py(), df,
-                        codec_name=self.gen.codec)
-                    found[(f, t)] = Posting(
-                        docs, tfs, norms,
-                        np.array(tbl["block_first"][row].as_py(), dtype=np.int64),
-                        np.array(tbl["block_max_tf"][row].as_py(), dtype=np.int64),
-                        np.array(tbl["block_min_norm"][row].as_py(), dtype=np.uint8))
+                found = _postings_from_table(tbl, self.gen.codec)
             for key in keys:
                 p = found.get(key, _EMPTY)
                 out[key] = p
@@ -440,14 +458,23 @@ class BucketSearcher:
                 idx = np.searchsorted(union, docs)
                 np.add.at(acc, idx, scores.astype(np.float64))
             sc = acc.astype(dtype)
-            for d, s in zip(union.tolist(), sc.tolist()):
+            # prune below the running threshold VECTORIZED; only the (few)
+            # survivors touch the Python heap. Appending a superset of the strict
+            # per-doc loop's output is harmless — the final lexsort keeps the same
+            # top-limit (ties broken by doc_id asc), so TAAT parity is preserved.
+            if len(topk) >= limit:
+                cand = np.flatnonzero(sc > topk[0])
+            else:
+                cand = np.arange(sc.size)
+            for i in cand.tolist():
+                s = float(sc[i])
                 if len(topk) < limit:
                     heapq.heappush(topk, s)
-                    out_docs.append(d)
+                    out_docs.append(int(union[i]))
                     out_scores.append(s)
                 elif s > topk[0]:
                     heapq.heapreplace(topk, s)
-                    out_docs.append(d)
+                    out_docs.append(int(union[i]))
                     out_scores.append(s)
         docs = np.array(out_docs, dtype=np.int64)
         scores = np.array(out_scores, dtype=dtype)
