@@ -90,10 +90,14 @@ def run_bench() -> dict:
     # ---- build ----
     tb = time.perf_counter()
     # partitioning scheme is pinned (NOT a function of num_cpus) so the scaling runs
-    # compare the identical job at two parallelism levels
+    # compare the identical job at two parallelism levels. 64/64 keeps every level
+    # wave-balanced AND bounds per-task working sets: 16 wide finalize tasks running
+    # 16-way concurrent measured 4× slower than 64 small ones at 32 CPUs (memory
+    # pressure), while at 2 CPUs the difference is small-file overhead only.
     info = cluster.build_from_parquet(
         "web", "pages", corpus_dir, key_field="url", version_field="warc_ts",
-        extract=("html", "text"), num_doc_parts=16, num_term_parts=32)
+        extract=("html", "text"), num_doc_parts=64, num_term_parts=64,
+        num_serving_buckets=16)
     build_sec = time.perf_counter() - tb
     queries["build_pages"] = round(build_sec, 3)
 

@@ -1,13 +1,21 @@
 """Index-segment serving actors (ST1/ST2 equivalents).
 
-One long-lived Ray actor per serving bucket, holding that bucket's lazily-loaded,
-decoded-posting cache — the stateful stage of query serving. Queries are RPC-shaped,
-so this is plain ``@ray.remote`` (SURVEY.md §7.3: don't force queries through Dataset);
-the actor pool is sized to the number of buckets chosen at build time.
+A long-lived Ray actor owns one or MORE serving buckets (each a BucketSearcher
+with its lazily-loaded decoded-posting cache) — the stateful stage of query
+serving. Queries are RPC-shaped, so this is plain ``@ray.remote`` (SURVEY.md
+§7.3: don't force queries through Dataset). Storage partitioning (bucket count,
+chosen at build time for build-side balance) is therefore DECOUPLED from the
+serving pool size, which is sized to the node's cores: at 10^12 docs a table may
+have thousands of buckets served by a few hundred actors.
+
+Per-bucket results are returned UNMERGED (a list of per-bucket (ids, scores)
+tuples) so the master's merge sees exactly the same per-shard top-limit lists as
+with one actor per bucket — rank semantics (RRF per-bucket ranks) are unchanged
+by the actor grouping.
 
 ``reload`` re-reads the manifest so a newly committed generation becomes visible
-without restarting actors — the generation-reload equivalent of the reference's NRT
-reopen thread (RetrievalWorker.java:84-89).
+without restarting actors — the generation-reload equivalent of the reference's
+NRT reopen thread (RetrievalWorker.java:84-89).
 """
 
 from __future__ import annotations
@@ -20,44 +28,57 @@ from byzer_retrieval_ray.table.query import SearchQuery
 
 
 class SegmentActorImpl:
-    def __init__(self, manifest_data: dict, bucket: int):
-        self.searcher = BucketSearcher(manifest_data, bucket)
-        self.bucket = bucket
+    def __init__(self, manifest_data: dict, buckets: list[int]):
+        self.buckets = list(buckets)
+        self.searchers = [BucketSearcher(manifest_data, b) for b in self.buckets]
 
     def reload(self, manifest_data: dict) -> bool:
-        self.searcher = BucketSearcher(manifest_data, self.bucket)
+        self.searchers = [BucketSearcher(manifest_data, b) for b in self.buckets]
         return True
 
     def preload(self) -> int:
-        return self.searcher.preload()
+        return sum(s.preload() for s in self.searchers)
 
     def search_keyword(self, q: dict, precision: str, algorithm: str,
                        with_docs: bool = False):
-        ids, scores = self.searcher.search_keyword(
-            SearchQuery.from_dict(q), precision=precision, algorithm=algorithm)
-        if with_docs:
-            # ship the stored fields of this shard's top-limit with the scores —
-            # one round trip, like the reference workers (RetrievalWorker.java:372-376)
-            return np.asarray(ids), np.asarray(scores), self.searcher.fetch_docs(ids)
-        return np.asarray(ids), np.asarray(scores)
+        query = SearchQuery.from_dict(q)
+        out = []
+        for s in self.searchers:
+            ids, scores = s.search_keyword(query, precision=precision,
+                                           algorithm=algorithm)
+            if with_docs:
+                # ship the stored fields of this shard's top-limit with the scores —
+                # one round trip, like the reference workers (RetrievalWorker.java:372-376)
+                out.append((np.asarray(ids), np.asarray(scores), s.fetch_docs(ids)))
+            else:
+                out.append((np.asarray(ids), np.asarray(scores)))
+        return out
 
     def search_vector(self, q: dict, precision: str, with_docs: bool = False):
-        ids, scores = self.searcher.search_vector(SearchQuery.from_dict(q),
-                                                  precision=precision)
-        if with_docs:
-            return np.asarray(ids), np.asarray(scores), self.searcher.fetch_docs(ids)
-        return np.asarray(ids), np.asarray(scores)
+        query = SearchQuery.from_dict(q)
+        out = []
+        for s in self.searchers:
+            ids, scores = s.search_vector(query, precision=precision)
+            if with_docs:
+                out.append((np.asarray(ids), np.asarray(scores), s.fetch_docs(ids)))
+            else:
+                out.append((np.asarray(ids), np.asarray(scores)))
+        return out
 
     def filter_op(self, q: dict) -> pa.Table:
-        return self.searcher.filter_op(SearchQuery.from_dict(q))
+        query = SearchQuery.from_dict(q)
+        tbls = [s.filter_op(query) for s in self.searchers]
+        return pa.concat_tables(tbls, promote_options="default")
 
     def fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:
-        return self.searcher.fetch_docs(doc_ids)
+        tbls = [s.fetch_docs(doc_ids) for s in self.searchers]
+        return pa.concat_tables(tbls, promote_options="default")
 
 
-def make_segment_actor(manifest_data: dict, bucket: int, num_cpus: float = 1):
-    """Spawn one segment actor (ray must already be initialized by the caller)."""
+def make_segment_actor(manifest_data: dict, buckets: list[int], num_cpus: float = 1):
+    """Spawn one segment actor owning ``buckets`` (ray must already be initialized
+    by the caller)."""
     import ray
 
     cls = ray.remote(num_cpus=num_cpus)(SegmentActorImpl)
-    return cls.remote(manifest_data, bucket)
+    return cls.remote(manifest_data, buckets)

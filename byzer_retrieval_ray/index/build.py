@@ -7,20 +7,26 @@
            (dedup → doc_ids → norms →                     #  RetrievalWorker.java:232-238),
             write docstore partition)                     #  deterministic doc_id assignment
       └─ driver: stats.json (N, sum_ttf)  [tiny]          # global BM25 collection stats
-      └─ read(docstore) → map_batches(emit_runs)          # combiner: per-batch posting runs
-      └─ groupby(range_part).map_groups(merge+write)      # [shuffle: term-range] skew-
-                                                          #  rebalanced sorted partitions
+      └─ finalize: dedup→ids→norms→docstore→emit_runs     # fused; runs routed to a
+           → per-(doc_part, range_part) run spill         #  per-range DISK exchange
+      └─ map_batches(merge range r's spill files)         # skew-rebalanced sorted
+                                                          #  partitions (no AllToAll sort)
 Resumability: every partition write is atomic (tmp+rename) and records a lineage entry
 under gen-<g>/_partials/; a rerun of the same build skips partitions whose entry and
 output file already exist. Determinism: doc ids, norms, runs and merges are pure
 functions of the input rows, independent of batch boundaries and parallelism (asserted
 in tests at two parallelism levels).
 
-Scale notes (100 TB): the only all-to-all exchanges are the key-hash dedup shuffle and
-the term-range run shuffle; runs are pre-combined per batch so the term shuffle carries
-compressed blobs (~index size), not one row per posting. Term-range boundaries are
+Scale notes (100 TB): both all-to-all exchanges (wide rows → doc partitions; posting
+runs → term ranges) are explicit partitioned DISK spills — each producer appends to
+its target partition's directory, each consumer reads exactly its partition's files
+(the classic map-side shuffle-file layout; on a multi-node cluster the spill dirs
+live on shared storage). Runs are pre-combined per batch so the term exchange
+carries compressed blobs (~index size), not one row per posting; a Ray-Data
+AllToAll sort of those bytes measured as the dominant span of the 8-CPU build and
+is avoided entirely (the route key is already known). Term-range boundaries are
 sampled and byte-balanced so stopword-scale terms don't skew partitions; `html` is
-dropped right after extraction so the wide binary column never enters a shuffle.
+dropped right after extraction so the wide binary column never enters an exchange.
 """
 
 from __future__ import annotations
@@ -70,6 +76,7 @@ def build_index(
     extract: tuple[str, str] | None = None,   # (html_col, text_col)
     num_doc_parts: int = 8,
     num_term_parts: int = 8,
+    num_serving_buckets: int | None = None,
     generation: int | None = None,
     sample_docs: int = 2000,
     codec: str = "varint",   # posting compression: "varint" | "pfor" (NewPFD)
@@ -90,8 +97,15 @@ def build_index(
     partials = os.path.join(gdir, "_partials")
     os.makedirs(partials, exist_ok=True)
 
-    bucket_spec = ({"mode": "mod", "parts": num_doc_parts} if key_is_long
-                   else {"mode": "stride", "bits": STRIDE_BITS})
+    # serving buckets may be coarser than doc partitions: group consecutive parts
+    # so posting rows fan out over num_serving_buckets, not num_doc_parts (the
+    # build picks many small partitions for task balance; the serving side pays
+    # per-(term, bucket) row overhead and wants few)
+    nsb = num_serving_buckets or num_doc_parts
+    group = max(1, -(-num_doc_parts // nsb))
+    bucket_spec = ({"mode": "mod", "parts": num_doc_parts, "group": group}
+                   if key_is_long
+                   else {"mode": "stride", "bits": STRIDE_BITS, "group": group})
 
     # block count ≈ 2–4× CPUs so the shuffle fans out (a handful of big input files
     # would otherwise serialize the sort — measured 6× slower at 8 CPUs)
@@ -152,25 +166,58 @@ def build_index(
             written.append(fp)
         return pa.table({"files": [json.dumps(written)]})
 
+    runspill_dir = os.path.join(gdir, "_runspill")
+
+    def _write_runs(runs: pa.Table, p: int) -> list[str]:
+        """Route this doc partition's posting runs to per-term-range files —
+        the term exchange is an explicit partitioned SPILL, not a Ray Data
+        sort-shuffle: every run already knows its range_part, so sorting 100s of
+        MB of compressed runs through an AllToAll operator is pure overhead
+        (measured: the Sort span dominated the 8-CPU build). Each merge task
+        later reads exactly its range's files."""
+        written = []
+        if len(runs) == 0:
+            return written
+        rp = runs["range_part"].to_numpy()
+        for r in np.unique(rp):
+            sub = runs.filter(pa.array(rp == r))
+            d = os.path.join(runspill_dir, f"range={r:05d}")
+            fp = os.path.join(d, f"part-{p:05d}.parquet")
+            _atomic_write_parquet(sub, fp)
+            written.append(fp)
+        return written
+
     def finalize_and_emit(item: pa.Table) -> pa.Table:
         """Stage A2 fused with the run combiner: dedup → doc ids → norms → write the
         docstore partition, then emit this partition's posting runs directly (the
-        text is already in memory — no second read/tokenize pass over the docstore).
+        text is already in memory — no second read/tokenize pass over the docstore)
+        into the per-range run spill.
         """
+        if os.environ.get("BYZER_ARROW_1T"):
+            pa.set_cpu_count(1)
         p = int(item["part"][0].as_py())
         files = json.loads(item["files"][0].as_py())
         out_path = os.path.join(docstore_dir, f"part-{p:05d}.parquet")
         entry_path = os.path.join(partials, f"docstore-{p:05d}.json")
         if os.path.exists(entry_path) and os.path.exists(out_path):
-            # resume: docstore partition already built → emit runs from it
+            entry = read_json(entry_path)
+            run_files = entry.get("run_files")
+            if run_files is not None and all(os.path.exists(f) for f in run_files):
+                # resume: runs already spilled and intact
+                return pa.table({"part": [p], "run_files": [json.dumps(run_files)]})
+            # docstore built but runs missing → re-emit from the docstore partition
             post_cols = ["doc_id"] + analyzed + [f"__norm_{f}" for f in analyzed]
             done = pq.read_table(out_path, columns=post_cols)
-            return _emit_chunked(done, analyzed, boundaries, bucket_spec)
+            run_files = _write_runs(_emit_chunked(done, analyzed, boundaries,
+                                                  bucket_spec), p)
+            entry["run_files"] = run_files
+            atomic_write_json(entry_path, entry)
+            return pa.table({"part": [p], "run_files": [json.dumps(run_files)]})
         if not files:
             entry = {"part": p, "n_docs": 0, "sum_dl": {f: 0 for f in analyzed},
-                     "path": out_path, "fingerprint": 0}
+                     "path": out_path, "fingerprint": 0, "run_files": []}
             atomic_write_json(entry_path, entry)
-            return P.RUN_SCHEMA.empty_table()
+            return pa.table({"part": [p], "run_files": [json.dumps([])]})
         group = pa.concat_tables([pq.read_table(f) for f in files])
         # dedup latest-by-key (upsert semantics: latest version wins)
         if version_field is not None:
@@ -211,10 +258,12 @@ def build_index(
         keys_str = group[key_field].cast(pa.string()).to_numpy(zero_copy_only=False)
         fp = int(np.bitwise_xor.reduce(
             murmur3.murmur3_np(keys_str).astype(np.int64))) if n else 0
+        run_files = _write_runs(_emit_chunked(group, analyzed, boundaries,
+                                              bucket_spec), p)
         entry = {"part": p, "n_docs": n, "sum_dl": sums, "path": out_path,
-                 "fingerprint": fp}
+                 "fingerprint": fp, "run_files": run_files}
         atomic_write_json(entry_path, entry)
-        return _emit_chunked(group, analyzed, boundaries, bucket_spec)
+        return pa.table({"part": [p], "run_files": [json.dumps(run_files)]})
 
     # ---- Stage A1: spill exchange (skipped when every partition is finalized) ----
     t_a = time.perf_counter()
@@ -257,14 +306,17 @@ def build_index(
     postings_dir = os.path.join(gdir, "postings")
     termstats_dir = os.path.join(gdir, "termstats")
 
-    def merge_write(group: pa.Table) -> pa.Table:
-        r = int(group["range_part"][0].as_py())
+    def merge_write(item: pa.Table) -> pa.Table:
+        r = int(item["range_part"][0].as_py())
+        files = json.loads(item["files"][0].as_py())
         post_path = os.path.join(postings_dir, f"part-{r:05d}.parquet")
         ts_path = os.path.join(termstats_dir, f"part-{r:05d}.parquet")
         entry_path = os.path.join(partials, f"postings-{r:05d}.json")
         if os.path.exists(entry_path) and os.path.exists(post_path):
             return pa.table({"meta": [json.dumps(read_json(entry_path))]})
         t_m0 = time.perf_counter()
+        group = pa.concat_tables([pq.read_table(f) for f in files]) if files \
+            else P.RUN_SCHEMA.empty_table()
         run_bytes = group.nbytes
         post_tbl, ts_tbl = P.merge_runs(group.drop_columns(["range_part"]),
                                         codec_name=codec)
@@ -282,8 +334,10 @@ def build_index(
         atomic_write_json(entry_path, entry)
         return pa.table({"meta": [json.dumps(entry)]})
 
-    # ---- fused pipeline: finalize docstore partitions → emit runs →
-    #      groupby(range_part) term shuffle → merge → skew-balanced partitions ----
+    # ---- finalize docstore partitions (emit runs → per-range run spill), then
+    #      merge each term range from its own spill files. Both halves are plain
+    #      map_batches fan-outs; the term exchange is the disk spill itself —
+    #      no AllToAll sort of the run bytes (see _write_runs). ----
     t_c = time.perf_counter()
     all_postings_done = all(
         os.path.exists(os.path.join(partials, f"postings-{r:05d}.json"))
@@ -298,24 +352,24 @@ def build_index(
             by_part[p].append(f)
         part_items = [{"part": p, "files": json.dumps(sorted(fs))}
                       for p, fs in sorted(by_part.items())]
-        meta_ds = ray.data.from_items(part_items,
-                                      override_num_blocks=len(part_items)) \
-            .map_batches(finalize_and_emit, batch_format="pyarrow", batch_size=1) \
-            .groupby("range_part") \
-            .map_groups(merge_write, batch_format="pyarrow")
+        fin_ds = ray.data.from_items(part_items,
+                                     override_num_blocks=len(part_items)) \
+            .map_batches(finalize_and_emit, batch_format="pyarrow", batch_size=1)
+        run_files_by_range: dict[int, list[str]] = {r: [] for r in range(num_term_parts)}
+        for row in fin_ds.take_all():     # barrier: merges need every part's runs
+            for f in json.loads(row["run_files"]):
+                r = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+                run_files_by_range[r].append(f)
+        if os.environ.get("BYZER_BUILD_STATS"):
+            print("=== finalize stage stats ===\n", fin_ds.stats())
+        merge_items = [{"range_part": r, "files": json.dumps(sorted(fs))}
+                       for r, fs in sorted(run_files_by_range.items())]
+        meta_ds = ray.data.from_items(merge_items,
+                                      override_num_blocks=len(merge_items)) \
+            .map_batches(merge_write, batch_format="pyarrow", batch_size=1)
         metas = [json.loads(r["meta"]) for r in meta_ds.take_all()]
         if os.environ.get("BYZER_BUILD_STATS"):
-            print("=== index pipeline stats ===\n", meta_ds.stats())
-        # term-range partitions with no runs at all: record an empty entry so a
-        # rerun can prove completeness without re-running the pipeline
-        seen_parts = {m["range_part"] for m in metas}
-        for r in range(num_term_parts):
-            ep = os.path.join(partials, f"postings-{r:05d}.json")
-            if r not in seen_parts and not os.path.exists(ep):
-                atomic_write_json(ep, {"range_part": r, "n_runs": 0, "run_bytes": 0,
-                                       "n_postings_rows": 0, "n_terms": 0,
-                                       "n_postings": 0, "posting_bytes": 0,
-                                       "postings_path": "", "termstats_path": ""})
+            print("=== merge stage stats ===\n", meta_ds.stats())
     metas = [m for m in metas if m.get("n_postings_rows", 0) > 0 or m.get("n_runs", 0) > 0]
 
     summaries = [read_json(os.path.join(partials, f"docstore-{p:05d}.json"))
@@ -330,11 +384,15 @@ def build_index(
     }
     atomic_write_json(os.path.join(gdir, "stats.json"), stats)
 
-    # the spill exchange is garbage once every partition is finalized (a rerun
-    # re-spills if an entry were ever removed)
-    if len(summaries) >= 0 and os.path.isdir(spill_dir):
-        import shutil as _sh
+    # the spill exchanges are garbage once every partition is finalized/merged
+    # (a rerun re-spills / re-emits from the docstore if entries were removed)
+    import shutil as _sh
+    if os.path.isdir(spill_dir):
         _sh.rmtree(spill_dir, ignore_errors=True)
+    if os.path.isdir(runspill_dir) and all(
+            os.path.exists(os.path.join(partials, f"postings-{r:05d}.json"))
+            for r in range(num_term_parts)):
+        _sh.rmtree(runspill_dir, ignore_errors=True)
     t_postings = time.perf_counter() - t_c
     t_docstore = t_spill
 

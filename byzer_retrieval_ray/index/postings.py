@@ -59,14 +59,19 @@ POSTING_SCHEMA = pa.schema([
 def bucket_of(doc_ids: np.ndarray, bucket_spec: dict) -> np.ndarray:
     """Doc→serving-bucket assignment.
 
-    stride mode: synthetic ids doc_id = part << bits | rank → bucket = id >> bits.
-    mod mode: user-supplied long ids → bucket = id % parts (reference Utils.route
+    stride mode: synthetic ids doc_id = part << bits | rank → part = id >> bits.
+    mod mode: user-supplied long ids → part = id % parts (reference Utils.route
     semantics for long ids, Utils.java:137-141).
+    ``group`` (default 1) folds ``group`` consecutive doc PARTITIONS into one
+    serving bucket — build-side partition count (chosen for task balance) is
+    decoupled from the posting-row bucket fan-out the serving side pays for.
     """
     d = np.asarray(doc_ids, dtype=np.int64)
     if bucket_spec["mode"] == "stride":
-        return (d >> bucket_spec["bits"]).astype(np.int32)
-    return (d % bucket_spec["parts"]).astype(np.int32)
+        part = d >> bucket_spec["bits"]
+    else:
+        part = d % bucket_spec["parts"]
+    return (part // bucket_spec.get("group", 1)).astype(np.int32)
 
 
 def route_terms(terms: np.ndarray, boundaries: list[str]) -> np.ndarray:

@@ -84,6 +84,15 @@ class GenerationReader:
         e = self.info["docstore"].get(str(bucket))
         return e["path"] if e else None
 
+    def docstore_paths(self, bucket: int) -> list[str]:
+        """Docstore partition files of one SERVING bucket (a bucket groups
+        ``bucket_spec.group`` consecutive doc partitions; sorted part order keeps
+        stride doc_ids ascending across the concatenation)."""
+        g = self.bucket_spec.get("group", 1)
+        parts = [int(p) for p in self.info["docstore"].keys()
+                 if int(p) // g == bucket]
+        return [self.info["docstore"][str(p)]["path"] for p in sorted(parts)]
+
     def postings_path(self, range_part: int) -> str | None:
         e = self.info["postings"].get(str(range_part))
         return e["postings_path"] if e else None
@@ -93,7 +102,8 @@ class GenerationReader:
         return e["termstats_path"] if e else None
 
     def buckets(self) -> list[int]:
-        return sorted(int(b) for b in self.info["docstore"].keys())
+        g = self.bucket_spec.get("group", 1)
+        return sorted({int(p) // g for p in self.info["docstore"].keys()})
 
     def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
         """(field, term) → (df, ttf) global stats; missing terms → (0, 0).
@@ -103,18 +113,22 @@ class GenerationReader:
         out = {p: (0, 0) for p in pairs}
         for f, t in pairs:
             r = self.route_term(t)
-            if r not in self._ts_cache:
-                cache: dict = {}
-                path = self.termstats_path(r)
-                if path is not None and os.path.exists(path):
-                    tbl = pq.read_table(path)
-                    for fld, term, df, ttf in zip(
-                            tbl["field"].to_pylist(), tbl["term"].to_pylist(),
-                            tbl["df"].to_pylist(), tbl["ttf"].to_pylist()):
-                        cache[(fld, term)] = (df, ttf)
-                self._ts_cache[r] = cache
+            self._load_ts_cache(r)
             out[(f, t)] = self._ts_cache[r].get((f, t), (0, 0))
         return out
+
+    def _load_ts_cache(self, r: int) -> None:
+        if r in self._ts_cache:
+            return
+        cache: dict = {}
+        path = self.termstats_path(r)
+        if path is not None and os.path.exists(path):
+            tbl = pq.read_table(path)
+            for fld, term, df, ttf in zip(
+                    tbl["field"].to_pylist(), tbl["term"].to_pylist(),
+                    tbl["df"].to_pylist(), tbl["ttf"].to_pylist()):
+                cache[(fld, term)] = (df, ttf)
+        self._ts_cache[r] = cache
 
     def tombstones(self) -> np.ndarray:
         ids: list[int] = []
@@ -197,12 +211,12 @@ class BucketSearcher:
         return bucket_of(doc_ids, self.gen.bucket_spec)
 
     def _docstore(self, columns: list[str]) -> pa.Table:
-        path = self.gen.docstore_path(self.bucket)
+        paths = self.gen.docstore_paths(self.bucket)
         missing = [c for c in columns if c not in self._docstore_cols]
         if missing:
-            if path is None:
+            if not paths:
                 raise KeyError(f"bucket {self.bucket} has no docstore")
-            t = pq.read_table(path, columns=missing)
+            t = pa.concat_tables([pq.read_table(p, columns=missing) for p in paths])
             for c in missing:
                 self._docstore_cols[c] = t[c]
             self._docstore_len = len(t)
@@ -219,6 +233,7 @@ class BucketSearcher:
         self._cache_cap = 1 << 62
         n = 0
         for r in range(max(self.gen.info["num_term_parts"], 1)):
+            self.gen._load_ts_cache(r)    # warm term stats too (first-query latency)
             path = self.gen.postings_path(r)
             if path is None or not os.path.exists(path):
                 continue
@@ -547,11 +562,13 @@ class BucketSearcher:
         cols = [c for c in self._stored_columns() if c in _available_columns(self)]
         if "doc_id" not in cols:
             cols = ["doc_id"] + cols
-        path = self.gen.docstore_path(self.bucket)
-        if path is None:
+        paths = self.gen.docstore_paths(self.bucket)
+        if not paths:
             return pa.table({c: [] for c in cols})
         ids = [int(d) for d in np.asarray(doc_ids)]
-        return pq.read_table(path, columns=cols, filters=[("doc_id", "in", ids)])
+        return pa.concat_tables([
+            pq.read_table(p, columns=cols, filters=[("doc_id", "in", ids)])
+            for p in paths])
 
 
 def _filter_fields(tree: dict) -> set[str]:
@@ -570,9 +587,9 @@ def _filter_fields(tree: dict) -> set[str]:
 
 
 def _available_columns(searcher: BucketSearcher) -> set[str]:
-    path = searcher.gen.docstore_path(searcher.bucket)
-    if path is None:
+    paths = searcher.gen.docstore_paths(searcher.bucket)
+    if not paths:
         return set()
     if not hasattr(searcher, "_avail_cols"):
-        searcher._avail_cols = set(pq.ParquetFile(path).schema_arrow.names)
+        searcher._avail_cols = set(pq.ParquetFile(paths[0]).schema_arrow.names)
     return searcher._avail_cols

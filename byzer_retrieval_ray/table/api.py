@@ -95,11 +95,13 @@ class RetrievalCluster:
     def build_from_parquet(self, database: str, table: str, source,
                            key_field: str, version_field: str | None = None,
                            extract: tuple[str, str] | None = None,
-                           num_doc_parts: int = 8, num_term_parts: int = 8) -> dict:
+                           num_doc_parts: int = 8, num_term_parts: int = 8,
+                           num_serving_buckets: int | None = None) -> dict:
         m = self.manifest(database, table)
         info = build_index(source, m, key_field=key_field, version_field=version_field,
                            extract=extract, num_doc_parts=num_doc_parts,
-                           num_term_parts=num_term_parts)
+                           num_term_parts=num_term_parts,
+                           num_serving_buckets=num_serving_buckets)
         # Tombstone doc_ids are generation-scoped (stride ids = part<<40|rank): a
         # stale id applied to the new generation would delete an unrelated new doc
         # and let the originally-deleted key resurrect. A full rebuild from a fresh
@@ -131,7 +133,7 @@ class RetrievalCluster:
         source = new_ds
         if m.data["generation"] > 0:
             gr = GenerationReader(m.data)
-            paths = [gr.docstore_path(b) for b in gr.buckets()]
+            paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
             paths = [p for p in paths if p and os.path.exists(p)]
             if paths:
                 old = ray.data.read_parquet(paths)
@@ -179,7 +181,7 @@ class RetrievalCluster:
 
         m = self.manifest(database, table)
         gr = GenerationReader(m.data)
-        paths = [gr.docstore_path(b) for b in gr.buckets()]
+        paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
         paths = [p for p in paths if p and os.path.exists(p)]
         ds = ray.data.read_parquet(paths)
         drop = [c for c in ds.schema().names if c.startswith("__")]
@@ -271,12 +273,15 @@ class RetrievalCluster:
     # ------------- query (Q1–Q9) -------------
 
     def activate(self, database: str, table: str, mode: str = "actors",
-                 preload: bool = False) -> int:
-        """Spawn the serving actor pool (one IndexSegmentActor per bucket).
+                 preload: bool = False, num_actors: int | None = None) -> int:
+        """Spawn the serving actor pool. Actors are sized to the CLUSTER (≈ one per
+        core by default), each owning a contiguous slice of the table's serving
+        buckets — storage partitioning (chosen for build balance, possibly
+        thousands of buckets at 10^12 docs) is decoupled from pool size.
 
         The per-actor CPU reservation is sized so the whole pool always schedules
-        even when buckets > cluster CPUs (a 1.0 reservation each would leave actors
-        pending forever and queries timing out)."""
+        (a 1.0 reservation each would leave actors pending and queries timing
+        out when the pool is larger than the node)."""
         import ray
 
         from byzer_retrieval_ray.index.actors import make_segment_actor
@@ -285,9 +290,14 @@ class RetrievalCluster:
         gr = GenerationReader(m.data)
         buckets = gr.buckets()
         total_cpus = ray.cluster_resources().get("CPU", 8)
-        per_actor = min(1.0, round(max(total_cpus * 0.8 / max(len(buckets), 1), 0.05), 2))
-        actors = [make_segment_actor(m.data, b, num_cpus=per_actor) for b in buckets]
+        n_actors = num_actors or min(len(buckets), max(1, int(total_cpus)))
+        per_actor = min(1.0, round(max(total_cpus * 0.8 / max(n_actors, 1), 0.05), 2))
+        groups = [buckets[i::n_actors] for i in range(n_actors)]
+        groups = [g for g in groups if g]
+        actors = [make_segment_actor(m.data, g, num_cpus=per_actor) for g in groups]
         self._actors[(database, table)] = actors
+        self._actor_buckets = getattr(self, "_actor_buckets", {})
+        self._actor_buckets[(database, table)] = buckets
         if preload:
             ray.get([a.preload.remote() for a in actors])
         return len(actors)
@@ -319,7 +329,7 @@ class RetrievalCluster:
             except RuntimeError:
                 self.deactivate(database, table)
                 return
-            if len(buckets) != len(self._actors[key]):
+            if buckets != getattr(self, "_actor_buckets", {}).get(key):
                 # generation changed the serving bucket set → respawn the pool
                 self.deactivate(database, table)
                 self.activate(database, table)
@@ -354,9 +364,14 @@ class RetrievalCluster:
             if use_actors:
                 import ray
                 for name, fs in all_futs[qi].items():
-                    results = ray.get(fs, timeout=QUERY_TIMEOUT_SEC)
-                    recalls[name] = [(r[0], r[1]) for r in results]
-                    doc_tbls.extend(r[2] for r in results if len(r) > 2 and len(r[2]))
+                    # each actor returns a LIST of per-bucket tuples; flatten so
+                    # the merge sees per-shard top-limit lists (rank semantics
+                    # independent of the actor grouping)
+                    per_bucket = [t for r in ray.get(fs, timeout=QUERY_TIMEOUT_SEC)
+                                  for t in r]
+                    recalls[name] = [(t[0], t[1]) for t in per_bucket]
+                    doc_tbls.extend(t[2] for t in per_bucket
+                                    if len(t) > 2 and len(t[2]))
             else:
                 searchers = self._searchers(database, table)
                 if q.has_keyword:
