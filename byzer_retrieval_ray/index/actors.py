@@ -28,12 +28,18 @@ from byzer_retrieval_ray.table.query import SearchQuery
 
 
 class SegmentActorImpl:
-    def __init__(self, manifest_data: dict, buckets: list[int]):
-        self.buckets = list(buckets)
-        self.searchers = [BucketSearcher(manifest_data, b) for b in self.buckets]
+    def __init__(self, manifest_data: dict, buckets: list):
+        # buckets: list of (generation, bucket) pairs, or bare bucket ints
+        # (current generation) — an actor may serve slices of several
+        # generations (base + deltas)
+        self.buckets = [b if isinstance(b, (tuple, list)) else (None, b)
+                        for b in buckets]
+        self.searchers = [BucketSearcher(manifest_data, b, gen=g)
+                          for g, b in self.buckets]
 
     def reload(self, manifest_data: dict) -> bool:
-        self.searchers = [BucketSearcher(manifest_data, b) for b in self.buckets]
+        self.searchers = [BucketSearcher(manifest_data, b, gen=g)
+                          for g, b in self.buckets]
         return True
 
     def preload(self) -> int:

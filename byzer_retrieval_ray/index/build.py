@@ -50,6 +50,9 @@ from byzer_retrieval_ray.index.manifest import Manifest, atomic_write_json, read
 from byzer_retrieval_ray.schema import dsl
 
 STRIDE_BITS = 40
+GEN_SHIFT = 54        # delta-generation id namespace: doc_id = gen<<54 | part<<40 | rank
+MAX_DOC_PARTS = 1 << (GEN_SHIFT - STRIDE_BITS)
+MAX_DELTA_GEN = 1 << (62 - GEN_SHIFT)
 
 
 def _atomic_write_parquet(table: pa.Table, path: str, **kw) -> None:
@@ -80,6 +83,7 @@ def build_index(
     generation: int | None = None,
     sample_docs: int = 2000,
     codec: str = "varint",   # posting compression: "varint" | "pfor" (NewPFD)
+    publish_mode: str = "replace",   # "append" = delta generation (incremental upsert)
 ) -> dict:
     """Build a new index generation and publish it. Returns the gen_info dict.
 
@@ -93,6 +97,13 @@ def build_index(
     key_is_long = isinstance(st.field(key_field).data_type, dsl.SingleType) and \
         st.field(key_field).data_type.name in ("long", "int")
     gen = generation if generation is not None else manifest.data["generation"] + 1
+    if num_doc_parts > MAX_DOC_PARTS:
+        raise ValueError(f"num_doc_parts > {MAX_DOC_PARTS} exceeds the id layout")
+    if publish_mode == "append" and gen >= MAX_DELTA_GEN:
+        raise ValueError(
+            f"generation {gen} exceeds the delta id namespace ({MAX_DELTA_GEN}); "
+            "compact the table to reset")
+    id_base = np.int64(gen) << GEN_SHIFT if publish_mode == "append" else np.int64(0)
     gdir = manifest.gen_dir(gen)
     partials = os.path.join(gdir, "_partials")
     os.makedirs(partials, exist_ok=True)
@@ -244,7 +255,11 @@ def build_index(
             group = group.take(pa.array(order))
             doc_ids = doc_ids[order]
         else:
-            doc_ids = (np.int64(p) << STRIDE_BITS) + np.arange(n, dtype=np.int64)
+            # delta generations get a generation namespace in the high bits so
+            # ids never collide with the base (replace-mode builds keep gen bits
+            # 0 — only one such generation is ever active)
+            doc_ids = id_base + (np.int64(p) << STRIDE_BITS) \
+                + np.arange(n, dtype=np.int64)
         if "doc_id" in group.column_names:
             group = group.drop_columns(["doc_id"])
         group = group.append_column("doc_id", pa.array(doc_ids, pa.int64()))
@@ -425,7 +440,7 @@ def build_index(
     }
     manifest.data["num_doc_parts"] = num_doc_parts
     manifest.data["key_field"] = key_field
-    manifest.publish(gen, gen_info)
+    manifest.publish(gen, gen_info, mode=publish_mode)
     return gen_info
 
 

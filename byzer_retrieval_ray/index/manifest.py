@@ -87,11 +87,32 @@ class Manifest:
         g = generation if generation is not None else self.data["generation"]
         return gen_dir(self.location, self.database, self.table, g)
 
-    def publish(self, generation: int, gen_info: dict) -> None:
-        """Commit: record the generation and atomically publish the manifest."""
+    def publish(self, generation: int, gen_info: dict, mode: str = "replace") -> None:
+        """Commit: record the generation and atomically publish the manifest.
+
+        mode="replace": the new generation supersedes all others (full build /
+        compaction). mode="append": the new generation becomes a DELTA on top of
+        the currently active ones (incremental upsert) — queries merge all of
+        ``active_generations`` (ascending build order).
+        """
         self.data["generations"][str(generation)] = gen_info
+        if mode == "append":
+            active = self.active_generations()
+            if generation not in active:
+                active.append(generation)
+            self.data["active_generations"] = active
+        else:
+            self.data["active_generations"] = [generation]
         self.data["generation"] = generation
         self.save()
+
+    def active_generations(self) -> list[int]:
+        """Generations queries serve from (legacy manifests: just the current)."""
+        gens = self.data.get("active_generations")
+        if gens:
+            return [int(g) for g in gens]
+        g = self.data.get("generation", 0)
+        return [g] if g else []
 
     def current_gen_info(self) -> dict:
         g = self.data["generation"]

@@ -68,7 +68,8 @@ def bucket_of(doc_ids: np.ndarray, bucket_spec: dict) -> np.ndarray:
     """
     d = np.asarray(doc_ids, dtype=np.int64)
     if bucket_spec["mode"] == "stride":
-        part = d >> bucket_spec["bits"]
+        # mask off the delta-generation namespace bits (build.GEN_SHIFT)
+        part = (d >> bucket_spec["bits"]) & 0x3FFF
     else:
         part = d % bucket_spec["parts"]
     return (part // bucket_spec.get("group", 1)).astype(np.int32)

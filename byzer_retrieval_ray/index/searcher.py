@@ -131,11 +131,51 @@ class GenerationReader:
         self._ts_cache[r] = cache
 
     def tombstones(self) -> np.ndarray:
+        """Tombstoned doc_ids of THIS generation (doc_ids are generation-scoped;
+        files written before gen scoping existed apply to the manifest's current
+        generation)."""
         ids: list[int] = []
         for p in self.m.get("tombstone_files", []):
             if os.path.exists(p):
-                ids.extend(read_json(p)["doc_ids"])
+                data = read_json(p)
+                entry_gen = data.get("gen", self.m.get("generation"))
+                if entry_gen == self.gen:
+                    ids.extend(data["doc_ids"])
         return np.unique(np.array(ids, dtype=np.int64)) if ids else np.empty(0, np.int64)
+
+
+class StatsView:
+    """Collection statistics merged across ACTIVE generations (base + deltas).
+
+    BM25 scoring needs one consistent (N, sum_ttf, df) view over all generations
+    a query serves from. Like Lucene segments, tombstoned (replaced/deleted) docs
+    still count toward the statistics until a compaction rebuilds the table —
+    score drift from deletes is bounded and disappears on compact(). For a
+    single-generation table this is exactly that generation's stats (byte-
+    identical scores to a fresh full build)."""
+
+    def __init__(self, manifest_data: dict, primary: GenerationReader):
+        gens = manifest_data.get("active_generations") or \
+            ([manifest_data["generation"]] if manifest_data.get("generation") else [])
+        self.readers = [primary if int(g) == primary.gen
+                        else GenerationReader(manifest_data, int(g)) for g in gens]
+        n_docs = sum(r.stats["n_docs"] for r in self.readers)
+        fields: dict[str, dict] = {}
+        for r in self.readers:
+            for fld, fs in r.stats["fields"].items():
+                acc = fields.setdefault(fld, {"sum_ttf": 0, "doc_count": 0})
+                acc["sum_ttf"] += fs["sum_ttf"]
+                acc["doc_count"] += fs["doc_count"]
+        self.stats = {"n_docs": n_docs, "fields": fields}
+
+    def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
+        out = {p: (0, 0) for p in pairs}
+        for r in self.readers:
+            sub = r.term_stats(pairs)
+            for p, (df, ttf) in sub.items():
+                a, b = out[p]
+                out[p] = (a + df, b + ttf)
+        return out
 
 
 class Posting:
@@ -193,8 +233,10 @@ class BucketSearcher:
     """Stateful per-bucket searcher: loads its postings/doc-store slice lazily and
     caches decoded postings — the engine's segment-actor workhorse."""
 
-    def __init__(self, manifest_data: dict, bucket: int, cache_postings: int = 4096):
-        self.gen = GenerationReader(manifest_data)
+    def __init__(self, manifest_data: dict, bucket: int, cache_postings: int = 4096,
+                 gen: int | None = None):
+        self.gen = GenerationReader(manifest_data, gen)
+        self.stats = StatsView(manifest_data, self.gen)
         self.bucket = bucket
         self._postings_cache: OrderedDict[tuple[str, str], Posting] = OrderedDict()
         self._cache_cap = cache_postings
@@ -324,7 +366,7 @@ class BucketSearcher:
         uniq_pairs = list(mult.keys())  # insertion-ordered = clause order
         must_pairs = [(f, t) for t in must for f in fields]
         not_pairs = [(f, t) for t in must_not for f in fields]
-        stats = self.gen.term_stats(list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs)))
+        stats = self.stats.term_stats(list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs)))
         posts = self.fetch_postings(
             [p for p in dict.fromkeys(uniq_pairs + must_pairs + not_pairs)
              if stats[p][0] > 0])
@@ -335,7 +377,7 @@ class BucketSearcher:
             if df == 0:
                 continue
             fld = key[0]
-            fstats = self.gen.stats["fields"][fld]
+            fstats = self.stats.stats["fields"][fld]
             avgdl = bm25.avg_field_length(fstats["sum_ttf"], fstats["doc_count"], dtype=dtype)
             cache = bm25.norm_inverse_cache(avgdl, dtype=dtype)
             w = bm25.term_weight(fstats["doc_count"], df, boost=float(mult[key]), dtype=dtype)
@@ -565,7 +607,12 @@ class BucketSearcher:
         paths = self.gen.docstore_paths(self.bucket)
         if not paths:
             return pa.table({c: [] for c in cols})
-        ids = [int(d) for d in np.asarray(doc_ids)]
+        ids_arr = np.asarray(doc_ids)
+        if self._ts_in_bucket.size and ids_arr.size:
+            # a replaced key's OLD copy must not shadow the live delta doc when a
+            # cross-generation fetch asks every searcher for the same id set
+            ids_arr = ids_arr[~np.isin(ids_arr, self._ts_in_bucket)]
+        ids = [int(d) for d in ids_arr]
         return pa.concat_tables([
             pq.read_table(p, columns=cols, filters=[("doc_id", "in", ids)])
             for p in paths])

@@ -26,6 +26,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from byzer_retrieval_ray.index import master as M
 from byzer_retrieval_ray.index.build import build_index
@@ -113,13 +114,17 @@ class RetrievalCluster:
 
     def build_from_local(self, database: str, table: str, docs: list[dict],
                          key_field: str = "_id", num_doc_parts: int = 4,
-                         num_term_parts: int = 4) -> bool:
-        """S3/S4 equivalent: inline records, upserted over the current generation.
+                         num_term_parts: int = 4, mode: str = "delta") -> bool:
+        """S3/S4 equivalent: inline records, upserted by key (reference M1,
+        RetrievalWorker.java:243-270).
 
-        The reference upserts each doc by _id into its Lucene shard
-        (RetrievalWorker.java:243-270); here an upsert batch triggers a generation
-        rebuild over (previous docs ∪ new docs) with new docs winning key conflicts.
-        Incremental delta generations are the documented scale path.
+        mode="delta" (default, the scale path): the batch is indexed as a small
+        DELTA generation (only the new docs are read/tokenized/written) and the
+        replaced keys' doc_ids in older generations are tombstoned — a 100-doc
+        upsert into a 10^9-doc table touches only delta files plus one narrow
+        key-resolution pass. Queries merge all active generations; ``compact()``
+        folds them back into one. mode="rebuild" forces the full
+        (previous ∪ new) regeneration.
         """
         import ray.data
 
@@ -129,37 +134,83 @@ class RetrievalCluster:
                 raise ValueError(
                     f"build: a document misses the key field {key_field!r} "
                     "(reference throws, RetrievalMaster.java:116-122)")
-        new_ds = ray.data.from_items([{**d, "__upsert_seq": 1} for d in docs])
-        source = new_ds
-        if m.data["generation"] > 0:
-            gr = GenerationReader(m.data)
-            paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
-            paths = [p for p in paths if p and os.path.exists(p)]
-            if paths:
-                old = ray.data.read_parquet(paths)
-                tombstones = gr.tombstones()
+        # within-batch upsert order: later occurrence of a key wins
+        new_ds = ray.data.from_items(
+            [{**d, "__upsert_seq": i} for i, d in enumerate(docs)])
+        if m.data["generation"] == 0:
+            build_index(new_ds, m, key_field=key_field, version_field="__upsert_seq",
+                        num_doc_parts=num_doc_parts, num_term_parts=num_term_parts)
+        elif mode == "delta":
+            # hide every replaced key in the existing generations, then publish
+            # the new docs as an append-only delta generation
+            self._tombstone_keys(m, key_field, [d[key_field] for d in docs])
+            build_index(new_ds, m, key_field=key_field, version_field="__upsert_seq",
+                        num_doc_parts=num_doc_parts, num_term_parts=num_term_parts,
+                        publish_mode="append")
+        else:
+            old = self.scan_table(database, table)
 
-                def carry_forward(t: pa.Table) -> pa.Table:
-                    # deleted docs must NOT resurrect through the rebuild (M2 durability)
-                    if tombstones.size:
-                        t = t.filter(pa.array(
-                            ~np.isin(t["doc_id"].to_numpy(), tombstones)))
-                    drop = [c for c in t.column_names
-                            if c.startswith("__") or c == "doc_id"]
-                    if "doc_id" in t.column_names and key_field == "doc_id":
-                        drop.remove("doc_id")
-                    if drop:
-                        t = t.drop_columns(drop)
-                    return t.append_column("__upsert_seq",
-                                           pa.array([0] * len(t), pa.int64()))
+            def carry_forward(t: pa.Table) -> pa.Table:
+                drop = [c for c in t.column_names if c == "doc_id"]
+                if key_field == "doc_id" and drop:
+                    drop = []
+                if drop:
+                    t = t.drop_columns(drop)
+                return t.append_column("__upsert_seq",
+                                       pa.array([-1] * len(t), pa.int64()))
 
-                source = old.map_batches(carry_forward, batch_format="pyarrow") \
-                            .union(new_ds)
-        build_index(source, m, key_field=key_field, version_field="__upsert_seq",
-                    num_doc_parts=num_doc_parts, num_term_parts=num_term_parts)
-        m.clear_tombstones()   # baked into the new generation
+            source = old.map_batches(carry_forward, batch_format="pyarrow") \
+                        .union(new_ds)
+            build_index(source, m, key_field=key_field, version_field="__upsert_seq",
+                        num_doc_parts=num_doc_parts, num_term_parts=num_term_parts)
+            m.clear_tombstones()   # baked into the new generation
         self._invalidate(database, table)
         return True
+
+    def compact(self, database: str, table: str, num_doc_parts: int | None = None,
+                num_term_parts: int | None = None) -> dict:
+        """Fold all active generations (minus tombstones) into one fresh
+        generation — the Lucene forceMerge equivalent. Resets the delta id
+        namespace and removes tombstoned docs from the collection statistics."""
+        m = self.manifest(database, table)
+        gr = GenerationReader(m.data)
+        key_field = gr.key_field
+        old = self.scan_table(database, table)
+
+        def carry(t: pa.Table) -> pa.Table:
+            if "doc_id" in t.column_names and key_field != "doc_id":
+                t = t.drop_columns(["doc_id"])
+            return t
+
+        info = build_index(old.map_batches(carry, batch_format="pyarrow"), m,
+                           key_field=key_field,
+                           num_doc_parts=num_doc_parts or gr.num_doc_parts,
+                           num_term_parts=num_term_parts or gr.info["num_term_parts"])
+        m.clear_tombstones()
+        self._invalidate(database, table)
+        return info
+
+    def _tombstone_keys(self, m: Manifest, key_field: str, keys: list) -> None:
+        """Resolve key → doc_id across every active generation's docstore (a
+        NARROW pass: key + doc_id columns only, row-group pruned where the key is
+        the sort column) and tombstone the hits, generation-scoped."""
+        by_gen: dict[int, list[int]] = {}
+        karr = np.asarray(keys)
+        for g in m.active_generations():
+            gr = GenerationReader(m.data, g)
+            hits: list[int] = []
+            for b in gr.buckets():
+                for path in gr.docstore_paths(b):
+                    if not os.path.exists(path):
+                        continue
+                    t = pq.read_table(path, columns=["doc_id", key_field])
+                    kk = t[key_field].to_numpy(zero_copy_only=False)
+                    mask = np.isin(kk, karr.astype(kk.dtype, copy=False))
+                    if mask.any():
+                        hits.extend(t["doc_id"].to_numpy()[mask].tolist())
+            if hits:
+                by_gen[g] = hits
+        self._append_tombstones(m, by_gen)
 
     def build_from_jsonl(self, database: str, table: str, data_location: str,
                          key_field: str = "_id", **kw) -> bool:
@@ -175,27 +226,34 @@ class RetrievalCluster:
 
     def scan_table(self, database: str, table: str):
         """S5/S6 equivalent: full scan of all stored docs as a streaming Dataset
-        (reference: iterateAllDocs / the Arrow batch-export server)."""
+        (reference: iterateAllDocs / the Arrow batch-export server). Unions every
+        active generation with its own (generation-scoped) tombstones applied, so
+        each live key appears exactly once."""
         import numpy as np
         import ray.data
 
         m = self.manifest(database, table)
-        gr = GenerationReader(m.data)
-        paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
-        paths = [p for p in paths if p and os.path.exists(p)]
-        ds = ray.data.read_parquet(paths)
-        drop = [c for c in ds.schema().names if c.startswith("__")]
-        if drop:
-            ds = ds.drop_columns(drop)
-        tombstones = gr.tombstones()
-        if tombstones.size:
-            ts = tombstones
+        ds = None
+        for g in m.active_generations():
+            gr = GenerationReader(m.data, g)
+            paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
+            paths = [p for p in paths if p and os.path.exists(p)]
+            if not paths:
+                continue
+            sub = ray.data.read_parquet(paths)
+            drop = [c for c in sub.schema().names if c.startswith("__")]
+            if drop:
+                sub = sub.drop_columns(drop)
+            ts = gr.tombstones()
+            if ts.size:
+                def drop_deleted(t: pa.Table, ts=ts) -> pa.Table:
+                    keep = ~np.isin(t["doc_id"].to_numpy(), ts)
+                    return t.filter(pa.array(keep))
 
-            def drop_deleted(t: pa.Table) -> pa.Table:
-                keep = ~np.isin(t["doc_id"].to_numpy(), ts)
-                return t.filter(pa.array(keep))
-
-            ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
+                sub = sub.map_batches(drop_deleted, batch_format="pyarrow")
+            ds = sub if ds is None else ds.union(sub)
+        if ds is None:
+            raise RuntimeError(f"table {database}.{table} has no published generation")
         return ds
 
     def commit(self, database: str, table: str) -> bool:
@@ -209,35 +267,43 @@ class RetrievalCluster:
         m = self.manifest(database, table)
         gr = GenerationReader(m.data)
         key = gr.key_field
-        doc_ids: list[int] = []
+        by_gen: dict[int, list[int]] = {}
         for s in self._searchers(database, table):
             tbl = s._docstore(["doc_id", key])
             keys = tbl[key].to_numpy(zero_copy_only=False)
             mask = np.isin(keys, np.array(ids, dtype=keys.dtype))
-            doc_ids.extend(tbl["doc_id"].to_numpy()[mask].tolist())
-        return self._append_tombstones(m, doc_ids)
+            if mask.any():
+                by_gen.setdefault(s.gen.gen, []).extend(
+                    tbl["doc_id"].to_numpy()[mask].tolist())
+        return self._append_tombstones(m, by_gen)
 
     def delete_by_filter(self, database: str, table: str, condition: dict) -> bool:
         """M3: condition is a {field: value, ...} map — AND of exact matches
         (RetrievalWorker.java:103-124)."""
         m = self.manifest(database, table)
         tree = {"and": [{"field": k, "value": v} for k, v in condition.items()]}
-        doc_ids: list[int] = []
+        by_gen: dict[int, list[int]] = {}
         for s in self._searchers(database, table):
             cand = s.filter_candidates(tree)
-            if cand is not None:
-                doc_ids.extend(cand.tolist())
-        return self._append_tombstones(m, doc_ids)
+            if cand is not None and cand.size:
+                by_gen.setdefault(s.gen.gen, []).extend(cand.tolist())
+        return self._append_tombstones(m, by_gen)
 
-    def _append_tombstones(self, m: Manifest, doc_ids: list[int]) -> bool:
-        if not doc_ids:
-            return True
-        n = len(m.data.get("tombstone_files", []))
-        path = os.path.join(m.gen_dir(), f"tombstones-{n}.json")
-        atomic_write_json(path, {"doc_ids": sorted(set(int(d) for d in doc_ids)),
-                                 "created_at": time.time()})
-        m.add_tombstone_file(path)
-        self._invalidate(m.database, m.table)
+    def _append_tombstones(self, m: Manifest, by_gen: dict[int, list[int]]) -> bool:
+        """Record doc_id tombstones, one file per affected generation (doc_ids
+        are generation-scoped)."""
+        wrote = False
+        for g, doc_ids in sorted(by_gen.items()):
+            if not doc_ids:
+                continue
+            n = len(m.data.get("tombstone_files", []))
+            path = os.path.join(m.gen_dir(g), f"tombstones-{n}.json")
+            atomic_write_json(path, {"doc_ids": sorted(set(int(d) for d in doc_ids)),
+                                     "gen": g, "created_at": time.time()})
+            m.add_tombstone_file(path)
+            wrote = True
+        if wrote:
+            self._invalidate(m.database, m.table)
         return True
 
     def truncate(self, database: str, table: str) -> bool:
@@ -248,6 +314,7 @@ class RetrievalCluster:
                 shutil.rmtree(gd)
         m.data["generations"] = {}
         m.data["generation"] = 0
+        m.data["active_generations"] = []
         m.data["tombstone_files"] = []
         m.save()
         self._invalidate(database, table)
@@ -287,20 +354,28 @@ class RetrievalCluster:
         from byzer_retrieval_ray.index.actors import make_segment_actor
 
         m = self.manifest(database, table)
-        gr = GenerationReader(m.data)
-        buckets = gr.buckets()
+        pairs = self._gen_buckets(m)
         total_cpus = ray.cluster_resources().get("CPU", 8)
-        n_actors = num_actors or min(len(buckets), max(1, int(total_cpus)))
+        n_actors = num_actors or min(len(pairs), max(1, int(total_cpus)))
         per_actor = min(1.0, round(max(total_cpus * 0.8 / max(n_actors, 1), 0.05), 2))
-        groups = [buckets[i::n_actors] for i in range(n_actors)]
+        groups = [pairs[i::n_actors] for i in range(n_actors)]
         groups = [g for g in groups if g]
         actors = [make_segment_actor(m.data, g, num_cpus=per_actor) for g in groups]
         self._actors[(database, table)] = actors
         self._actor_buckets = getattr(self, "_actor_buckets", {})
-        self._actor_buckets[(database, table)] = buckets
+        self._actor_buckets[(database, table)] = pairs
         if preload:
             ray.get([a.preload.remote() for a in actors])
         return len(actors)
+
+    @staticmethod
+    def _gen_buckets(m: Manifest) -> list[tuple[int, int]]:
+        """(generation, bucket) serving pairs over every active generation."""
+        pairs: list[tuple[int, int]] = []
+        for g in m.active_generations():
+            gr = GenerationReader(m.data, g)
+            pairs.extend((g, b) for b in gr.buckets())
+        return pairs
 
     def deactivate(self, database: str, table: str) -> None:
         import ray
@@ -313,9 +388,11 @@ class RetrievalCluster:
             m = self.manifest(database, table)
             if m.data.get("status") == "close":
                 raise RuntimeError(f"table {database}.{table} is closed (M6)")
-            gr = GenerationReader(m.data)
-            self._local_searchers[key] = [BucketSearcher(m.data, b)
-                                          for b in gr.buckets()]
+            if not m.active_generations():
+                # raises the no-generation error with the standard message
+                GenerationReader(m.data)
+            self._local_searchers[key] = [BucketSearcher(m.data, b, gen=g)
+                                          for g, b in self._gen_buckets(m)]
         return self._local_searchers[key]
 
     def _invalidate(self, database: str, table: str) -> None:
@@ -325,7 +402,8 @@ class RetrievalCluster:
             import ray
             m = self.manifest(database, table)
             try:
-                buckets = GenerationReader(m.data).buckets()
+                GenerationReader(m.data)
+                buckets = self._gen_buckets(m)
             except RuntimeError:
                 self.deactivate(database, table)
                 return
