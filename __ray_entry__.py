@@ -305,6 +305,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docsvec", qq)
     q["vector_knn"] = vector_knn
 
+    def vector_knn_ivf(sf):
+        # Q2 serving path with the per-bucket coarse IVF index; gate config
+        # nprobe = n_centroids probes every cell ⇒ exact ⇒ vector_knn's SQL applies
+        c = _docsvec_cluster(sf)
+        qq = SearchQuery("db", "docsvec", vector=_query_vector(sf),
+                         vectorField="vector", limit=10)
+        res = c.search("db", "docsvec", qq, precision="float64",
+                       vector_algorithm="ivf", nprobe=8, n_centroids=8)[0]
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in res], pa.int64()),
+            "score": pa.array(np.round(np.array([r["_score"] for r in res],
+                                                np.float64), 4)),
+        })
+    q["vector_knn_ivf"] = vector_knn_ivf
+
     def hybrid_rrf(sf):
         c = _docsvec_cluster(sf)
         qq = SearchQuery("db", "docsvec", keyword="merge sort", fields=["text"],
@@ -782,6 +797,7 @@ SELECT id, dup_of FROM best WHERE rn = 1 AND score >= 0.999999e0 ORDER BY id, du
 
     # IVF with nprobe = n_centroids is exact ⇒ the brute-force cosine SQL applies.
     sql["ann_ivf"] = sql["ann_bruteforce"]
+    sql["vector_knn_ivf"] = sql["vector_knn"]
 
     # --- text analysis ---
     def _stop_hits_sql(lang: str) -> str:

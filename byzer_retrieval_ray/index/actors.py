@@ -28,18 +28,59 @@ from byzer_retrieval_ray.table.query import SearchQuery
 
 
 class SegmentActorImpl:
-    def __init__(self, manifest_data: dict, buckets: list):
+    def __init__(self, manifest_data: dict, buckets: list,
+                 location: str | None = None, poll_sec: float = 0.0):
         # buckets: list of (generation, bucket) pairs, or bare bucket ints
         # (current generation) — an actor may serve slices of several
         # generations (base + deltas)
         self.buckets = [b if isinstance(b, (tuple, list)) else (None, b)
                         for b in buckets]
+        self.database = manifest_data.get("database")
+        self.table = manifest_data.get("table")
+        self.location = location
         self.searchers = [BucketSearcher(manifest_data, b, gen=g)
                           for g, b in self.buckets]
+        self._fp = self._fingerprint(manifest_data)
+        if location and poll_sec > 0:
+            # ST2 parity: the reference reopens searchers every 1 s
+            # (ControlledRealTimeReopenThread, RetrievalWorker.java:84-89). Here a
+            # daemon thread re-reads the manifest so a generation published or a
+            # tombstone written by ANOTHER process becomes visible without an
+            # explicit reload. (A change to the bucket SET itself still needs the
+            # owner to respawn the pool via activate()/_invalidate.)
+            import threading
+
+            def poll():
+                from byzer_retrieval_ray.index.manifest import Manifest
+                while not self._stop.wait(poll_sec):
+                    try:
+                        m = Manifest(self.location, self.database, self.table)
+                        fp = self._fingerprint(m.data)
+                        if fp != self._fp:
+                            self.reload(m.data)
+                    except Exception:
+                        pass   # transient read race with an in-flight publish
+
+            self._stop = threading.Event()
+            threading.Thread(target=poll, daemon=True).start()
+
+    @staticmethod
+    def _fingerprint(manifest_data: dict):
+        return (manifest_data.get("generation"),
+                tuple(manifest_data.get("active_generations") or []),
+                tuple(manifest_data.get("tombstone_files") or []))
 
     def reload(self, manifest_data: dict) -> bool:
-        self.searchers = [BucketSearcher(manifest_data, b, gen=g)
-                          for g, b in self.buckets]
+        # swap in new searchers for the pairs that still exist in this manifest
+        # (atomic list replacement; in-flight queries keep the old snapshot)
+        gens = set(manifest_data.get("active_generations")
+                   or [manifest_data.get("generation")])
+        searchers = []
+        for g, b in self.buckets:
+            if g is None or g in gens:
+                searchers.append(BucketSearcher(manifest_data, b, gen=g))
+        self.searchers = searchers
+        self._fp = self._fingerprint(manifest_data)
         return True
 
     def preload(self) -> int:
@@ -60,11 +101,15 @@ class SegmentActorImpl:
                 out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
-    def search_vector(self, q: dict, precision: str, with_docs: bool = False):
+    def search_vector(self, q: dict, precision: str, with_docs: bool = False,
+                      algorithm: str = "brute", nprobe: int = 4,
+                      n_centroids: int = 16):
         query = SearchQuery.from_dict(q)
         out = []
         for s in self.searchers:
-            ids, scores = s.search_vector(query, precision=precision)
+            ids, scores = s.search_vector(query, precision=precision,
+                                          algorithm=algorithm, nprobe=nprobe,
+                                          n_centroids=n_centroids)
             if with_docs:
                 out.append((np.asarray(ids), np.asarray(scores), s.fetch_docs(ids)))
             else:
@@ -81,10 +126,11 @@ class SegmentActorImpl:
         return pa.concat_tables(tbls, promote_options="default")
 
 
-def make_segment_actor(manifest_data: dict, buckets: list[int], num_cpus: float = 1):
+def make_segment_actor(manifest_data: dict, buckets: list, num_cpus: float = 1,
+                       location: str | None = None, poll_sec: float = 0.0):
     """Spawn one segment actor owning ``buckets`` (ray must already be initialized
-    by the caller)."""
+    by the caller). ``poll_sec`` > 0 enables the NRT manifest poll."""
     import ray
 
     cls = ray.remote(num_cpus=num_cpus)(SegmentActorImpl)
-    return cls.remote(manifest_data, buckets)
+    return cls.remote(manifest_data, buckets, location, poll_sec)

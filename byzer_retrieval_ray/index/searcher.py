@@ -548,11 +548,50 @@ class BucketSearcher:
         dim = flat.size // n if n else 0
         return tbl["doc_id"].to_numpy(), flat.reshape(n, dim)
 
-    def search_vector(self, q: SearchQuery, precision: str = "float32"):
-        """Cosine KNN scored (1+cos)/2 (Lucene COSINE), with optional filter."""
+    def _ivf_state(self, field: str, n_centroids: int):
+        """Per-bucket IVF coarse index over the vector column, built once per
+        searcher (actor state, ST1 semantics) and cached: a k-means codebook
+        trained on this bucket's vectors plus per-row cell assignments. The
+        serving-path stand-in for the reference's Lucene HNSW
+        (RetrievalWorker.java:346-366): recall is tuned with ``nprobe``;
+        nprobe == n_centroids degenerates to exact brute force."""
+        if not hasattr(self, "_ivf_cache"):
+            self._ivf_cache: dict = {}
+        key = (field, n_centroids)
+        if key not in self._ivf_cache:
+            from byzer_retrieval_ray.ops.ann import train_codebook
+            ids, mat = self._vectors(field)
+            m64 = mat.astype(np.float64)
+            norms = np.linalg.norm(m64, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = m64 / norms
+            cent = train_codebook(unit[:min(len(unit), 4096)], n_centroids)
+            assign = (np.argmax(unit @ cent.T, axis=1) if len(unit)
+                      else np.empty(0, np.int64))
+            self._ivf_cache[key] = (ids, mat, cent, assign)
+        return self._ivf_cache[key]
+
+    def search_vector(self, q: SearchQuery, precision: str = "float32",
+                      algorithm: str = "brute", nprobe: int = 4,
+                      n_centroids: int = 16):
+        """Cosine KNN scored (1+cos)/2 (Lucene COSINE), with optional filter.
+
+        algorithm="brute" scans the bucket exactly; "ivf" probes only the
+        ``nprobe`` cells nearest the query in this bucket's coarse codebook
+        (identical per-row arithmetic — the probed subset scores exactly as the
+        brute path would score those rows)."""
         dtype = np.float32 if precision == "float32" else np.float64
-        ids, mat = self._vectors(q.vectorField)
         qv = np.asarray(q.vector, dtype=dtype)
+        if algorithm == "ivf":
+            ids, mat, cent, assign = self._ivf_state(q.vectorField, n_centroids)
+            q64 = np.asarray(q.vector, dtype=np.float64)
+            qn = np.linalg.norm(q64)
+            qunit = q64 / qn if qn > 0 else q64
+            order_c = np.argsort(-(cent @ qunit))[:max(1, nprobe)]
+            keep = np.isin(assign, order_c)
+            ids, mat = ids[keep], mat[keep]
+        else:
+            ids, mat = self._vectors(q.vectorField)
         mat = mat.astype(dtype)
         candidates = self.filter_candidates(q.filters)
         if candidates is not None:

@@ -340,7 +340,8 @@ class RetrievalCluster:
     # ------------- query (Q1–Q9) -------------
 
     def activate(self, database: str, table: str, mode: str = "actors",
-                 preload: bool = False, num_actors: int | None = None) -> int:
+                 preload: bool = False, num_actors: int | None = None,
+                 nrt_poll_sec: float = 1.0) -> int:
         """Spawn the serving actor pool. Actors are sized to the CLUSTER (≈ one per
         core by default), each owning a contiguous slice of the table's serving
         buckets — storage partitioning (chosen for build balance, possibly
@@ -360,7 +361,9 @@ class RetrievalCluster:
         per_actor = min(1.0, round(max(total_cpus * 0.8 / max(n_actors, 1), 0.05), 2))
         groups = [pairs[i::n_actors] for i in range(n_actors)]
         groups = [g for g in groups if g]
-        actors = [make_segment_actor(m.data, g, num_cpus=per_actor) for g in groups]
+        actors = [make_segment_actor(m.data, g, num_cpus=per_actor,
+                                     location=self.location, poll_sec=nrt_poll_sec)
+                  for g in groups]
         self._actors[(database, table)] = actors
         self._actor_buckets = getattr(self, "_actor_buckets", {})
         self._actor_buckets[(database, table)] = pairs
@@ -415,9 +418,14 @@ class RetrievalCluster:
                 ray.get([a.reload.remote(m.data) for a in self._actors[key]])
 
     def search(self, database: str, table: str, queries,
-               precision: str = "float32", algorithm: str = "bmw") -> list[list[dict]]:
+               precision: str = "float32", algorithm: str = "bmw",
+               vector_algorithm: str = "brute", nprobe: int = 4,
+               n_centroids: int = 16) -> list[list[dict]]:
         """Q1/Q2/Q5–Q8: list of SearchQuery (dicts or dataclasses) → per-query ranked
-        docs with _score injected (reference S7 result shape)."""
+        docs with _score injected (reference S7 result shape).
+
+        ``vector_algorithm="ivf"`` serves the vector recall from each bucket's
+        coarse IVF index (nprobe/n_centroids knobs; nprobe=n_centroids is exact)."""
         qs = self._as_queries(database, table, queries)
         use_actors = (database, table) in self._actors
         # multi-query fan-out (Q8): in actor mode every recall of every query is
@@ -432,8 +440,10 @@ class RetrievalCluster:
                         a.search_keyword.remote(q.__dict__, precision, algorithm, True)
                         for a in actors]
                 if q.has_vector:
-                    futs["vector"] = [a.search_vector.remote(q.__dict__, precision, True)
-                                      for a in actors]
+                    futs["vector"] = [
+                        a.search_vector.remote(q.__dict__, precision, True,
+                                               vector_algorithm, nprobe, n_centroids)
+                        for a in actors]
                 all_futs.append(futs)
         out = []
         for qi, q in enumerate(qs):
@@ -456,8 +466,10 @@ class RetrievalCluster:
                     recalls["keyword"] = [s.search_keyword(q, precision, algorithm)
                                           for s in searchers]
                 if q.has_vector:
-                    recalls["vector"] = [s.search_vector(q, precision)
-                                         for s in searchers]
+                    recalls["vector"] = [
+                        s.search_vector(q, precision, algorithm=vector_algorithm,
+                                        nprobe=nprobe, n_centroids=n_centroids)
+                        for s in searchers]
             if not recalls:
                 out.append([])
                 continue

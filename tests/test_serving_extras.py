@@ -1,0 +1,107 @@
+"""Round-2 serving additions: IVF vector path (Q2 scale stand-in for HNSW) and
+the timed NRT manifest poll (ST2, RetrievalWorker.java:84-89)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from byzer_retrieval_ray import RetrievalCluster, SearchQuery, TableSettings
+
+VEC_SCHEMA = ("st(field(_id,long),field(content,string,analyze),"
+              "field(vector,array(float)))")
+
+
+def _vec_cluster(loc, n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    c = RetrievalCluster(loc)
+    c.create_table(TableSettings("db", "v", VEC_SCHEMA, loc))
+    docs = [{"_id": i, "content": f"doc {i}",
+             "vector": rng.standard_normal(dim).tolist()} for i in range(n)]
+    c.build_from_local("db", "v", docs, key_field="_id",
+                       num_doc_parts=2, num_term_parts=2)
+    return c, docs
+
+
+class TestIVFServing:
+    def test_exact_when_probing_all_cells(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path))
+        q = SearchQuery("db", "v", vector=docs[7]["vector"], vectorField="vector",
+                        limit=10)
+        brute = c.search("db", "v", q, precision="float64")[0]
+        ivf = c.search("db", "v", q, precision="float64",
+                       vector_algorithm="ivf", nprobe=8, n_centroids=8)[0]
+        assert [(r["_id"], r["_score"]) for r in ivf] == \
+               [(r["_id"], r["_score"]) for r in brute]
+
+    def test_recall_improves_with_nprobe(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=400)
+        qs = [docs[i]["vector"] for i in (1, 50, 123, 300)]
+        recalls = {}
+        for nprobe in (1, 4, 16):
+            hits = total = 0
+            for v in qs:
+                q = SearchQuery("db", "v", vector=v, vectorField="vector", limit=10)
+                brute = {r["_id"] for r in c.search("db", "v", q)[0]}
+                ivf = {r["_id"] for r in c.search(
+                    "db", "v", q, vector_algorithm="ivf", nprobe=nprobe,
+                    n_centroids=16)[0]}
+                hits += len(brute & ivf)
+                total += len(brute)
+            recalls[nprobe] = hits / total
+        assert recalls[16] == 1.0                 # all cells probed ⇒ exact
+        assert recalls[4] >= recalls[1]           # recall is monotone in nprobe
+        assert recalls[4] >= 0.5                  # probing 1/4 of cells finds most
+        # the query's own vector is cosine-1: always in its own probed cell
+        q = SearchQuery("db", "v", vector=docs[1]["vector"], vectorField="vector",
+                        limit=1)
+        top = c.search("db", "v", q, vector_algorithm="ivf", nprobe=1,
+                       n_centroids=16)[0]
+        assert top[0]["_id"] == 1
+
+    def test_actor_mode_ivf(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path))
+        q = SearchQuery("db", "v", vector=docs[3]["vector"], vectorField="vector",
+                        limit=5)
+        local = c.search("db", "v", q, vector_algorithm="ivf", nprobe=8,
+                         n_centroids=8)[0]
+        c.activate("db", "v", nrt_poll_sec=0)
+        try:
+            actor = c.search("db", "v", q, vector_algorithm="ivf", nprobe=8,
+                             n_centroids=8)[0]
+        finally:
+            c.deactivate("db", "v")
+        assert [(r["_id"], round(r["_score"], 6)) for r in actor] == \
+               [(r["_id"], round(r["_score"], 6)) for r in local]
+
+
+class TestNRTPoll:
+    def test_second_process_publish_becomes_visible(self, ray_session, tmp_path):
+        """A generation published (and a tombstone written) by ANOTHER
+        RetrievalCluster object over the same location becomes visible to a
+        running actor pool without an explicit reload (reference: 1 s
+        ControlledRealTimeReopenThread)."""
+        loc = str(tmp_path)
+        c1 = RetrievalCluster(loc)
+        c1.create_table(TableSettings(
+            "db", "t", "st(field(_id,long),field(content,string,analyze))", loc))
+        c1.build_from_local("db", "t", [
+            {"_id": i, "content": f"alpha number{i}"} for i in range(6)],
+            key_field="_id", num_doc_parts=1, num_term_parts=1)
+        c1.activate("db", "t", nrt_poll_sec=0.2)
+        try:
+            q = {"keyword": "alpha", "fields": ["content"], "limit": 10}
+            assert len(c1.search("db", "t", q)[0]) == 6
+
+            # a SECOND cluster object (separate process stand-in) deletes a doc
+            c2 = RetrievalCluster(loc)
+            assert c2.delete_by_ids("db", "t", [2])
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                res = c1.search("db", "t", q)[0]
+                if len(res) == 5:
+                    break
+                time.sleep(0.1)
+            assert len(res) == 5 and 2 not in {r["_id"] for r in res}
+        finally:
+            c1.deactivate("db", "t")
