@@ -142,7 +142,7 @@ def _get_cluster(sf_dir: str, table: str, schema: str, key: str, source_fn) -> R
     cache_key = (sf_dir, table)
     if cache_key in _CLUSTERS:
         return _CLUSTERS[cache_key]
-    tag = hashlib.md5(f"{sf_dir}:{table}:v5".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:{table}:v6".encode()).hexdigest()[:10]
     loc = f"/tmp/byzer_ray_gate/{tag}"
     c = RetrievalCluster(loc)
     try:
@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_multi_term"] = lambda sf: _bm25(sf, "scan join order sort", 20)
     q["bm25_absent_term"] = lambda sf: _bm25(sf, "zzz_not_a_term", 10)
     q["match_all"] = lambda sf: _bm25(sf, "*", 50)
+    # quoted phrase over positional postings (Lucene PhraseQuery/BM25: tf =
+    # exact phrase frequency, idf = Σ per-term idf)
+    q["bm25_phrase"] = lambda sf: _bm25(sf, '"merge sort"', 20)
 
     # --- filters (Q3): exact / nested and-or / range, incl. zero-score fill ---
     q["bm25_filter_lang"] = lambda sf: _bm25(
@@ -582,6 +585,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id FROM documents WHERE lang = 'en' AND (source = 'src0' OR source = 'src1')")
     sql["bm25_filter_range"] = _sql_bm25(
         ["the"], 50, "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300")
+
+    sql["bm25_phrase"] = f"""
+WITH {_SQL_TOKS},
+arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t)), i -> t[i] = 'merge' AND t[i+1] = 'sort')) AS freq
+  FROM arr
+),
+wt AS (
+  SELECT (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d1.df AS DOUBLE) + 0.5e0)
+                             / (CAST(d1.df AS DOUBLE) + 0.5e0)))
+       + (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d2.df AS DOUBLE) + 0.5e0)
+                             / (CAST(d2.df AS DOUBLE) + 0.5e0))) AS w
+  FROM stats s,
+       (SELECT df FROM df WHERE term = 'merge') d1,
+       (SELECT df FROM df WHERE term = 'sort') d2
+),
+scored AS (
+  SELECT pf.doc_id,
+         wt.w - wt.w / (1.0e0 + CAST(pf.freq AS DOUBLE)
+             * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                  / (CAST(s.sum_ttf AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS score
+  FROM pf
+  JOIN dlq ON dlq.doc_id = pf.doc_id
+  CROSS JOIN wt CROSS JOIN stats s
+  WHERE pf.freq > 0
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
 
     sql["filter_sort_docs"] = """
 SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'

@@ -84,6 +84,8 @@ def build_index(
     sample_docs: int = 2000,
     codec: str = "varint",   # posting compression: "varint" | "pfor" (NewPFD)
     publish_mode: str = "replace",   # "append" = delta generation (incremental upsert)
+    positions: bool = True,   # index token positions (phrase queries; Lucene
+                              # TextField parity) — ~tf-stream-sized extra bytes
 ) -> dict:
     """Build a new index generation and publish it. Returns the gen_info dict.
 
@@ -220,7 +222,7 @@ def build_index(
             post_cols = ["doc_id"] + analyzed + [f"__norm_{f}" for f in analyzed]
             done = pq.read_table(out_path, columns=post_cols)
             run_files = _write_runs(_emit_chunked(done, analyzed, boundaries,
-                                                  bucket_spec), p)
+                                                  bucket_spec, positions), p)
             entry["run_files"] = run_files
             atomic_write_json(entry_path, entry)
             return pa.table({"part": [p], "run_files": [json.dumps(run_files)]})
@@ -274,7 +276,7 @@ def build_index(
         fp = int(np.bitwise_xor.reduce(
             murmur3.murmur3_np(keys_str).astype(np.int64))) if n else 0
         run_files = _write_runs(_emit_chunked(group, analyzed, boundaries,
-                                              bucket_spec), p)
+                                              bucket_spec, positions), p)
         entry = {"part": p, "n_docs": n, "sum_dl": sums, "path": out_path,
                  "fingerprint": fp, "run_files": run_files}
         atomic_write_json(entry_path, entry)
@@ -422,6 +424,7 @@ def build_index(
         "analyzed_fields": analyzed,
         "key_field": key_field,
         "codec": codec,
+        "positions": positions,
         "boundaries": boundaries,
         "stats": stats,
         "docstore": {str(e["part"]): {k: e[k] for k in ("n_docs", "path", "fingerprint")}
@@ -447,16 +450,17 @@ def build_index(
 EMIT_CHUNK_DOCS = 16_384
 
 
-def _emit_chunked(tbl: pa.Table, analyzed, boundaries, bucket_spec) -> pa.Table:
+def _emit_chunked(tbl: pa.Table, analyzed, boundaries, bucket_spec,
+                  positions: bool = False) -> pa.Table:
     """Emit posting runs in bounded doc slices so a large doc partition never
     materializes its whole token stream at once (the runs of consecutive slices are
     disjoint doc ranges and merge downstream like any other runs)."""
     if len(tbl) <= EMIT_CHUNK_DOCS:
-        return P.emit_runs(tbl, analyzed, boundaries, bucket_spec)
+        return P.emit_runs(tbl, analyzed, boundaries, bucket_spec, positions)
     parts = []
     for start in range(0, len(tbl), EMIT_CHUNK_DOCS):
         sl = tbl.slice(start, EMIT_CHUNK_DOCS)
-        parts.append(P.emit_runs(sl, analyzed, boundaries, bucket_spec))
+        parts.append(P.emit_runs(sl, analyzed, boundaries, bucket_spec, positions))
     return pa.concat_tables(parts)
 
 

@@ -39,6 +39,8 @@ RUN_SCHEMA = pa.schema([
     ("doc_bytes", pa.large_binary()),
     ("tf_bytes", pa.large_binary()),
     ("norm_bytes", pa.large_binary()),
+    ("pos_bytes", pa.large_binary()),     # varint position deltas (reset per doc);
+                                          # empty when the build has positions off
 ])
 
 POSTING_SCHEMA = pa.schema([
@@ -50,6 +52,7 @@ POSTING_SCHEMA = pa.schema([
     ("doc_bytes", pa.large_binary()),
     ("tf_bytes", pa.large_binary()),
     ("norm_bytes", pa.large_binary()),
+    ("pos_bytes", pa.large_binary()),
     ("block_first", pa.list_(pa.int64())),
     ("block_max_tf", pa.list_(pa.int64())),
     ("block_min_norm", pa.list_(pa.uint8())),
@@ -84,14 +87,19 @@ def route_terms(terms: np.ndarray, boundaries: list[str]) -> np.ndarray:
 
 
 def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str],
-              bucket_spec: dict) -> pa.Table:
+              bucket_spec: dict, positions: bool = False) -> pa.Table:
     """One batch of docstore rows → posting-run rows (the shuffle combiner).
 
     Single fused pass per field: tokenize (Arrow), dictionary-encode the token
     stream, one lexsort of (term_code, doc) token instances, run-length to get tfs
     and run boundaries — no hash group-by, no second sort. Run doc-gaps are encoded
     relative to the run's ``min_doc`` (stored in the row), keeping every varint
-    small."""
+    small.
+
+    ``positions=True`` additionally emits each occurrence's token index (Lucene
+    WhitespaceAnalyzer position semantics) as delta-varints resetting per doc —
+    the stable instance sort keeps occurrences in document order, so the per-
+    posting position lists come out ascending for free."""
     import pyarrow.compute as pc
 
     doc_ids = batch["doc_id"].to_numpy()
@@ -122,6 +130,17 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
         key = codes.astype(np.int64) * np.int64(n_local) + parents
         order2 = np.argsort(key, kind="stable")
         key_s = key[order2]
+        if positions:
+            # token index within its doc (among kept tokens), then instance-sorted:
+            # stable sort keeps per-(term, doc) occurrences ascending
+            doc_change = np.empty(parents.size, dtype=bool)
+            doc_change[0] = True
+            np.not_equal(parents[1:], parents[:-1], out=doc_change[1:])
+            dstarts = np.flatnonzero(doc_change)
+            dcounts = np.diff(np.concatenate([dstarts, [parents.size]]))
+            tok_pos = np.arange(parents.size, dtype=np.int64) \
+                - np.repeat(dstarts, dcounts)
+            pos_s = tok_pos[order2]
         del key, order2
         # token-instance run-length → (term_code, doc) postings with tf
         inst_change = np.empty(key_s.size, dtype=bool)
@@ -141,11 +160,25 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
         norms_by_doc = batch[f"__norm_{fld}"].to_numpy().astype(np.uint8)
         norms = norms_by_doc[np.searchsorted(doc_ids, tdoc)]
 
+        if positions:
+            # per-posting position deltas (first absolute, rest gaps): reset the
+            # running difference at every posting start in token space
+            pos_deltas = pos_s.copy()
+            pos_deltas[1:] -= pos_s[:-1]
+            pos_deltas[pstarts] = pos_s[pstarts]
+            tf_cum = np.concatenate([[0], np.cumsum(tf)])
+
         # runs: consecutive postings sharing (term_code, bucket); postings are
         # already sorted by (term_code, doc) and bucket is monotone in doc for
         # stride ids / groups contiguously for mod ids after a secondary sort
         if bucket_spec["mode"] == "mod":
             order3 = np.lexsort((tdoc, buckets, pcodes))
+            if positions:
+                # gather each posting's variable-length position segment into the
+                # permuted posting order
+                gsrc = _concat_ranges(tf_cum[:-1][order3], tf[order3])
+                pos_deltas = pos_deltas[gsrc]
+                tf_cum = np.concatenate([[0], np.cumsum(tf[order3])])
             tdoc, pcodes, buckets = tdoc[order3], pcodes[order3], buckets[order3]
             tf, norms = tf[order3], norms[order3]
         change = np.empty(tdoc.size, dtype=bool)
@@ -167,6 +200,11 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
         tf_blobs = codec.varint_encode_segments(tf.astype(np.uint64), offsets)
         norm_buf = norms.tobytes()
         norm_blobs = [norm_buf[offsets[i]:offsets[i + 1]] for i in range(len(starts))]
+        if positions:
+            pos_blobs = codec.varint_encode_segments(pos_deltas.astype(np.uint64),
+                                                     tf_cum[offsets])
+        else:
+            pos_blobs = [b""] * len(starts)
         ttf = np.add.reduceat(tf, starts)
         run_terms = uniq_terms[pcodes[starts]]
         out_chunks.append(pa.table({
@@ -180,10 +218,19 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
             "doc_bytes": pa.array(doc_blobs, pa.large_binary()),
             "tf_bytes": pa.array(tf_blobs, pa.large_binary()),
             "norm_bytes": pa.array(norm_blobs, pa.large_binary()),
+            "pos_bytes": pa.array(pos_blobs, pa.large_binary()),
         }))
     if not out_chunks:
         return RUN_SCHEMA.empty_table()
     return pa.concat_tables(out_chunks)
+
+
+def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    rep = np.repeat(starts - np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    return rep + np.arange(total, dtype=np.int64)
 
 
 def _concat_binary(col: pa.ChunkedArray | pa.Array) -> bytes:
@@ -254,6 +301,22 @@ def merge_runs(group: pa.Table, codec_name: str = "varint") -> tuple[pa.Table, p
     norm_buf = norms.tobytes()
     norm_blobs = [norm_buf[post_offsets[i]:post_offsets[i + 1]]
                   for i in range(len(post_starts))]
+    # positions: each run's pos blob is a self-contained delta stream that resets
+    # at every doc, so a merged posting's stream is just the byte concatenation of
+    # its runs' blobs (runs arrive in ascending doc order) — no decode/re-encode
+    if "pos_bytes" in group.column_names:
+        pos_col = group["pos_bytes"].combine_chunks()
+        pos_cat = _concat_binary(pos_col)
+        pos_byte_offs = np.frombuffer(pos_col.buffers()[1], dtype=np.int64,
+                                      count=len(pos_col) + 1,
+                                      offset=pos_col.offset * 8)
+        base = int(pos_byte_offs[0])
+        run_ends = np.concatenate([post_starts[1:], [n_runs]])
+        pos_blobs = [pos_cat[int(pos_byte_offs[post_starts[i]]) - base:
+                             int(pos_byte_offs[run_ends[i]]) - base]
+                     for i in range(len(post_starts))]
+    else:
+        pos_blobs = [b""] * len(post_starts)
 
     n_posts = len(post_starts)
     post_df = np.diff(post_offsets)
@@ -277,6 +340,7 @@ def merge_runs(group: pa.Table, codec_name: str = "varint") -> tuple[pa.Table, p
         "doc_bytes": pa.array(doc_blobs, pa.large_binary()),
         "tf_bytes": pa.array(tf_blobs, pa.large_binary()),
         "norm_bytes": pa.array(norm_blobs, pa.large_binary()),
+        "pos_bytes": pa.array(pos_blobs, pa.large_binary()),
         "block_first": pa.array([x.tolist() for x in blk_first], pa.list_(pa.int64())),
         "block_max_tf": pa.array([x.tolist() for x in blk_max_tf], pa.list_(pa.int64())),
         "block_min_norm": pa.array([x.tolist() for x in blk_min_norm], pa.list_(pa.uint8())),

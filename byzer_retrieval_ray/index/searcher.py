@@ -179,12 +179,31 @@ class StatsView:
 
 
 class Posting:
-    __slots__ = ("docs", "tfs", "norms", "blk_first", "blk_max_tf", "blk_min_norm", "df")
+    __slots__ = ("docs", "tfs", "norms", "blk_first", "blk_max_tf", "blk_min_norm",
+                 "df", "pos_blob", "_pos")
 
-    def __init__(self, docs, tfs, norms, blk_first, blk_max_tf, blk_min_norm):
+    def __init__(self, docs, tfs, norms, blk_first, blk_max_tf, blk_min_norm,
+                 pos_blob: bytes = b""):
         self.docs, self.tfs, self.norms = docs, tfs, norms
         self.blk_first, self.blk_max_tf, self.blk_min_norm = blk_first, blk_max_tf, blk_min_norm
         self.df = len(docs)
+        self.pos_blob = pos_blob
+        self._pos = None
+
+    def positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """(absolute token positions, per-doc offsets) — doc i's occurrence
+        positions are positions[offs[i]:offs[i+1]] (ascending). Decoded lazily
+        and cached (phrase queries only)."""
+        if self._pos is None:
+            if not self.pos_blob and self.df:
+                raise RuntimeError(
+                    "phrase query against an index built without positions "
+                    "(build with positions=True)")
+            offs = np.zeros(self.df + 1, dtype=np.int64)
+            np.cumsum(self.tfs, out=offs[1:])
+            deltas = codec.varint_decode(self.pos_blob, int(offs[-1])).astype(np.int64)
+            self._pos = (codec.delta_decode_segments(deltas, offs), offs)
+        return self._pos
 
 
 _EMPTY = Posting(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
@@ -206,6 +225,8 @@ def _postings_from_table(tbl: pa.Table, codec_name: str):
     doc_b = tbl["doc_bytes"].to_pylist()
     tf_b = tbl["tf_bytes"].to_pylist()
     norm_b = tbl["norm_bytes"].to_pylist()
+    pos_b = tbl["pos_bytes"].to_pylist() if "pos_bytes" in tbl.column_names \
+        else [b""] * len(tbl)
 
     def _flat(col_name, dtype):
         col = tbl[col_name].combine_chunks() \
@@ -225,7 +246,8 @@ def _postings_from_table(tbl: pa.Table, codec_name: str):
             norms[po[row]:po[row + 1]],
             bf_v[bf_o[row]:bf_o[row + 1]],
             bm_v[bm_o[row]:bm_o[row + 1]],
-            bn_v[bn_o[row]:bn_o[row + 1]])
+            bn_v[bn_o[row]:bn_o[row + 1]],
+            pos_blob=pos_b[row] or b"")
     return out
 
 
@@ -351,7 +373,8 @@ class BucketSearcher:
 
         from byzer_retrieval_ray.functions.queryparser import parse_keyword
 
-        should, must, must_not = parse_keyword(keyword)
+        should, must, must_not, phrases, must_phrases, not_phrases = \
+            parse_keyword(keyword)
         fields = q.fields or sorted(self.gen.analyzed)
         bad = [f for f in fields if f not in self.gen.analyzed]
         if bad:
@@ -366,38 +389,67 @@ class BucketSearcher:
         uniq_pairs = list(mult.keys())  # insertion-ordered = clause order
         must_pairs = [(f, t) for t in must for f in fields]
         not_pairs = [(f, t) for t in must_not for f in fields]
-        stats = self.stats.term_stats(list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs)))
-        posts = self.fetch_postings(
-            [p for p in dict.fromkeys(uniq_pairs + must_pairs + not_pairs)
-             if stats[p][0] > 0])
+        all_phrases = phrases + must_phrases + not_phrases
+        phrase_pairs = [(f, t) for ph in all_phrases for t in ph for f in fields]
+        fetch = list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs + phrase_pairs))
+        stats = self.stats.term_stats(fetch)
+        posts = self.fetch_postings([p for p in fetch if stats[p][0] > 0])
+
+        def _field_scoring(fld):
+            fstats = self.stats.stats["fields"][fld]
+            avgdl = bm25.avg_field_length(fstats["sum_ttf"], fstats["doc_count"],
+                                          dtype=dtype)
+            return bm25.norm_inverse_cache(avgdl, dtype=dtype), fstats["doc_count"]
 
         scorers = []
         for key in uniq_pairs:
             df, _ = stats[key]
             if df == 0:
                 continue
-            fld = key[0]
-            fstats = self.stats.stats["fields"][fld]
-            avgdl = bm25.avg_field_length(fstats["sum_ttf"], fstats["doc_count"], dtype=dtype)
-            cache = bm25.norm_inverse_cache(avgdl, dtype=dtype)
-            w = bm25.term_weight(fstats["doc_count"], df, boost=float(mult[key]), dtype=dtype)
+            cache, doc_count = _field_scoring(key[0])
+            w = bm25.term_weight(doc_count, df, boost=float(mult[key]), dtype=dtype)
             scorers.append((key, posts[key], cache, w))
 
+        # phrase clauses (Lucene PhraseQuery over BM25: tf = phrase frequency,
+        # idf = Σ per-term idf) — appended after term clauses in a fixed order
+        phrase_docs: dict[tuple, np.ndarray] = {}   # (field, phrase) → matching docs
+        for ph in dict.fromkeys(all_phrases):
+            for fld in fields:
+                if any(stats[(fld, t)][0] == 0 for t in ph):
+                    continue
+                pp = self._phrase_posting(fld, ph, posts)
+                if pp is None:
+                    continue
+                phrase_docs[(fld, ph)] = pp.docs
+                if ph in phrases or ph in must_phrases:
+                    cache, doc_count = _field_scoring(fld)
+                    w = sum(bm25.term_weight(doc_count, stats[(fld, t)][0],
+                                             dtype=dtype) for t in ph)
+                    scorers.append(((fld, " ".join(ph)), pp, cache, dtype(w)))
+
         # +term: candidates must contain the term in ≥1 searched field (OR over
-        # fields, AND over must terms); -term: excluded if present in any field
-        if must:
+        # fields, AND over must terms/phrases); -term: excluded if present anywhere
+        if must or must_phrases:
             for t in must:
                 docs_any = [posts[(f, t)].docs for f in fields if stats[(f, t)][0] > 0]
                 term_docs = (np.unique(np.concatenate(docs_any))
                              if docs_any else np.empty(0, np.int64))
                 candidates = term_docs if candidates is None else \
                     candidates[np.isin(candidates, term_docs, assume_unique=True)]
+            for ph in must_phrases:
+                docs_any = [phrase_docs[(f, ph)] for f in fields
+                            if (f, ph) in phrase_docs]
+                ph_docs = (np.unique(np.concatenate(docs_any))
+                           if docs_any else np.empty(0, np.int64))
+                candidates = ph_docs if candidates is None else \
+                    candidates[np.isin(candidates, ph_docs, assume_unique=True)]
             candidates = self._drop_tombstones(candidates)
         excluded = None
-        if must_not:
-            ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
-            if ex:
-                excluded = np.unique(np.concatenate(ex))
+        ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
+        ex += [phrase_docs[(f, ph)] for ph in not_phrases for f in fields
+               if (f, ph) in phrase_docs]
+        if ex:
+            excluded = np.unique(np.concatenate(ex))
 
         if not scorers:
             if candidates is None:
@@ -412,10 +464,49 @@ class BucketSearcher:
                 and self._ts_in_bucket.size == 0:
             ids, scores = self._search_bmw(scorers, limit, dtype)
         else:
-            ids, scores = self._search_taat(scorers, candidates, limit, dtype,
-                                            excluded=excluded,
-                                            zero_fill=bool(q.filters) and not must)
+            ids, scores = self._search_taat(
+                scorers, candidates, limit, dtype, excluded=excluded,
+                zero_fill=bool(q.filters) and not must and not must_phrases)
         return ids, scores
+
+    def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":
+        """Synthetic posting for an exact phrase in one field: docs where the
+        terms occur at consecutive positions, tf = number of phrase occurrences
+        (Lucene ExactPhraseMatcher semantics), with block metadata so block-max
+        WAND can prune phrase clauses like any term clause."""
+        plist = [posts.get((fld, t), _EMPTY) for t in terms]
+        docs = plist[0].docs
+        for p in plist[1:]:
+            if docs.size == 0:
+                break
+            docs = docs[np.isin(docs, p.docs, assume_unique=True)]
+        if docs.size == 0:
+            return None
+        pos_data = [p.positions() for p in plist]
+        idxs = [np.searchsorted(p.docs, docs) for p in plist]
+        freqs = np.zeros(docs.size, dtype=np.int64)
+        for i in range(docs.size):
+            p0, o0 = pos_data[0]
+            j0 = idxs[0][i]
+            cand = p0[o0[j0]:o0[j0 + 1]]
+            for k in range(1, len(plist)):
+                pk, ok_ = pos_data[k]
+                jk = idxs[k][i]
+                cand = cand[np.isin(cand + k, pk[ok_[jk]:ok_[jk + 1]],
+                                    assume_unique=True)]
+                if cand.size == 0:
+                    break
+            freqs[i] = cand.size
+        keep = freqs > 0
+        docs, freqs = docs[keep], freqs[keep]
+        if docs.size == 0:
+            return None
+        norms = plist[0].norms[np.searchsorted(plist[0].docs, docs)]
+        B = codec.BLOCK_SIZE
+        starts = np.arange(0, docs.size, B)
+        return Posting(docs, freqs, norms, docs[starts],
+                       np.maximum.reduceat(freqs, starts),
+                       np.minimum.reduceat(norms, starts))
 
     def _term_scores(self, posting: Posting, cache, w, dtype, lo=None, hi=None):
         s = slice(lo, hi)

