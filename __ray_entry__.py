@@ -556,15 +556,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["events_window"] = events_window
 
-    # --- multimodal plumbing (stubbed decode, real Ray plumbing) ---
+    # --- multimodal (REAL decoders: PPM/BMP via numpy, PCM WAV via stdlib) ---
     def multimodal_image(sf):
+        # solid-color PPM payloads with analytically-known channel means
+        # (color of image i = ((i*37)%256, (i*59)%256, (i*83)%256)), decoded by
+        # the real P6 parser through the actor-pool stage → value-level oracle
         import ray.data
         from byzer_retrieval_ray.ops.multimodal import ImageDecode, synth_media_table
-        ds = ray.data.from_arrow(synth_media_table(64, "image"))
-        out = ds.map_batches(ImageDecode(fake=True), batch_format="pyarrow",
+        ds = ray.data.from_arrow(synth_media_table(64, "ppm"))
+        out = ds.map_batches(ImageDecode(), batch_format="pyarrow",
                              batch_size=16, concurrency=2).to_pandas()
-        return pa.table({"media_id": pa.array(sorted(out["media_id"]), pa.int64())})
+        out = out.sort_values("media_id").reset_index(drop=True)
+        cm = np.stack(out["channel_mean"].to_numpy())
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "r_mean": pa.array(cm[:, 0], pa.float64()),
+            "g_mean": pa.array(cm[:, 1], pa.float64()),
+            "b_mean": pa.array(cm[:, 2], pa.float64()),
+        })
     q["multimodal_image"] = multimodal_image
+
+    def multimodal_audio(sf):
+        # real PCM WAV decode (stdlib) through the actor-pool frame sampler;
+        # rows-only (sine-tone RMS has no closed-form SQL within rounding)
+        import ray.data
+        from byzer_retrieval_ray.ops.multimodal import AudioFrameSample, synth_media_table
+        ds = ray.data.from_arrow(synth_media_table(32, "wav"))
+        out = ds.map_batches(AudioFrameSample(), batch_format="pyarrow",
+                             batch_size=8, concurrency=2).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "n_frames": pa.array([len(x) for x in out["frame_energy"]], pa.int64()),
+        })
+    q["multimodal_audio"] = multimodal_audio
 
     return q
 
@@ -942,5 +967,13 @@ SELECT doc_id,
 FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
 ORDER BY doc_id, fp"""
 
-    # rows-only entries (actor-pool stub plumbing, no SQL semantics): multimodal_image
+    # solid-color PPMs: channel mean == the generating color, exactly
+    sql["multimodal_image"] = """
+SELECT CAST(range AS BIGINT) AS media_id,
+       CAST((range * 37) % 256 AS DOUBLE) AS r_mean,
+       CAST((range * 59) % 256 AS DOUBLE) AS g_mean,
+       CAST((range * 83) % 256 AS DOUBLE) AS b_mean
+FROM range(64) ORDER BY media_id"""
+
+    # rows-only entries (no closed-form SQL): multimodal_audio
     return sql

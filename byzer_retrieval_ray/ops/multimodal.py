@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (the container ships no image/audio
-libraries): each stage raises ``NotImplementedError`` unless constructed with
-``fake=True``, in which case a deterministic fake decode (content-hash-seeded) stands
-in so the Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested. Swapping in Pillow/torchaudio is a one-method change per stage.
+Decode kernels are REAL for the container-decodable formats — PPM (P6) and
+24-bit BMP images (pure numpy parsing) and PCM WAV audio (stdlib ``wave``) —
+dispatched on the payload's magic bytes. Formats that would need external
+libraries (JPEG/PNG/MP3/video) raise ``NotImplementedError`` unless the stage is
+constructed with ``fake=True``, in which case a deterministic content-hash-seeded
+fake decode stands in so the Ray-side plumbing stays testable for those too.
 
 Scale notes: binary payloads make blocks wide — run these stages with a small
 ``batch_size`` (64–256) and let `DataContext.target_max_block_size` stay default so
@@ -13,6 +14,10 @@ the object store never holds more than concurrency × batch_size payloads.
 """
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +35,104 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+# ---------------- real codecs (stdlib + numpy) ----------------
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated, # comments
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":
+            while i < len(data) and data[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels.astype(np.uint8)).tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 (RGB)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
+                         offset=pixel_off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb[::-1] if flipped else rgb).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)   # bottom-up BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float64 samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        channels = f.getnchannels()
+        raw = f.readframes(n)
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        s = s.reshape(-1, channels).mean(axis=1)
+    return s, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def _fake_rng(payload: bytes) -> np.random.Generator:
     return np.random.default_rng(murmur3_x86_32(payload) & 0x7FFFFFFF)
 
@@ -37,19 +140,24 @@ def _fake_rng(payload: bytes) -> np.random.Generator:
 class ImageDecode:
     """binary → (height, width, 3) uint8 pixels (summarized as per-channel stats).
 
-    Actor-pool stage: ``ds.map_batches(ImageDecode(fake=True), batch_size=128,
-    concurrency=N)``. The real implementation would decode with Pillow in __call__
-    and load nothing per batch (no per-batch setup)."""
+    Actor-pool stage: ``ds.map_batches(ImageDecode(), batch_size=128,
+    concurrency=N)``. PPM (P6) and 24-bit BMP payloads decode for real
+    (magic-byte dispatch); other formats raise unless ``fake=True``."""
 
     def __init__(self, fake: bool = False, payload_col: str = "payload"):
         self.fake = fake
         self.payload_col = payload_col
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
         if not self.fake:
             raise NotImplementedError(
-                "image decoding requires an image library not present in this "
-                "container; construct ImageDecode(fake=True) for the deterministic stub")
+                "image format not decodable in this container (real decoders: "
+                "PPM P6, 24-bit BMP); construct ImageDecode(fake=True) for the "
+                "deterministic stub")
         rng = _fake_rng(payload)
         h = max(int(height), 4)
         w = max(int(width), 4)
@@ -68,7 +176,7 @@ class ImageDecode:
 
 
 class ImageResize:
-    """Deterministic nearest-neighbor resize of decoded fake pixels → feature vector."""
+    """Deterministic nearest-neighbor resize of decoded pixels → feature vector."""
 
     def __init__(self, out: tuple[int, int] = (8, 8), fake: bool = False,
                  payload_col: str = "payload"):
@@ -91,7 +199,8 @@ class ImageResize:
 
 
 class AudioFrameSample:
-    """binary audio → every-nth-frame energy summary (stubbed decode)."""
+    """binary audio → every-nth-frame RMS energy. PCM WAV payloads (RIFF magic)
+    decode for real via the stdlib; other formats raise unless ``fake=True``."""
 
     def __init__(self, frame_ms: int = 20, stride: int = 4, fake: bool = False,
                  payload_col: str = "payload"):
@@ -104,20 +213,71 @@ class AudioFrameSample:
         out = []
         for payload, dur in zip(batch[self.payload_col].to_pylist(),
                                 batch["duration_ms"].to_pylist()):
-            if not self.fake:
+            if payload[:4] == b"RIFF":
+                samples, rate = decode_wav(payload)
+                flen = max(rate * self.frame_ms // 1000, 1)
+                n_frames = max(samples.size // flen, 1)
+                trimmed = samples[: n_frames * flen]
+                if trimmed.size < n_frames * flen:
+                    trimmed = np.pad(trimmed, (0, n_frames * flen - trimmed.size))
+                rms = np.sqrt((trimmed.reshape(n_frames, flen) ** 2).mean(axis=1))
+                energies = rms[::self.stride]
+            elif self.fake:
+                rng = _fake_rng(payload)
+                n_frames = max(int(dur) // self.frame_ms, 1)
+                energies = rng.random(n_frames)[::self.stride]
+            else:
                 raise NotImplementedError(
-                    "audio decoding requires an audio library not present; "
-                    "construct AudioFrameSample(fake=True) for the stub")
-            rng = _fake_rng(payload)
-            n_frames = max(int(dur) // self.frame_ms, 1)
-            energies = rng.random(n_frames)[::self.stride]
+                    "audio format not decodable in this container (real decoder: "
+                    "PCM WAV); construct AudioFrameSample(fake=True) for the stub")
             out.append([float(e) for e in energies[:64]])
         return batch.append_column("frame_energy", pa.array(out, pa.list_(pa.float64())))
 
 
 def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media rows for plumbing tests."""
+    """Deterministic synthetic media rows.
+
+    kind="ppm" / "bmp" / "wav" generate REAL encoded payloads (solid-color images
+    whose channel statistics are analytically known: color of row i =
+    ((i*37) % 256, (i*59) % 256, (i*83) % 256); sine-tone WAVs at 100+i Hz).
+    kind="image" / "audio" keep the opaque random payloads for the fake-decode
+    plumbing tests."""
     rng = np.random.default_rng(seed)
+    if kind in ("ppm", "bmp"):
+        dims = [(int(rng.integers(4, 32)), int(rng.integers(4, 32))) for _ in range(n)]
+        colors = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256) for i in range(n)]
+        enc = encode_ppm if kind == "ppm" else encode_bmp
+        payloads = []
+        for (w, h), c in zip(dims, colors):
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :] = c
+            payloads.append(enc(px))
+        return pa.table({
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array([f"image/{kind}"] * n),
+            "width": pa.array(np.array([d[0] for d in dims], np.int32)),
+            "height": pa.array(np.array([d[1] for d in dims], np.int32)),
+            "duration_ms": pa.array(np.zeros(n, np.int32)),
+        })
+    if kind == "wav":
+        rate = 8000
+        payloads, durs = [], []
+        for i in range(n):
+            ms = int(rng.integers(50, 400))
+            t = np.arange(int(rate * ms / 1000)) / rate
+            payloads.append(encode_wav(0.5 * np.sin(2 * np.pi * (100 + i) * t), rate))
+            durs.append(ms)
+        return pa.table({
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "width": pa.array(np.zeros(n, np.int32)),
+            "height": pa.array(np.zeros(n, np.int32)),
+            "duration_ms": pa.array(np.array(durs, np.int32)),
+        })
     payloads = [rng.integers(0, 256, size=int(rng.integers(64, 256)),
                              dtype=np.uint8).tobytes() for _ in range(n)]
     return pa.table({

@@ -231,3 +231,65 @@ class TestPolyHash:
         assert fps[0] == fps[1]
         shared = set(fps[0]) & set(fps[2])
         assert shared  # overlapping passages share fingerprint values
+
+
+class TestRealMultimodalCodecs:
+    """PPM/BMP image and PCM WAV audio decode for REAL (stdlib + numpy)."""
+
+    def test_ppm_roundtrip(self):
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+        data = multimodal.encode_ppm(px)
+        assert data[:2] == b"P6"
+        assert np.array_equal(multimodal.decode_ppm(data), px)
+
+    def test_ppm_with_comment_header(self):
+        px = np.full((2, 3, 3), 9, dtype=np.uint8)
+        data = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+        assert np.array_equal(multimodal.decode_ppm(data), px)
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        rng = np.random.default_rng(2)
+        for w in (5, 4, 3):                      # 3*w % 4 != 0 exercises padding
+            px = rng.integers(0, 256, size=(6, w, 3), dtype=np.uint8)
+            data = multimodal.encode_bmp(px)
+            assert data[:2] == b"BM"
+            assert np.array_equal(multimodal.decode_bmp(data), px)
+
+    def test_wav_roundtrip_and_rms(self):
+        rate = 8000
+        t = np.arange(rate // 4) / rate
+        sig = 0.5 * np.sin(2 * np.pi * 200 * t)
+        data = multimodal.encode_wav(sig, rate)
+        samples, got_rate = multimodal.decode_wav(data)
+        assert got_rate == rate and samples.size == sig.size
+        assert np.abs(samples - sig).max() < 1e-3    # 16-bit quantization
+        # full-signal RMS of a sine ≈ amplitude/sqrt(2)
+        assert np.sqrt((samples ** 2).mean()) == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)
+
+    def test_image_stage_decodes_real_ppm(self, ray_mod):
+        ds = ray_mod.from_arrow(multimodal.synth_media_table(12, "ppm"))
+        out = ds.map_batches(multimodal.ImageDecode(), batch_format="pyarrow",
+                             batch_size=4, concurrency=2).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        for i, cm in enumerate(out["channel_mean"]):
+            assert list(cm) == [(i * 37) % 256, (i * 59) % 256, (i * 83) % 256]
+        # solid color ⇒ zero std
+        assert all(max(cs) == 0.0 for cs in out["channel_std"])
+
+    def test_audio_stage_decodes_real_wav(self, ray_mod):
+        ds = ray_mod.from_arrow(multimodal.synth_media_table(6, "wav"))
+        out = ds.map_batches(multimodal.AudioFrameSample(), batch_format="pyarrow",
+                             batch_size=2, concurrency=2).to_pandas()
+        # a sine tone has near-constant frame RMS ≈ 0.5/sqrt(2)
+        for es in out["frame_energy"]:
+            assert len(es) >= 1
+            assert abs(np.mean(es) - 0.5 / np.sqrt(2)) < 0.05
+
+    def test_bmp_through_resize_stage(self, ray_mod):
+        ds = ray_mod.from_arrow(multimodal.synth_media_table(8, "bmp"))
+        out = ds.map_batches(multimodal.ImageResize(out=(4, 4)),
+                             batch_format="pyarrow", batch_size=4).to_pandas()
+        for i, feat in enumerate(out.sort_values("media_id")["image_embedding"]):
+            want = ((i * 37) % 256 + (i * 59) % 256 + (i * 83) % 256) / 3 / 255.0
+            assert np.allclose(feat, want, atol=1e-6)
