@@ -556,6 +556,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["events_window"] = events_window
 
+    # --- gap-based sessionization over the event stream ---
+    def events_sessions(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.windows import sessionize
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["ts", "user_id"])
+        out = sessionize(ds, "ts", "user_id", gap_sec=1800.0).to_pandas()
+        out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_id": pa.array(out["session_id"], pa.int64()),
+            "session_start": pa.array(out["session_start"], pa.float64()),
+            "session_end": pa.array(out["session_end"], pa.float64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+        })
+    q["events_sessions"] = events_sessions
+
     # --- multimodal (REAL decoders: PPM/BMP via numpy, PCM WAV via stdlib) ---
     def multimodal_image(sf):
         # solid-color PPM payloads with analytically-known channel means
@@ -966,6 +983,21 @@ SELECT doc_id,
        CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fp
 FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
 ORDER BY doc_id, fp"""
+
+    sql["events_sessions"] = """
+WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
+lagd AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+flag AS (SELECT user_id, t,
+                CASE WHEN pt IS NULL OR t - pt > 1800.0e0 THEN 1 ELSE 0 END AS new
+         FROM lagd),
+sess AS (SELECT user_id, t,
+                SUM(new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flag)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       MIN(t) AS session_start, MAX(t) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_id"""
 
     # solid-color PPMs: channel mean == the generating color, exactly
     sql["multimodal_image"] = """

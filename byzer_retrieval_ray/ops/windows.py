@@ -49,3 +49,67 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
     return partials.map_batches(bucketed, batch_format="pyarrow") \
         .groupby("__b") \
         .map_groups(lambda g: fold(g.drop_columns(["__b"])), batch_format="pyarrow")
+
+
+def sessionize(ds, ts_col: str, user_col: str, gap_sec: float, num_buckets: int = 64):
+    """Gap-based sessionization: consecutive events of one user belong to the same
+    session while the time gap ≤ ``gap_sec``; a larger gap starts a new session.
+
+    Ray-Data-first and skew-safe: the shuffle carries (user, epoch) pairs only,
+    hash-bucketed by user so one ``map_groups`` call resolves MANY users
+    vectorized (sort by (user, t) → new-session flags → cumsum → reduceat
+    aggregates) — not one group per user, so a hot user costs one bucket, not a
+    straggler task per event.
+
+    Returns a Dataset of (user_id, session_id, session_start, session_end,
+    n_events); session_id is 1-based per user in time order, timestamps are
+    float64 epoch seconds.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy()
+        ts = batch[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            t = ts.astype("datetime64[us]").astype(np.int64) / 1e6
+        else:
+            t = ts.astype(np.float64)
+        return pa.table({
+            "u": pa.array(users.astype(np.int64)),
+            "t": pa.array(t, pa.float64()),
+            "__b": pa.array((users.astype(np.int64) % num_buckets).astype(np.int32)),
+        })
+
+    def resolve(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("u", "ascending"), ("t", "ascending")])
+        u = g["u"].to_numpy()
+        t = g["t"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "session_start": pa.array([], pa.float64()),
+                             "session_end": pa.array([], pa.float64()),
+                             "n_events": pa.array([], pa.int64())})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap_sec
+        sid_global = np.cumsum(new_sess)                 # 1-based global session idx
+        first_of_user = sid_global[new_user]
+        user_idx = np.cumsum(new_user) - 1
+        session_id = sid_global - first_of_user[user_idx] + 1
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "session_id": pa.array(session_id[starts], pa.int64()),
+            "session_start": pa.array(t[starts], pa.float64()),
+            "session_end": pa.array(np.maximum.reduceat(t, starts), pa.float64()),
+            "n_events": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(key_rows, batch_format="pyarrow") \
+             .groupby("__b").map_groups(resolve, batch_format="pyarrow")

@@ -53,3 +53,43 @@ class TestSkewBalance:
         assert sizes.size >= 6
         ratio = sizes.max() / np.median(sizes)
         assert ratio < 4.0, f"term partitions skewed: {sizes}"
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, ray_session):
+        import ray.data
+        import numpy as np
+        import pyarrow as pa
+        from byzer_retrieval_ray.ops.windows import sessionize
+
+        rows = []
+        # user 1: two sessions (gap 100 > 60); user 2: one session; user 3: single event
+        for t in (0.0, 10.0, 20.0, 120.0, 130.0):
+            rows.append({"user_id": 1, "ts": t})
+        for t in (5.0, 50.0):
+            rows.append({"user_id": 2, "ts": t})
+        rows.append({"user_id": 3, "ts": 7.0})
+        ds = ray.data.from_items(rows)
+        out = sessionize(ds, "ts", "user_id", gap_sec=60.0).to_pandas()
+        out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        got = [tuple(r) for r in out[["user_id", "session_id", "session_start",
+                                      "session_end", "n_events"]].to_numpy()]
+        assert got == [(1, 1, 0.0, 20.0, 3), (1, 2, 120.0, 130.0, 2),
+                       (2, 1, 5.0, 50.0, 2), (3, 1, 7.0, 7.0, 1)]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+        import numpy as np
+        from byzer_retrieval_ray.ops.windows import sessionize
+
+        rng = np.random.default_rng(3)
+        rows = [{"user_id": int(rng.integers(0, 20)),
+                 "ts": float(rng.integers(0, 10_000))} for _ in range(500)]
+        outs = []
+        for nb in (4, 64):
+            ds = ray.data.from_items(rows)
+            df = sessionize(ds, "ts", "user_id", gap_sec=300.0,
+                            num_buckets=nb).to_pandas()
+            outs.append(df.sort_values(["user_id", "session_id"])
+                          .reset_index(drop=True))
+        assert outs[0].equals(outs[1])
