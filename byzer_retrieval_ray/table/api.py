@@ -190,28 +190,6 @@ class RetrievalCluster:
         self._invalidate(database, table)
         return info
 
-    def _tombstone_keys(self, m: Manifest, key_field: str, keys: list) -> None:
-        """Resolve key → doc_id across every active generation's docstore (a
-        NARROW pass: key + doc_id columns only, row-group pruned where the key is
-        the sort column) and tombstone the hits, generation-scoped."""
-        by_gen: dict[int, list[int]] = {}
-        karr = np.asarray(keys)
-        for g in m.active_generations():
-            gr = GenerationReader(m.data, g)
-            hits: list[int] = []
-            for b in gr.buckets():
-                for path in gr.docstore_paths(b):
-                    if not os.path.exists(path):
-                        continue
-                    t = pq.read_table(path, columns=["doc_id", key_field])
-                    kk = t[key_field].to_numpy(zero_copy_only=False)
-                    mask = np.isin(kk, karr.astype(kk.dtype, copy=False))
-                    if mask.any():
-                        hits.extend(t["doc_id"].to_numpy()[mask].tolist())
-            if hits:
-                by_gen[g] = hits
-        self._append_tombstones(m, by_gen)
-
     def build_from_jsonl(self, database: str, table: str, data_location: str,
                          key_field: str = "_id", **kw) -> bool:
         """S1 equivalent (RetrievalWorker.java:176-211): index a directory of JSONL.
@@ -264,30 +242,77 @@ class RetrievalCluster:
     # ------------- mutations (M2/M3/M5/M6) -------------
 
     def delete_by_ids(self, database: str, table: str, ids: list) -> bool:
+        """M2: resolve keys → doc_ids with a NARROW pass over the docstores
+        (key + doc_id columns only) and tombstone the hits — never loads stored
+        payloads, distributed via Ray Data above a small-table threshold."""
         m = self.manifest(database, table)
         gr = GenerationReader(m.data)
-        key = gr.key_field
-        by_gen: dict[int, list[int]] = {}
-        for s in self._searchers(database, table):
-            tbl = s._docstore(["doc_id", key])
-            keys = tbl[key].to_numpy(zero_copy_only=False)
-            mask = np.isin(keys, np.array(ids, dtype=keys.dtype))
-            if mask.any():
-                by_gen.setdefault(s.gen.gen, []).extend(
-                    tbl["doc_id"].to_numpy()[mask].tolist())
-        return self._append_tombstones(m, by_gen)
+        self._tombstone_keys(m, gr.key_field, ids)
+        return True
 
     def delete_by_filter(self, database: str, table: str, condition: dict) -> bool:
         """M3: condition is a {field: value, ...} map — AND of exact matches
-        (RetrievalWorker.java:103-124)."""
+        (RetrievalWorker.java:103-124). Resolution is a column-pruned pass over
+        each generation's docstore (filter fields + doc_id only)."""
         m = self.manifest(database, table)
         tree = {"and": [{"field": k, "value": v} for k, v in condition.items()]}
-        by_gen: dict[int, list[int]] = {}
-        for s in self._searchers(database, table):
-            cand = s.filter_candidates(tree)
-            if cand is not None and cand.size:
-                by_gen.setdefault(s.gen.gen, []).extend(cand.tolist())
+        from byzer_retrieval_ray.functions import filters as F
+
+        gr0 = GenerationReader(m.data)
+        analyzed = gr0.analyzed
+        cols = sorted({"doc_id", *condition.keys()})
+
+        def find(t: pa.Table) -> pa.Table:
+            mask = F.evaluate(t, tree, analyzed=analyzed)
+            return pa.table({"doc_id": t.filter(mask)["doc_id"]})
+
+        by_gen = self._scan_doc_ids(m, cols, find)
         return self._append_tombstones(m, by_gen)
+
+    def _tombstone_keys(self, m: Manifest, key_field: str, keys: list) -> None:
+        """Resolve key → doc_id across every active generation's docstore (a
+        NARROW pass: key + doc_id columns only, row-group pruned where the key is
+        the sort column) and tombstone the hits, generation-scoped."""
+        karr = np.asarray(keys)
+
+        def find(t: pa.Table) -> pa.Table:
+            kk = t[key_field].to_numpy(zero_copy_only=False)
+            mask = np.isin(kk, karr.astype(kk.dtype, copy=False))
+            return pa.table({"doc_id": t["doc_id"].filter(pa.array(mask))})
+
+        by_gen = self._scan_doc_ids(m, ["doc_id", key_field], find)
+        self._append_tombstones(m, by_gen)
+
+    # docstore file count above which key/filter resolution goes through a
+    # distributed Ray Data pass instead of driver-side parquet reads
+    _RESOLVE_RAY_THRESHOLD = 16
+
+    def _scan_doc_ids(self, m: Manifest, columns: list[str], find) -> dict[int, list[int]]:
+        """Per-generation doc_ids selected by ``find`` over a column-pruned
+        docstore scan. Small tables read on the driver; larger ones run the same
+        kernel as a Ray Data ``map_batches`` pass (the 100 TB shape: the driver
+        only ever sees the matching ids)."""
+        by_gen: dict[int, list[int]] = {}
+        for g in m.active_generations():
+            gr = GenerationReader(m.data, g)
+            paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
+            paths = [p for p in paths if os.path.exists(p)]
+            if not paths:
+                continue
+            cols = [c for c in columns]
+            if len(paths) >= self._RESOLVE_RAY_THRESHOLD:
+                import ray.data
+                ds = ray.data.read_parquet(paths, columns=cols)
+                hits = ds.map_batches(find, batch_format="pyarrow").to_pandas()
+                ids = hits["doc_id"].tolist() if "doc_id" in hits.columns else []
+            else:
+                ids = []
+                for p in paths:
+                    t = pq.read_table(p, columns=cols)
+                    ids.extend(find(t)["doc_id"].to_pylist())
+            if ids:
+                by_gen[g] = ids
+        return by_gen
 
     def _append_tombstones(self, m: Manifest, by_gen: dict[int, list[int]]) -> bool:
         """Record doc_id tombstones, one file per affected generation (doc_ids
