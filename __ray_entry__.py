@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # quoted phrase over positional postings (Lucene PhraseQuery/BM25: tf =
     # exact phrase frequency, idf = Σ per-term idf)
     q["bm25_phrase"] = lambda sf: _bm25(sf, '"merge sort"', 20)
+    # prefix clause (constant score 1.0 per matching doc) mixed with a BM25 term
+    q["bm25_prefix"] = lambda sf: _bm25(sf, "mer* sort", 20)
 
     # --- filters (Q3): exact / nested and-or / range, incl. zero-score fill ---
     q["bm25_filter_lang"] = lambda sf: _bm25(
@@ -659,6 +661,18 @@ scored AS (
   WHERE pf.freq > 0
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    sql["bm25_prefix"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["sort"])},
+pre AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'mer%'),
+comb AS (
+  SELECT COALESCE(s.doc_id, p.doc_id) AS doc_id,
+         COALESCE(s.score, 0.0e0)
+         + CASE WHEN p.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
+  FROM scored s FULL OUTER JOIN pre p ON s.doc_id = p.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""
 
     sql["filter_sort_docs"] = """

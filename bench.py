@@ -50,6 +50,8 @@ def bench_queries(n_pages: int):
     for a, b in ((0, 3), (1, 200), (7, 2000), (100, 5000)):
         qs.append(f"{v[a]} {v[b]}")                            # 2-term OR
     qs.append(f"{v[2]} {v[30]} {v[400]} {v[6000]}")            # 4-term OR
+    qs.append(f'"{v[0]} {v[1]}"')                              # phrase (positional)
+    qs.append(f'"{v[3]} {v[7]}" {v[50]}')                      # phrase + term mix
     qs.append("*")
     return qs
 

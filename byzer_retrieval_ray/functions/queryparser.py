@@ -1,8 +1,8 @@
 """SimpleQueryParser-subset keyword parsing.
 
 The reference parses keywords with Lucene's ``SimpleQueryParser`` over a whitespace
-analyzer (RetrievalWorker.java:339-341), default operator OR. Supported here — the
-subset the reference's own tests exercise, plus the explicit operators:
+analyzer (RetrievalWorker.java:339-341; all parser features enabled by the
+two-arg constructor), default operator OR. Supported here:
 
     term term        → OR (SHOULD) terms
     +term            → required (MUST, scored)
@@ -13,49 +13,68 @@ subset the reference's own tests exercise, plus the explicit operators:
                        PhraseQuery/BM25 combination); +"a b" required phrase,
                        -"a b" prohibited phrase. Single-term quotes degrade to
                        plain terms (Lucene scores them as term queries).
+    term*            → prefix clause, CONSTANT score 1.0 per matching doc (the
+                       Lucene constant-score MultiTermQuery rewrite; the blended
+                       rewrite's shared-idf scoring is a documented divergence);
+                       +term* / -term* for required / prohibited prefixes.
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
 
-Clause order for scoring is: plain SHOULD terms, MUST terms, SHOULD phrases, MUST
-phrases (the float-addition order is fixed and mirrored by the oracle SQL).
+Unsupported (documented): fuzzy ``term~N``, NEAR ``"a b"~N``, precedence ``( )``.
 
-Returns (should, must, must_not, phrases, must_phrases, not_phrases); analysis
-stays whitespace-only.
+Clause order for scoring is: plain SHOULD terms, MUST terms, SHOULD phrases, MUST
+phrases, SHOULD prefixes, MUST prefixes (the float-addition order is fixed and
+mirrored by the oracle SQL). Analysis stays whitespace-only.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 
 _PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
 
 
-def parse_keyword(keyword: str):
-    should: list[str] = []
-    must: list[str] = []
-    must_not: list[str] = []
-    phrases: list[tuple[str, ...]] = []
-    must_phrases: list[tuple[str, ...]] = []
-    not_phrases: list[tuple[str, ...]] = []
+@dataclass
+class ParsedKeyword:
+    should: list = field(default_factory=list)
+    must: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    phrases: list = field(default_factory=list)        # tuples of terms
+    must_phrases: list = field(default_factory=list)
+    not_phrases: list = field(default_factory=list)
+    prefixes: list = field(default_factory=list)       # prefix strings
+    must_prefixes: list = field(default_factory=list)
+    not_prefixes: list = field(default_factory=list)
+
+
+def parse_keyword(keyword: str) -> ParsedKeyword:
+    p = ParsedKeyword()
 
     def take_phrase(m: re.Match) -> str:
         op, body = m.group(1), m.group(2)
         terms = tuple(body.split())
         if len(terms) == 1:
             # single-term phrase == term query (Lucene)
-            (must if op == "+" else must_not if op == "-" else should).append(terms[0])
+            (p.must if op == "+" else p.must_not if op == "-"
+             else p.should).append(terms[0])
         elif terms:
-            (must_phrases if op == "+" else not_phrases if op == "-"
-             else phrases).append(terms)
+            (p.must_phrases if op == "+" else p.not_phrases if op == "-"
+             else p.phrases).append(terms)
         return " "
 
     rest = _PHRASE_RE.sub(take_phrase, keyword)
     for raw in rest.replace("|", " ").split():
         tok = raw
-        quoted = tok.strip('"')
-        if tok.startswith("+") and len(tok) > 1:
-            must.append(tok[1:].strip('"'))
-        elif tok.startswith("-") and len(tok) > 1:
-            must_not.append(tok[1:].strip('"'))
-        elif quoted:
-            should.append(quoted)
-    return should, must, must_not, phrases, must_phrases, not_phrases
+        op = ""
+        if tok[:1] in "+-" and len(tok) > 1:
+            op, tok = tok[0], tok[1:]
+        tok = tok.strip('"')
+        if not tok:
+            continue
+        if tok.endswith("*") and len(tok) > 1:
+            (p.must_prefixes if op == "+" else p.not_prefixes if op == "-"
+             else p.prefixes).append(tok[:-1])
+        else:
+            (p.must if op == "+" else p.must_not if op == "-"
+             else p.should).append(tok)
+    return p

@@ -130,6 +130,35 @@ class GenerationReader:
                 cache[(fld, term)] = (df, ttf)
         self._ts_cache[r] = cache
 
+    def _sorted_terms(self, r: int) -> dict[str, list[str]]:
+        """field → sorted term list of range r (built once, for prefix scans)."""
+        if not hasattr(self, "_term_lists"):
+            self._term_lists: dict[int, dict[str, list[str]]] = {}
+        if r not in self._term_lists:
+            self._load_ts_cache(r)
+            by_field: dict[str, list[str]] = {}
+            for fld, term in self._ts_cache[r].keys():
+                by_field.setdefault(fld, []).append(term)
+            self._term_lists[r] = {f: sorted(ts) for f, ts in by_field.items()}
+        return self._term_lists[r]
+
+    def expand_prefix(self, field: str, prefix: str, limit: int = 1024) -> list[str]:
+        """Terms of ``field`` starting with ``prefix`` (dictionary scan over the
+        term-range partitions the prefix interval maps to)."""
+        import bisect
+        out: list[str] = []
+        lo_r = self.route_term(prefix)
+        hi_r = self.route_term(prefix + "\uffff")
+        for r in range(lo_r, hi_r + 1):
+            lst = self._sorted_terms(r).get(field, [])
+            i = bisect.bisect_left(lst, prefix)
+            while i < len(lst) and lst[i].startswith(prefix):
+                out.append(lst[i])
+                i += 1
+                if len(out) >= limit:
+                    return out
+        return out
+
     def tombstones(self) -> np.ndarray:
         """Tombstoned doc_ids of THIS generation (doc_ids are generation-scoped;
         files written before gen scoping existed apply to the manifest's current
@@ -177,6 +206,12 @@ class StatsView:
                 out[p] = (a + df, b + ttf)
         return out
 
+    def expand_prefix(self, field: str, prefix: str, limit: int = 1024) -> list[str]:
+        terms: set[str] = set()
+        for r in self.readers:
+            terms.update(r.expand_prefix(field, prefix, limit))
+        return sorted(terms)[:limit]
+
 
 class Posting:
     __slots__ = ("docs", "tfs", "norms", "blk_first", "blk_max_tf", "blk_min_norm",
@@ -208,6 +243,18 @@ class Posting:
 
 _EMPTY = Posting(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
                  np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8))
+
+
+def _const_posting(docs: np.ndarray) -> Posting:
+    """Synthetic posting for a constant-score clause (tf/norms unused; block
+    metadata present so BMW can treat it like any clause)."""
+    B = codec.BLOCK_SIZE
+    starts = np.arange(0, docs.size, B)
+    ones = np.ones(docs.size, dtype=np.int64)
+    zeros = np.zeros(docs.size, dtype=np.uint8)
+    return Posting(docs, ones, zeros, docs[starts],
+                   np.ones(starts.size, dtype=np.int64),
+                   np.zeros(starts.size, dtype=np.uint8))
 
 
 def _postings_from_table(tbl: pa.Table, codec_name: str):
@@ -373,8 +420,9 @@ class BucketSearcher:
 
         from byzer_retrieval_ray.functions.queryparser import parse_keyword
 
-        should, must, must_not, phrases, must_phrases, not_phrases = \
-            parse_keyword(keyword)
+        pk = parse_keyword(keyword)
+        should, must, must_not = pk.should, pk.must, pk.must_not
+        phrases, must_phrases, not_phrases = pk.phrases, pk.must_phrases, pk.not_phrases
         fields = q.fields or sorted(self.gen.analyzed)
         bad = [f for f in fields if f not in self.gen.analyzed]
         if bad:
@@ -427,9 +475,31 @@ class BucketSearcher:
                                              dtype=dtype) for t in ph)
                     scorers.append(((fld, " ".join(ph)), pp, cache, dtype(w)))
 
+        # prefix clauses (term*): CONSTANT score 1.0 per matching doc (the Lucene
+        # constant-score MultiTermQuery rewrite) — the clause's docs are the union
+        # of the expanded terms' postings in this bucket
+        all_prefixes = pk.prefixes + pk.must_prefixes + pk.not_prefixes
+        prefix_docs: dict[tuple[str, str], np.ndarray] = {}
+        if all_prefixes:
+            for pre in dict.fromkeys(all_prefixes):
+                for fld in fields:
+                    terms = self.stats.expand_prefix(fld, pre)
+                    if not terms:
+                        continue
+                    tpairs = [(fld, t) for t in terms]
+                    tposts = self.fetch_postings(tpairs)
+                    docs_any = [tposts[p].docs for p in tpairs if tposts[p].df > 0]
+                    if not docs_any:
+                        continue
+                    docs = np.unique(np.concatenate(docs_any))
+                    prefix_docs[(fld, pre)] = docs
+                    if pre in pk.prefixes or pre in pk.must_prefixes:
+                        scorers.append(((fld, pre + "*"),
+                                        _const_posting(docs), None, dtype(1.0)))
+
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
-        if must or must_phrases:
+        if must or must_phrases or pk.must_prefixes:
             for t in must:
                 docs_any = [posts[(f, t)].docs for f in fields if stats[(f, t)][0] > 0]
                 term_docs = (np.unique(np.concatenate(docs_any))
@@ -443,11 +513,20 @@ class BucketSearcher:
                            if docs_any else np.empty(0, np.int64))
                 candidates = ph_docs if candidates is None else \
                     candidates[np.isin(candidates, ph_docs, assume_unique=True)]
+            for pre in pk.must_prefixes:
+                docs_any = [prefix_docs[(f, pre)] for f in fields
+                            if (f, pre) in prefix_docs]
+                pr_docs = (np.unique(np.concatenate(docs_any))
+                           if docs_any else np.empty(0, np.int64))
+                candidates = pr_docs if candidates is None else \
+                    candidates[np.isin(candidates, pr_docs, assume_unique=True)]
             candidates = self._drop_tombstones(candidates)
         excluded = None
         ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
         ex += [phrase_docs[(f, ph)] for ph in not_phrases for f in fields
                if (f, ph) in phrase_docs]
+        ex += [prefix_docs[(f, pre)] for pre in pk.not_prefixes for f in fields
+               if (f, pre) in prefix_docs]
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
@@ -466,7 +545,8 @@ class BucketSearcher:
         else:
             ids, scores = self._search_taat(
                 scorers, candidates, limit, dtype, excluded=excluded,
-                zero_fill=bool(q.filters) and not must and not must_phrases)
+                zero_fill=(bool(q.filters) and not must and not must_phrases
+                           and not pk.must_prefixes))
         return ids, scores
 
     def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":
@@ -510,6 +590,9 @@ class BucketSearcher:
 
     def _term_scores(self, posting: Posting, cache, w, dtype, lo=None, hi=None):
         s = slice(lo, hi)
+        if cache is None:    # constant-score clause (prefix queries)
+            docs = posting.docs[s]
+            return docs, np.full(docs.size, w, dtype=dtype)
         return posting.docs[s], bm25.score_tf_norm(posting.tfs[s], posting.norms[s],
                                                    cache, w, dtype=dtype)
 
@@ -559,8 +642,12 @@ class BucketSearcher:
         n_t = len(scorers)
         bounds_per_term = []
         for key, posting, cache, w in scorers:
-            bb = bm25.max_block_score_bound(posting.blk_max_tf, posting.blk_min_norm,
-                                            cache, w, dtype=dtype).astype(np.float64)
+            if cache is None:    # constant-score clause: bound = the constant
+                bb = np.full(posting.blk_first.size, float(w), dtype=np.float64)
+            else:
+                bb = bm25.max_block_score_bound(posting.blk_max_tf,
+                                                posting.blk_min_norm,
+                                                cache, w, dtype=dtype).astype(np.float64)
             bounds_per_term.append(bb)
         # breakpoints: every block start of every term, plus +inf sentinel
         edges = np.unique(np.concatenate([s[1].blk_first for s in scorers]))

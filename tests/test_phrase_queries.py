@@ -121,3 +121,45 @@ class TestPhrase:
         with pytest.raises(RuntimeError, match="positions"):
             c.search("db", "np", {"keyword": '"a b"', "fields": ["content"],
                                   "limit": 5})
+
+
+class TestPrefix:
+    def test_prefix_matches_constant_score(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "qui*", "fields": ["content"],
+                                         "limit": 10}, precision="float64")[0]
+        # every doc containing a token starting with "qui" scores exactly 1.0
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        assert all(r["_score"] == 1.0 for r in res)
+
+    def test_prefix_mixed_with_term(self, cluster):
+        # BM25 term score + 1.0 for the prefix clause
+        only_term = {r["_id"]: r["_score"] for r in cluster.search(
+            "db", "p", {"keyword": "unrelated", "fields": ["content"], "limit": 10},
+            precision="float64")[0]}
+        mixed = {r["_id"]: r["_score"] for r in cluster.search(
+            "db", "p", {"keyword": "unrelated qui*", "fields": ["content"],
+                        "limit": 10}, precision="float64")[0]}
+        assert mixed[4] == pytest.approx(only_term[4])          # term only
+        assert mixed[0] == 1.0                                   # prefix only
+        assert set(mixed) == {0, 1, 2, 3, 4, 5, 6}
+
+    def test_must_and_not_prefix(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "+bro* quick",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5]  # must contain bro*
+        res = cluster.search("db", "p", {"keyword": "quick -bro*",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [6]
+
+    def test_prefix_taat_bmw_parity(self, cluster):
+        for kw in ("qui*", "unrelated qui*", '"quick brown" sto*'):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
+
+    def test_no_match_prefix(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "zzz*", "fields": ["content"],
+                                         "limit": 10})[0]
+        assert res == []
