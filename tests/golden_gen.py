@@ -70,6 +70,15 @@ def golden_queries():
     for kw in (f"+{v[5]} {v[55]}", f"{v[5]} -{v[55]}", f"+{v[8]} +{v[88]}",
                f"{v[12]} | {v[120]}"):                              # operators
         qs.append({"keyword": kw, "limit": 10})
+    # phrases (positional postings) and prefixes (constant score), incl. +/- forms
+    for kw in (f'"{v[0]} {v[1]}"', f'"{v[2]} {v[5]} {v[9]}"',
+               f'"{v[0]} {v[1]}" {v[30]}', f'+"{v[0]} {v[1]}" {v[7]}',
+               f'{v[0]} -"{v[0]} {v[1]}"'):
+        qs.append({"keyword": kw, "limit": 10})
+    pfx = [str(v[0])[:2], str(v[100])[:3], "zzzz"]
+    for kw in (f"{pfx[0]}*", f"{pfx[1]}* {v[4]}", f"+{pfx[0]}* {v[11]}",
+               f"{v[6]} -{pfx[1]}*", f"{pfx[2]}*"):
+        qs.append({"keyword": kw, "limit": 10})
     # unscored filter op with sorts
     qs.append({"op": "filter", "limit": 15, "sorts": [{"warc_ts": "desc"}],
                "filters": {"and": [{"field": "lang", "value": "en"}]}})

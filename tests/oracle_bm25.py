@@ -28,46 +28,128 @@ class OracleIndex:
                 self.postings.setdefault(w, {}).setdefault(d, 0)
                 self.postings[w][d] += 1
 
+    def _term_weight(self, term: str, dtype):
+        post = self.postings.get(term, {})
+        df = len(post)
+        idf = dtype(np.log(1.0 + (self.n - df + 0.5) / (df + 0.5)))
+        return dtype(dtype(1.0) * idf * dtype(K1 + 1.0))
+
+    def _phrase_freqs(self, terms: tuple) -> dict[int, int]:
+        """doc → exact phrase frequency (consecutive-token scan)."""
+        out: dict[int, int] = {}
+        k = len(terms)
+        want = list(terms)
+        for d, toks in zip(self.doc_ids, self.toks):
+            c = sum(1 for j in range(len(toks) - k + 1) if toks[j:j + k] == want)
+            if c:
+                out[d] = c
+        return out
+
+    def _prefix_docs(self, prefix: str) -> set[int]:
+        docs: set[int] = set()
+        for term, post in self.postings.items():
+            if term.startswith(prefix):
+                docs |= set(post)
+        return docs
+
     def search(self, keyword: str, limit: int, dtype=np.float32,
                candidate_ids: list[int] | None = None):
         """→ (ids, scores) ranked by score desc, doc_id asc. Supports the
-        SimpleQueryParser subset: OR terms, +must, -must_not."""
+        SimpleQueryParser subset: OR terms, +must, -must_not, "a b" phrases
+        (Lucene PhraseQuery/BM25: tf = phrase freq, idf = Σ per-term idf) and
+        term* prefixes (constant score 1.0), each with +/- variants."""
+        import re as _re
+
         cand = set(candidate_ids) if candidate_ids is not None else None
         if keyword.strip() == "*":
             ids = sorted(cand if cand is not None else self.doc_ids)[:limit]
             return np.array(ids, np.int64), np.ones(len(ids), dtype=dtype)
-        should = [t for t in keyword.replace("|", " ").split()
-                  if not t.startswith(("+", "-"))]
-        must = [t[1:] for t in keyword.split() if t.startswith("+") and len(t) > 1]
-        must_not = [t[1:] for t in keyword.split() if t.startswith("-") and len(t) > 1]
+
+        phrases, must_phrases, not_phrases = [], [], []
+
+        def _take(m):
+            op, body = m.group(1), m.group(2)
+            terms = tuple(body.split())
+            if len(terms) == 1:
+                return f"{op}{terms[0]} "
+            if terms:
+                (must_phrases if op == "+" else not_phrases if op == "-"
+                 else phrases).append(terms)
+            return " "
+
+        rest = _re.sub(r'([+-]?)"([^"]*)"', _take, keyword)
+        should, must, must_not = [], [], []
+        prefixes, must_prefixes, not_prefixes = [], [], []
+        for raw in rest.replace("|", " ").split():
+            op, tok = "", raw
+            if tok[:1] in "+-" and len(tok) > 1:
+                op, tok = tok[0], tok[1:]
+            if not tok:
+                continue
+            if tok.endswith("*") and len(tok) > 1:
+                (must_prefixes if op == "+" else not_prefixes if op == "-"
+                 else prefixes).append(tok[:-1])
+            else:
+                (must if op == "+" else must_not if op == "-"
+                 else should).append(tok)
+
+        phrase_docs = {ph: self._phrase_freqs(ph)
+                       for ph in phrases + must_phrases + not_phrases}
+        prefix_sets = {pre: self._prefix_docs(pre)
+                       for pre in prefixes + must_prefixes + not_prefixes}
         for t in must:
             docs = set(self.postings.get(t, {}))
+            cand = docs if cand is None else cand & docs
+        for ph in must_phrases:
+            docs = set(phrase_docs[ph])
+            cand = docs if cand is None else cand & docs
+        for pre in must_prefixes:
+            docs = set(prefix_sets[pre])
             cand = docs if cand is None else cand & docs
         banned = set()
         for t in must_not:
             banned |= set(self.postings.get(t, {}))
+        for ph in not_phrases:
+            banned |= set(phrase_docs[ph])
+        for pre in not_prefixes:
+            banned |= prefix_sets[pre]
         if cand is not None:
             cand -= banned
-        zero_fill = candidate_ids is not None and not must
+        zero_fill = candidate_ids is not None and not must and not must_phrases \
+            and not must_prefixes
         norm_of = dict(zip(self.doc_ids, self.norm_bytes))
         avgdl = dtype(self.sum_ttf / float(self.n))
+
+        def ninv_of(d):
+            dl = dtype(LENGTH_TABLE[norm_of[d]])
+            return dtype(1.0) / (dtype(K1) * ((dtype(1.0) - dtype(B)) + dtype(B) * dl / avgdl))
+
         acc: dict[int, float] = {}
-        for term in should + must:   # clause order
+
+        def add(d, s):
+            if cand is not None and d not in cand:
+                return
+            if d in banned:
+                return
+            acc[d] = acc.get(d, 0.0) + float(s)
+
+        for term in should + must:   # clause order: terms, phrases, prefixes
             post = self.postings.get(term)
             if not post:
                 continue
-            df = len(post)
-            idf = dtype(np.log(1.0 + (self.n - df + 0.5) / (df + 0.5)))
-            w = dtype(dtype(1.0) * idf * dtype(K1 + 1.0))
+            w = self._term_weight(term, dtype)
             for d, tf in post.items():
-                if cand is not None and d not in cand:
-                    continue
-                if d in banned:
-                    continue
-                dl = dtype(LENGTH_TABLE[norm_of[d]])
-                ninv = dtype(1.0) / (dtype(K1) * ((dtype(1.0) - dtype(B)) + dtype(B) * dl / avgdl))
-                s = w - w / (dtype(1.0) + dtype(tf) * ninv)
-                acc[d] = acc.get(d, 0.0) + float(s)
+                add(d, w - w / (dtype(1.0) + dtype(tf) * ninv_of(d)))
+        for ph in phrases + must_phrases:
+            freqs = phrase_docs[ph]
+            if not freqs:
+                continue
+            w = dtype(sum(self._term_weight(t, dtype) for t in ph))
+            for d, tf in freqs.items():
+                add(d, w - w / (dtype(1.0) + dtype(tf) * ninv_of(d)))
+        for pre in prefixes + must_prefixes:
+            for d in prefix_sets[pre]:
+                add(d, dtype(1.0))
         scored = {d: dtype(s) for d, s in acc.items()}
         if cand is not None and zero_fill:
             for d in cand:
