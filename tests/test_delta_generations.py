@@ -139,3 +139,30 @@ class TestDeltaUpsert:
         assert len(ids) == len(set(ids)) == 8
         got = {r["_id"]: r["tag"] for r in res}
         assert got["k2"] == "delta" and got["k0"] == "base"
+
+
+class TestDeltaPhrases:
+    def test_phrase_across_generations(self, ray_session, tmp_path):
+        """Positions exist per generation: a phrase query matches docs in the base
+        AND in delta generations, and a replaced doc's old phrasing is gone."""
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "t", "st(field(_id,long),field(content,string,analyze))", loc))
+        c.build_from_local("db", "t", [
+            {"_id": 1, "content": "red fox runs"},
+            {"_id": 2, "content": "fox red runs"},
+            {"_id": 3, "content": "red fox sleeps"}],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        # delta: new doc with the phrase + replace doc 3 without it
+        c.build_from_local("db", "t", [
+            {"_id": 4, "content": "another red fox here"},
+            {"_id": 3, "content": "now fox then red"}],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        res = c.search("db", "t", {"keyword": '"red fox"', "fields": ["content"],
+                                   "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [1, 4]
+        # prefix across generations too
+        res = c.search("db", "t", {"keyword": "sle*", "fields": ["content"],
+                                   "limit": 10})[0]
+        assert res == []   # the only 'sleeps' doc was replaced

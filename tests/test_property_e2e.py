@@ -50,7 +50,11 @@ def test_random_corpus_matches_oracle(ray_session, tmp_path, seed):
 
     keywords = ["alpha", "alpha beta", "alpha beta gamma delta", "*",
                 "+alpha beta", "alpha -beta", "+alpha +beta", "missingterm",
-                "Eta THETA", "λmbda mu-mu", "alpha | eps"]
+                "Eta THETA", "λmbda mu-mu", "alpha | eps",
+                # phrases (positional) and prefixes (constant score), +/- forms
+                '"alpha beta"', '"beta gamma delta"', '"alpha alpha"',
+                '"alpha beta" gamma', '+"alpha beta" delta', 'eps -"alpha beta"',
+                "alph*", "alph* beta", "+alph* eps", "gamma -alph*", "zz*"]
     for kw in keywords:
         for limit in (1, 5, 200):
             for algorithm in ("taat", "bmw"):
