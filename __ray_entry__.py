@@ -240,7 +240,7 @@ def entry() -> Any:
     sf = "/root/testdata/sf0.001"
     c = _docs_cluster(sf)
     out = []
-    for kw in ("the", "merge sort", "scan join order", "*"):
+    for kw in ("the", "merge sort", "scan join order", '"merge sort"', "mer*", "*"):
         t = _bm25(sf, kw, 10)
         out.append(t.append_column("keyword", pa.array([kw] * len(t))))
     return pa.concat_tables(out)

@@ -206,8 +206,6 @@ def build_index(
         text is already in memory — no second read/tokenize pass over the docstore)
         into the per-range run spill.
         """
-        if os.environ.get("BYZER_ARROW_1T"):
-            pa.set_cpu_count(1)
         p = int(item["part"][0].as_py())
         files = json.loads(item["files"][0].as_py())
         out_path = os.path.join(docstore_dir, f"part-{p:05d}.parquet")
