@@ -558,6 +558,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["events_window"] = events_window
 
+    # --- deterministic hash sample + corpus-level n-gram stats ---
+    def sample_docs(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.sample import hash_sample
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        out = hash_sample(ds, "doc_id", 0.2).to_pandas()
+        return pa.table({"doc_id": pa.array(sorted(out["doc_id"]), pa.int64())})
+    q["sample_docs"] = sample_docs
+
+    def top_bigrams(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.sample import top_ngrams
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["text"])
+        out = top_ngrams(ds, "text", n=2, k=20)
+        return pa.table({"ngram": pa.array(out["ngram"], pa.string()),
+                         "count": pa.array(out["count"], pa.int64())})
+    q["top_bigrams"] = top_bigrams
+
     # --- gap-based sessionization over the event stream ---
     def events_sessions(sf):
         import ray.data
@@ -997,6 +1017,25 @@ SELECT doc_id,
        CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fp
 FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
 ORDER BY doc_id, fp"""
+
+    _thr = int(0.2 * float(1 << 32))
+    sql["sample_docs"] = f"""
+SELECT doc_id FROM documents
+WHERE (list_reduce(list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                                  i -> CAST(unicode(CAST(doc_id AS VARCHAR)[i]) AS HUGEINT)),
+                   (a, b) -> (a*31 + b) % 4294967296) * 2654435761) % 4294967296 < {_thr}
+ORDER BY doc_id"""
+
+    sql["top_bigrams"] = """
+WITH arr AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM arr
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM bi
+GROUP BY ngram ORDER BY count DESC, ngram LIMIT 20"""
 
     sql["events_sessions"] = """
 WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),

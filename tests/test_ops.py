@@ -293,3 +293,43 @@ class TestRealMultimodalCodecs:
         for i, feat in enumerate(out.sort_values("media_id")["image_embedding"]):
             want = ((i * 37) % 256 + (i * 59) % 256 + (i * 83) % 256) / 3 / 255.0
             assert np.allclose(feat, want, atol=1e-6)
+
+
+class TestSampleAndNgrams:
+    def test_hash_sample_deterministic_and_uniform(self, ray_mod):
+        from byzer_retrieval_ray.ops import sample
+        rows = [{"k": i, "v": i * 2} for i in range(2000)]
+        outs = []
+        for _ in range(2):
+            ds = ray_mod.from_items(rows)
+            outs.append(sorted(sample.hash_sample(ds, "k", 0.3).to_pandas()["k"]))
+        assert outs[0] == outs[1]                     # deterministic across runs
+        frac = len(outs[0]) / 2000
+        assert 0.25 < frac < 0.35                     # roughly the requested rate
+        # subset property: a lower rate's sample is contained in a higher rate's
+        ds = ray_mod.from_items(rows)
+        small = set(sample.hash_sample(ds, "k", 0.1).to_pandas()["k"])
+        assert small <= set(outs[0])
+
+    def test_top_ngrams_counts(self, ray_mod):
+        from byzer_retrieval_ray.ops import sample
+        rows = [{"text": "a b c a b"}, {"text": "a b x"}, {"text": "b"},
+                {"text": ""}]
+        ds = ray_mod.from_items(rows)
+        out = sample.top_ngrams(ds, "text", n=2, k=10)
+        got = dict(zip(out["ngram"], out["count"]))
+        # "a b" appears 3x (twice in doc0 incl. the wraparound pair 'b a'? no:
+        # doc0 bigrams = a b, b c, c a, a b), never across docs
+        assert got["a b"] == 3 and got["b c"] == 1 and got["c a"] == 1
+        assert "x a" not in got and "b a" not in got  # no cross-doc grams
+        assert list(out["ngram"])[0] == "a b"          # ranked by count desc
+
+    def test_top_ngrams_trigram_and_bucket_invariance(self, ray_mod):
+        from byzer_retrieval_ray.ops import sample
+        rows = [{"text": " ".join(f"w{i % 7}" for i in range(50))} for _ in range(5)]
+        outs = []
+        for nb in (4, 64):
+            ds = ray_mod.from_items(rows)
+            o = sample.top_ngrams(ds, "text", n=3, k=5, num_buckets=nb)
+            outs.append(list(zip(o["ngram"], o["count"])))
+        assert outs[0] == outs[1]
