@@ -209,6 +209,12 @@ class ByzerStorage:
     def truncate_table(self) -> bool:
         return self.cluster.truncate(self.database, self.table)
 
+    def compact(self) -> bool:
+        """Fold the delta-generation chain into one generation (Lucene
+        forceMerge equivalent; see RetrievalCluster.compact)."""
+        self.cluster.compact(self.database, self.table)
+        return True
+
     # reads ---------------------------------------------------------------
     def get_by_id(self, doc_id) -> Optional[dict]:
         out = self.get_by_ids([doc_id])
