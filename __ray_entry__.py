@@ -260,6 +260,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix clause (constant score 1.0 per matching doc) mixed with a BM25 term
     q["bm25_prefix"] = lambda sf: _bm25(sf, "mer* sort", 20)
 
+    # fuzzy clause, gate config transpositions=False ⇒ plain Levenshtein, which
+    # is exactly DuckDB's levenshtein() on ASCII terms
+    def bm25_fuzzy(sf):
+        c = _docs_cluster(sf)
+        qq = SearchQuery("db", "docs", keyword="merge~1 sort", fields=["text"],
+                         limit=20)
+        res = c.search("db", "docs", qq, precision="float64",
+                       fuzzy_transpositions=False)[0]
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in res], pa.int64()),
+            "score": pa.array(np.round(np.array([r["_score"] for r in res],
+                                                np.float64), 4)),
+        })
+    q["bm25_fuzzy"] = bm25_fuzzy
+
     # --- filters (Q3): exact / nested and-or / range, incl. zero-score fill ---
     q["bm25_filter_lang"] = lambda sf: _bm25(
         sf, "merge sort", 1000, {"and": [{"field": "lang", "value": "en"}]})
@@ -691,6 +706,18 @@ comb AS (
          COALESCE(s.score, 0.0e0)
          + CASE WHEN p.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
   FROM scored s FULL OUTER JOIN pre p ON s.doc_id = p.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    sql["bm25_fuzzy"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["sort"])},
+fz AS (SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'merge') <= 1),
+comb AS (
+  SELECT COALESCE(s.doc_id, f.doc_id) AS doc_id,
+         COALESCE(s.score, 0.0e0)
+         + CASE WHEN f.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
+  FROM scored s FULL OUTER JOIN fz f ON s.doc_id = f.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""

@@ -17,9 +17,15 @@ two-arg constructor), default operator OR. Supported here:
                        Lucene constant-score MultiTermQuery rewrite; the blended
                        rewrite's shared-idf scoring is a documented divergence);
                        +term* / -term* for required / prohibited prefixes.
+    term~N           → fuzzy clause (N ∈ {1,2}; bare ``term~`` = 2, the Lucene
+                       default): dictionary terms within edit distance N
+                       (transpositions count 1 by default — OSA, the FuzzyQuery
+                       automaton's metric), CONSTANT score 1.0 per matching doc
+                       (Lucene's per-term boosted scoring is a documented
+                       divergence); +/- variants supported.
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
 
-Unsupported (documented): fuzzy ``term~N``, NEAR ``"a b"~N``, precedence ``( )``.
+Unsupported (documented): NEAR ``"a b"~N``, precedence ``( )``.
 
 Clause order for scoring is: plain SHOULD terms, MUST terms, SHOULD phrases, MUST
 phrases, SHOULD prefixes, MUST prefixes (the float-addition order is fixed and
@@ -32,6 +38,7 @@ import re
 from dataclasses import dataclass, field
 
 _PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_FUZZY_RE = re.compile(r'^(.*?)~([012])?$')
 
 
 @dataclass
@@ -45,6 +52,9 @@ class ParsedKeyword:
     prefixes: list = field(default_factory=list)       # prefix strings
     must_prefixes: list = field(default_factory=list)
     not_prefixes: list = field(default_factory=list)
+    fuzzies: list = field(default_factory=list)        # (term, max_edits) pairs
+    must_fuzzies: list = field(default_factory=list)
+    not_fuzzies: list = field(default_factory=list)
 
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
@@ -74,7 +84,13 @@ def parse_keyword(keyword: str) -> ParsedKeyword:
         if tok.endswith("*") and len(tok) > 1:
             (p.must_prefixes if op == "+" else p.not_prefixes if op == "-"
              else p.prefixes).append(tok[:-1])
-        else:
-            (p.must if op == "+" else p.must_not if op == "-"
-             else p.should).append(tok)
+            continue
+        m = _FUZZY_RE.match(tok)
+        if m and len(m.group(1)) > 0:
+            n_edits = int(m.group(2)) if m.group(2) else 2   # bare ~ = 2 (Lucene)
+            (p.must_fuzzies if op == "+" else p.not_fuzzies if op == "-"
+             else p.fuzzies).append((m.group(1), n_edits))
+            continue
+        (p.must if op == "+" else p.must_not if op == "-"
+         else p.should).append(tok)
     return p

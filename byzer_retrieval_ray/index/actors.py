@@ -87,12 +87,13 @@ class SegmentActorImpl:
         return sum(s.preload() for s in self.searchers)
 
     def search_keyword(self, q: dict, precision: str, algorithm: str,
-                       with_docs: bool = False):
+                       with_docs: bool = False, fuzzy_transpositions: bool = True):
         query = SearchQuery.from_dict(q)
         out = []
         for s in self.searchers:
             ids, scores = s.search_keyword(query, precision=precision,
-                                           algorithm=algorithm)
+                                           algorithm=algorithm,
+                                           fuzzy_transpositions=fuzzy_transpositions)
             if with_docs:
                 # ship the stored fields of this shard's top-limit with the scores —
                 # one round trip, like the reference workers (RetrievalWorker.java:372-376)

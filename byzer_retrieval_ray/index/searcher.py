@@ -159,6 +159,24 @@ class GenerationReader:
                     return out
         return out
 
+    def expand_fuzzy(self, field: str, term: str, n: int,
+                     transpositions: bool = True, limit: int = 1024) -> list[str]:
+        """Dictionary terms of ``field`` within edit distance ``n`` of ``term``
+        (full-dictionary vectorized DP scan; at 10^9-term dictionaries this
+        becomes a Levenshtein automaton over the sorted terms \u2014 documented)."""
+        from byzer_retrieval_ray.functions.fuzzy import edit_distance_within
+        out: list[str] = []
+        for r in range(max(self.info["num_term_parts"], 1)):
+            lst = self._sorted_terms(r).get(field, [])
+            if not lst:
+                continue
+            mask = edit_distance_within(term, lst, n, transpositions)
+            for i in np.flatnonzero(mask):
+                out.append(lst[i])
+                if len(out) >= limit:
+                    return out
+        return out
+
     def tombstones(self) -> np.ndarray:
         """Tombstoned doc_ids of THIS generation (doc_ids are generation-scoped;
         files written before gen scoping existed apply to the manifest's current
@@ -210,6 +228,13 @@ class StatsView:
         terms: set[str] = set()
         for r in self.readers:
             terms.update(r.expand_prefix(field, prefix, limit))
+        return sorted(terms)[:limit]
+
+    def expand_fuzzy(self, field: str, term: str, n: int,
+                     transpositions: bool = True, limit: int = 1024) -> list[str]:
+        terms: set[str] = set()
+        for r in self.readers:
+            terms.update(r.expand_fuzzy(field, term, n, transpositions, limit))
         return sorted(terms)[:limit]
 
 
@@ -405,7 +430,8 @@ class BucketSearcher:
     # ---------- keyword search ----------
 
     def search_keyword(self, q: SearchQuery, precision: str = "float32",
-                       algorithm: str = "bmw") -> tuple[np.ndarray, np.ndarray]:
+                       algorithm: str = "bmw",
+                       fuzzy_transpositions: bool = True) -> tuple[np.ndarray, np.ndarray]:
         """Per-bucket top-limit (doc_ids, scores) for a keyword recall."""
         dtype = np.float32 if precision == "float32" else np.float64
         limit = q.limit
@@ -497,9 +523,32 @@ class BucketSearcher:
                         scorers.append(((fld, pre + "*"),
                                         _const_posting(docs), None, dtype(1.0)))
 
+        # fuzzy clauses (term~N): constant 1.0 per doc containing a dictionary
+        # term within edit distance N (expansion like prefixes)
+        all_fuzzies = pk.fuzzies + pk.must_fuzzies + pk.not_fuzzies
+        fuzzy_docs: dict[tuple[str, tuple], np.ndarray] = {}
+        if all_fuzzies:
+            for fz in dict.fromkeys(all_fuzzies):
+                term, n_edits = fz
+                for fld in fields:
+                    terms = self.stats.expand_fuzzy(fld, term, n_edits,
+                                                    fuzzy_transpositions)
+                    if not terms:
+                        continue
+                    tpairs = [(fld, t) for t in terms]
+                    tposts = self.fetch_postings(tpairs)
+                    docs_any = [tposts[p].docs for p in tpairs if tposts[p].df > 0]
+                    if not docs_any:
+                        continue
+                    docs = np.unique(np.concatenate(docs_any))
+                    fuzzy_docs[(fld, fz)] = docs
+                    if fz in pk.fuzzies or fz in pk.must_fuzzies:
+                        scorers.append(((fld, f"{term}~{n_edits}"),
+                                        _const_posting(docs), None, dtype(1.0)))
+
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
-        if must or must_phrases or pk.must_prefixes:
+        if must or must_phrases or pk.must_prefixes or pk.must_fuzzies:
             for t in must:
                 docs_any = [posts[(f, t)].docs for f in fields if stats[(f, t)][0] > 0]
                 term_docs = (np.unique(np.concatenate(docs_any))
@@ -520,6 +569,13 @@ class BucketSearcher:
                            if docs_any else np.empty(0, np.int64))
                 candidates = pr_docs if candidates is None else \
                     candidates[np.isin(candidates, pr_docs, assume_unique=True)]
+            for fz in pk.must_fuzzies:
+                docs_any = [fuzzy_docs[(f, fz)] for f in fields
+                            if (f, fz) in fuzzy_docs]
+                fz_docs = (np.unique(np.concatenate(docs_any))
+                           if docs_any else np.empty(0, np.int64))
+                candidates = fz_docs if candidates is None else \
+                    candidates[np.isin(candidates, fz_docs, assume_unique=True)]
             candidates = self._drop_tombstones(candidates)
         excluded = None
         ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
@@ -527,6 +583,8 @@ class BucketSearcher:
                if (f, ph) in phrase_docs]
         ex += [prefix_docs[(f, pre)] for pre in pk.not_prefixes for f in fields
                if (f, pre) in prefix_docs]
+        ex += [fuzzy_docs[(f, fz)] for fz in pk.not_fuzzies for f in fields
+               if (f, fz) in fuzzy_docs]
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
@@ -546,7 +604,7 @@ class BucketSearcher:
             ids, scores = self._search_taat(
                 scorers, candidates, limit, dtype, excluded=excluded,
                 zero_fill=(bool(q.filters) and not must and not must_phrases
-                           and not pk.must_prefixes))
+                           and not pk.must_prefixes and not pk.must_fuzzies))
         return ids, scores
 
     def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":

@@ -445,7 +445,8 @@ class RetrievalCluster:
     def search(self, database: str, table: str, queries,
                precision: str = "float32", algorithm: str = "bmw",
                vector_algorithm: str = "brute", nprobe: int = 4,
-               n_centroids: int = 16) -> list[list[dict]]:
+               n_centroids: int = 16,
+               fuzzy_transpositions: bool = True) -> list[list[dict]]:
         """Q1/Q2/Q5–Q8: list of SearchQuery (dicts or dataclasses) → per-query ranked
         docs with _score injected (reference S7 result shape).
 
@@ -462,7 +463,8 @@ class RetrievalCluster:
                 futs: dict[str, list] = {}
                 if q.has_keyword:
                     futs["keyword"] = [
-                        a.search_keyword.remote(q.__dict__, precision, algorithm, True)
+                        a.search_keyword.remote(q.__dict__, precision, algorithm,
+                                                True, fuzzy_transpositions)
                         for a in actors]
                 if q.has_vector:
                     futs["vector"] = [
@@ -488,8 +490,10 @@ class RetrievalCluster:
             else:
                 searchers = self._searchers(database, table)
                 if q.has_keyword:
-                    recalls["keyword"] = [s.search_keyword(q, precision, algorithm)
-                                          for s in searchers]
+                    recalls["keyword"] = [
+                        s.search_keyword(q, precision, algorithm,
+                                         fuzzy_transpositions=fuzzy_transpositions)
+                        for s in searchers]
                 if q.has_vector:
                     recalls["vector"] = [
                         s.search_vector(q, precision, algorithm=vector_algorithm,

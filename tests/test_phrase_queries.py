@@ -163,3 +163,43 @@ class TestPrefix:
         res = cluster.search("db", "p", {"keyword": "zzz*", "fields": ["content"],
                                          "limit": 10})[0]
         assert res == []
+
+
+class TestFuzzy:
+    def test_fuzzy_expansion_matches(self, cluster):
+        # "quack" ~1 of "quick"? distance 2 (u->u, a->i is 1 sub, ck vs ck) =
+        # qu[a]ck vs qu[i]ck -> 1 substitution
+        res = cluster.search("db", "p", {"keyword": "quack~1",
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        assert all(r["_score"] == 1.0 for r in res)
+        # distance 1 from "fx" finds "fox" (insertion)
+        res = cluster.search("db", "p", {"keyword": "fx~1",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1]
+
+    def test_bare_tilde_is_distance_two(self, cluster):
+        # "bruwn~" = distance 2 default: matches "brown" (1 sub)
+        res = cluster.search("db", "p", {"keyword": "bruwn~",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5]
+
+    def test_transpositions_flag(self, cluster):
+        # "borwn" -> "brown" is one transposition: OSA distance 1, Levenshtein 2
+        q = {"keyword": "borwn~1", "fields": ["content"], "limit": 10}
+        with_t = cluster.search("db", "p", q)[0]
+        assert sorted(r["_id"] for r in with_t) == [0, 1, 2, 3, 5]
+        without_t = cluster.search("db", "p", q, fuzzy_transpositions=False)[0]
+        assert without_t == []
+
+    def test_must_not_fuzzy_and_parity(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "quick -fx~1",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [2, 3, 5, 6]   # fox docs excluded
+        for kw in ("quack~1", "unrelated fx~1", '+fx~1 "quick brown"'):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
