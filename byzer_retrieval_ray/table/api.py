@@ -202,11 +202,15 @@ class RetrievalCluster:
                                 key_field=key_field, **kw)
         return True
 
-    def scan_table(self, database: str, table: str):
+    def scan_table(self, database: str, table: str,
+                   columns: list[str] | None = None):
         """S5/S6 equivalent: full scan of all stored docs as a streaming Dataset
         (reference: iterateAllDocs / the Arrow batch-export server). Unions every
         active generation with its own (generation-scoped) tombstones applied, so
-        each live key appears exactly once."""
+        each live key appears exactly once. ``columns`` prunes the parquet read
+        (a 2-column export of a wide table reads 2 columns, not the payloads);
+        doc_id is read when tombstones must be applied but only returned if
+        requested."""
         import numpy as np
         import ray.data
 
@@ -218,15 +222,26 @@ class RetrievalCluster:
             paths = [p for p in paths if p and os.path.exists(p)]
             if not paths:
                 continue
-            sub = ray.data.read_parquet(paths)
+            read_cols = None
+            if columns is not None:
+                read_cols = list(dict.fromkeys(
+                    list(columns) + (["doc_id"] if gr.tombstones().size else [])))
+            sub = ray.data.read_parquet(paths, columns=read_cols)
             drop = [c for c in sub.schema().names if c.startswith("__")]
+            if columns is not None:
+                drop += [c for c in sub.schema().names
+                         if c not in columns and not c.startswith("__")
+                         and c != "doc_id"]
             if drop:
                 sub = sub.drop_columns(drop)
             ts = gr.tombstones()
             if ts.size:
-                def drop_deleted(t: pa.Table, ts=ts) -> pa.Table:
+                keep_doc_id = columns is None or "doc_id" in columns
+
+                def drop_deleted(t: pa.Table, ts=ts, keep_id=keep_doc_id) -> pa.Table:
                     keep = ~np.isin(t["doc_id"].to_numpy(), ts)
-                    return t.filter(pa.array(keep))
+                    out = t.filter(pa.array(keep))
+                    return out if keep_id else out.drop_columns(["doc_id"])
 
                 sub = sub.map_batches(drop_deleted, batch_format="pyarrow")
             ds = sub if ds is None else ds.union(sub)

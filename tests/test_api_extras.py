@@ -98,3 +98,23 @@ class TestActorReload:
             assert len(res) == 2
         finally:
             c.deactivate("db", "r")
+
+
+class TestScanColumns:
+    def test_scan_column_pruning(self, ray_session, tmp_path):
+        from byzer_retrieval_ray import RetrievalCluster, TableSettings
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "t", "st(field(_id,long),field(content,string,analyze),"
+                       "field(tag,string))", loc))
+        c.build_from_local("db", "t", [
+            {"_id": i, "content": f"doc {i}", "tag": f"t{i % 2}"} for i in range(10)],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        c.delete_by_ids("db", "t", [3])
+        df = c.scan_table("db", "t", columns=["_id", "tag"]).to_pandas()
+        assert sorted(df.columns) == ["_id", "tag"]       # no doc_id leak
+        assert sorted(df["_id"]) == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+        # requesting doc_id keeps it
+        df2 = c.scan_table("db", "t", columns=["doc_id", "_id"]).to_pandas()
+        assert sorted(df2.columns) == ["_id", "doc_id"]
