@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_fuzzy"] = bm25_fuzzy
 
+    # parenthesized group (SimpleQueryParser precedence): required OR-group of
+    # scored term clauses plus a prohibited term
+    q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
+
     # --- filters (Q3): exact / nested and-or / range, incl. zero-score fill ---
     q["bm25_filter_lang"] = lambda sf: _bm25(
         sf, "merge sort", 1000, {"and": [{"field": "lang", "value": "en"}]})
@@ -720,6 +724,15 @@ comb AS (
   FROM scored s FULL OUTER JOIN fz f ON s.doc_id = f.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # +(merge | sort) -scan: docs containing merge or sort (the required group,
+    # members scored as term clauses) minus docs containing scan
+    sql["bm25_parens"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+ex AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')
+SELECT s.doc_id, ROUND(s.score, 4) AS score FROM scored s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM ex)
 ORDER BY score DESC, doc_id LIMIT 20"""
 
     sql["filter_sort_docs"] = """

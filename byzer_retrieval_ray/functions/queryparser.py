@@ -23,9 +23,17 @@ two-arg constructor), default operator OR. Supported here:
                        automaton's metric), CONSTANT score 1.0 per matching doc
                        (Lucene's per-term boosted scoring is a documented
                        divergence); +/- variants supported.
+    (a | b)          → grouping (Lucene SimpleQueryParser precedence): a bare
+                       group of OR'd plain terms flattens into SHOULD terms;
+                       ``+(a | b)`` is a required group — the doc must contain
+                       at least one member, members score as term clauses
+                       (Lucene MUST BooleanQuery subclause); ``-(a | b)``
+                       excludes docs containing any member. Groups hold OR'd
+                       plain terms only — nested groups or operators inside a
+                       group raise (documented restriction).
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
 
-Unsupported (documented): NEAR ``"a b"~N``, precedence ``( )``.
+Unsupported (documented): NEAR ``"a b"~N``, operators nested inside ``( )``.
 
 Clause order for scoring is: plain SHOULD terms, MUST terms, SHOULD phrases, MUST
 phrases, SHOULD prefixes, MUST prefixes (the float-addition order is fixed and
@@ -38,6 +46,7 @@ import re
 from dataclasses import dataclass, field
 
 _PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_GROUP_RE = re.compile(r'([+-]?)\(([^()]*)\)')
 _FUZZY_RE = re.compile(r'^(.*?)~([012])?$')
 
 
@@ -55,6 +64,8 @@ class ParsedKeyword:
     fuzzies: list = field(default_factory=list)        # (term, max_edits) pairs
     must_fuzzies: list = field(default_factory=list)
     not_fuzzies: list = field(default_factory=list)
+    must_groups: list = field(default_factory=list)    # tuples of OR'd terms,
+                                                       # each group required
 
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
@@ -73,6 +84,32 @@ def parse_keyword(keyword: str) -> ParsedKeyword:
         return " "
 
     rest = _PHRASE_RE.sub(take_phrase, keyword)
+
+    def take_group(m: re.Match) -> str:
+        op, body = m.group(1), m.group(2)
+        terms = [t for t in body.replace("|", " ").split() if t]
+        if any((t[:1] in "+-" and len(t) > 1) or t.endswith("*") or "~" in t
+               or '"' in t for t in terms):
+            raise ValueError(
+                f"unsupported syntax inside group ({body}): groups contain "
+                "OR'd plain terms only")
+        if not terms:
+            return " "
+        if op == "+":
+            if len(terms) == 1:
+                p.must.append(terms[0])      # +(a) == +a
+            else:
+                p.must_groups.append(tuple(terms))
+        elif op == "-":
+            p.must_not.extend(terms)         # NOT(a OR b) == -a -b
+        else:
+            p.should.extend(terms)           # OR of OR flattens
+        return " "
+
+    if "(" in rest or ")" in rest:
+        rest = _GROUP_RE.sub(take_group, rest)
+        if "(" in rest or ")" in rest:
+            raise ValueError(f"unbalanced or nested parentheses in {keyword!r}")
     for raw in rest.replace("|", " ").split():
         tok = raw
         op = ""

@@ -27,14 +27,33 @@ from byzer_retrieval_ray.index.searcher import BucketSearcher
 from byzer_retrieval_ray.table.query import SearchQuery
 
 
+def gen_bucket_pairs(manifest_data: dict) -> list[tuple[int, int]]:
+    """(generation, bucket) serving pairs over every active generation — the
+    deterministic pair universe actors partition among themselves."""
+    from byzer_retrieval_ray.index.searcher import GenerationReader
+    gens = manifest_data.get("active_generations") or (
+        [manifest_data["generation"]] if manifest_data.get("generation") else [])
+    pairs: list[tuple[int, int]] = []
+    for g in gens:
+        gr = GenerationReader(manifest_data, int(g))
+        pairs.extend((int(g), b) for b in gr.buckets())
+    return pairs
+
+
 class SegmentActorImpl:
     def __init__(self, manifest_data: dict, buckets: list,
-                 location: str | None = None, poll_sec: float = 0.0):
+                 location: str | None = None, poll_sec: float = 0.0,
+                 assignment: tuple[int, int] | None = None):
         # buckets: list of (generation, bucket) pairs, or bare bucket ints
         # (current generation) — an actor may serve slices of several
         # generations (base + deltas)
         self.buckets = [b if isinstance(b, (tuple, list)) else (None, b)
                         for b in buckets]
+        # (pool index, pool size): lets reload() re-derive this actor's share of
+        # the (gen, bucket) pair universe from a freshly polled manifest — a
+        # DELTA generation published by another process then becomes visible
+        # (pairs split pairs[i::n], exactly activate()'s grouping)
+        self.assignment = tuple(assignment) if assignment else None
         self.database = manifest_data.get("database")
         self.table = manifest_data.get("table")
         self.location = location
@@ -71,14 +90,23 @@ class SegmentActorImpl:
                 tuple(manifest_data.get("tombstone_files") or []))
 
     def reload(self, manifest_data: dict) -> bool:
-        # swap in new searchers for the pairs that still exist in this manifest
-        # (atomic list replacement; in-flight queries keep the old snapshot)
-        gens = set(manifest_data.get("active_generations")
-                   or [manifest_data.get("generation")])
-        searchers = []
-        for g, b in self.buckets:
-            if g is None or g in gens:
-                searchers.append(BucketSearcher(manifest_data, b, gen=g))
+        # Atomic searcher-list replacement; in-flight queries keep the old
+        # snapshot. With a pool assignment, re-derive this actor's pairs from
+        # the NEW manifest (pairs[i::n]) so generations published by another
+        # process — including append-mode deltas — become visible; without one
+        # (legacy/direct construction) keep the original pairs that still exist.
+        if self.assignment is not None:
+            i, n = self.assignment
+            self.buckets = [tuple(p) for p in gen_bucket_pairs(manifest_data)[i::n]]
+            searchers = [BucketSearcher(manifest_data, b, gen=g)
+                         for g, b in self.buckets]
+        else:
+            gens = set(manifest_data.get("active_generations")
+                       or [manifest_data.get("generation")])
+            searchers = []
+            for g, b in self.buckets:
+                if g is None or g in gens:
+                    searchers.append(BucketSearcher(manifest_data, b, gen=g))
         self.searchers = searchers
         self._fp = self._fingerprint(manifest_data)
         return True
@@ -128,10 +156,12 @@ class SegmentActorImpl:
 
 
 def make_segment_actor(manifest_data: dict, buckets: list, num_cpus: float = 1,
-                       location: str | None = None, poll_sec: float = 0.0):
+                       location: str | None = None, poll_sec: float = 0.0,
+                       assignment: tuple[int, int] | None = None):
     """Spawn one segment actor owning ``buckets`` (ray must already be initialized
-    by the caller). ``poll_sec`` > 0 enables the NRT manifest poll."""
+    by the caller). ``poll_sec`` > 0 enables the NRT manifest poll; ``assignment``
+    is the actor's (index, pool size) for reload-time pair re-derivation."""
     import ray
 
     cls = ray.remote(num_cpus=num_cpus)(SegmentActorImpl)
-    return cls.remote(manifest_data, buckets, location, poll_sec)
+    return cls.remote(manifest_data, buckets, location, poll_sec, assignment)

@@ -287,7 +287,23 @@ def merge_runs(group: pa.Table, codec_name: str = "varint") -> tuple[pa.Table, p
 
     # merged posting boundaries in posting space
     post_offsets = np.concatenate([run_offsets[post_starts], [int(run_offsets[-1])]])
-    # runs of one (field, term, bucket) must concatenate to a strictly increasing list
+    # Runs of one (field, term, bucket) usually concatenate to a strictly
+    # increasing doc list (stride buckets: each doc partition is a contiguous id
+    # range, runs ordered by min_doc). Mod-routed doc partitions grouped into one
+    # serving bucket (bucket_spec mode="mod", group>1) are residue classes whose
+    # id ranges interleave — detect that and re-sort each merged posting by doc,
+    # permuting tfs/norms and the per-doc position sub-streams along.
+    pos_perm = None
+    if docs.size:
+        seg_start = np.zeros(docs.size, dtype=bool)
+        seg_start[post_offsets[:-1]] = True
+        if bool(((np.diff(docs) <= 0) & ~seg_start[1:]).any()):
+            seg = np.repeat(np.arange(len(post_starts)), np.diff(post_offsets))
+            order = np.lexsort((docs, seg))
+            pos_perm = (order, tfs.copy())     # (permutation, pre-perm tfs)
+            docs = docs[order]
+            tfs = tfs[order]
+            norms = norms[order]
     merged_gaps = codec.delta_encode_segments(docs, post_offsets)
     if codec_name == "pfor":
         doc_blobs = [codec.pfor_encode(merged_gaps[post_offsets[i]:post_offsets[i + 1]])
@@ -303,8 +319,25 @@ def merge_runs(group: pa.Table, codec_name: str = "varint") -> tuple[pa.Table, p
                   for i in range(len(post_starts))]
     # positions: each run's pos blob is a self-contained delta stream that resets
     # at every doc, so a merged posting's stream is just the byte concatenation of
-    # its runs' blobs (runs arrive in ascending doc order) — no decode/re-encode
-    if "pos_bytes" in group.column_names:
+    # its runs' blobs (runs arrive in ascending doc order) — no decode/re-encode.
+    # When the postings were re-sorted (interleaved mod buckets), the per-doc
+    # sub-streams must be gathered into the new order instead: decode once,
+    # permute value segments, re-encode per merged posting.
+    if "pos_bytes" in group.column_names and pos_perm is not None:
+        order, old_tfs = pos_perm
+        pos_cat = _concat_binary(group["pos_bytes"])
+        if len(pos_cat):
+            total = int(old_tfs.sum())
+            pos_vals = codec.varint_decode(pos_cat, total).astype(np.int64)
+            tf_cum_old = np.concatenate([[0], np.cumsum(old_tfs)])
+            gsrc = _concat_ranges(tf_cum_old[:-1][order], old_tfs[order])
+            pos_vals = pos_vals[gsrc]
+            tf_cum_new = np.concatenate([[0], np.cumsum(tfs)])
+            pos_blobs = codec.varint_encode_segments(
+                pos_vals.astype(np.uint64), tf_cum_new[post_offsets])
+        else:
+            pos_blobs = [b""] * len(post_starts)
+    elif "pos_bytes" in group.column_names:
         pos_col = group["pos_bytes"].combine_chunks()
         pos_cat = _concat_binary(pos_col)
         pos_byte_offs = np.frombuffer(pos_col.buffers()[1], dtype=np.int64,

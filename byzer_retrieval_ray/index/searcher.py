@@ -30,6 +30,7 @@ Two scoring engines, verified identical in tests:
 from __future__ import annotations
 
 import heapq
+import logging
 import os
 from collections import OrderedDict
 
@@ -43,6 +44,8 @@ from byzer_retrieval_ray.functions.tokenize import tokenize_query
 from byzer_retrieval_ray.index.manifest import read_json
 from byzer_retrieval_ray.schema import dsl
 from byzer_retrieval_ray.table.query import SearchQuery
+
+_LOG = logging.getLogger(__name__)
 
 
 class GenerationReader:
@@ -144,7 +147,9 @@ class GenerationReader:
 
     def expand_prefix(self, field: str, prefix: str, limit: int = 1024) -> list[str]:
         """Terms of ``field`` starting with ``prefix`` (dictionary scan over the
-        term-range partitions the prefix interval maps to)."""
+        term-range partitions the prefix interval maps to). Expansion is capped
+        at ``limit`` terms kept in SORTED order (ranges ascend, per-range lists
+        are sorted \u2014 deterministic across runs); hitting the cap is logged."""
         import bisect
         out: list[str] = []
         lo_r = self.route_term(prefix)
@@ -156,26 +161,56 @@ class GenerationReader:
                 out.append(lst[i])
                 i += 1
                 if len(out) >= limit:
+                    _LOG.warning(
+                        "prefix expansion %r* on field %r hit the %d-term cap; "
+                        "keeping the %d lexicographically smallest matches",
+                        prefix, field, limit, limit)
                     return out
         return out
 
     def expand_fuzzy(self, field: str, term: str, n: int,
                      transpositions: bool = True, limit: int = 1024) -> list[str]:
-        """Dictionary terms of ``field`` within edit distance ``n`` of ``term``
-        (full-dictionary vectorized DP scan; at 10^9-term dictionaries this
-        becomes a Levenshtein automaton over the sorted terms \u2014 documented)."""
-        from byzer_retrieval_ray.functions.fuzzy import edit_distance_within
+        """Dictionary terms of ``field`` within edit distance ``n`` of ``term``.
+
+        The edit-distance DP runs only over the survivors of the vectorized
+        length-band + bag-distance prefilter (functions/fuzzy.fuzzy_candidates)
+        \u2014 a term~N clause never DP-scans the whole dictionary. Matches are kept
+        in sorted term order; the ``limit`` cap is deterministic (smallest terms
+        kept) and logged when hit."""
+        from byzer_retrieval_ray.functions.fuzzy import (edit_distance_within,
+                                                         fuzzy_candidates)
         out: list[str] = []
         for r in range(max(self.info["num_term_parts"], 1)):
             lst = self._sorted_terms(r).get(field, [])
             if not lst:
                 continue
-            mask = edit_distance_within(term, lst, n, transpositions)
+            lens = self._term_lens(r, field)
+            cand_idx = fuzzy_candidates(term, lst, lens, n)
+            if cand_idx.size == 0:
+                continue
+            cand = [lst[i] for i in cand_idx]
+            mask = edit_distance_within(term, cand, n, transpositions)
             for i in np.flatnonzero(mask):
-                out.append(lst[i])
+                out.append(cand[i])
                 if len(out) >= limit:
+                    _LOG.warning(
+                        "fuzzy expansion %s~%d on field %r hit the %d-term cap; "
+                        "keeping the %d lexicographically smallest matches",
+                        term, n, field, limit, limit)
                     return out
         return out
+
+    def _term_lens(self, r: int, field: str) -> np.ndarray:
+        """Cached length array of range r's sorted term list (the fuzzy length
+        band then prunes without touching the strings)."""
+        if not hasattr(self, "_term_lens_cache"):
+            self._term_lens_cache: dict[tuple[int, str], np.ndarray] = {}
+        key = (r, field)
+        if key not in self._term_lens_cache:
+            lst = self._sorted_terms(r).get(field, [])
+            self._term_lens_cache[key] = np.array([len(t) for t in lst],
+                                                  dtype=np.int64)
+        return self._term_lens_cache[key]
 
     def tombstones(self) -> np.ndarray:
         """Tombstoned doc_ids of THIS generation (doc_ids are generation-scoped;
@@ -455,7 +490,10 @@ class BucketSearcher:
             raise ValueError(
                 f"search fields {bad} are not analyzed (schema options: analyze); "
                 f"analyzed fields: {sorted(self.gen.analyzed)}")
-        scored_terms = should + must    # MUST clauses score too (Lucene BooleanQuery)
+        group_terms = [t for g in pk.must_groups for t in g]
+        # MUST clauses score too (Lucene BooleanQuery); required groups' members
+        # score as term clauses — clause order: should, must, group members
+        scored_terms = should + must + group_terms
         pairs = [(f, t) for t in scored_terms for f in fields]
         mult: dict[tuple[str, str], int] = {}
         for p in pairs:
@@ -548,7 +586,16 @@ class BucketSearcher:
 
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
-        if must or must_phrases or pk.must_prefixes or pk.must_fuzzies:
+        if must or must_phrases or pk.must_prefixes or pk.must_fuzzies \
+                or pk.must_groups:
+            for grp in pk.must_groups:
+                # +(a | b): the doc must contain ≥1 group member in ≥1 field
+                docs_any = [posts[(f, t)].docs for t in grp for f in fields
+                            if stats[(f, t)][0] > 0]
+                g_docs = (np.unique(np.concatenate(docs_any))
+                          if docs_any else np.empty(0, np.int64))
+                candidates = g_docs if candidates is None else \
+                    candidates[np.isin(candidates, g_docs, assume_unique=True)]
             for t in must:
                 docs_any = [posts[(f, t)].docs for f in fields if stats[(f, t)][0] > 0]
                 term_docs = (np.unique(np.concatenate(docs_any))
@@ -604,7 +651,8 @@ class BucketSearcher:
             ids, scores = self._search_taat(
                 scorers, candidates, limit, dtype, excluded=excluded,
                 zero_fill=(bool(q.filters) and not must and not must_phrases
-                           and not pk.must_prefixes and not pk.must_fuzzies))
+                           and not pk.must_prefixes and not pk.must_fuzzies
+                           and not pk.must_groups))
         return ids, scores
 
     def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":
@@ -621,12 +669,23 @@ class BucketSearcher:
         if docs.size == 0:
             return None
         # vectorized adjacency across ALL candidate docs at once: pack each
-        # occurrence as key = doc_index·2^21 + position (positions < 2^21 —
-        # byte4-quantized doc lengths cap out far below), then iteratively keep
+        # occurrence as key = doc_index·B + position, then iteratively keep
         # candidate start keys whose key+j exists in term j's key set (sorted-
         # array membership; no per-doc Python loop — a stopword-scale phrase
-        # measured ~300 ms with the loop, ~10 ms vectorized)
-        BIGP = np.int64(1 << 21)
+        # measured ~300 ms with the loop, ~10 ms vectorized). B is sized to the
+        # actual max token position (byte4 norms cap the QUANTIZED doc length,
+        # not real positions — a >=2^21-token doc must not alias into the next
+        # doc's key space), min 2^21.
+        max_pos = 0
+        for p in plist:
+            pos_all, _ = p.positions()
+            if pos_all.size:
+                max_pos = max(max_pos, int(pos_all.max()))
+        BIGP = np.int64(1 << max(21, (max_pos + len(plist) + 1).bit_length()))
+        if docs.size and int(docs.size) * int(BIGP) >= (1 << 62):
+            raise RuntimeError(
+                f"phrase key space overflow: {docs.size} candidate docs × "
+                f"max position {max_pos} exceed int64 packing")
 
         def _keys(p: Posting) -> np.ndarray:
             pos, offs = p.positions()

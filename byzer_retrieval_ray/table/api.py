@@ -399,11 +399,12 @@ class RetrievalCluster:
         total_cpus = ray.cluster_resources().get("CPU", 8)
         n_actors = num_actors or min(len(pairs), max(1, int(total_cpus)))
         per_actor = min(1.0, round(max(total_cpus * 0.8 / max(n_actors, 1), 0.05), 2))
-        groups = [pairs[i::n_actors] for i in range(n_actors)]
-        groups = [g for g in groups if g]
+        groups = [(i, pairs[i::n_actors]) for i in range(n_actors)]
+        groups = [(i, g) for i, g in groups if g]
         actors = [make_segment_actor(m.data, g, num_cpus=per_actor,
-                                     location=self.location, poll_sec=nrt_poll_sec)
-                  for g in groups]
+                                     location=self.location, poll_sec=nrt_poll_sec,
+                                     assignment=(i, n_actors))
+                  for i, g in groups]
         self._actors[(database, table)] = actors
         self._actor_buckets = getattr(self, "_actor_buckets", {})
         self._actor_buckets[(database, table)] = pairs

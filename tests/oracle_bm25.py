@@ -79,7 +79,26 @@ class OracleIndex:
 
         rest = _re.sub(r'([+-]?)"([^"]*)"', _take, keyword)
         should, must, must_not = [], [], []
+        must_groups = []
         prefixes, must_prefixes, not_prefixes = [], [], []
+
+        def _take_group(m):
+            op, body = m.group(1), m.group(2)
+            terms = [t for t in body.replace("|", " ").split() if t]
+            if not terms:
+                return " "
+            if op == "+":
+                if len(terms) == 1:
+                    must.append(terms[0])
+                else:
+                    must_groups.append(tuple(terms))
+            elif op == "-":
+                must_not.extend(terms)
+            else:
+                should.extend(terms)
+            return " "
+
+        rest = _re.sub(r'([+-]?)\(([^()]*)\)', _take_group, rest)
         for raw in rest.replace("|", " ").split():
             op, tok = "", raw
             if tok[:1] in "+-" and len(tok) > 1:
@@ -97,6 +116,11 @@ class OracleIndex:
                        for ph in phrases + must_phrases + not_phrases}
         prefix_sets = {pre: self._prefix_docs(pre)
                        for pre in prefixes + must_prefixes + not_prefixes}
+        for grp in must_groups:
+            docs = set()
+            for t in grp:
+                docs |= set(self.postings.get(t, {}))
+            cand = docs if cand is None else cand & docs
         for t in must:
             docs = set(self.postings.get(t, {}))
             cand = docs if cand is None else cand & docs
@@ -116,7 +140,7 @@ class OracleIndex:
         if cand is not None:
             cand -= banned
         zero_fill = candidate_ids is not None and not must and not must_phrases \
-            and not must_prefixes
+            and not must_prefixes and not must_groups
         norm_of = dict(zip(self.doc_ids, self.norm_bytes))
         avgdl = dtype(self.sum_ttf / float(self.n))
 
@@ -133,7 +157,9 @@ class OracleIndex:
                 return
             acc[d] = acc.get(d, 0.0) + float(s)
 
-        for term in should + must:   # clause order: terms, phrases, prefixes
+        group_terms = [t for g in must_groups for t in g]
+        # clause order: should, must, group members, phrases, prefixes
+        for term in should + must + group_terms:
             post = self.postings.get(term)
             if not post:
                 continue

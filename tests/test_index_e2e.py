@@ -44,7 +44,10 @@ QUERIES = ["the", "window merge", "scan join order sort", "zzz_absent", "*",
            "customer", "merge merge",
            # SimpleQueryParser operator subset (+must, -must_not, | = OR)
            "+merge window", "window -merge", "window +merge -scan",
-           "customer | merge", "+zzz_absent window", "-the"]
+           "customer | merge", "+zzz_absent window", "-the",
+           # parenthesized groups (SimpleQueryParser precedence subset)
+           "+(merge | sort) -scan", "(customer | merge) window",
+           "+(scan sort) +window", "window -(merge customer)"]
 
 
 class TestBM25Parity:

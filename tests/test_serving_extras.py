@@ -105,3 +105,37 @@ class TestNRTPoll:
             assert len(res) == 5 and 2 not in {r["_id"] for r in res}
         finally:
             c1.deactivate("db", "t")
+
+    def test_second_process_delta_generation_becomes_visible(self, ray_session,
+                                                             tmp_path):
+        """An APPEND-mode delta generation published by another process must be
+        adopted by the polling actor pool (round-2 ADVICE: reload kept the
+        original (gen, bucket) pairs, hiding other processes' delta upserts)."""
+        loc = str(tmp_path)
+        c1 = RetrievalCluster(loc)
+        c1.create_table(TableSettings(
+            "db", "t", "st(field(_id,string),field(content,string,analyze))", loc))
+        c1.build_from_local("db", "t", [
+            {"_id": f"d{i}", "content": f"alpha number{i}"} for i in range(6)],
+            key_field="_id", num_doc_parts=1, num_term_parts=1)
+        c1.activate("db", "t", nrt_poll_sec=0.2)
+        try:
+            q = {"keyword": "alpha", "fields": ["content"], "limit": 20}
+            assert len(c1.search("db", "t", q)[0]) == 6
+
+            # a second cluster object upserts: one replaced key + one new doc,
+            # landing as a delta generation (mode="delta" default)
+            c2 = RetrievalCluster(loc)
+            assert c2.build_from_local("db", "t", [
+                {"_id": "d1", "content": "alpha replaced"},
+                {"_id": "d9", "content": "alpha fresh"}],
+                key_field="_id", num_doc_parts=1, num_term_parts=1)
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                res = c1.search("db", "t", q)[0]
+                if len(res) == 7:
+                    break
+                time.sleep(0.1)
+            assert len(res) == 7 and "d9" in {r["_id"] for r in res}
+        finally:
+            c1.deactivate("db", "t")
