@@ -635,17 +635,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_image"] = multimodal_image
 
     def multimodal_audio(sf):
-        # real PCM WAV decode (stdlib) through the actor-pool frame sampler;
-        # rows-only (sine-tone RMS has no closed-form SQL within rounding)
+        # real PCM WAV decode (stdlib) through the actor-pool frame sampler over
+        # constant-amplitude (DC) tones: every sample of row i quantizes to
+        # trunc(a_i*32767)/32768, so each frame's RMS is exactly that constant
+        # and the oracle SQL reproduces frame counts AND energies in closed form
         import ray.data
         from byzer_retrieval_ray.ops.multimodal import AudioFrameSample, synth_media_table
-        ds = ray.data.from_arrow(synth_media_table(32, "wav"))
+        ds = ray.data.from_arrow(synth_media_table(32, "wav_dc"))
         out = ds.map_batches(AudioFrameSample(), batch_format="pyarrow",
                              batch_size=8, concurrency=2).to_pandas()
         out = out.sort_values("media_id").reset_index(drop=True)
         return pa.table({
             "media_id": pa.array(out["media_id"], pa.int64()),
             "n_frames": pa.array([len(x) for x in out["frame_energy"]], pa.int64()),
+            "rms": pa.array(np.round([float(np.mean(x))
+                                      for x in out["frame_energy"]], 4)),
         })
     q["multimodal_audio"] = multimodal_audio
 
@@ -1100,5 +1104,19 @@ SELECT CAST(range AS BIGINT) AS media_id,
        CAST((range * 83) % 256 AS DOUBLE) AS b_mean
 FROM range(64) ORDER BY media_id"""
 
-    # rows-only entries (no closed-form SQL): multimodal_audio
+    # DC tones: duration_ms = 50+(i*17)%350 → total frames = ms//20 (20 ms @
+    # 8 kHz), sampled every 4th frame capped at 64; every sample quantizes to
+    # trunc(a*32767)/32768 with a = ((i%50)+10)/100, so each frame RMS (and
+    # their mean) is exactly that constant
+    sql["multimodal_audio"] = """
+WITH c AS (
+  SELECT CAST(range AS BIGINT) AS media_id,
+         50 + (range * 17) % 350 AS ms,
+         FLOOR((((range % 50) + 10) / 100.0e0) * 32767e0) / 32768e0 AS rms
+  FROM range(32)
+)
+SELECT media_id,
+       LEAST(CAST(CEIL((ms // 20) / 4.0e0) AS BIGINT), 64) AS n_frames,
+       ROUND(rms, 4) AS rms
+FROM c ORDER BY media_id"""
     return sql

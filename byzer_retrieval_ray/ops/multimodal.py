@@ -240,6 +240,10 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
     kind="ppm" / "bmp" / "wav" generate REAL encoded payloads (solid-color images
     whose channel statistics are analytically known: color of row i =
     ((i*37) % 256, (i*59) % 256, (i*83) % 256); sine-tone WAVs at 100+i Hz).
+    kind="wav_dc" emits constant-amplitude (DC) tones: after int16 quantization
+    every sample of row i equals trunc(a_i·32767)/32768 with
+    a_i = ((i%50)+10)/100 and duration 50+(i·17)%350 ms — each frame's RMS is
+    exactly that constant, giving the frame sampler a closed-form SQL oracle.
     kind="image" / "audio" keep the opaque random payloads for the fake-decode
     plumbing tests."""
     rng = np.random.default_rng(seed)
@@ -260,6 +264,23 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
             "width": pa.array(np.array([d[0] for d in dims], np.int32)),
             "height": pa.array(np.array([d[1] for d in dims], np.int32)),
             "duration_ms": pa.array(np.zeros(n, np.int32)),
+        })
+    if kind == "wav_dc":
+        rate = 8000
+        payloads, durs = [], []
+        for i in range(n):
+            ms = 50 + (i * 17) % 350
+            a = ((i % 50) + 10) / 100.0
+            payloads.append(encode_wav(np.full(rate * ms // 1000, a), rate))
+            durs.append(ms)
+        return pa.table({
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "width": pa.array(np.zeros(n, np.int32)),
+            "height": pa.array(np.zeros(n, np.int32)),
+            "duration_ms": pa.array(np.array(durs, np.int32)),
         })
     if kind == "wav":
         rate = 8000
