@@ -344,6 +344,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["vector_knn_ivf"] = vector_knn_ivf
 
+    def vector_knn_hnsw(sf):
+        # Q2 graph serving path (per-bucket HNSW, maxConn=16/beamWidth=100 as
+        # the reference codec defaults); gate config ef >= bucket size is the
+        # exact exhaustive configuration ⇒ vector_knn's SQL applies (recall at
+        # real ef is covered by tests/test_serving_extras.py)
+        c = _docsvec_cluster(sf)
+        qq = SearchQuery("db", "docsvec", vector=_query_vector(sf),
+                         vectorField="vector", limit=10)
+        res = c.search("db", "docsvec", qq, precision="float64",
+                       vector_algorithm="hnsw", ef=1_000_000)[0]
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in res], pa.int64()),
+            "score": pa.array(np.round(np.array([r["_score"] for r in res],
+                                                np.float64), 4)),
+        })
+    q["vector_knn_hnsw"] = vector_knn_hnsw
+
     def hybrid_rrf(sf):
         c = _docsvec_cluster(sf)
         qq = SearchQuery("db", "docsvec", keyword="merge sort", fields=["text"],
@@ -954,6 +971,8 @@ SELECT id, dup_of FROM best WHERE rn = 1 AND score >= 0.999999e0 ORDER BY id, du
     # IVF with nprobe = n_centroids is exact ⇒ the brute-force cosine SQL applies.
     sql["ann_ivf"] = sql["ann_bruteforce"]
     sql["vector_knn_ivf"] = sql["vector_knn"]
+    # HNSW with ef >= bucket size is the exact exhaustive configuration.
+    sql["vector_knn_hnsw"] = sql["vector_knn"]
 
     # --- text analysis ---
     def _stop_hits_sql(lang: str) -> str:

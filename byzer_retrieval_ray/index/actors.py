@@ -132,13 +132,13 @@ class SegmentActorImpl:
 
     def search_vector(self, q: dict, precision: str, with_docs: bool = False,
                       algorithm: str = "brute", nprobe: int = 4,
-                      n_centroids: int = 16):
+                      n_centroids: int = 16, ef: int = 100):
         query = SearchQuery.from_dict(q)
         out = []
         for s in self.searchers:
             ids, scores = s.search_vector(query, precision=precision,
                                           algorithm=algorithm, nprobe=nprobe,
-                                          n_centroids=n_centroids)
+                                          n_centroids=n_centroids, ef=ef)
             if with_docs:
                 out.append((np.asarray(ids), np.asarray(scores), s.fetch_docs(ids)))
             else:

@@ -879,18 +879,54 @@ class BucketSearcher:
             self._ivf_cache[key] = (ids, mat, cent, assign)
         return self._ivf_cache[key]
 
+    def _hnsw_state(self, field: str, max_conn: int, beam_width: int):
+        """Per-bucket HNSW graph over the vector column, built once per searcher
+        (actor state, ST1 semantics) and cached — the graph-ANN equivalent of
+        the reference's Lucene HNSW serving (RetrievalWorker.java:346-366;
+        defaults maxConn=16, beamWidth=100 per XLucene95HnswVectorsFormat)."""
+        if not hasattr(self, "_hnsw_cache"):
+            self._hnsw_cache: dict = {}
+        key = (field, max_conn, beam_width)
+        if key not in self._hnsw_cache:
+            from byzer_retrieval_ray.ops.hnsw import HNSWIndex
+            ids, mat = self._vectors(field)
+            m64 = mat.astype(np.float64)
+            norms = np.linalg.norm(m64, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = (m64 / norms).astype(np.float32)
+            self._hnsw_cache[key] = (ids, mat,
+                                     HNSWIndex(unit, max_conn, beam_width))
+        return self._hnsw_cache[key]
+
     def search_vector(self, q: SearchQuery, precision: str = "float32",
                       algorithm: str = "brute", nprobe: int = 4,
-                      n_centroids: int = 16):
+                      n_centroids: int = 16, ef: int = 100,
+                      max_conn: int = 16, beam_width: int = 100):
         """Cosine KNN scored (1+cos)/2 (Lucene COSINE), with optional filter.
 
         algorithm="brute" scans the bucket exactly; "ivf" probes only the
-        ``nprobe`` cells nearest the query in this bucket's coarse codebook
-        (identical per-row arithmetic — the probed subset scores exactly as the
-        brute path would score those rows)."""
+        ``nprobe`` cells nearest the query in this bucket's coarse codebook;
+        "hnsw" walks the bucket's HNSW graph with beam ``ef`` (ef >= bucket
+        size is the exact exhaustive configuration). Both approximate paths
+        re-score their candidate rows with arithmetic identical to the brute
+        path, so recall is the only divergence axis. A filter narrows the
+        candidate set AFTER graph traversal (over-fetch with a larger ef for
+        heavily filtered hnsw recalls — documented)."""
         dtype = np.float32 if precision == "float32" else np.float64
         qv = np.asarray(q.vector, dtype=dtype)
-        if algorithm == "ivf":
+        if algorithm == "hnsw":
+            ids, mat = self._vectors(q.vectorField)
+            if ef < len(ids):
+                ids, mat, index = self._hnsw_state(q.vectorField, max_conn,
+                                                   beam_width)
+                q64 = np.asarray(q.vector, dtype=np.float64)
+                qn = np.linalg.norm(q64)
+                qunit = (q64 / qn if qn > 0 else q64).astype(np.float32)
+                sel = index.search(qunit, q.limit, ef=ef)
+                ids, mat = ids[sel], mat[sel]
+            # ef >= bucket size: exact exhaustive configuration — skip the
+            # graph entirely (identical to the brute path)
+        elif algorithm == "ivf":
             ids, mat, cent, assign = self._ivf_state(q.vectorField, n_centroids)
             q64 = np.asarray(q.vector, dtype=np.float64)
             qn = np.linalg.norm(q64)

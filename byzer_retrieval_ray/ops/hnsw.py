@@ -1,0 +1,162 @@
+"""HNSW graph index over unit vectors (cosine similarity).
+
+The serving-side graph ANN the reference gets from Lucene's HNSW codec
+(RetrievalWorker.java:346-366 KnnFloatVectorQuery; vendored
+XLucene95HnswVectorsFormat.java:119,130 — DEFAULT_MAX_CONN=16,
+DEFAULT_BEAM_WIDTH=100, the defaults mirrored here). Pure numpy + heapq:
+per-bucket graphs are built once in the serving actor (ST1 state) and searched
+with the classic two-phase descent (greedy through upper layers, ef-bounded
+best-first at layer 0).
+
+Design notes:
+  * similarity = dot product of unit vectors (monotone in cosine) — callers
+    re-score the returned candidate ids with the engine's exact (1+cos)/2
+    arithmetic so the approximate path scores byte-identically to brute force
+    on the rows it returns.
+  * level assignment is seeded (deterministic per build order), neighbor
+    selection uses the standard diversity heuristic, links are bidirectional
+    with degree capped at max_conn (2·max_conn at layer 0).
+  * ``ef >= n`` is the exact configuration: the searcher short-circuits to an
+    exhaustive scan (the same guarantee the IVF path gives at
+    nprobe == n_centroids) — graph reachability never bounds correctness.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+class HNSWIndex:
+    def __init__(self, unit: np.ndarray, max_conn: int = 16,
+                 beam_width: int = 100, seed: int = 13):
+        """Build the graph over ``unit`` (n × d, rows L2-normalized)."""
+        self.unit = np.ascontiguousarray(unit, dtype=np.float32)
+        self.max_conn = max_conn
+        self.m0 = 2 * max_conn
+        n = len(self.unit)
+        rng = np.random.default_rng(seed)
+        ml = 1.0 / np.log(max(max_conn, 2))
+        with np.errstate(divide="ignore"):
+            self.levels = np.minimum(
+                (-np.log(rng.random(n) + 1e-300) * ml).astype(np.int64), 32) \
+                if n else np.empty(0, np.int64)
+        self.max_level = int(self.levels.max()) if n else -1
+        # adjacency: per level, node → list[int] (only nodes with level >= l)
+        self.adj: list[dict[int, list[int]]] = [
+            {} for _ in range(self.max_level + 1)]
+        self.entry = 0 if n else -1
+        cur_max = -1
+        for i in range(n):
+            li = int(self.levels[i])
+            for l in range(li + 1):
+                self.adj[l][i] = []
+            if cur_max < 0:
+                self.entry = i
+                cur_max = li
+                continue
+            q = self.unit[i]
+            cur = self.entry
+            for l in range(cur_max, li, -1):
+                cur = self._greedy(q, cur, l)
+            for l in range(min(li, cur_max), -1, -1):
+                cands = self._search_layer(q, [cur], beam_width, l)
+                cap = self.m0 if l == 0 else self.max_conn
+                chosen = self._select_neighbors(q, cands, cap)
+                self.adj[l][i] = [c for _, c in chosen]
+                for s, c in chosen:
+                    lst = self.adj[l][c]
+                    lst.append(i)
+                    if len(lst) > cap:
+                        # re-prune the over-full neighbor with the same heuristic
+                        nsims = self.unit[lst] @ self.unit[c]
+                        pruned = self._select_neighbors(
+                            self.unit[c],
+                            sorted(zip(nsims.tolist(), lst), reverse=True), cap)
+                        self.adj[l][c] = [x for _, x in pruned]
+                cur = cands[0][1] if cands else cur
+            if li > cur_max:
+                self.entry = i
+                cur_max = li
+        self.max_level = cur_max
+
+    def _greedy(self, q: np.ndarray, start: int, level: int) -> int:
+        cur = start
+        cur_sim = float(self.unit[cur] @ q)
+        while True:
+            nbrs = self.adj[level].get(cur, [])
+            if not nbrs:
+                return cur
+            sims = self.unit[nbrs] @ q
+            j = int(np.argmax(sims))
+            if float(sims[j]) <= cur_sim:
+                return cur
+            cur, cur_sim = nbrs[j], float(sims[j])
+
+    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int,
+                      level: int) -> list[tuple[float, int]]:
+        """ef-bounded best-first search; returns (sim, node) sorted desc."""
+        adj = self.adj[level]
+        visited = set(entries)
+        out: list[tuple[float, int]] = []      # min-heap of (sim, node)
+        cand: list[tuple[float, int]] = []     # max-heap via negated sim
+        for e in entries:
+            s = float(self.unit[e] @ q)
+            heapq.heappush(out, (s, e))
+            heapq.heappush(cand, (-s, e))
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if len(out) >= ef and -negs < out[0][0]:
+                break
+            nbrs = [x for x in adj.get(c, []) if x not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            sims = self.unit[nbrs] @ q
+            for x, s in zip(nbrs, sims.tolist()):
+                if len(out) < ef or s > out[0][0]:
+                    heapq.heappush(out, (s, x))
+                    heapq.heappush(cand, (-s, x))
+                    if len(out) > ef:
+                        heapq.heappop(out)
+        return sorted(out, reverse=True)
+
+    def _select_neighbors(self, q: np.ndarray, cands: list[tuple[float, int]],
+                          cap: int) -> list[tuple[float, int]]:
+        """Diversity heuristic: keep c only if it is closer to q than to any
+        already-kept neighbor (falls back to plain top-cap fill)."""
+        kept: list[tuple[float, int]] = []
+        for s, c in cands:
+            if len(kept) >= cap:
+                break
+            if not kept:
+                kept.append((s, c))
+                continue
+            kept_ids = [k for _, k in kept]
+            to_kept = self.unit[kept_ids] @ self.unit[c]
+            if float(to_kept.max()) <= s:
+                kept.append((s, c))
+        if len(kept) < cap:     # fill remaining slots with the nearest skipped
+            chosen = {c for _, c in kept}
+            for s, c in cands:
+                if len(kept) >= cap:
+                    break
+                if c not in chosen:
+                    kept.append((s, c))
+        return kept
+
+    def search(self, q: np.ndarray, k: int, ef: int = 100) -> np.ndarray:
+        """Indices of the ~top-k rows by dot(unit, q) (caller re-scores).
+        ``ef >= n`` returns every row (exact exhaustive configuration)."""
+        n = len(self.unit)
+        if n == 0:
+            return np.empty(0, np.int64)
+        if ef >= n:
+            return np.arange(n, dtype=np.int64)
+        q = np.ascontiguousarray(q, dtype=np.float32)
+        cur = self.entry
+        for l in range(self.max_level, 0, -1):
+            cur = self._greedy(q, cur, l)
+        res = self._search_layer(q, [cur], max(ef, k), 0)
+        return np.array([c for _, c in res[:max(ef, k)]], dtype=np.int64)

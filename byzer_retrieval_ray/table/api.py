@@ -461,13 +461,15 @@ class RetrievalCluster:
     def search(self, database: str, table: str, queries,
                precision: str = "float32", algorithm: str = "bmw",
                vector_algorithm: str = "brute", nprobe: int = 4,
-               n_centroids: int = 16,
+               n_centroids: int = 16, ef: int = 100,
                fuzzy_transpositions: bool = True) -> list[list[dict]]:
         """Q1/Q2/Q5–Q8: list of SearchQuery (dicts or dataclasses) → per-query ranked
         docs with _score injected (reference S7 result shape).
 
         ``vector_algorithm="ivf"`` serves the vector recall from each bucket's
-        coarse IVF index (nprobe/n_centroids knobs; nprobe=n_centroids is exact)."""
+        coarse IVF index (nprobe/n_centroids knobs; nprobe=n_centroids is
+        exact); ``"hnsw"`` walks each bucket's HNSW graph with beam ``ef``
+        (ef >= bucket size is exact)."""
         qs = self._as_queries(database, table, queries)
         use_actors = (database, table) in self._actors
         # multi-query fan-out (Q8): in actor mode every recall of every query is
@@ -485,7 +487,8 @@ class RetrievalCluster:
                 if q.has_vector:
                     futs["vector"] = [
                         a.search_vector.remote(q.__dict__, precision, True,
-                                               vector_algorithm, nprobe, n_centroids)
+                                               vector_algorithm, nprobe,
+                                               n_centroids, ef)
                         for a in actors]
                 all_futs.append(futs)
         out = []
@@ -513,7 +516,8 @@ class RetrievalCluster:
                 if q.has_vector:
                     recalls["vector"] = [
                         s.search_vector(q, precision, algorithm=vector_algorithm,
-                                        nprobe=nprobe, n_centroids=n_centroids)
+                                        nprobe=nprobe, n_centroids=n_centroids,
+                                        ef=ef)
                         for s in searchers]
             if not recalls:
                 out.append([])

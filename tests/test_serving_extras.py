@@ -75,6 +75,74 @@ class TestIVFServing:
                [(r["_id"], round(r["_score"], 6)) for r in local]
 
 
+class TestHNSWServing:
+    """Round-3: graph ANN behind vector_algorithm="hnsw" (reference Lucene HNSW,
+    RetrievalWorker.java:346-366; maxConn=16 / beamWidth=100 defaults)."""
+
+    def test_exact_when_ef_covers_bucket(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path))
+        q = SearchQuery("db", "v", vector=docs[7]["vector"], vectorField="vector",
+                        limit=10)
+        brute = c.search("db", "v", q, precision="float64")[0]
+        hnsw = c.search("db", "v", q, precision="float64",
+                        vector_algorithm="hnsw", ef=10_000)[0]
+        assert [(r["_id"], r["_score"]) for r in hnsw] == \
+               [(r["_id"], r["_score"]) for r in brute]
+
+    def test_recall_at_real_ef(self, ray_session, tmp_path):
+        # recall@10 >= 0.95 at ef=100 over the sf0.001 embeddings corpus
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        vecs = [list(v) for v in t["embedding"].to_pylist()]
+        ids = t["vec_id"].to_pylist()
+        loc = str(tmp_path / "emb")
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "e", VEC_SCHEMA, loc))
+        c.build_from_local("db", "e", [
+            {"_id": i, "content": f"v {i}", "vector": v}
+            for i, v in zip(ids, vecs)], key_field="_id",
+            num_doc_parts=2, num_term_parts=2)
+        hits = total = 0
+        for qi in (3, 57, 111, 222, 301):
+            q = SearchQuery("db", "e", vector=vecs[qi], vectorField="vector",
+                            limit=10)
+            brute = {r["_id"] for r in c.search("db", "e", q)[0]}
+            hnsw = {r["_id"] for r in c.search("db", "e", q,
+                                               vector_algorithm="hnsw", ef=100)[0]}
+            hits += len(brute & hnsw)
+            total += len(brute)
+        assert total > 0 and hits / total >= 0.95, f"recall {hits}/{total}"
+
+    def test_scores_match_brute_on_returned_rows(self, ray_session, tmp_path):
+        # approximate path re-scores with brute arithmetic: every returned row's
+        # score equals the brute score of that same doc
+        c, docs = _vec_cluster(str(tmp_path), n=300)
+        q = SearchQuery("db", "v", vector=docs[11]["vector"], vectorField="vector",
+                        limit=10)
+        brute = {r["_id"]: r["_score"]
+                 for r in c.search("db", "v", SearchQuery(
+                     "db", "v", vector=docs[11]["vector"], vectorField="vector",
+                     limit=300), precision="float64")[0]}
+        hnsw = c.search("db", "v", q, precision="float64",
+                        vector_algorithm="hnsw", ef=32)[0]
+        assert len(hnsw) > 0
+        for r in hnsw:
+            assert r["_score"] == brute[r["_id"]]
+
+    def test_actor_mode_hnsw(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path))
+        q = SearchQuery("db", "v", vector=docs[3]["vector"], vectorField="vector",
+                        limit=5)
+        local = c.search("db", "v", q, vector_algorithm="hnsw", ef=400)[0]
+        c.activate("db", "v", nrt_poll_sec=0)
+        try:
+            actor = c.search("db", "v", q, vector_algorithm="hnsw", ef=400)[0]
+        finally:
+            c.deactivate("db", "v")
+        assert [(r["_id"], round(r["_score"], 6)) for r in actor] == \
+               [(r["_id"], round(r["_score"], 6)) for r in local]
+
+
 class TestNRTPoll:
     def test_second_process_publish_becomes_visible(self, ray_session, tmp_path):
         """A generation published (and a tombstone written) by ANOTHER
