@@ -860,9 +860,12 @@ class BucketSearcher:
         """Per-bucket IVF coarse index over the vector column, built once per
         searcher (actor state, ST1 semantics) and cached: a k-means codebook
         trained on this bucket's vectors plus per-row cell assignments. The
-        serving-path stand-in for the reference's Lucene HNSW
-        (RetrievalWorker.java:346-366): recall is tuned with ``nprobe``;
-        nprobe == n_centroids degenerates to exact brute force."""
+        coarse-quantization serving dial next to brute/hnsw: recall is tuned
+        with ``nprobe``; nprobe == n_centroids degenerates to exact brute
+        force. ``n_centroids <= 0`` auto-sizes the codebook to √(bucket size)
+        and trains on every bucket vector (they are already actor-resident) —
+        the 10^9-vector shape, where a fixed 16-cell codebook would make every
+        probe scan n/16 rows."""
         if not hasattr(self, "_ivf_cache"):
             self._ivf_cache: dict = {}
         key = (field, n_centroids)
@@ -873,7 +876,11 @@ class BucketSearcher:
             norms = np.linalg.norm(m64, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = m64 / norms
-            cent = train_codebook(unit[:min(len(unit), 4096)], n_centroids)
+            if n_centroids <= 0:
+                n_c = max(1, int(np.sqrt(len(unit))))
+                cent = train_codebook(unit, n_c)
+            else:
+                cent = train_codebook(unit[:min(len(unit), 4096)], n_centroids)
             assign = (np.argmax(unit @ cent.T, axis=1) if len(unit)
                       else np.empty(0, np.int64))
             self._ivf_cache[key] = (ids, mat, cent, assign)

@@ -112,6 +112,54 @@ class TestANN:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.6  # nprobe=half the cells → decent recall
 
+    def _clustered_ds(self, ray_mod, n=4000, cells=64, dim=16, seed=11):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((cells, dim))
+        assign = rng.integers(0, cells, n)
+        mat = centers[assign] + 0.05 * rng.standard_normal((n, dim))
+        mat[:, 0] = np.arange(n)   # component 0 encodes the row id (spread test)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(mat.astype(np.float32).tolist(),
+                                  pa.list_(pa.float32(), dim)),
+        })
+        return ray_mod.from_arrow(t), mat
+
+    def test_ivf_sqrtn_codebook_at_scale(self, ray_mod):
+        # 10× corpus: sqrt(n) auto codebook, nprobe << cells, one distributed
+        # refinement pass — recall@10 stays high on clustered embeddings
+        ds, mat = self._clustered_ds(ray_mod)
+        queries = mat[[5, 500, 1500, 3999]]
+        exact = ann.brute_force_topk(ds, "embedding", "vec_id", queries, k=10)
+        approx = ann.ivf_topk(ds, "embedding", "vec_id", queries, k=10,
+                              n_centroids=None, nprobe=8, sample_size=None,
+                              refine_iters=1)
+        recalls = []
+        for qi in range(4):
+            e = set(exact[exact.query_id == qi]["id"])
+            a = set(approx[approx.query_id == qi]["id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.8, recalls
+
+    def test_sample_vectors_spreads_over_blocks(self, ray_mod):
+        # a ds.limit()-style sample sees only the first blocks; the hash-spread
+        # sample must cover head AND tail of the id range
+        ds, _ = self._clustered_ds(ray_mod)
+        sample = ann.sample_vectors(ds, "embedding", "vec_id", 256)
+        ids = np.sort(sample[:, 0])
+        assert 64 <= len(ids) <= 1024          # roughly the requested size
+        assert ids.min() < 1000 and ids.max() > 3000
+
+    def test_refine_codebook_moves_centroids(self, ray_mod):
+        ds, mat = self._clustered_ds(ray_mod, n=1000, cells=16)
+        sample = ann.sample_vectors(ds, "embedding", "vec_id", 128)
+        cent0 = ann.train_codebook(sample, 16)
+        cent1 = ann.refine_codebook(ds, "embedding", cent0, iters=1)
+        assert cent1.shape == cent0.shape
+        # refined centroids stay unit-norm and reflect the full dataset
+        np.testing.assert_allclose(np.linalg.norm(cent1, axis=1), 1.0, rtol=1e-9)
+        assert not np.allclose(cent0, cent1)
+
 
 class TestTextOps:
     def test_token_counts(self):

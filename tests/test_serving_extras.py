@@ -59,6 +59,18 @@ class TestIVFServing:
                        n_centroids=16)[0]
         assert top[0]["_id"] == 1
 
+    def test_auto_sqrtn_codebook_serving(self, ray_session, tmp_path):
+        # n_centroids=0 sizes each bucket's codebook to sqrt(bucket size)
+        # trained on all bucket vectors; nprobe >= cells probes everything
+        c, docs = _vec_cluster(str(tmp_path), n=400)
+        q = SearchQuery("db", "v", vector=docs[7]["vector"], vectorField="vector",
+                        limit=10)
+        brute = c.search("db", "v", q, precision="float64")[0]
+        auto = c.search("db", "v", q, precision="float64",
+                        vector_algorithm="ivf", nprobe=1000, n_centroids=0)[0]
+        assert [(r["_id"], r["_score"]) for r in auto] == \
+               [(r["_id"], r["_score"]) for r in brute]
+
     def test_actor_mode_ivf(self, ray_session, tmp_path):
         c, docs = _vec_cluster(str(tmp_path))
         q = SearchQuery("db", "v", vector=docs[3]["vector"], vectorField="vector",
