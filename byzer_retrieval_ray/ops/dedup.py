@@ -35,6 +35,9 @@ from byzer_retrieval_ray.functions.polyhash import poly_hash_np
 _M61 = (1 << 61) - 1
 _GRAM_MULT = np.uint64(1000003)
 _MASK32 = np.uint64(0xFFFFFFFF)
+# broadcast id sets beyond this size (~0.4 GB) are flagged: the semi-join is
+# the right shape at web dup rates, but pathological corpora should bucket
+BROADCAST_ID_WARN = 50_000_000
 
 
 def _content_hash(texts: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -84,6 +87,12 @@ def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
     # a fully-unique corpus yields an empty result whose schema may be columnless
     loser_ids = (np.sort(loser_tbl[id_col].to_numpy())
                  if id_col in loser_tbl.columns else np.empty(0, np.int64))
+    if loser_ids.size > BROADCAST_ID_WARN:
+        import logging
+        logging.getLogger(__name__).warning(
+            "exact_dedup: %d loser ids broadcast (%.1f GB) — at very high "
+            "duplicate rates prefer an id-bucketed anti-join over the broadcast "
+            "semi-join", loser_ids.size, loser_ids.size * 8 / 1e9)
     ref = ray.put(loser_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -244,16 +253,20 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3, jaccard: float = 0.8,
                       num_buckets: int = 64, seed: int = 7,
                       hash_fn: str = "murmur3"):
-    """MinHash+LSH near-duplicate detection, two narrow passes.
+    """MinHash+LSH near-duplicate detection — narrow shuffles end-to-end.
 
-    Pass 1 shuffles (id, band, band_hash) rows only; each hash bucket resolves its
-    (band, bh) groups vectorized and emits candidate pairs (id, anchor=min id of
-    the group). Pass 2 recomputes signatures for the candidate ids only (candidate
-    id set broadcast via ray.put — duplicates + band collisions, tiny vs corpus)
-    and verifies estimated Jaccard (signature agreement rate ≥ ``jaccard``).
-    Each verified duplicate maps to the smallest anchor it matched ("min-label",
-    one round — transitively-chained near-dups beyond one hop are kept,
-    documented).
+    Pass 1 shuffles (id, band, band_hash) rows only; each hash bucket resolves
+    its (band, bh) groups vectorized and emits candidate pairs
+    (id, anchor=min id of the group). Pass 2 verifies estimated Jaccard
+    (signature agreement rate ≥ ``jaccard``) ENTIRELY in-cluster: signatures
+    are recomputed for candidate ids only, attached to each pair's endpoints in
+    an id-bucketed group pass, and compared in a pair-bucketed group pass —
+    no signature matrix ever materializes on the driver (a 30–50 %-dup corpus
+    at 100 TB would make that set corpus-scale). The driver holds only the
+    UNIQUE candidate id array (8 bytes/id, broadcast once for the recompute
+    filter) and streams the verified (id, dup_of) output. Each verified
+    duplicate maps to the smallest anchor it matched ("min-label", one round —
+    transitively-chained near-dups beyond one hop are kept, documented).
 
     Returns a Dataset of (id, dup_of) rows for ids that should be dropped.
     """
@@ -278,45 +291,137 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
         return pa.table({"id": pa.array(ids[mask], pa.int64()),
                          "dup_of": pa.array(anchors[mask], pa.int64())})
 
-    pairs = _band_rows(ds, text_col, id_col, num_perm, bands, shingle_k,
-                       num_buckets, seed, hash_fn) \
-        .groupby("__b").map_groups(pairs_in_bucket, batch_format="pyarrow") \
-        .to_pandas().drop_duplicates()
+    pairs_ds = _band_rows(ds, text_col, id_col, num_perm, bands, shingle_k,
+                          num_buckets, seed, hash_fn) \
+        .groupby("__b").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs_ds = pairs_ds.materialize()   # consumed twice (requests + verify)
 
     empty = pa.table({"id": pa.array([], pa.int64()),
                       "dup_of": pa.array([], pa.int64())})
-    if len(pairs) == 0:
+    if pairs_ds.count() == 0:
         return ray.data.from_arrow(empty)
 
-    need = np.unique(np.concatenate([pairs["id"].to_numpy(),
-                                     pairs["dup_of"].to_numpy()]))
+    # distributed unique of candidate ids; the driver keeps ONLY this id array
+    need_ds = pairs_ds.map_batches(
+        lambda b: pa.table({"cid": pa.concat_arrays(
+            [b["id"].combine_chunks(), b["dup_of"].combine_chunks()])}),
+        batch_format="pyarrow")
+    need = np.sort(np.asarray(need_ds.unique("cid"), dtype=np.int64))
     ref = ray.put(need)
 
-    def sigs_for_candidates(batch: pa.Table) -> pa.Table:
+    sig_t = pa.list_(pa.int64(), num_perm)
+    u_schema = pa.schema([("kb", pa.int32()), ("cid", pa.int64()),
+                          ("id", pa.int64()), ("dup_of", pa.int64()),
+                          ("side", pa.int8()), ("sig", sig_t)])
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        """(kb, cid, sig) rows for this batch's candidate docs (tagged side=-1)."""
         cand = ray.get(ref)
         ids = batch[id_col].to_numpy()
-        m = np.isin(ids, cand)
-        if not m.any():
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.list_(pa.int64(), num_perm))})
+        m = ids.size and np.isin(ids, cand)
+        if not np.any(m):
+            return u_schema.empty_table()
         texts = batch[text_col].to_numpy(zero_copy_only=False)[m]
         sig = minhash_signatures(texts, num_perm, shingle_k, seed, hash_fn)
-        return pa.table({"id": pa.array(ids[m], pa.int64()),
-                         "sig": pa.array(list(sig), pa.list_(pa.int64(), num_perm))})
+        cids = ids[m]
+        n = cids.size
+        return pa.table({
+            "kb": pa.array((cids % num_buckets).astype(np.int32)),
+            "cid": pa.array(cids, pa.int64()),
+            "id": pa.array(np.zeros(n, np.int64)),
+            "dup_of": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.full(n, -1, np.int8)),
+            "sig": pa.array(list(sig), sig_t),
+        })
 
-    sig_df = ds.map_batches(sigs_for_candidates, batch_format="pyarrow").to_pandas()
-    sig_of = {int(i): s for i, s in zip(sig_df["id"], sig_df["sig"])}
-    A = np.stack([sig_of[int(i)] for i in pairs["id"]])
-    B = np.stack([sig_of[int(i)] for i in pairs["dup_of"]])
-    agree = (A == B).mean(axis=1)
-    ok = pairs[agree >= jaccard]
-    if len(ok) == 0:
-        return ray.data.from_arrow(empty)
-    lab = ok.groupby("id", as_index=False)["dup_of"].min().sort_values("id")
-    return ray.data.from_arrow(pa.table({
-        "id": pa.array(lab["id"].to_numpy(), pa.int64()),
-        "dup_of": pa.array(lab["dup_of"].to_numpy(), pa.int64()),
-    }))
+    def request_rows(batch: pa.Table) -> pa.Table:
+        """Two (kb, cid, id, dup_of, side) rows per candidate pair — routed to
+        each endpoint's id bucket to pick up that endpoint's signature."""
+        ids = batch["id"].to_numpy()
+        dups = batch["dup_of"].to_numpy()
+        cid = np.concatenate([ids, dups])
+        n = ids.size
+        return pa.table({
+            "kb": pa.array((cid % num_buckets).astype(np.int32)),
+            "cid": pa.array(cid, pa.int64()),
+            "id": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "dup_of": pa.array(np.concatenate([dups, dups]), pa.int64()),
+            "side": pa.array(np.concatenate([np.zeros(n, np.int8),
+                                             np.ones(n, np.int8)])),
+            "sig": pa.array([None] * (2 * n), sig_t),
+        })
+
+    tagged = ds.map_batches(sig_rows, batch_format="pyarrow").union(
+        pairs_ds.map_batches(request_rows, batch_format="pyarrow"))
+
+    def attach(group: pa.Table) -> pa.Table:
+        """id-bucket group: give every request row its endpoint's signature and
+        re-key it by the PAIR's bucket for the compare pass."""
+        side = group["side"].to_numpy()
+        is_sig = side == -1
+        sig_rows_t = group.filter(pa.array(is_sig))
+        req = group.filter(pa.array(~is_sig))
+        if len(req) == 0:
+            return u_schema.empty_table()
+        scid = sig_rows_t["cid"].to_numpy()
+        order = np.argsort(scid)
+        scid = scid[order]
+        sigs = sig_rows_t["sig"].take(pa.array(order))
+        rcid = req["cid"].to_numpy()
+        loc = np.searchsorted(scid, rcid)
+        ok = loc < scid.size
+        ok[ok] &= scid[loc[ok]] == rcid[ok]
+        req = req.filter(pa.array(ok))          # drop requests with no sig
+        loc = loc[ok]
+        rid = req["id"].to_numpy()
+        rdup = req["dup_of"].to_numpy()
+        pb = ((rid * np.int64(1000003) + rdup) % num_buckets).astype(np.int32)
+        return pa.table({
+            "kb": pa.array(pb),
+            "cid": req["cid"],
+            "id": req["id"],
+            "dup_of": req["dup_of"],
+            "side": req["side"],
+            "sig": sigs.take(pa.array(loc)),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        """pair-bucket group: both endpoints' signatures of each pair are here;
+        compare agreement rate vectorized and emit surviving (id, dup_of)."""
+        df = group.to_pandas().drop_duplicates(subset=["id", "dup_of", "side"])
+        s0 = df[df["side"] == 0][["id", "dup_of", "sig"]]
+        s1 = df[df["side"] == 1][["id", "dup_of", "sig"]]
+        merged = s0.merge(s1, on=["id", "dup_of"])
+        if not len(merged):
+            return empty
+        A = np.stack([np.asarray(s) for s in merged["sig_x"]])
+        B = np.stack([np.asarray(s) for s in merged["sig_y"]])
+        agree = (A == B).mean(axis=1)
+        keep = merged[agree >= jaccard]
+        return pa.table({"id": pa.array(keep["id"].to_numpy(), pa.int64()),
+                         "dup_of": pa.array(keep["dup_of"].to_numpy(), pa.int64())})
+
+    verified = tagged.groupby("kb").map_groups(attach, batch_format="pyarrow") \
+        .groupby("kb").map_groups(verify, batch_format="pyarrow")
+
+    def min_label(group: pa.Table) -> pa.Table:
+        """per-id smallest verified anchor (in-cluster fold, id-bucketed)."""
+        g = group.sort_by([("id", "ascending"), ("dup_of", "ascending")])
+        ids = g["id"].to_numpy()
+        if ids.size == 0:
+            return empty
+        first = np.zeros(ids.size, dtype=bool)
+        first[0] = True
+        first[1:] = ids[1:] != ids[:-1]
+        return pa.table({"id": pa.array(ids[first], pa.int64()),
+                         "dup_of": g["dup_of"].filter(pa.array(first))})
+
+    labeled = verified.map_batches(
+        lambda b: b.append_column(
+            "__b", pa.array((b["id"].to_numpy() % num_buckets).astype(np.int32))),
+        batch_format="pyarrow") \
+        .groupby("__b").map_groups(min_label, batch_format="pyarrow")
+    return labeled
 
 
 # ---------------- SimHash ----------------

@@ -45,6 +45,27 @@ class TestMinHash:
         assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
         assert dedup.ngram_jaccard("a b c d e", "x y z w v") == 0.0
 
+    def test_high_dup_rate_corpus_verifies_in_cluster(self, ray_mod):
+        # 50 %-duplicate corpus (the common 100 TB shape): pass-2 verification
+        # runs as bucketed group passes — correctness must hold when the
+        # candidate set is corpus-scale
+        rng = np.random.default_rng(4)
+        vocab = [f"w{i}" for i in range(800)]
+        n_base = 300
+        base = [" ".join(rng.choice(vocab, 40)) for _ in range(n_base)]
+        rows = [{"id": i, "text": t} for i, t in enumerate(base)]
+        for i in range(n_base):          # one near-copy per base doc
+            toks = base[i].split()
+            toks[5] = "MUT"
+            rows.append({"id": 1000 + i, "text": " ".join(toks)})
+        ds = ray_mod.from_items(rows)
+        out = dedup.minhash_lsh_dedup(ds, "text", "id", num_perm=64, bands=16,
+                                      shingle_k=3, jaccard=0.5).to_pandas()
+        got = dict(zip(out["id"], out["dup_of"]))
+        hit = sum(1 for i in range(n_base) if got.get(1000 + i) == i)
+        assert hit >= 0.9 * n_base          # LSH recall on 1-word mutations
+        assert not (set(got) & set(range(n_base)))   # originals never dropped
+
 
 class TestSimHash:
     def test_exact_copies_collide(self, ray_mod):
