@@ -56,6 +56,19 @@ def bench_queries(n_pages: int):
     return qs
 
 
+def _box_cpu_sec() -> float:
+    """In-VM CPU seconds consumed so far, box-wide (/proc/stat user+nice+system
+    +irq+softirq). Host steal time is NOT counted, so the delta across a build
+    measures the work WE did — a contention-immune companion to wall time: on a
+    co-tenanted host a contended run shows the same CPU-seconds at a stretched
+    wall, making external interference objectively detectable (utilization =
+    cpu_sec / (wall × ncpus))."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    jiffies = sum(int(parts[i]) for i in (1, 2, 3, 6, 7))
+    return jiffies / os.sysconf("SC_CLK_TCK")
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -90,6 +103,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
 
     # ---- build ----
+    cpu0 = _box_cpu_sec()
     tb = time.perf_counter()
     # partitioning scheme is pinned (NOT a function of num_cpus) so the scaling runs
     # compare the identical job at two parallelism levels. 64/64 keeps every level
@@ -102,6 +116,9 @@ def run_bench() -> dict:
         num_serving_buckets=16)
     build_sec = time.perf_counter() - tb
     queries["build_pages"] = round(build_sec, 3)
+    queries["build_cpu_sec"] = round(_box_cpu_sec() - cpu0, 1)
+    queries["build_cpu_util"] = round(
+        queries["build_cpu_sec"] / (build_sec * NUM_CPUS), 3)
 
     # ---- serving: segment actors + block-max WAND ----
     ta = time.perf_counter()
@@ -212,6 +229,13 @@ def run_scaling():
         f"docs_per_sec_{hi}": r_hi["build"]["docs_per_sec"],
         "scaling_efficiency_total": round((t_lo / t_hi) / factor, 3),
         "scaling_efficiency_build": round((b_lo / b_hi) / factor, 3),
+        # per-leg CPU totals + utilization (contention-immune: /proc/stat does
+        # not count host steal) — a sample whose leg shows util far below the
+        # quiet-box norm was externally contended, independent of its result
+        f"build_cpu_sec_{lo}": r_lo["queries"].get("build_cpu_sec"),
+        f"build_cpu_sec_{hi}": r_hi["queries"].get("build_cpu_sec"),
+        f"build_cpu_util_{lo}": r_lo["queries"].get("build_cpu_util"),
+        f"build_cpu_util_{hi}": r_hi["queries"].get("build_cpu_util"),
         "sf": r_hi["sf"], "rows": int(rows),
     }
     print(json.dumps(out))

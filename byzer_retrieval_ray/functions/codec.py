@@ -95,6 +95,22 @@ def varint_encode_segments(values: np.ndarray, seg_offsets: np.ndarray) -> list[
         buf = v.astype(np.uint8).tobytes()
         so = np.asarray(seg_offsets, dtype=np.int64)
         return [buf[so[i]:so[i + 1]] for i in range(len(so) - 1)]
+    if vmax < (1 << 14):
+        # ≤2-byte fast path (position deltas, near-doc gaps): one width mask and
+        # two scatters instead of the generic per-group masked loop — identical
+        # bytes, ~3× fewer memory passes on the build's hottest encode
+        two = v >= np.uint64(128)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(1 + two.view(np.uint8), out=offsets[1:])
+        out = np.empty(int(offsets[-1]), dtype=np.uint8)
+        first = offsets[:-1]
+        out[first] = ((v & np.uint64(0x7F))
+                      | (two.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+        out[first[two] + 1] = (v[two] >> np.uint64(7)).astype(np.uint8)
+        byte_bounds = offsets[np.asarray(seg_offsets, dtype=np.int64)]
+        buf = out.tobytes()
+        return [buf[byte_bounds[i]:byte_bounds[i + 1]]
+                for i in range(len(seg_offsets) - 1)]
     max_w = max(1, (vmax.bit_length() + 6) // 7)
     width = np.ones(n, dtype=np.int64)
     for g in range(1, max_w):

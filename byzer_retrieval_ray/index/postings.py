@@ -120,16 +120,16 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
         if len(flat) == 0:
             continue
         dict_arr = flat.dictionary_encode()
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
         uniq_terms = dict_arr.dictionary.to_numpy(zero_copy_only=False)
 
-        # one combined-key argsort of token instances: (term_code, local_doc) packed
-        # into a single int64 (doc_ids are ascending, so sorting by parent index is
-        # sorting by doc) — half the memory passes of a two-key lexsort
-        n_local = len(batch)
-        key = codes.astype(np.int64) * np.int64(n_local) + parents
-        order2 = np.argsort(key, kind="stable")
-        key_s = key[order2]
+        # token instances arrive in document order (parents is non-decreasing),
+        # so a STABLE argsort by the int32 term code alone yields (term, doc)
+        # order — no composite int64 key, half the sort bandwidth (the emit
+        # stage is the build's dominant CPU)
+        order2 = np.argsort(codes, kind="stable")
+        codes_s = codes[order2]
+        parents_s = parents[order2]
         if positions:
             # token index within its doc (among kept tokens), then instance-sorted:
             # stable sort keeps per-(term, doc) occurrences ascending
@@ -141,20 +141,19 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
             tok_pos = np.arange(parents.size, dtype=np.int64) \
                 - np.repeat(dstarts, dcounts)
             pos_s = tok_pos[order2]
-        del key, order2
+        del order2
         # token-instance run-length → (term_code, doc) postings with tf
-        inst_change = np.empty(key_s.size, dtype=bool)
+        inst_change = np.empty(codes_s.size, dtype=bool)
         inst_change[0] = True
-        np.not_equal(key_s[1:], key_s[:-1], out=inst_change[1:])
+        np.logical_or(codes_s[1:] != codes_s[:-1], parents_s[1:] != parents_s[:-1],
+                      out=inst_change[1:])
         pstarts = np.flatnonzero(inst_change)
         del inst_change
         tf = np.empty(pstarts.size, dtype=np.int64)
         np.subtract(pstarts[1:], pstarts[:-1], out=tf[:-1])
-        tf[-1] = key_s.size - pstarts[-1]
-        pkeys = key_s[pstarts]
-        del key_s
-        tdoc = doc_ids[pkeys % n_local]
-        pcodes = pkeys // n_local
+        tf[-1] = codes_s.size - pstarts[-1]
+        tdoc = doc_ids[parents_s[pstarts]]
+        pcodes = codes_s[pstarts].astype(np.int64)
         buckets = bucket_of(tdoc, bucket_spec)
 
         norms_by_doc = batch[f"__norm_{fld}"].to_numpy().astype(np.uint8)
