@@ -71,6 +71,25 @@ def _atomic_write_parquet(table: pa.Table, path: str, **kw) -> None:
     os.replace(tmp, path)
 
 
+def _list_parquet_files(source) -> list[str] | None:
+    """Resolve a local path / list-of-paths source to a sorted parquet file list
+    (None when the source isn't a plain local file set — e.g. a URI scheme —
+    in which case boundary sampling falls back to the post-spill driver pass)."""
+    paths = [source] if isinstance(source, str) else list(source)
+    out: list[str] = []
+    for p in paths:
+        if not isinstance(p, str) or "://" in p:
+            return None
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in os.listdir(p)
+                       if f.endswith(".parquet"))
+        elif os.path.isfile(p):
+            out.append(p)
+        else:
+            return None
+    return sorted(out) or None
+
+
 def _analyzed_fields(st: dsl.StructType) -> list[str]:
     return [f.name for f in st.fields if f.analyze]
 
@@ -136,7 +155,9 @@ def build_index(
     except Exception:
         n_cpus = 8
     n_blocks = max(2 * n_cpus, num_doc_parts, 8)
+    source_paths: list[str] | None = None
     if isinstance(source, (str, list)):
+        source_paths = _list_parquet_files(source)
         source = ray.data.read_parquet(source, override_num_blocks=n_blocks)
     ds = source
 
@@ -291,9 +312,21 @@ def build_index(
 
     # ---- Stage A1: spill exchange (skipped when every partition is finalized) ----
     t_a = time.perf_counter()
+    if os.environ.get("BYZER_TIMING"):
+        print(f"PHASE setup={t_a - t0:.2f}", flush=True)
     all_parts_done = all(
         os.path.exists(os.path.join(partials, f"docstore-{p:05d}.json"))
         for p in range(num_doc_parts))
+    # term-range boundary sampling overlaps the spill stage when the source is a
+    # local file set: a single Ray task samples the RAW source (same extract as
+    # prep) while the spill fan-out runs, instead of a serial driver pass after it.
+    # boundaries.json stays the durable artifact either way (resume reuses it).
+    boundaries_path = os.path.join(gdir, "boundaries.json")
+    boundary_ref = None
+    if (source_paths and num_term_parts > 1 and not all_parts_done
+            and not os.path.exists(boundaries_path)):
+        boundary_ref = ray.remote(num_cpus=1)(_sample_boundaries).remote(
+            source_paths, analyzed, num_term_parts, sample_docs, extract)
     spill_files: list[str] = []
     if not all_parts_done:
         if os.path.exists(spill_marker):
@@ -317,15 +350,22 @@ def build_index(
     # reuse the cuts the completed postings partitions were built under (re-sampling
     # from a different source — spill blocks vs docstore — yields different cuts and
     # would silently mis-route queries to partitions merged under the old cuts).
-    boundaries_path = os.path.join(gdir, "boundaries.json")
+    t_b = time.perf_counter()
     if os.path.exists(boundaries_path):
         boundaries = read_json(boundaries_path)
     else:
-        sample_paths = spill_files if spill_files else [
-            os.path.join(docstore_dir, f"part-{p:05d}.parquet")
-            for p in range(num_doc_parts)]
-        boundaries = _sample_boundaries(sample_paths, analyzed, num_term_parts, sample_docs)
+        if boundary_ref is not None:
+            boundaries = ray.get(boundary_ref)
+        else:
+            sample_paths = spill_files if spill_files else [
+                os.path.join(docstore_dir, f"part-{p:05d}.parquet")
+                for p in range(num_doc_parts)]
+            boundaries = _sample_boundaries(sample_paths, analyzed,
+                                            num_term_parts, sample_docs)
         atomic_write_json(boundaries_path, boundaries)
+    if os.environ.get("BYZER_TIMING"):
+        print(f"PHASE spill={t_spill:.2f} boundaries={time.perf_counter() - t_b:.2f}",
+              flush=True)
 
     postings_dir = os.path.join(gdir, "postings")
     termstats_dir = os.path.join(gdir, "termstats")
@@ -386,6 +426,8 @@ def build_index(
                 run_files_by_range[r].append(f)
         if os.environ.get("BYZER_BUILD_STATS"):
             print("=== finalize stage stats ===\n", fin_ds.stats())
+        if os.environ.get("BYZER_TIMING"):
+            print(f"PHASE finalize={time.perf_counter() - t_c:.2f}", flush=True)
         merge_items = [{"range_part": r, "files": json.dumps(sorted(fs))}
                        for r, fs in sorted(run_files_by_range.items())]
         meta_ds = ray.data.from_items(merge_items,
@@ -394,6 +436,8 @@ def build_index(
         metas = [json.loads(r["meta"]) for r in meta_ds.take_all()]
         if os.environ.get("BYZER_BUILD_STATS"):
             print("=== merge stage stats ===\n", meta_ds.stats())
+        if os.environ.get("BYZER_TIMING"):
+            print(f"PHASE merge_done_at={time.perf_counter() - t_c:.2f}", flush=True)
     metas = [m for m in metas if m.get("n_postings_rows", 0) > 0 or m.get("n_runs", 0) > 0]
 
     summaries = [read_json(os.path.join(partials, f"docstore-{p:05d}.json"))
@@ -410,13 +454,19 @@ def build_index(
 
     # the spill exchanges are garbage once every partition is finalized/merged
     # (a rerun re-spills / re-emits from the docstore if entries were removed)
+    # spill cleanup runs on a daemon thread — it's garbage collection, not build
+    # work (every partition it removes is already finalized/merged durably), so it
+    # must not extend the build wall; a rerun re-spills from the docstore if needed
     import shutil as _sh
-    if os.path.isdir(spill_dir):
-        _sh.rmtree(spill_dir, ignore_errors=True)
-    if os.path.isdir(runspill_dir) and all(
+    import threading as _th
+    doomed = [d for d in (spill_dir, runspill_dir) if os.path.isdir(d)]
+    if runspill_dir in doomed and not all(
             os.path.exists(os.path.join(partials, f"postings-{r:05d}.json"))
             for r in range(num_term_parts)):
-        _sh.rmtree(runspill_dir, ignore_errors=True)
+        doomed.remove(runspill_dir)
+    if doomed:
+        _th.Thread(target=lambda: [_sh.rmtree(d, ignore_errors=True) for d in doomed],
+                   daemon=True).start()
     t_postings = time.perf_counter() - t_c
     t_docstore = t_spill
 
@@ -451,6 +501,9 @@ def build_index(
     manifest.data["num_doc_parts"] = num_doc_parts
     manifest.data["key_field"] = key_field
     manifest.publish(gen, gen_info, mode=publish_mode)
+    if os.environ.get("BYZER_TIMING"):
+        print(f"PHASE publish_tail={time.perf_counter() - t0 - wall:.2f} "
+              f"total={time.perf_counter() - t0:.2f}", flush=True)
     return gen_info
 
 
@@ -471,31 +524,48 @@ def _emit_chunked(tbl: pa.Table, analyzed, boundaries, bucket_spec,
     return pa.concat_tables(parts)
 
 
-def _sample_boundaries(paths, analyzed, num_term_parts, sample_docs) -> list[str]:
+def _sample_boundaries(paths, analyzed, num_term_parts, sample_docs,
+                       extract: tuple[str, str] | None = None) -> list[str]:
     """Byte-balanced term-range cut points from a corpus sample.
 
-    Reads up to ``sample_docs`` docs from the given parquet files (spill blocks or
-    docstore partitions), estimates per-term posting work by sampled TOTAL term
-    frequency (df saturates at the sample size for head terms and would underweight
-    them ~4×, measured), and cuts the cumulative curve into ``num_term_parts`` equal
-    slices. Heavy (stopword-scale) terms therefore occupy partitions sized by their
-    posting bytes — the explicit skew handling the term shuffle relies on.
+    Reads up to ``sample_docs`` docs from the given parquet files (source blocks,
+    spill blocks or docstore partitions), estimates per-term posting work by sampled
+    TOTAL term frequency (df saturates at the sample size for head terms and would
+    underweight them ~4×, measured), and cuts the cumulative curve into
+    ``num_term_parts`` equal slices. Heavy (stopword-scale) terms therefore occupy
+    partitions sized by their posting bytes — the explicit skew handling the term
+    shuffle relies on.
+
+    With ``extract=(src, dst)`` the sample is taken from RAW source files: the dst
+    analyzed column is produced by extract_text(src) exactly as the build's prep
+    stage does — this lets the sampler run as a Ray task concurrent with the spill
+    stage instead of a serial driver pass over spill output.
     """
     if num_term_parts <= 1:
         return []
     paths = [p for p in paths if os.path.exists(p)]
     if not paths:
         return []
+    if extract is not None:
+        cols = [extract[0]] + [f for f in analyzed if f != extract[1]]
+    else:
+        cols = list(analyzed)
     acc: dict[str, int] = {}
     read = 0
     for path in paths:
         pf = pq.ParquetFile(path)
+        avail = [c for c in cols if c in pf.schema_arrow.names]
         try:
             batch = next(pf.iter_batches(batch_size=min(sample_docs - read, 8192),
-                                         columns=[f for f in analyzed]))
+                                         columns=avail))
         except StopIteration:
             continue
         tbl = pa.Table.from_batches([batch])
+        if extract is not None and extract[0] in tbl.column_names:
+            txt = extract_text(tbl[extract[0]].combine_chunks())
+            if extract[1] in tbl.column_names:
+                tbl = tbl.drop_columns([extract[1]])
+            tbl = tbl.append_column(extract[1], txt)
         for fld in analyzed:
             if fld not in tbl.column_names:
                 continue
