@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
 
+    # sloppy phrase "merge sort"~2: in-order tightest-chain matches (one per
+    # last-term occurrence, rightmost predecessor), cost = span−1 ≤ 2, tf =
+    # Σ 1/(1+cost) — the Lucene sloppy frequency (searcher._sloppy_posting)
+    q["bm25_slop"] = lambda sf: _bm25(sf, '"merge sort"~2', 20)
+
     # --- filters (Q3): exact / nested and-or / range, incl. zero-score fill ---
     q["bm25_filter_lang"] = lambda sf: _bm25(
         sf, "merge sort", 1000, {"and": [{"field": "lang", "value": "en"}]})
@@ -745,6 +750,56 @@ comb AS (
   FROM scored s FULL OUTER JOIN fz f ON s.doc_id = f.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # "merge sort"~2: one tightest in-order chain per 'sort' occurrence (the
+    # rightmost 'merge' strictly before it), kept when cost = q−p−1 ≤ 2, each
+    # contributing 1/(1+cost) to the phrase tf (Lucene sloppy frequency); the
+    # BM25 transform and Σ per-term idf weight are the exact-phrase oracle's
+    sql["bm25_slop"] = f"""
+WITH {_SQL_TOKS},
+arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos2 AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = 'sort')) AS q
+  FROM arr
+),
+pos1 AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = 'merge')) AS p
+  FROM arr
+),
+chain AS (
+  SELECT pos2.doc_id, pos2.q, MAX(pos1.p) AS p
+  FROM pos2 JOIN pos1 ON pos1.doc_id = pos2.doc_id AND pos1.p < pos2.q
+  GROUP BY pos2.doc_id, pos2.q
+),
+pf AS (
+  SELECT doc_id, SUM(1.0e0 / (1.0e0 + CAST(q - p - 1 AS DOUBLE))) AS freq
+  FROM chain WHERE q - p - 1 <= 2
+  GROUP BY doc_id
+),
+wt AS (
+  SELECT (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d1.df AS DOUBLE) + 0.5e0)
+                             / (CAST(d1.df AS DOUBLE) + 0.5e0)))
+       + (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d2.df AS DOUBLE) + 0.5e0)
+                             / (CAST(d2.df AS DOUBLE) + 0.5e0))) AS w
+  FROM stats s,
+       (SELECT df FROM df WHERE term = 'merge') d1,
+       (SELECT df FROM df WHERE term = 'sort') d2
+),
+scored AS (
+  SELECT pf.doc_id,
+         wt.w - wt.w / (1.0e0 + pf.freq
+             * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                  / (CAST(s.sum_ttf AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS score
+  FROM pf
+  JOIN dlq ON dlq.doc_id = pf.doc_id
+  CROSS JOIN wt CROSS JOIN stats s
+  WHERE pf.freq > 0
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 20"""
 
     # +(merge | sort) -scan: docs containing merge or sort (the required group,

@@ -204,8 +204,8 @@ def run_scaling():
     concurrent data-heavy workers the wall time is bandwidth-bound — an artifact
     real multi-node clusters (per-node memory buses) don't have. The scaling corpus
     is larger (default 400k docs) so parallel compute dominates fixed pipeline
-    overhead; partitioning (16 doc parts / 32 term parts) is identical at both
-    levels."""
+    overhead; partitioning (64 doc parts / 64 term parts / 16 serving buckets,
+    pinned in run_bench) is identical at both levels."""
     rows = os.environ.get("GRAFT_SCALING_ROWS", "400000")
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(","))
     scratch = os.environ.get("GRAFT_SCRATCH",

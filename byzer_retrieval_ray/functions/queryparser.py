@@ -23,6 +23,15 @@ two-arg constructor), default operator OR. Supported here:
                        automaton's metric), CONSTANT score 1.0 per matching doc
                        (Lucene's per-term boosted scoring is a documented
                        divergence); +/- variants supported.
+    "a b"~N          → sloppy phrase (Lucene NEAR): IN-ORDER matches whose window
+                       cost (span − (len−1) extra gap tokens) is ≤ N, scored with
+                       the Lucene sloppy-frequency tf = Σ 1/(1+cost) over one
+                       tightest match per last-term occurrence and the same
+                       Σ per-term idf weight as exact phrases. ~0 ≡ exact phrase
+                       (identical docs AND scores). Documented divergence from
+                       Lucene's SloppyPhraseMatcher: out-of-order (transposed)
+                       matches are not matched, and overlapping-window
+                       enumeration differs for phrases with repeated terms.
     (a | b)          → grouping (Lucene SimpleQueryParser precedence): a bare
                        group of OR'd plain terms flattens into SHOULD terms;
                        ``+(a | b)`` is a required group — the doc must contain
@@ -33,11 +42,12 @@ two-arg constructor), default operator OR. Supported here:
                        group raise (documented restriction).
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
 
-Unsupported (documented): NEAR ``"a b"~N``, operators nested inside ``( )``.
+Unsupported (documented): operators nested inside ``( )``.
 
 Clause order for scoring is: plain SHOULD terms, MUST terms, SHOULD phrases, MUST
-phrases, SHOULD prefixes, MUST prefixes (the float-addition order is fixed and
-mirrored by the oracle SQL). Analysis stays whitespace-only.
+phrases, SHOULD/MUST sloppy phrases, SHOULD prefixes, MUST prefixes (the
+float-addition order is fixed and mirrored by the oracle SQL). Analysis stays
+whitespace-only.
 """
 
 from __future__ import annotations
@@ -45,7 +55,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?')
 _GROUP_RE = re.compile(r'([+-]?)\(([^()]*)\)')
 _FUZZY_RE = re.compile(r'^(.*?)~([012])?$')
 
@@ -66,18 +76,26 @@ class ParsedKeyword:
     not_fuzzies: list = field(default_factory=list)
     must_groups: list = field(default_factory=list)    # tuples of OR'd terms,
                                                        # each group required
+    slop_phrases: list = field(default_factory=list)   # (terms tuple, slop) pairs
+    must_slop_phrases: list = field(default_factory=list)
+    not_slop_phrases: list = field(default_factory=list)
 
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
     p = ParsedKeyword()
 
     def take_phrase(m: re.Match) -> str:
-        op, body = m.group(1), m.group(2)
+        op, body, slop = m.group(1), m.group(2), m.group(3)
         terms = tuple(body.split())
         if len(terms) == 1:
-            # single-term phrase == term query (Lucene)
+            # single-term phrase == term query (Lucene; slop is irrelevant)
             (p.must if op == "+" else p.must_not if op == "-"
              else p.should).append(terms[0])
+        elif terms and slop is not None and int(slop) > 0:
+            # "a b"~N, N>0 → sloppy phrase; ~0 is an exact phrase (Lucene)
+            sp = (terms, int(slop))
+            (p.must_slop_phrases if op == "+" else p.not_slop_phrases
+             if op == "-" else p.slop_phrases).append(sp)
         elif terms:
             (p.must_phrases if op == "+" else p.not_phrases if op == "-"
              else p.phrases).append(terms)

@@ -515,7 +515,10 @@ class BucketSearcher:
         not_pairs = [(f, t) for t in must_not for f in fields]
         all_phrases = phrases + must_phrases + not_phrases
         phrase_pairs = [(f, t) for ph in all_phrases for t in ph for f in fields]
-        fetch = list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs + phrase_pairs))
+        all_sphrases = pk.slop_phrases + pk.must_slop_phrases + pk.not_slop_phrases
+        sphrase_pairs = [(f, t) for ph, _ in all_sphrases for t in ph for f in fields]
+        fetch = list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs
+                                   + phrase_pairs + sphrase_pairs))
         stats = self.stats.term_stats(fetch)
         posts = self.fetch_postings([p for p in fetch if stats[p][0] > 0])
 
@@ -550,6 +553,26 @@ class BucketSearcher:
                     w = sum(bm25.term_weight(doc_count, stats[(fld, t)][0],
                                              dtype=dtype) for t in ph)
                     scorers.append(((fld, " ".join(ph)), pp, cache, dtype(w)))
+
+        # sloppy phrase clauses ("a b"~N): same Σ per-term idf weight as exact
+        # phrases, tf = Lucene sloppy frequency (see _sloppy_posting); appended
+        # after exact phrases in the fixed clause order
+        sphrase_docs: dict[tuple, np.ndarray] = {}   # (field, (terms, slop)) → docs
+        for sp in dict.fromkeys(all_sphrases):
+            ph, slop = sp
+            for fld in fields:
+                if any(stats[(fld, t)][0] == 0 for t in ph):
+                    continue
+                pp = self._sloppy_posting(fld, ph, slop, posts)
+                if pp is None:
+                    continue
+                sphrase_docs[(fld, sp)] = pp.docs
+                if sp in pk.slop_phrases or sp in pk.must_slop_phrases:
+                    cache, doc_count = _field_scoring(fld)
+                    w = sum(bm25.term_weight(doc_count, stats[(fld, t)][0],
+                                             dtype=dtype) for t in ph)
+                    scorers.append(((fld, " ".join(ph) + f"~{slop}"),
+                                    pp, cache, dtype(w)))
 
         # prefix clauses (term*): CONSTANT score 1.0 per matching doc (the Lucene
         # constant-score MultiTermQuery rewrite) — the clause's docs are the union
@@ -598,8 +621,8 @@ class BucketSearcher:
 
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
-        if must or must_phrases or pk.must_prefixes or pk.must_fuzzies \
-                or pk.must_groups:
+        if must or must_phrases or pk.must_slop_phrases or pk.must_prefixes \
+                or pk.must_fuzzies or pk.must_groups:
             for grp in pk.must_groups:
                 # +(a | b): the doc must contain ≥1 group member in ≥1 field
                 docs_any = [posts[(f, t)].docs for t in grp for f in fields
@@ -621,6 +644,13 @@ class BucketSearcher:
                            if docs_any else np.empty(0, np.int64))
                 candidates = ph_docs if candidates is None else \
                     candidates[np.isin(candidates, ph_docs, assume_unique=True)]
+            for sp in pk.must_slop_phrases:
+                docs_any = [sphrase_docs[(f, sp)] for f in fields
+                            if (f, sp) in sphrase_docs]
+                sp_docs = (np.unique(np.concatenate(docs_any))
+                           if docs_any else np.empty(0, np.int64))
+                candidates = sp_docs if candidates is None else \
+                    candidates[np.isin(candidates, sp_docs, assume_unique=True)]
             for pre in pk.must_prefixes:
                 docs_any = [prefix_docs[(f, pre)] for f in fields
                             if (f, pre) in prefix_docs]
@@ -640,6 +670,8 @@ class BucketSearcher:
         ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
         ex += [phrase_docs[(f, ph)] for ph in not_phrases for f in fields
                if (f, ph) in phrase_docs]
+        ex += [sphrase_docs[(f, sp)] for sp in pk.not_slop_phrases for f in fields
+               if (f, sp) in sphrase_docs]
         ex += [prefix_docs[(f, pre)] for pre in pk.not_prefixes for f in fields
                if (f, pre) in prefix_docs]
         ex += [fuzzy_docs[(f, fz)] for fz in pk.not_fuzzies for f in fields
@@ -663,8 +695,8 @@ class BucketSearcher:
             ids, scores = self._search_taat(
                 scorers, candidates, limit, dtype, excluded=excluded,
                 zero_fill=(bool(q.filters) and not must and not must_phrases
-                           and not pk.must_prefixes and not pk.must_fuzzies
-                           and not pk.must_groups))
+                           and not pk.must_slop_phrases and not pk.must_prefixes
+                           and not pk.must_fuzzies and not pk.must_groups))
         return ids, scores
 
     def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":
@@ -723,6 +755,74 @@ class BucketSearcher:
         docs, freqs = docs[keep], freqs[keep].astype(np.int64)
         if docs.size == 0:
             return None
+        norms = plist[0].norms[np.searchsorted(plist[0].docs, docs)]
+        B = codec.BLOCK_SIZE
+        starts = np.arange(0, docs.size, B)
+        return Posting(docs, freqs, norms, docs[starts],
+                       np.maximum.reduceat(freqs, starts),
+                       np.minimum.reduceat(norms, starts))
+
+    def _sloppy_posting(self, fld: str, terms: tuple, slop: int,
+                        posts) -> "Posting | None":
+        """Synthetic posting for a sloppy phrase (``"a b"~N``): IN-ORDER
+        alignments p_1 < … < p_k over the terms' positions, ONE tightest match
+        per last-term occurrence (each step takes the rightmost predecessor
+        strictly left of the current position — by exchange argument that chain
+        has the minimal span for that end position), kept when
+        cost = (p_k − p_1) − (k−1) ≤ slop. tf = Σ 1/(1+cost) over kept matches —
+        the Lucene sloppy frequency — so slop=0 degenerates to the exact-phrase
+        tf (cost 0 ⇒ weight 1 per match, same match count), asserted in tests.
+        Fully vectorized across candidate docs with the same key packing as
+        ``_phrase_posting``; float tf flows through the same BM25 kernels
+        (score_tf_norm casts). Documented divergence from Lucene's
+        SloppyPhraseMatcher: transposed (out-of-order) matches don't match, and
+        repeated-term window enumeration differs."""
+        plist = [posts.get((fld, t), _EMPTY) for t in terms]
+        docs = plist[0].docs
+        for p in plist[1:]:
+            if docs.size == 0:
+                break
+            docs = docs[np.isin(docs, p.docs, assume_unique=True)]
+        if docs.size == 0:
+            return None
+        max_pos = 0
+        for p in plist:
+            pos_all, _ = p.positions()
+            if pos_all.size:
+                max_pos = max(max_pos, int(pos_all.max()))
+        BIGP = np.int64(1 << max(21, (max_pos + len(plist) + slop + 2).bit_length()))
+        if docs.size and int(docs.size) * int(BIGP) >= (1 << 62):
+            raise RuntimeError(
+                f"sloppy-phrase key space overflow: {docs.size} candidate docs × "
+                f"max position {max_pos} exceed int64 packing")
+
+        def _keys(p: Posting) -> np.ndarray:
+            pos, offs = p.positions()
+            idx = np.searchsorted(p.docs, docs)
+            from byzer_retrieval_ray.index.postings import _concat_ranges
+            tfs = p.tfs[idx]
+            gather = _concat_ranges(offs[idx], tfs)
+            dcomp = np.repeat(np.arange(docs.size, dtype=np.int64), tfs)
+            return dcomp * BIGP + pos[gather]
+
+        end = _keys(plist[-1])       # one candidate match per last-term occurrence
+        cand = end
+        for j in range(len(plist) - 2, -1, -1):
+            keys_j = _keys(plist[j])
+            loc = np.searchsorted(keys_j, cand, side="left") - 1
+            ok = loc >= 0
+            ok[ok] = (keys_j[loc[ok]] // BIGP) == (cand[ok] // BIGP)
+            cand, end = keys_j[loc[ok]], end[ok]
+            if cand.size == 0:
+                return None
+        cost = (end - cand) - np.int64(len(plist) - 1)
+        kept = cost <= slop
+        if not kept.any():
+            return None
+        weights = 1.0 / (1.0 + cost[kept].astype(np.float64))
+        freqs = np.bincount(end[kept] // BIGP, weights=weights, minlength=docs.size)
+        keep = freqs > 0
+        docs, freqs = docs[keep], freqs[keep]
         norms = plist[0].norms[np.searchsorted(plist[0].docs, docs)]
         B = codec.BLOCK_SIZE
         starts = np.arange(0, docs.size, B)

@@ -45,6 +45,36 @@ class OracleIndex:
                 out[d] = c
         return out
 
+    def _sloppy_freqs(self, terms: tuple, slop: int) -> dict[int, float]:
+        """doc → Lucene-style sloppy frequency for the documented in-order
+        semantics: one tightest chain per last-term occurrence (rightmost
+        predecessor strictly left at each step), kept when
+        cost = span − (len−1) ≤ slop, each contributing 1/(1+cost).
+        Naive per-doc list scan — independent of the engine's vectorized path."""
+        out: dict[int, float] = {}
+        k = len(terms)
+        for d, toks in zip(self.doc_ids, self.toks):
+            pos = {t: [i for i, w in enumerate(toks) if w == t]
+                   for t in set(terms)}
+            if any(not pos[t] for t in terms):
+                continue
+            f = 0.0
+            for q in pos[terms[-1]]:
+                cur, complete = q, True
+                for t in reversed(terms[:-1]):
+                    prev = [p for p in pos[t] if p < cur]
+                    if not prev:
+                        complete = False
+                        break
+                    cur = prev[-1]
+                if complete:
+                    cost = (q - cur) - (k - 1)
+                    if cost <= slop:
+                        f += 1.0 / (1.0 + cost)
+            if f:
+                out[d] = f
+        return out
+
     def _prefix_docs(self, prefix: str) -> set[int]:
         docs: set[int] = set()
         for term, post in self.postings.items():
@@ -66,18 +96,23 @@ class OracleIndex:
             return np.array(ids, np.int64), np.ones(len(ids), dtype=dtype)
 
         phrases, must_phrases, not_phrases = [], [], []
+        sphrases, must_sphrases, not_sphrases = [], [], []
 
         def _take(m):
-            op, body = m.group(1), m.group(2)
+            op, body, slop = m.group(1), m.group(2), m.group(3)
             terms = tuple(body.split())
             if len(terms) == 1:
                 return f"{op}{terms[0]} "
-            if terms:
+            if terms and slop is not None and int(slop) > 0:
+                sp = (terms, int(slop))
+                (must_sphrases if op == "+" else not_sphrases if op == "-"
+                 else sphrases).append(sp)
+            elif terms:
                 (must_phrases if op == "+" else not_phrases if op == "-"
                  else phrases).append(terms)
             return " "
 
-        rest = _re.sub(r'([+-]?)"([^"]*)"', _take, keyword)
+        rest = _re.sub(r'([+-]?)"([^"]*)"(?:~(\d+))?', _take, keyword)
         should, must, must_not = [], [], []
         must_groups = []
         prefixes, must_prefixes, not_prefixes = [], [], []
@@ -114,6 +149,8 @@ class OracleIndex:
 
         phrase_docs = {ph: self._phrase_freqs(ph)
                        for ph in phrases + must_phrases + not_phrases}
+        sphrase_docs = {sp: self._sloppy_freqs(*sp)
+                        for sp in sphrases + must_sphrases + not_sphrases}
         prefix_sets = {pre: self._prefix_docs(pre)
                        for pre in prefixes + must_prefixes + not_prefixes}
         for grp in must_groups:
@@ -127,6 +164,9 @@ class OracleIndex:
         for ph in must_phrases:
             docs = set(phrase_docs[ph])
             cand = docs if cand is None else cand & docs
+        for sp in must_sphrases:
+            docs = set(sphrase_docs[sp])
+            cand = docs if cand is None else cand & docs
         for pre in must_prefixes:
             docs = set(prefix_sets[pre])
             cand = docs if cand is None else cand & docs
@@ -135,12 +175,14 @@ class OracleIndex:
             banned |= set(self.postings.get(t, {}))
         for ph in not_phrases:
             banned |= set(phrase_docs[ph])
+        for sp in not_sphrases:
+            banned |= set(sphrase_docs[sp])
         for pre in not_prefixes:
             banned |= prefix_sets[pre]
         if cand is not None:
             cand -= banned
         zero_fill = candidate_ids is not None and not must and not must_phrases \
-            and not must_prefixes and not must_groups
+            and not must_sphrases and not must_prefixes and not must_groups
         norm_of = dict(zip(self.doc_ids, self.norm_bytes))
         avgdl = dtype(self.sum_ttf / float(self.n))
 
@@ -171,6 +213,13 @@ class OracleIndex:
             if not freqs:
                 continue
             w = dtype(sum(self._term_weight(t, dtype) for t in ph))
+            for d, tf in freqs.items():
+                add(d, w - w / (dtype(1.0) + dtype(tf) * ninv_of(d)))
+        for sp in sphrases + must_sphrases:
+            freqs = sphrase_docs[sp]
+            if not freqs:
+                continue
+            w = dtype(sum(self._term_weight(t, dtype) for t in sp[0]))
             for d, tf in freqs.items():
                 add(d, w - w / (dtype(1.0) + dtype(tf) * ninv_of(d)))
         for pre in prefixes + must_prefixes:

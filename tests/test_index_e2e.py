@@ -47,7 +47,10 @@ QUERIES = ["the", "window merge", "scan join order sort", "zzz_absent", "*",
            "customer | merge", "+zzz_absent window", "-the",
            # parenthesized groups (SimpleQueryParser precedence subset)
            "+(merge | sort) -scan", "(customer | merge) window",
-           "+(scan sort) +window", "window -(merge customer)"]
+           "+(scan sort) +window", "window -(merge customer)",
+           # sloppy phrases ("a b"~N; ~0 ≡ exact phrase)
+           '"window merge"~2', '"scan order"~1 sort', '+"window merge"~3',
+           'customer -"window merge"~2', '"window merge"~0']
 
 
 class TestBM25Parity:

@@ -203,3 +203,63 @@ class TestFuzzy:
             b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
             assert [(r["_id"], r["_score"]) for r in a] == \
                    [(r["_id"], r["_score"]) for r in b]
+
+
+class TestSloppy:
+    """Sloppy phrases "a b"~N: in-order tightest-chain matches with
+    cost = span − (len−1) ≤ N, tf = Σ 1/(1+cost) (Lucene sloppy frequency);
+    documented divergence: transposed matches don't match."""
+
+    def test_slop_widens_matches(self, cluster):
+        # doc 3 "quick stop then brown": quick@0, brown@3 → cost 2
+        q1 = cluster.search("db", "p", {"keyword": '"quick brown"~1',
+                                        "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in q1) == [0, 2, 5]
+        q2 = cluster.search("db", "p", {"keyword": '"quick brown"~2',
+                                        "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in q2) == [0, 2, 3, 5]
+
+    def test_in_order_only(self, cluster):
+        # doc 1 "brown quick fox" is transposed: never matched (documented)
+        for slop in (1, 2, 5):
+            res = cluster.search("db", "p", {"keyword": f'"quick brown"~{slop}',
+                                             "fields": ["content"], "limit": 10})[0]
+            assert 1 not in [r["_id"] for r in res]
+
+    def test_slop_zero_is_exact_phrase(self, cluster):
+        exact = cluster.search("db", "p", {"keyword": '"quick brown"',
+                                           "fields": ["content"], "limit": 10},
+                               precision="float64")[0]
+        zero = cluster.search("db", "p", {"keyword": '"quick brown"~0',
+                                          "fields": ["content"], "limit": 10},
+                              precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in exact] == \
+               [(r["_id"], r["_score"]) for r in zero]
+
+    def test_scores_match_oracle(self, cluster):
+        from tests.oracle_bm25 import OracleIndex
+        oidx = OracleIndex([i for i, _ in DOCS], [t for _, t in DOCS])
+        for kw in ('"quick brown"~2', '"quick brown"~1 fox',
+                   '+"quick fox"~2', 'jumps -"quick brown"~3',
+                   '"quick brown cat"~4', '"quick quick"~3'):
+            for algo in ("taat", "bmw"):
+                res = cluster.search("db", "p", {"keyword": kw,
+                                                 "fields": ["content"],
+                                                 "limit": 10}, algorithm=algo)[0]
+                ids = np.array([r["_id"] for r in res], np.int64)
+                scores = np.array([r["_score"] for r in res], np.float32)
+                oids, oscores = oidx.search(kw, 10)
+                np.testing.assert_array_equal(ids, oids, err_msg=f"{kw} {algo}")
+                np.testing.assert_array_equal(scores, oscores,
+                                              err_msg=f"{kw} {algo}")
+
+    def test_tighter_match_outranks_looser(self, cluster):
+        # "quick fox": doc 1 has cost 1 (quick@1 fox@2 → wait: span 1, cost 0);
+        # doc 0 quick@0 fox@2 → cost 1 → doc 1 (cost 0) must outscore doc 0
+        # at equal-ish norms — both 3-4 tokens; assert relative order via tf
+        res = cluster.search("db", "p", {"keyword": '"quick fox"~2',
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        scores = {r["_id"]: r["_score"] for r in res}
+        assert set(scores) == {0, 1}
+        assert scores[1] > scores[0]
