@@ -79,6 +79,11 @@ def golden_queries():
     for kw in (f"{pfx[0]}*", f"{pfx[1]}* {v[4]}", f"+{pfx[0]}* {v[11]}",
                f"{v[6]} -{pfx[1]}*", f"{pfx[2]}*"):
         qs.append({"keyword": kw, "limit": 10})
+    # sloppy phrases ("a b"~N: in-order tightest-chain, tf = Σ 1/(1+cost))
+    for kw in (f'"{v[0]} {v[1]}"~2', f'"{v[1]} {v[0]}"~3',
+               f'"{v[2]} {v[9]}"~1 {v[30]}', f'+"{v[0]} {v[2]}"~4',
+               f'{v[0]} -"{v[0]} {v[1]}"~2'):
+        qs.append({"keyword": kw, "limit": 10})
     # unscored filter op with sorts
     qs.append({"op": "filter", "limit": 15, "sorts": [{"warc_ts": "desc"}],
                "filters": {"and": [{"field": "lang", "value": "en"}]}})

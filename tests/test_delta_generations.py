@@ -166,3 +166,27 @@ class TestDeltaPhrases:
         res = c.search("db", "t", {"keyword": "sle*", "fields": ["content"],
                                    "limit": 10})[0]
         assert res == []   # the only 'sleeps' doc was replaced
+
+    def test_sloppy_phrase_across_generations(self, ray_session, tmp_path):
+        """Sloppy phrases resolve per generation like exact ones: "red fox"~2
+        matches in-order pairs within cost 2 in base and delta docs, and a
+        replaced doc's old (in-order) phrasing stops matching."""
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "t", "st(field(_id,long),field(content,string,analyze))", loc))
+        c.build_from_local("db", "t", [
+            {"_id": 1, "content": "red big fox runs"},       # cost 1
+            {"_id": 2, "content": "fox red runs"},           # transposed: no match
+            {"_id": 3, "content": "red a b c fox"}],         # cost 3: no match at ~2
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        c.build_from_local("db", "t", [
+            {"_id": 4, "content": "red so very fox"},        # delta, cost 2
+            {"_id": 1, "content": "no pair here"}],          # replaced: gone
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        res = c.search("db", "t", {"keyword": '"red fox"~2', "fields": ["content"],
+                                   "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [4]
+        res = c.search("db", "t", {"keyword": '"red fox"~3', "fields": ["content"],
+                                   "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [3, 4]
