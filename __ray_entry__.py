@@ -192,11 +192,69 @@ def _augmented_embeddings(sf_dir: str) -> pa.Table:
     return pa.concat_tables([t, cp])
 
 
+def _augmented_docs_near(sf_dir: str) -> pa.Table:
+    """documents + exact copies (key % 10 == 0, +AUG_OFFSET) + NEAR copies
+    (key % 10 == 5, +2·AUG_OFFSET: first ceil(0.8·n) tokens rejoined) — the
+    near tier gives the exact n-gram-Jaccard join true sub-1.0 matches
+    (J ≈ 0.8 against the original). The oracle SQL mirrors both tiers."""
+    t = _augmented_docs(sf_dir)
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    m = base["doc_id"].to_numpy() % 10 == 5
+    ids, texts, keep = base["doc_id"].to_numpy()[m], [], []
+    for s in base["text"].to_numpy(zero_copy_only=False)[m]:
+        toks = s.split()
+        keep.append(len(toks) > 0)
+        texts.append(" ".join(toks[: int(np.ceil(len(toks) * 0.8))]))
+    keep = np.asarray(keep, dtype=bool)
+    near = pa.table({"doc_id": pa.array(ids[keep] + 2 * AUG_OFFSET, pa.int64()),
+                     "text": pa.array([x for x, k in zip(texts, keep) if k],
+                                      pa.string())})
+    return pa.concat_tables([t, near])
+
+
 _SQL_AUG_DOCS = f"""
 aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {AUG_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+# the near tier re-tokenizes exactly like the engine (split on whitespace, drop
+# empties, rejoin with ' '), keeps ceil(0.8·n) tokens — same double product both sides
+_SQL_AUG_DOCS_NEAR = f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {AUG_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * AUG_OFFSET} AS doc_id,
+         array_to_string(list_slice(t, 1, CAST(ceil(len(t) * 0.8e0) AS BIGINT)), ' ') AS text
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE doc_id % 10 = 5)
+  WHERE len(t) > 0
+)"""
+
+# token → word-3-gram poly-hash CTE chain over `aug` (functions/polyhash.py
+# arithmetic: Horner(31) mod 2^32 token hash → Horner(1000003) mod 2^64 shingle
+# fold reduced mod 2^32) — shared by the minhash and n-gram-Jaccard oracles
+_SQL_SHINGLE_CTES = """toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM aug
+),
+th AS (
+  SELECT doc_id, list_transform(t, tok -> list_reduce(
+     list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT)),
+     (acc, cp) -> (acc*31 + cp) % 4294967296)) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN []
+         WHEN len(h) < 3 THEN [list_reduce(h, (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296]
+         ELSE list_transform(range(1, len(h) - 1), i ->
+              list_reduce(list_slice(h, i, i + 2), (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296)
+    END AS g
+  FROM th
 )"""
 
 _SQL_AUG_EMB = f"""
@@ -464,6 +522,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"id": pa.array(out["id"], pa.int64()),
                          "dup_of": pa.array(out["dup_of"], pa.int64())})
     q["dedup_embedding"] = dedup_embedding
+
+    def dedup_ngram(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.dedup import ngram_jaccard_dedup
+        # near-copy augmentation (truncated token prefixes, J ≈ 0.8) exercises
+        # true sub-1.0 matches; the op is exact so the oracle needs no exact-mode
+        # config — threshold 0.6 is a REAL operating point.
+        ds = ray.data.from_arrow(_augmented_docs_near(sf))
+        out = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.6,
+                                  shingle_k=3).to_pandas()
+        out = out.sort_values(["id", "dup_of"]).reset_index(drop=True)
+        return pa.table({"id": pa.array(out["id"], pa.int64()),
+                         "dup_of": pa.array(out["dup_of"], pa.int64())})
+    q["dedup_ngram"] = dedup_ngram
 
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
@@ -974,24 +1046,7 @@ SELECT doc_id AS id FROM g WHERE c >= 2 AND doc_id <> m ORDER BY id"""
     _i64max = 9223372036854775807
     sql["dedup_minhash"] = f"""
 WITH {_SQL_AUG_DOCS},
-toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM aug
-),
-th AS (
-  SELECT doc_id, list_transform(t, tok -> list_reduce(
-     list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT)),
-     (acc, cp) -> (acc*31 + cp) % 4294967296)) AS h
-  FROM toks
-),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(h) = 0 THEN []
-         WHEN len(h) < 3 THEN [list_reduce(h, (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296]
-         ELSE list_transform(range(1, len(h) - 1), i ->
-              list_reduce(list_slice(h, i, i + 2), (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296)
-    END AS g
-  FROM th
-),
+{_SQL_SHINGLE_CTES},
 sig AS (
   SELECT doc_id,
     array_to_string(list_transform(range(1, 65), j -> CAST(
@@ -1005,6 +1060,28 @@ grp AS (
   FROM sig
 )
 SELECT doc_id AS id, m AS dup_of FROM grp WHERE c >= 2 AND doc_id <> m ORDER BY id, dup_of"""
+
+    # n-gram Jaccard: the engine's prefix-filtered join is EXACT (recall 1.0 at any
+    # threshold), so the oracle is the brute-force definition itself: explode each
+    # doc's DISTINCT shingle-hash set, self-join on shingle for pairwise
+    # intersection counts (only pairs sharing >= 1 shingle can reach J >= θ > 0),
+    # J = c/(|A|+|B|-c), link each doc to its smallest matching smaller id.
+    sql["dedup_ngram"] = f"""
+WITH {_SQL_AUG_DOCS_NEAR},
+{_SQL_SHINGLE_CTES},
+dsx AS (SELECT doc_id, list_distinct(g) AS s FROM sh WHERE len(g) > 0),
+sz AS (SELECT doc_id, len(s) AS n FROM dsx),
+ex AS (SELECT doc_id, unnest(s) AS h FROM dsx),
+inter AS (
+  SELECT b.doc_id AS id, a.doc_id AS anc, count(*) AS c
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.id, i.anc FROM inter i
+  JOIN sz na ON na.doc_id = i.anc
+  JOIN sz nb ON nb.doc_id = i.id
+  WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.6e0)
+SELECT id, min(anc) AS dup_of FROM jac GROUP BY id ORDER BY id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold

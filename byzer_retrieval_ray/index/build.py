@@ -61,10 +61,14 @@ def _atomic_write_parquet(table: pa.Table, path: str, **kw) -> None:
     # (runs) / 34 % (wide rows) smaller at a read speed that is equal or better,
     # so the contended resource (disk / memory bandwidth) sees a third less
     # traffic for ~0.1 s/20k-doc extra encode CPU
-    codec = os.environ.get("BYZER_SPILL_CODEC", "zstd")
+    codec = os.environ.get("BYZER_SPILL_CODEC", "zstd")   # "zstd:3" = level 3
+    level = 1
+    if ":" in codec:
+        codec, lv = codec.split(":", 1)
+        level = int(lv)
     kw.setdefault("compression", codec)
     if kw["compression"] == "zstd":
-        kw.setdefault("compression_level", 1)
+        kw.setdefault("compression_level", level)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp, **kw)
@@ -310,8 +314,19 @@ def build_index(
         atomic_write_json(entry_path, entry)
         return pa.table({"part": [p], "run_files": [json.dumps(run_files)]})
 
+    def _box_cpu() -> float:
+        """Box-wide CPU seconds (/proc/stat, steal excluded) — BYZER_TIMING
+        prints per-phase deltas so contended phases are attributable."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return sum(int(parts[i]) for i in (1, 2, 3, 6, 7)) / os.sysconf("SC_CLK_TCK")
+        except OSError:
+            return 0.0
+
     # ---- Stage A1: spill exchange (skipped when every partition is finalized) ----
     t_a = time.perf_counter()
+    cpu_a = _box_cpu()
     if os.environ.get("BYZER_TIMING"):
         print(f"PHASE setup={t_a - t0:.2f}", flush=True)
     all_parts_done = all(
@@ -364,8 +379,8 @@ def build_index(
                                             num_term_parts, sample_docs)
         atomic_write_json(boundaries_path, boundaries)
     if os.environ.get("BYZER_TIMING"):
-        print(f"PHASE spill={t_spill:.2f} boundaries={time.perf_counter() - t_b:.2f}",
-              flush=True)
+        print(f"PHASE spill={t_spill:.2f} boundaries={time.perf_counter() - t_b:.2f} "
+              f"spill_cpu={_box_cpu() - cpu_a:.1f}", flush=True)
 
     postings_dir = os.path.join(gdir, "postings")
     termstats_dir = os.path.join(gdir, "termstats")
@@ -403,6 +418,7 @@ def build_index(
     #      map_batches fan-outs; the term exchange is the disk spill itself —
     #      no AllToAll sort of the run bytes (see _write_runs). ----
     t_c = time.perf_counter()
+    cpu_c = _box_cpu()
     all_postings_done = all(
         os.path.exists(os.path.join(partials, f"postings-{r:05d}.json"))
         for r in range(num_term_parts))
@@ -426,8 +442,10 @@ def build_index(
                 run_files_by_range[r].append(f)
         if os.environ.get("BYZER_BUILD_STATS"):
             print("=== finalize stage stats ===\n", fin_ds.stats())
+        cpu_f = _box_cpu()
         if os.environ.get("BYZER_TIMING"):
-            print(f"PHASE finalize={time.perf_counter() - t_c:.2f}", flush=True)
+            print(f"PHASE finalize={time.perf_counter() - t_c:.2f} "
+                  f"finalize_cpu={cpu_f - cpu_c:.1f}", flush=True)
         merge_items = [{"range_part": r, "files": json.dumps(sorted(fs))}
                        for r, fs in sorted(run_files_by_range.items())]
         meta_ds = ray.data.from_items(merge_items,
@@ -437,7 +455,8 @@ def build_index(
         if os.environ.get("BYZER_BUILD_STATS"):
             print("=== merge stage stats ===\n", meta_ds.stats())
         if os.environ.get("BYZER_TIMING"):
-            print(f"PHASE merge_done_at={time.perf_counter() - t_c:.2f}", flush=True)
+            print(f"PHASE merge_done_at={time.perf_counter() - t_c:.2f} "
+                  f"merge_cpu={_box_cpu() - cpu_f:.1f}", flush=True)
     metas = [m for m in metas if m.get("n_postings_rows", 0) > 0 or m.get("n_runs", 0) > 0]
 
     summaries = [read_json(os.path.join(partials, f"docstore-{p:05d}.json"))

@@ -249,6 +249,149 @@ def _band_rows(ds, text_col: str, id_col: str, num_perm: int, bands: int,
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
+def _verify_pairs_incluster(ds, pairs_ds, id_col, payload_fn, payload_type,
+                            compare_fn, num_buckets: int):
+    """Verify candidate (id, dup_of) pairs ENTIRELY in-cluster and min-label.
+
+    Shared by the MinHash and n-gram-Jaccard passes: ``payload_fn(batch, mask)``
+    computes each selected doc's comparison payload (a signature vector / a
+    sorted shingle-hash set) as a ``payload_type`` arrow array, and
+    ``compare_fn(xs, ys)`` returns the boolean keep-mask over aligned payload
+    pairs. Payloads are recomputed for candidate ids only, attached to each
+    pair's endpoints in an id-bucketed group pass, and compared in a
+    pair-bucketed group pass — no payload matrix ever materializes on the
+    driver (a 30–50 %-dup corpus at 100 TB would make that set corpus-scale).
+    The driver holds only the UNIQUE candidate id array (8 bytes/id, broadcast
+    once for the recompute filter) and streams the verified (id, dup_of)
+    output. Each verified duplicate maps to the smallest anchor it matched
+    ("min-label", one round — transitively-chained near-dups beyond one hop
+    are kept, documented).
+    """
+    import ray
+    import ray.data
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "dup_of": pa.array([], pa.int64())})
+
+    # distributed unique of candidate ids; the driver keeps ONLY this id array
+    need_ds = pairs_ds.map_batches(
+        lambda b: pa.table({"cid": pa.concat_arrays(
+            [b["id"].combine_chunks(), b["dup_of"].combine_chunks()])}),
+        batch_format="pyarrow")
+    need = np.sort(np.asarray(need_ds.unique("cid"), dtype=np.int64))
+    ref = ray.put(need)
+
+    u_schema = pa.schema([("kb", pa.int32()), ("cid", pa.int64()),
+                          ("id", pa.int64()), ("dup_of", pa.int64()),
+                          ("side", pa.int8()), ("pl", payload_type)])
+
+    def pl_rows(batch: pa.Table) -> pa.Table:
+        """(kb, cid, pl) rows for this batch's candidate docs (tagged side=-1)."""
+        cand = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = ids.size and np.isin(ids, cand)
+        if not np.any(m):
+            return u_schema.empty_table()
+        cids = ids[m]
+        n = cids.size
+        return pa.table({
+            "kb": pa.array((cids % num_buckets).astype(np.int32)),
+            "cid": pa.array(cids, pa.int64()),
+            "id": pa.array(np.zeros(n, np.int64)),
+            "dup_of": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.full(n, -1, np.int8)),
+            "pl": payload_fn(batch, m),
+        })
+
+    def request_rows(batch: pa.Table) -> pa.Table:
+        """Two (kb, cid, id, dup_of, side) rows per candidate pair — routed to
+        each endpoint's id bucket to pick up that endpoint's payload."""
+        ids = batch["id"].to_numpy()
+        dups = batch["dup_of"].to_numpy()
+        cid = np.concatenate([ids, dups])
+        n = ids.size
+        return pa.table({
+            "kb": pa.array((cid % num_buckets).astype(np.int32)),
+            "cid": pa.array(cid, pa.int64()),
+            "id": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "dup_of": pa.array(np.concatenate([dups, dups]), pa.int64()),
+            "side": pa.array(np.concatenate([np.zeros(n, np.int8),
+                                             np.ones(n, np.int8)])),
+            "pl": pa.array([None] * (2 * n), payload_type),
+        })
+
+    tagged = ds.map_batches(pl_rows, batch_format="pyarrow").union(
+        pairs_ds.map_batches(request_rows, batch_format="pyarrow"))
+
+    def attach(group: pa.Table) -> pa.Table:
+        """id-bucket group: give every request row its endpoint's payload and
+        re-key it by the PAIR's bucket for the compare pass."""
+        side = group["side"].to_numpy()
+        is_pl = side == -1
+        pl_rows_t = group.filter(pa.array(is_pl))
+        req = group.filter(pa.array(~is_pl))
+        if len(req) == 0:
+            return u_schema.empty_table()
+        scid = pl_rows_t["cid"].to_numpy()
+        order = np.argsort(scid)
+        scid = scid[order]
+        pls = pl_rows_t["pl"].take(pa.array(order))
+        rcid = req["cid"].to_numpy()
+        loc = np.searchsorted(scid, rcid)
+        ok = loc < scid.size
+        ok[ok] &= scid[loc[ok]] == rcid[ok]
+        req = req.filter(pa.array(ok))          # drop requests with no payload
+        loc = loc[ok]
+        rid = req["id"].to_numpy()
+        rdup = req["dup_of"].to_numpy()
+        pb = ((rid * np.int64(1000003) + rdup) % num_buckets).astype(np.int32)
+        return pa.table({
+            "kb": pa.array(pb),
+            "cid": req["cid"],
+            "id": req["id"],
+            "dup_of": req["dup_of"],
+            "side": req["side"],
+            "pl": pls.take(pa.array(loc)),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        """pair-bucket group: both endpoints' payloads of each pair are here;
+        compare vectorized and emit surviving (id, dup_of)."""
+        df = group.to_pandas().drop_duplicates(subset=["id", "dup_of", "side"])
+        s0 = df[df["side"] == 0][["id", "dup_of", "pl"]]
+        s1 = df[df["side"] == 1][["id", "dup_of", "pl"]]
+        merged = s0.merge(s1, on=["id", "dup_of"])
+        if not len(merged):
+            return empty
+        keep = merged[compare_fn(merged["pl_x"], merged["pl_y"])]
+        return pa.table({"id": pa.array(keep["id"].to_numpy(), pa.int64()),
+                         "dup_of": pa.array(keep["dup_of"].to_numpy(), pa.int64())})
+
+    verified = tagged.groupby("kb").map_groups(attach, batch_format="pyarrow") \
+        .groupby("kb").map_groups(verify, batch_format="pyarrow")
+
+    def min_label(group: pa.Table) -> pa.Table:
+        """per-id smallest verified anchor (in-cluster fold, id-bucketed)."""
+        g = group.sort_by([("id", "ascending"), ("dup_of", "ascending")])
+        ids = g["id"].to_numpy()
+        if ids.size == 0:
+            return empty
+        first = np.zeros(ids.size, dtype=bool)
+        first[0] = True
+        first[1:] = ids[1:] != ids[:-1]
+        return pa.table({"id": pa.array(ids[first], pa.int64()),
+                         "dup_of": g["dup_of"].filter(pa.array(first))})
+
+    labeled = verified.map_batches(
+        lambda b: b.append_column(
+            "__b", pa.array((b["id"].to_numpy() % num_buckets).astype(np.int32))),
+        batch_format="pyarrow") \
+        .groupby("__b").map_groups(min_label, batch_format="pyarrow")
+    # an all-rejected candidate set yields zero blocks (schema-less); the union
+    # with a typed empty table keeps the (id, dup_of) schema stable for consumers
+    return ray.data.from_arrow(empty).union(labeled)
+
+
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3, jaccard: float = 0.8,
                       num_buckets: int = 64, seed: int = 7,
@@ -258,15 +401,9 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
     Pass 1 shuffles (id, band, band_hash) rows only; each hash bucket resolves
     its (band, bh) groups vectorized and emits candidate pairs
     (id, anchor=min id of the group). Pass 2 verifies estimated Jaccard
-    (signature agreement rate ≥ ``jaccard``) ENTIRELY in-cluster: signatures
-    are recomputed for candidate ids only, attached to each pair's endpoints in
-    an id-bucketed group pass, and compared in a pair-bucketed group pass —
-    no signature matrix ever materializes on the driver (a 30–50 %-dup corpus
-    at 100 TB would make that set corpus-scale). The driver holds only the
-    UNIQUE candidate id array (8 bytes/id, broadcast once for the recompute
-    filter) and streams the verified (id, dup_of) output. Each verified
-    duplicate maps to the smallest anchor it matched ("min-label", one round —
-    transitively-chained near-dups beyond one hop are kept, documented).
+    (signature agreement rate ≥ ``jaccard``) ENTIRELY in-cluster via the
+    shared ``_verify_pairs_incluster`` pass — signatures are recomputed for
+    candidate ids only and never materialize on the driver.
 
     Returns a Dataset of (id, dup_of) rows for ids that should be dropped.
     """
@@ -301,127 +438,20 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, num_perm: int = 64,
     if pairs_ds.count() == 0:
         return ray.data.from_arrow(empty)
 
-    # distributed unique of candidate ids; the driver keeps ONLY this id array
-    need_ds = pairs_ds.map_batches(
-        lambda b: pa.table({"cid": pa.concat_arrays(
-            [b["id"].combine_chunks(), b["dup_of"].combine_chunks()])}),
-        batch_format="pyarrow")
-    need = np.sort(np.asarray(need_ds.unique("cid"), dtype=np.int64))
-    ref = ray.put(need)
-
     sig_t = pa.list_(pa.int64(), num_perm)
-    u_schema = pa.schema([("kb", pa.int32()), ("cid", pa.int64()),
-                          ("id", pa.int64()), ("dup_of", pa.int64()),
-                          ("side", pa.int8()), ("sig", sig_t)])
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        """(kb, cid, sig) rows for this batch's candidate docs (tagged side=-1)."""
-        cand = ray.get(ref)
-        ids = batch[id_col].to_numpy()
-        m = ids.size and np.isin(ids, cand)
-        if not np.any(m):
-            return u_schema.empty_table()
+    def payload(batch: pa.Table, m: np.ndarray) -> pa.Array:
         texts = batch[text_col].to_numpy(zero_copy_only=False)[m]
         sig = minhash_signatures(texts, num_perm, shingle_k, seed, hash_fn)
-        cids = ids[m]
-        n = cids.size
-        return pa.table({
-            "kb": pa.array((cids % num_buckets).astype(np.int32)),
-            "cid": pa.array(cids, pa.int64()),
-            "id": pa.array(np.zeros(n, np.int64)),
-            "dup_of": pa.array(np.zeros(n, np.int64)),
-            "side": pa.array(np.full(n, -1, np.int8)),
-            "sig": pa.array(list(sig), sig_t),
-        })
+        return pa.array(list(sig), sig_t)
 
-    def request_rows(batch: pa.Table) -> pa.Table:
-        """Two (kb, cid, id, dup_of, side) rows per candidate pair — routed to
-        each endpoint's id bucket to pick up that endpoint's signature."""
-        ids = batch["id"].to_numpy()
-        dups = batch["dup_of"].to_numpy()
-        cid = np.concatenate([ids, dups])
-        n = ids.size
-        return pa.table({
-            "kb": pa.array((cid % num_buckets).astype(np.int32)),
-            "cid": pa.array(cid, pa.int64()),
-            "id": pa.array(np.concatenate([ids, ids]), pa.int64()),
-            "dup_of": pa.array(np.concatenate([dups, dups]), pa.int64()),
-            "side": pa.array(np.concatenate([np.zeros(n, np.int8),
-                                             np.ones(n, np.int8)])),
-            "sig": pa.array([None] * (2 * n), sig_t),
-        })
+    def compare(xs, ys) -> np.ndarray:
+        A = np.stack([np.asarray(s) for s in xs])
+        B = np.stack([np.asarray(s) for s in ys])
+        return (A == B).mean(axis=1) >= jaccard
 
-    tagged = ds.map_batches(sig_rows, batch_format="pyarrow").union(
-        pairs_ds.map_batches(request_rows, batch_format="pyarrow"))
-
-    def attach(group: pa.Table) -> pa.Table:
-        """id-bucket group: give every request row its endpoint's signature and
-        re-key it by the PAIR's bucket for the compare pass."""
-        side = group["side"].to_numpy()
-        is_sig = side == -1
-        sig_rows_t = group.filter(pa.array(is_sig))
-        req = group.filter(pa.array(~is_sig))
-        if len(req) == 0:
-            return u_schema.empty_table()
-        scid = sig_rows_t["cid"].to_numpy()
-        order = np.argsort(scid)
-        scid = scid[order]
-        sigs = sig_rows_t["sig"].take(pa.array(order))
-        rcid = req["cid"].to_numpy()
-        loc = np.searchsorted(scid, rcid)
-        ok = loc < scid.size
-        ok[ok] &= scid[loc[ok]] == rcid[ok]
-        req = req.filter(pa.array(ok))          # drop requests with no sig
-        loc = loc[ok]
-        rid = req["id"].to_numpy()
-        rdup = req["dup_of"].to_numpy()
-        pb = ((rid * np.int64(1000003) + rdup) % num_buckets).astype(np.int32)
-        return pa.table({
-            "kb": pa.array(pb),
-            "cid": req["cid"],
-            "id": req["id"],
-            "dup_of": req["dup_of"],
-            "side": req["side"],
-            "sig": sigs.take(pa.array(loc)),
-        })
-
-    def verify(group: pa.Table) -> pa.Table:
-        """pair-bucket group: both endpoints' signatures of each pair are here;
-        compare agreement rate vectorized and emit surviving (id, dup_of)."""
-        df = group.to_pandas().drop_duplicates(subset=["id", "dup_of", "side"])
-        s0 = df[df["side"] == 0][["id", "dup_of", "sig"]]
-        s1 = df[df["side"] == 1][["id", "dup_of", "sig"]]
-        merged = s0.merge(s1, on=["id", "dup_of"])
-        if not len(merged):
-            return empty
-        A = np.stack([np.asarray(s) for s in merged["sig_x"]])
-        B = np.stack([np.asarray(s) for s in merged["sig_y"]])
-        agree = (A == B).mean(axis=1)
-        keep = merged[agree >= jaccard]
-        return pa.table({"id": pa.array(keep["id"].to_numpy(), pa.int64()),
-                         "dup_of": pa.array(keep["dup_of"].to_numpy(), pa.int64())})
-
-    verified = tagged.groupby("kb").map_groups(attach, batch_format="pyarrow") \
-        .groupby("kb").map_groups(verify, batch_format="pyarrow")
-
-    def min_label(group: pa.Table) -> pa.Table:
-        """per-id smallest verified anchor (in-cluster fold, id-bucketed)."""
-        g = group.sort_by([("id", "ascending"), ("dup_of", "ascending")])
-        ids = g["id"].to_numpy()
-        if ids.size == 0:
-            return empty
-        first = np.zeros(ids.size, dtype=bool)
-        first[0] = True
-        first[1:] = ids[1:] != ids[:-1]
-        return pa.table({"id": pa.array(ids[first], pa.int64()),
-                         "dup_of": g["dup_of"].filter(pa.array(first))})
-
-    labeled = verified.map_batches(
-        lambda b: b.append_column(
-            "__b", pa.array((b["id"].to_numpy() % num_buckets).astype(np.int32))),
-        batch_format="pyarrow") \
-        .groupby("__b").map_groups(min_label, batch_format="pyarrow")
-    return labeled
+    return _verify_pairs_incluster(ds, pairs_ds, id_col, payload, sig_t,
+                                   compare, num_buckets)
 
 
 # ---------------- SimHash ----------------
@@ -475,7 +505,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
              .groupby("__b").map_groups(resolve, batch_format="pyarrow")
 
 
-# ---------------- n-gram Jaccard verify ----------------
+# ---------------- n-gram Jaccard ----------------
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word-n-gram Jaccard similarity of two texts (verification kernel)."""
@@ -484,6 +514,142 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _distinct_shingles(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-DISTINCT poly shingle hashes: (flat uint64 < 2^32, offsets).
+
+    Sorted ascending within each doc (the global hash order the prefix filter
+    indexes by); duplicates within a doc removed — Jaccard is a set measure.
+    """
+    flat, offs = _poly_shingle_hashes(texts, k)
+    n = offs.size - 1
+    counts = np.diff(offs)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((flat, doc))
+    f, d = flat[order], doc[order]
+    keep = np.ones(f.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+    f, d = f[keep], d[keep]
+    new_offs = np.concatenate(
+        [[0], np.cumsum(np.bincount(d, minlength=n))]).astype(np.int64)
+    return f, new_offs
+
+
+def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
+                        shingle_k: int = 3, num_buckets: int = 64):
+    """EXACT n-gram-Jaccard near-dup join via prefix filtering (PPJoin-family).
+
+    Unlike the MinHash/SimHash sketches this operator has recall 1.0 at any
+    threshold: the result links every doc i to
+    ``dup_of = min{j < i : J(S_i, S_j) >= threshold}`` where S is the doc's
+    DISTINCT word-``shingle_k``-gram poly-hash set (docs with empty texts never
+    match) — a canonical, order-independent definition a SQL oracle can
+    replicate brute-force.
+
+    Ray-Data-first stages, all narrow:
+
+    1. **prefix emission** (`map_batches`): each doc ships only its PREFIX
+       shingles — the ``|S| - ceil(threshold·|S|) + 1`` smallest hashes under
+       the global hash order. The prefix-filter theorem (Chaudhuri et al.,
+       SSJoin/PPJoin) guarantees any pair with J ≥ threshold shares a prefix
+       shingle on BOTH sides, so candidate generation is complete; the shuffle
+       moves (shingle, id, set_size) rows, never documents or full sets.
+    2. **candidate pairs** per shingle inside hash-bucketed ``map_groups``,
+       with the length filter ``|S_small| ≥ threshold·|S_large|`` (a J ≥ t
+       pair cannot differ more in size). A shingle shared by d docs costs
+       O(d²) pairs — the classic PPJoin candidate bound; df-ordered
+       (rarest-first) prefixes are the known refinement if a corpus has
+       pathological hot shingles, at the price of a global-df pass.
+    3. **exact verification** fully in-cluster via the shared
+       ``_verify_pairs_incluster`` pass: each candidate id's sorted distinct
+       shingle set is attached id-bucketed and pairs are intersected
+       (sorted-array ``np.intersect1d``) pair-bucketed; the driver holds only
+       the candidate id array.
+
+    Returns a Dataset of (id, dup_of) rows for ids that should be dropped.
+    """
+    import ray
+    import ray.data
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "dup_of": pa.array([], pa.int64())})
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy()
+        flat, offs = _distinct_shingles(texts, shingle_k)
+        sizes = np.diff(offs)
+        # conservative real-number ceil: float error must never SHORTEN the
+        # prefix (completeness) — shaving 1e-9 before ceil keeps exact-integer
+        # products (0.6·5 = 3.0000000000000004 in doubles) at their true ceil
+        alpha = np.ceil(threshold * sizes - 1e-9)
+        plen = np.minimum(np.maximum(sizes - alpha + 1, 0), sizes).astype(np.int64)
+        m = plen > 0
+        if not m.any():
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        out_sh = flat[_concat_ranges(offs[:-1][m], plen[m])].astype(np.int64)
+        return pa.table({
+            "sh": pa.array(out_sh),
+            "id": pa.array(np.repeat(ids[m], plen[m]), pa.int64()),
+            "sz": pa.array(np.repeat(sizes[m], plen[m]).astype(np.int64)),
+            "__b": pa.array((out_sh % num_buckets).astype(np.int32)),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sh", "ascending"), ("id", "ascending")])
+        sh = g["sh"].to_numpy()
+        ids = g["id"].to_numpy()
+        sz = g["sz"].to_numpy()
+        if ids.size == 0:
+            return empty
+        new = np.empty(ids.size, dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        seg_start = np.flatnonzero(new)[np.cumsum(new) - 1]
+        rank = np.arange(ids.size) - seg_start    # rows before me in my segment
+        em = rank > 0
+        if not em.any():
+            return empty
+        li = np.repeat(np.flatnonzero(em), rank[em])
+        ri = _concat_ranges(seg_start[em], rank[em])
+        a, b = ids[li], ids[ri]                   # a > b (id-sorted segments)
+        small = np.minimum(sz[li], sz[ri])
+        big = np.maximum(sz[li], sz[ri])
+        ok = small >= threshold * big - 1e-9      # length filter (prune-only)
+        pairs = np.unique(np.stack([a[ok], b[ok]], axis=1), axis=0)
+        return pa.table({"id": pa.array(pairs[:, 0], pa.int64()),
+                         "dup_of": pa.array(pairs[:, 1], pa.int64())})
+
+    pairs_ds = ds.map_batches(prefix_rows, batch_format="pyarrow") \
+        .groupby("__b").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs_ds = pairs_ds.materialize()   # consumed twice (requests + cid unique)
+    if pairs_ds.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    set_t = pa.list_(pa.int64())
+
+    def payload(batch: pa.Table, m: np.ndarray) -> pa.Array:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)[m]
+        flat, offs = _distinct_shingles(texts, shingle_k)
+        return pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat.astype(np.int64)))
+
+    def compare(xs, ys) -> np.ndarray:
+        out = np.empty(len(xs), dtype=bool)
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            A = np.asarray(x, dtype=np.int64)
+            B = np.asarray(y, dtype=np.int64)
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            union = A.size + B.size - inter
+            out[i] = union > 0 and inter / union >= threshold
+        return out
+
+    return _verify_pairs_incluster(ds, pairs_ds, id_col, payload, set_t,
+                                   compare, num_buckets)
 
 
 # ---------------- embedding cosine near-dup ----------------

@@ -67,6 +67,87 @@ class TestMinHash:
         assert not (set(got) & set(range(n_base)))   # originals never dropped
 
 
+class TestNgramJaccard:
+    def test_exact_and_truncated_copies(self, ray_mod):
+        rng = np.random.default_rng(2)
+        vocab = [f"w{i}" for i in range(600)]
+        base = [" ".join(rng.choice(vocab, 50)) for _ in range(25)]
+        rows = [{"id": i, "text": t} for i, t in enumerate(base)]
+        rows.append({"id": 100, "text": base[3]})                       # J = 1
+        rows.append({"id": 101, "text": " ".join(base[7].split()[:40])})  # J ≈ 0.8
+        ds = ray_mod.from_items(rows)
+        out = dedup.ngram_jaccard_dedup(ds, "text", "id", threshold=0.6).to_pandas()
+        got = dict(zip(out["id"], out["dup_of"]))
+        assert got == {100: 3, 101: 7}
+
+    def test_matches_bruteforce_at_any_threshold(self, ray_mod):
+        """Full recall: the prefix-filtered join equals the brute-force
+        all-pairs definition dup_of = min{j < i : J(S_i,S_j) >= t}."""
+        rng = np.random.default_rng(9)
+        vocab = [f"w{i}" for i in range(200)]
+        texts = []
+        for b in [list(rng.choice(vocab, 30)) for _ in range(8)]:
+            texts.append(" ".join(b))
+            for _ in range(5):            # variants spanning J ≈ 0.1 … 1.0
+                toks = list(b)
+                mode = rng.integers(0, 3)
+                if mode == 0:
+                    toks = toks[: rng.integers(5, 31)]
+                elif mode == 1:
+                    for p in rng.choice(30, rng.integers(1, 9), replace=False):
+                        toks[p] = str(rng.choice(vocab))
+                else:
+                    toks = toks[rng.integers(0, 12):]
+                texts.append(" ".join(toks))
+        ids = list(range(len(texts)))
+        for t in (0.3, 0.5, 0.8, 1.0):
+            sets = []
+            for s in texts:
+                f, o = dedup._distinct_shingles(np.array([s], object), 3)
+                sets.append(set(f.tolist()))
+            expect = {}
+            for i in range(len(ids)):
+                for j in range(i):
+                    u = sets[i] | sets[j]
+                    if u and len(sets[i] & sets[j]) / len(u) >= t:
+                        expect[i] = j
+                        break
+            ds = ray_mod.from_items(
+                [{"id": i, "text": s} for i, s in zip(ids, texts)])
+            out = dedup.ngram_jaccard_dedup(ds, "text", "id", threshold=t,
+                                            shingle_k=3).to_pandas()
+            got = dict(zip(out["id"], out["dup_of"])) if len(out) else {}
+            assert got == expect, f"threshold {t}"
+            if t <= 0.5:
+                assert expect, "corpus must produce real matches"
+
+    def test_threshold_boundary_exact(self, ray_mod):
+        # shingle_k=1: sets {a,b,c} vs {a,b,d} → J = 2/4 = 0.5 exactly
+        ds = ray_mod.from_items([{"id": 1, "text": "a b c"},
+                                 {"id": 2, "text": "a b d"}])
+        hit = dedup.ngram_jaccard_dedup(ds, "text", "id", threshold=0.5,
+                                        shingle_k=1).to_pandas()
+        assert dict(zip(hit["id"], hit["dup_of"])) == {2: 1}
+        miss = dedup.ngram_jaccard_dedup(ds, "text", "id", threshold=0.51,
+                                         shingle_k=1).to_pandas()
+        assert len(miss) == 0
+
+    def test_empty_and_short_docs(self, ray_mod):
+        ds = ray_mod.from_items([{"id": 1, "text": ""}, {"id": 2, "text": ""},
+                                 {"id": 3, "text": "xy"}, {"id": 4, "text": "xy"}])
+        out = dedup.ngram_jaccard_dedup(ds, "text", "id", threshold=0.9).to_pandas()
+        # empty docs never match; sub-k docs fold to a single shingle and do
+        assert dict(zip(out["id"], out["dup_of"])) == {4: 3}
+
+    def test_distinct_shingles_sorted_unique(self):
+        texts = np.array(["a b c d e", "a a a a", "", "x y"], dtype=object)
+        f, o = dedup._distinct_shingles(texts, 3)
+        lens = list(np.diff(o))
+        assert lens == [3, 1, 0, 1]      # dups collapse; sub-k folds to one
+        assert all(np.all(np.diff(f[o[i]:o[i + 1]].astype(np.int64)) > 0)
+                   for i in range(4))    # ascending within each doc
+
+
 class TestSimHash:
     def test_exact_copies_collide(self, ray_mod):
         rows = [{"id": i, "text": f"unique text number {i} with words"} for i in range(10)]
