@@ -126,6 +126,31 @@ def run_bench() -> dict:
     queries["build_cpu_util"] = round(
         queries["build_cpu_sec"] / (build_sec * NUM_CPUS), 3)
 
+    if os.environ.get("GRAFT_BUILD_ONLY"):
+        # scaling-campaign mode: the efficiency metric is the BUILD wall (the
+        # north-rule throughput job); skipping serving + dataset ops halves the
+        # per-sample wall, doubling controlled samples per hour on a box whose
+        # contention windows are minutes long
+        total = time.perf_counter() - t0
+        m = info["metrics"]
+        ray.shutdown()
+        return {
+            "metric": "webpage index build (build-only scaling sample)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "num_cpus": NUM_CPUS,
+            "build": {
+                "n_docs": info["n_docs"],
+                "docs_per_sec": round(info["n_docs"] / build_sec, 1),
+                "n_postings": m["n_postings"],
+                "postings_per_sec": round(m["n_postings"] / build_sec, 1),
+                "shuffle_run_bytes": m["shuffle_run_bytes"],
+                "index_bytes": m["index_bytes"],
+            },
+        }
+
     # ---- serving: segment actors + block-max WAND ----
     ta = time.perf_counter()
     cluster.activate("web", "pages", preload=True)   # ST1: segment loads its slice once
@@ -215,6 +240,10 @@ def run_scaling():
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows,
                    GRAFT_SCRATCH=scratch)
+        # default to build-only legs (the reported efficiency is the build
+        # ratio); GRAFT_SCALING_FULL=1 restores full-pipeline legs
+        if not os.environ.get("GRAFT_SCALING_FULL"):
+            env["GRAFT_BUILD_ONLY"] = "1"
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -116,6 +116,9 @@ def build_index(
     sample_docs: int = 2000,
     codec: str = "varint",   # posting compression: "varint" | "pfor" (NewPFD)
     publish_mode: str = "replace",   # "append" = delta generation (incremental upsert)
+    replace_generations: list[int] | None = None,   # append mode: retire these
+                                                    # gens in the same publish
+                                                    # (delta-fold merge)
     positions: bool = True,   # index token positions (phrase queries; Lucene
                               # TextField parity) — ~tf-stream-sized extra bytes
 ) -> dict:
@@ -519,7 +522,8 @@ def build_index(
     }
     manifest.data["num_doc_parts"] = num_doc_parts
     manifest.data["key_field"] = key_field
-    manifest.publish(gen, gen_info, mode=publish_mode)
+    manifest.publish(gen, gen_info, mode=publish_mode,
+                     replaces=replace_generations)
     if os.environ.get("BYZER_TIMING"):
         print(f"PHASE publish_tail={time.perf_counter() - t0 - wall:.2f} "
               f"total={time.perf_counter() - t0:.2f}", flush=True)

@@ -87,17 +87,22 @@ class Manifest:
         g = generation if generation is not None else self.data["generation"]
         return gen_dir(self.location, self.database, self.table, g)
 
-    def publish(self, generation: int, gen_info: dict, mode: str = "replace") -> None:
+    def publish(self, generation: int, gen_info: dict, mode: str = "replace",
+                replaces: list[int] | None = None) -> None:
         """Commit: record the generation and atomically publish the manifest.
 
         mode="replace": the new generation supersedes all others (full build /
         compaction). mode="append": the new generation becomes a DELTA on top of
         the currently active ones (incremental upsert) — queries merge all of
-        ``active_generations`` (ascending build order).
+        ``active_generations`` (ascending build order). ``replaces`` (append
+        mode) additionally retires the listed generations in the same atomic
+        publish — the delta-fold merge: the new generation carries their live
+        docs, so [base, d1, d2, d3] becomes [base, merged] in one step.
         """
         self.data["generations"][str(generation)] = gen_info
         if mode == "append":
-            active = self.active_generations()
+            active = [g for g in self.active_generations()
+                      if not (replaces and g in replaces)]
             if generation not in active:
                 active.append(generation)
             self.data["active_generations"] = active

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from byzer_retrieval_ray.index import master as M
 from byzer_retrieval_ray.index.build import build_index
-from byzer_retrieval_ray.index.manifest import Manifest, atomic_write_json
+from byzer_retrieval_ray.index.manifest import Manifest, atomic_write_json, read_json
 from byzer_retrieval_ray.index.searcher import BucketSearcher, GenerationReader
 from byzer_retrieval_ray.table.query import SearchQuery, TableSettings
 
@@ -114,7 +114,8 @@ class RetrievalCluster:
 
     def build_from_local(self, database: str, table: str, docs: list[dict],
                          key_field: str = "_id", num_doc_parts: int = 4,
-                         num_term_parts: int = 4, mode: str = "delta") -> bool:
+                         num_term_parts: int = 4, mode: str = "delta",
+                         max_delta_generations: int | None = None) -> bool:
         """S3/S4 equivalent: inline records, upserted by key (reference M1,
         RetrievalWorker.java:243-270).
 
@@ -125,6 +126,12 @@ class RetrievalCluster:
         key-resolution pass. Queries merge all active generations; ``compact()``
         folds them back into one. mode="rebuild" forces the full
         (previous ∪ new) regeneration.
+
+        ``max_delta_generations=N`` is the tiered-merge trigger (Lucene runs
+        background segment merges; deltas are our segments): when the publish
+        leaves more than N delta generations active, ``compact_deltas()`` folds
+        them into one at O(delta bytes) cost, keeping per-query generation
+        fan-out bounded under a steady upsert stream.
         """
         import ray.data
 
@@ -165,6 +172,9 @@ class RetrievalCluster:
                         num_doc_parts=num_doc_parts, num_term_parts=num_term_parts)
             m.clear_tombstones()   # baked into the new generation
         self._invalidate(database, table)
+        if max_delta_generations is not None and \
+                len(m.active_generations()) - 1 > max_delta_generations:
+            self.compact_deltas(database, table)
         return True
 
     def compact(self, database: str, table: str, num_doc_parts: int | None = None,
@@ -190,6 +200,67 @@ class RetrievalCluster:
         self._invalidate(database, table)
         return info
 
+    def compact_deltas(self, database: str, table: str,
+                       num_doc_parts: int | None = None,
+                       num_term_parts: int | None = None) -> dict | None:
+        """Tiered merge: fold the DELTA generations into ONE new delta
+        generation, leaving the base untouched — the Lucene
+        TieredMergePolicy analog for the generation model (small segments
+        merge together; the big one is left alone). [base, d1..dN] becomes
+        [base, merged] at O(delta bytes) cost, vs ``compact()``'s O(corpus)
+        forceMerge.
+
+        Semantics (Lucene segment-merge parity): docs tombstoned WITHIN the
+        folded deltas (a key upserted twice across delta batches) are
+        physically dropped, so they leave the collection statistics at fold
+        time — exactly when Lucene merges drop deletes. With no cross-delta
+        tombstones, folding is score-invariant (the merged generation's
+        stats equal the sum of the folded ones; StatsView sums active gens).
+        Base-generation tombstones are preserved verbatim. Gen numbers are
+        not reclaimed (the delta id namespace resets only on ``compact()``).
+
+        Returns the new gen_info, or None when there is at most one active
+        generation (nothing to fold)."""
+        m = self.manifest(database, table)
+        gens = m.active_generations()
+        if len(gens) <= 1:
+            return None
+        base, deltas = gens[0], gens[1:]
+        gr = GenerationReader(m.data, deltas[-1])
+        key_field = gr.key_field
+        old = self.scan_table(database, table, generations=deltas)
+
+        def carry(t: pa.Table) -> pa.Table:
+            if "doc_id" in t.column_names and key_field != "doc_id":
+                t = t.drop_columns(["doc_id"])
+            return t
+
+        info = build_index(old.map_batches(carry, batch_format="pyarrow"), m,
+                           key_field=key_field,
+                           num_doc_parts=num_doc_parts or gr.num_doc_parts,
+                           num_term_parts=num_term_parts or gr.info["num_term_parts"],
+                           publish_mode="append", replace_generations=deltas)
+        # retired generations' tombstones are dead weight (searchers apply them
+        # per generation, and those generations no longer serve) — drop the
+        # files; a crash before this point leaves them harmlessly stale
+        keep = []
+        for path in m.data.get("tombstone_files", []):
+            try:
+                entry_gen = read_json(path).get("gen")
+            except OSError:
+                continue
+            if entry_gen in deltas:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            else:
+                keep.append(path)
+        m.data["tombstone_files"] = keep
+        m.save()
+        self._invalidate(database, table)
+        return info
+
     def build_from_jsonl(self, database: str, table: str, data_location: str,
                          key_field: str = "_id", **kw) -> bool:
         """S1 equivalent (RetrievalWorker.java:176-211): index a directory of JSONL.
@@ -203,20 +274,25 @@ class RetrievalCluster:
         return True
 
     def scan_table(self, database: str, table: str,
-                   columns: list[str] | None = None):
+                   columns: list[str] | None = None,
+                   generations: list[int] | None = None):
         """S5/S6 equivalent: full scan of all stored docs as a streaming Dataset
         (reference: iterateAllDocs / the Arrow batch-export server). Unions every
         active generation with its own (generation-scoped) tombstones applied, so
         each live key appears exactly once. ``columns`` prunes the parquet read
         (a 2-column export of a wide table reads 2 columns, not the payloads);
         doc_id is read when tombstones must be applied but only returned if
-        requested."""
+        requested. ``generations`` restricts the scan to a subset of the active
+        generations (the delta-fold reads only the deltas)."""
         import numpy as np
         import ray.data
 
         m = self.manifest(database, table)
         ds = None
-        for g in m.active_generations():
+        scan_gens = m.active_generations()
+        if generations is not None:
+            scan_gens = [g for g in scan_gens if g in generations]
+        for g in scan_gens:
             gr = GenerationReader(m.data, g)
             paths = [p for b in gr.buckets() for p in gr.docstore_paths(b)]
             paths = [p for p in paths if p and os.path.exists(p)]

@@ -215,6 +215,12 @@ class ByzerStorage:
         self.cluster.compact(self.database, self.table)
         return True
 
+    def compact_deltas(self) -> bool:
+        """Tiered merge: fold only the delta generations into one, leaving the
+        base untouched (see RetrievalCluster.compact_deltas)."""
+        self.cluster.compact_deltas(self.database, self.table)
+        return True
+
     # reads ---------------------------------------------------------------
     def get_by_id(self, doc_id) -> Optional[dict]:
         out = self.get_by_ids([doc_id])
