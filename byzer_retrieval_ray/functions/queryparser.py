@@ -1,4 +1,4 @@
-"""SimpleQueryParser-subset keyword parsing.
+r"""SimpleQueryParser-subset keyword parsing.
 
 The reference parses keywords with Lucene's ``SimpleQueryParser`` over a whitespace
 analyzer (RetrievalWorker.java:339-341; all parser features enabled by the
@@ -41,6 +41,14 @@ two-arg constructor), default operator OR. Supported here:
                        plain terms only — nested groups or operators inside a
                        group raise (documented restriction).
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
+    \X               → escape (Lucene SimpleQueryParser ESCAPE): the next
+                       character loses its operator meaning and stays in the
+                       token — ``\+foo`` is the literal term "+foo", ``foo\*``
+                       the term "foo*", ``\"a`` a literal quote (the whitespace
+                       analyzer indexes such tokens verbatim, so they are real
+                       dictionary terms). A backslash before a non-special
+                       character is dropped (Lucene behavior); ``\\`` is a
+                       literal backslash.
 
 Unsupported (documented): operators nested inside ``( )``.
 
@@ -58,6 +66,39 @@ from dataclasses import dataclass, field
 _PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?')
 _GROUP_RE = re.compile(r'([+-]?)\(([^()]*)\)')
 _FUZZY_RE = re.compile(r'^(.*?)~([012])?$')
+
+# ESCAPE: \<special> hides the char from every parser pass via a private-use
+# sentinel, restored verbatim in the emitted terms
+_SPECIALS = '+-"*~()|\\'
+_SENTINEL = {c: chr(0xE000 + i) for i, c in enumerate(_SPECIALS)}
+_UNSENTINEL = {v: k for k, v in _SENTINEL.items()}
+_ESCAPE_RE = re.compile(r'\\(.)')
+_SENTINEL_RE = re.compile('[' + ''.join(_UNSENTINEL) + ']')
+
+
+def _hide_escapes(keyword: str) -> str:
+    # \special → sentinel(special); \other → other (Lucene drops the backslash)
+    return _ESCAPE_RE.sub(lambda m: _SENTINEL.get(m.group(1), m.group(1)),
+                          keyword)
+
+
+def _restore(term: str) -> str:
+    return _SENTINEL_RE.sub(lambda m: _UNSENTINEL[m.group(0)], term)
+
+
+def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
+    for name in ("should", "must", "must_not", "prefixes", "must_prefixes",
+                 "not_prefixes"):
+        setattr(p, name, [_restore(t) for t in getattr(p, name)])
+    for name in ("phrases", "must_phrases", "not_phrases", "must_groups"):
+        setattr(p, name, [tuple(_restore(t) for t in tt)
+                          for tt in getattr(p, name)])
+    for name in ("fuzzies", "must_fuzzies", "not_fuzzies"):
+        setattr(p, name, [(_restore(t), n) for t, n in getattr(p, name)])
+    for name in ("slop_phrases", "must_slop_phrases", "not_slop_phrases"):
+        setattr(p, name, [(tuple(_restore(t) for t in tt), n)
+                          for tt, n in getattr(p, name)])
+    return p
 
 
 @dataclass
@@ -83,6 +124,9 @@ class ParsedKeyword:
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
     p = ParsedKeyword()
+    escaped = "\\" in keyword
+    if escaped:
+        keyword = _hide_escapes(keyword)
 
     def take_phrase(m: re.Match) -> str:
         op, body, slop = m.group(1), m.group(2), m.group(3)
@@ -148,4 +192,4 @@ def parse_keyword(keyword: str) -> ParsedKeyword:
             continue
         (p.must if op == "+" else p.must_not if op == "-"
          else p.should).append(tok)
-    return p
+    return _restore_parsed(p) if escaped else p

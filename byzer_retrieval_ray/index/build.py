@@ -55,6 +55,29 @@ MAX_DOC_PARTS = 1 << (GEN_SHIFT - STRIDE_BITS)
 MAX_DELTA_GEN = 1 << (62 - GEN_SHIFT)
 
 
+def _pin_worker_threads() -> None:
+    """A/B knob: cap Arrow's process-global thread pool inside Ray Data worker
+    processes (BYZER_WORKER_ARROW_THREADS=n; default 0 = leave Arrow's
+    machine-sized default).
+
+    Measured on the 400k-doc build at 8 CPUs (back-to-back, quiet box,
+    build-only legs): UNPINNED 29.0 s / 219.8 CPU-s beats pin=1
+    (32.0 s / 242.9) and pin=4 (38.1 s / 293.9). The oversubscription
+    hypothesis (N tasks × 32-thread pools thrash) is wrong for this pipeline:
+    in-stage utilization sits ≈0.94, and Arrow's pool soaks that idle capacity
+    for parquet codec work on the spill files — capping it serializes codec
+    work without reducing total cycles. Kept as an env knob because the
+    trade-off may invert on nodes where workers are memory-bandwidth-starved
+    by co-located stages."""
+    if getattr(_pin_worker_threads, "_done", False):
+        return
+    n = int(os.environ.get("BYZER_WORKER_ARROW_THREADS", "0"))
+    if n > 0:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+    _pin_worker_threads._done = True
+
+
 def _atomic_write_parquet(table: pa.Table, path: str, **kw) -> None:
     # zstd-1 over the default snappy: the two build exchanges (wide-row spill,
     # posting-run spill) are the only cross-node byte movement — measured 24 %
@@ -203,6 +226,7 @@ def build_index(
     def spill(batch: pa.Table) -> pa.Table:
         import uuid
 
+        _pin_worker_threads()
         batch = prep(batch)
         parts_np = batch["__doc_part"].to_numpy()
         batch = batch.drop_columns(["__doc_part"])
@@ -243,6 +267,7 @@ def build_index(
         text is already in memory — no second read/tokenize pass over the docstore)
         into the per-range run spill.
         """
+        _pin_worker_threads()
         p = int(item["part"][0].as_py())
         files = json.loads(item["files"][0].as_py())
         out_path = os.path.join(docstore_dir, f"part-{p:05d}.parquet")
@@ -389,6 +414,7 @@ def build_index(
     termstats_dir = os.path.join(gdir, "termstats")
 
     def merge_write(item: pa.Table) -> pa.Table:
+        _pin_worker_threads()
         r = int(item["range_part"][0].as_py())
         files = json.loads(item["files"][0].as_py())
         post_path = os.path.join(postings_dir, f"part-{r:05d}.parquet")

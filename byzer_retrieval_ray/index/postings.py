@@ -132,13 +132,17 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
         parents_s = parents[order2]
         if positions:
             # token index within its doc (among kept tokens), then instance-sorted:
-            # stable sort keeps per-(term, doc) occurrences ascending
+            # stable sort keeps per-(term, doc) occurrences ascending.
+            # int32 throughout: positions are bounded (< 2^21, enforced at query
+            # time) and the position stream is the largest per-token array in
+            # this fused pass — halving its width halves the sort-gather traffic
+            # of the build's dominant CPU phase
             doc_change = np.empty(parents.size, dtype=bool)
             doc_change[0] = True
             np.not_equal(parents[1:], parents[:-1], out=doc_change[1:])
-            dstarts = np.flatnonzero(doc_change)
-            dcounts = np.diff(np.concatenate([dstarts, [parents.size]]))
-            tok_pos = np.arange(parents.size, dtype=np.int64) \
+            dstarts = np.flatnonzero(doc_change).astype(np.int32)
+            dcounts = np.diff(np.concatenate([dstarts, [np.int32(parents.size)]]))
+            tok_pos = np.arange(parents.size, dtype=np.int32) \
                 - np.repeat(dstarts, dcounts)
             pos_s = tok_pos[order2]
         del order2
@@ -149,8 +153,10 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
                       out=inst_change[1:])
         pstarts = np.flatnonzero(inst_change)
         del inst_change
-        tf = np.empty(pstarts.size, dtype=np.int64)
-        np.subtract(pstarts[1:], pstarts[:-1], out=tf[:-1])
+        # tf fits int32 (≤ tokens per chunk); cumulative offsets stay int64
+        tf = np.empty(pstarts.size, dtype=np.int32)
+        np.subtract(pstarts[1:], pstarts[:-1], out=tf[:-1],
+                    casting="unsafe")
         tf[-1] = codes_s.size - pstarts[-1]
         tdoc = doc_ids[parents_s[pstarts]]
         pcodes = codes_s[pstarts].astype(np.int64)
@@ -165,7 +171,7 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
             pos_deltas = pos_s.copy()
             pos_deltas[1:] -= pos_s[:-1]
             pos_deltas[pstarts] = pos_s[pstarts]
-            tf_cum = np.concatenate([[0], np.cumsum(tf)])
+            tf_cum = np.concatenate([[0], np.cumsum(tf, dtype=np.int64)])
 
         # runs: consecutive postings sharing (term_code, bucket); postings are
         # already sorted by (term_code, doc) and bucket is monotone in doc for
@@ -177,7 +183,8 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
                 # permuted posting order
                 gsrc = _concat_ranges(tf_cum[:-1][order3], tf[order3])
                 pos_deltas = pos_deltas[gsrc]
-                tf_cum = np.concatenate([[0], np.cumsum(tf[order3])])
+                tf_cum = np.concatenate([[0], np.cumsum(tf[order3],
+                                                        dtype=np.int64)])
             tdoc, pcodes, buckets = tdoc[order3], pcodes[order3], buckets[order3]
             tf, norms = tf[order3], norms[order3]
         change = np.empty(tdoc.size, dtype=bool)
@@ -204,7 +211,7 @@ def emit_runs(batch: pa.Table, analyzed_fields: list[str], boundaries: list[str]
                                                      tf_cum[offsets])
         else:
             pos_blobs = [b""] * len(starts)
-        ttf = np.add.reduceat(tf, starts)
+        ttf = np.add.reduceat(tf.astype(np.int64), starts)
         run_terms = uniq_terms[pcodes[starts]]
         out_chunks.append(pa.table({
             "range_part": pa.array(route_terms(run_terms, boundaries), pa.int32()),
@@ -228,7 +235,8 @@ def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, np.int64)
-    rep = np.repeat(starts - np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    cum = np.cumsum(counts, dtype=np.int64)
+    rep = np.repeat(starts - np.concatenate([[0], cum[:-1]]), counts)
     return rep + np.arange(total, dtype=np.int64)
 
 

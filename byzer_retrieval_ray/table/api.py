@@ -436,6 +436,35 @@ class RetrievalCluster:
         self._invalidate(database, table)
         return True
 
+    def vacuum(self, database: str, table: str) -> dict:
+        """Disk GC: delete the generation directories a publish retired (full
+        rebuilds, ``compact()`` and ``compact_deltas()`` leave them in place so
+        in-flight readers finish) and prune their manifest entries — the analog
+        of Lucene deleting merged-away segment files once readers release.
+
+        Safe once serving actors have re-polled the manifest (NRT poll default
+        1 s): a vacuum racing an actor that has not yet adopted the current
+        publish can pull files out from under it, exactly like deleting Lucene
+        segments under an open reader — call it from the writer process after
+        publishes settle, not on a hot loop."""
+        m = self.manifest(database, table)
+        active = set(m.active_generations())
+        freed = 0
+        removed = []
+        for g in sorted(int(g) for g in m.data["generations"]):
+            if g in active:
+                continue
+            gd = m.gen_dir(g)
+            if os.path.isdir(gd):
+                freed += sum(os.path.getsize(os.path.join(r, f))
+                             for r, _, fs in os.walk(gd) for f in fs)
+                shutil.rmtree(gd, ignore_errors=True)
+            m.data["generations"].pop(str(g), None)
+            removed.append(g)
+        if removed:
+            m.save()
+        return {"removed_generations": removed, "bytes_freed": freed}
+
     def close(self, database: str, table: str) -> bool:
         m = self.manifest(database, table)
         m.data["status"] = "close"

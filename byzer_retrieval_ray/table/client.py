@@ -221,6 +221,11 @@ class ByzerStorage:
         self.cluster.compact_deltas(self.database, self.table)
         return True
 
+    def vacuum(self) -> dict:
+        """Delete retired generation directories (disk GC after compactions;
+        see RetrievalCluster.vacuum for the reader-race caveat)."""
+        return self.cluster.vacuum(self.database, self.table)
+
     # reads ---------------------------------------------------------------
     def get_by_id(self, doc_id) -> Optional[dict]:
         out = self.get_by_ids([doc_id])

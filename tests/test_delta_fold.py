@@ -128,6 +128,31 @@ class TestDeltaFold:
         assert actor == local and len(local) == 15
 
 
+class TestVacuum:
+    def test_vacuum_removes_retired_generations(self, ray_session, tmp_path):
+        c = _mk(str(tmp_path))
+        _deltas(c, n=3)
+        m = c.manifest("db", "t")
+        c.compact_deltas("db", "t")
+        retired = [2, 3, 4]
+        assert all(os.path.isdir(m.gen_dir(g)) for g in retired)
+
+        out = c.vacuum("db", "t")
+        assert out["removed_generations"] == retired
+        assert out["bytes_freed"] > 0
+        assert not any(os.path.isdir(m.gen_dir(g)) for g in retired)
+        assert sorted(int(g) for g in m.data["generations"]) == [1, 5]
+        # serving is intact after the GC
+        got = {r[0] for r in _results(c, "shared")}
+        assert len(got) == 15
+
+    def test_vacuum_noop_when_nothing_retired(self, ray_session, tmp_path):
+        c = _mk(str(tmp_path))
+        out = c.vacuum("db", "t")
+        assert out == {"removed_generations": [], "bytes_freed": 0}
+        assert _results(c, "shared")
+
+
 class TestAutoFold:
     def test_max_delta_generations_triggers_fold(self, ray_session, tmp_path):
         c = _mk(str(tmp_path))

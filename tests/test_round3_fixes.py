@@ -146,6 +146,59 @@ class TestParenGroups:
             parse_keyword("(a* b)")             # prefix inside group
 
 
+class TestEscape:
+    """SimpleQueryParser ESCAPE: \\X makes a special character literal; the
+    whitespace analyzer indexes such tokens verbatim, so escaped queries hit
+    real dictionary terms."""
+
+    def test_parser_escapes_specials(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword(r"\+foo bar")
+        assert p.should == ["+foo", "bar"] and p.must == []
+        p = parse_keyword(r"foo\* baz*")
+        assert p.should == ["foo*"] and p.prefixes == ["baz"]
+        p = parse_keyword(r"\-x +\-y")
+        assert p.should == ["-x"] and p.must == ["-y"]
+        p = parse_keyword(r"a\~1 b~1")
+        assert p.should == ["a~1"] and p.fuzzies == [("b", 1)]
+        p = parse_keyword(r'\"quoted\" word')
+        assert p.should == ['"quoted"', "word"]
+        # group members are emitted during the group pass, escaped literals in
+        # the trailing token loop — the within-list order is part of the fixed
+        # float-addition clause order
+        p = parse_keyword(r"\(lit\) (or1 | or2)")
+        assert p.should == ["or1", "or2", "(lit)"]
+        p = parse_keyword(r"back\\slash")
+        assert p.should == ["back\\slash"]
+        # backslash before a non-special char is dropped (Lucene)
+        assert parse_keyword(r"\word").should == ["word"]
+        # escapes inside phrases stay literal phrase terms
+        p = parse_keyword(r'"\+a b"')
+        assert p.phrases == [("+a", "b")]
+
+    def test_escaped_query_hits_literal_tokens(self, ray_session, tmp_path):
+        import ray.data
+        tbl = pa.table({
+            "_id": pa.array([0, 1, 2], pa.int64()),
+            "content": pa.array(["the +flag token", "the flag token",
+                                 "c~d star* here"], pa.string()),
+            "tag": pa.array(["a", "b", "c"], pa.string()),
+        })
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "t", LONG_SCHEMA, loc))
+        c.build_from_parquet("db", "t", ray.data.from_arrow(tbl),
+                             key_field="_id", num_doc_parts=2, num_term_parts=2)
+        q = SearchQuery("db", "t", keyword=r"\+flag", fields=["content"], limit=10)
+        assert [r["_id"] for r in c.search("db", "t", q)[0]] == [0]
+        q = SearchQuery("db", "t", keyword=r"c\~d star\*", fields=["content"],
+                        limit=10)
+        assert [r["_id"] for r in c.search("db", "t", q)[0]] == [2]
+        # unescaped versions keep operator meaning: "star*" is a prefix query
+        q = SearchQuery("db", "t", keyword="star*", fields=["content"], limit=10)
+        assert [r["_id"] for r in c.search("db", "t", q)[0]] == [2]
+
+
 class TestBoundedFuzzyExpansion:
     """VERDICT #2: the edit-distance DP must not scan the whole dictionary."""
 
