@@ -220,6 +220,63 @@ aug AS (
   SELECT doc_id + {AUG_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 )"""
 
+
+def _augmented_docs_pii(sf_dir: str) -> pa.Table:
+    """documents with deterministic PII injected into every doc_id % 7 == 3 row
+    (an email, an IPv4, an international phone number, all derived from doc_id).
+    The oracle SQL builds the identical strings, so the scrub is value-checked
+    end-to-end: counts AND redacted text."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_numpy(zero_copy_only=False)
+    out = []
+    for d, s in zip(ids, texts):
+        if d % 7 == 3:
+            s = (f"{s} contact u{d}@ex.org or 10.0.{d % 256}.{d % 100}"
+                 f" call +1555{d % 10000:04d}")
+        out.append(s)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(out, pa.string())})
+
+
+_SQL_AUG_DOCS_PII = """
+aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@ex.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+                   || ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+)"""
+
+
+def _sql_shingles(k: int, src: str = "aug") -> str:
+    """Parameterized poly-hash word-k-gram CTE chain (toks/th/sh) over ``src``
+    — the k-generalization of _SQL_SHINGLE_CTES, mirroring
+    ops/dedup._poly_shingle_hashes exactly (incl. the 0 < n_tok < k
+    fold-all-tokens fallback)."""
+    return f"""toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM {src}
+),
+th AS (
+  SELECT doc_id, list_transform(t, tok -> list_reduce(
+     list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT)),
+     (acc, cp) -> (acc*31 + cp) % 4294967296)) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN []
+         WHEN len(h) < {k} THEN [list_reduce(h, (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296]
+         ELSE list_transform(range(1, len(h) - {k - 2}), i ->
+              list_reduce(list_slice(h, i, i + {k - 1}), (acc, x) -> (acc*1000003 + x) % 18446744073709551616) % 4294967296)
+    END AS g
+  FROM th
+)"""
+
 # the near tier re-tokenizes exactly like the engine (split on whitespace, drop
 # empties, rejoin with ' '), keeps ceil(0.8·n) tokens — same double product both sides
 _SQL_AUG_DOCS_NEAR = f"""
@@ -633,6 +690,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                          "fp": pa.array(out["fp"], pa.int64())})
     q["fingerprint"] = fingerprints
+
+    def pii_scrub(sf):
+        # streaming PII redaction (ops/pii.py): per-pattern counts measured on
+        # the original text, sequential RE2 redaction; the deterministic
+        # injection (_augmented_docs_pii) makes counts provably non-zero and
+        # the oracle rebuilds the identical strings, so counts AND the redacted
+        # text are value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.pii import scrub_pii
+        ds = ray.data.from_arrow(_augmented_docs_pii(sf))
+        out = ds.map_batches(scrub_pii, batch_format="pyarrow") \
+                .select_columns(["doc_id", "n_email", "n_ipv4", "n_phone",
+                                 "text"]).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    q["pii_scrub"] = pii_scrub
+
+    def decontaminate_q(sf):
+        # benchmark decontamination (ops/decontaminate.py): benchmark = the
+        # base docs with doc_id % 50 == 30 — each of those also has an exact
+        # augmented copy (doc_id % 10 == 0, +AUG_OFFSET), so the gate checks
+        # CROSS-document contamination, not just benchmark self-hits; k=8
+        # word-grams, poly hash family (SQL-replicable) — every per-doc
+        # overlap count is value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.decontaminate import decontaminate
+        base = pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        m = base["doc_id"].to_numpy() % 50 == 30
+        bench = base["text"].to_numpy(zero_copy_only=False)[m]
+        ds = ray.data.from_arrow(_augmented_docs(sf))
+        out = decontaminate(ds, bench, text_col="text", k=8, concurrency=2) \
+            .select_columns(["doc_id", "n_contaminated_ngrams"]).to_pandas()
+        out = out[out["n_contaminated_ngrams"] > 0] \
+            .sort_values("doc_id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_contaminated_ngrams": pa.array(out["n_contaminated_ngrams"],
+                                              pa.int64()),
+        })
+    q["decontaminate"] = decontaminate_q
 
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
@@ -1212,6 +1310,39 @@ SELECT doc_id,
        CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fp
 FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
 ORDER BY doc_id, fp"""
+
+    # PII scrub: DuckDB's regexp_* are RE2 — the same engine as Arrow's
+    # count/replace_substring_regex — so the oracle runs the IDENTICAL pattern
+    # text: counts via regexp_extract_all on the original (augmented) text,
+    # redaction as the same sequential global replaces
+    from byzer_retrieval_ray.ops.pii import DEFAULT_PATTERNS as _PII
+    _pe, _pi, _pp = _PII[0][1], _PII[1][1], _PII[2][1]
+    sql["pii_scrub"] = f"""
+WITH {_SQL_AUG_DOCS_PII}
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_pe}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_pi}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_pp}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_pe}', '<EMAIL>', 'g'), '{_pi}', '<IP>', 'g'), '{_pp}', '<PHONE>', 'g')
+      AS text
+FROM aug ORDER BY doc_id"""
+
+    # decontamination: per-doc count (with multiplicity) of word-8-gram poly
+    # hashes shared with the benchmark subset (base docs with doc_id % 50 = 30,
+    # all of which also have augmented exact copies — cross-doc contamination)
+    sql["decontaminate"] = f"""
+WITH {_SQL_AUG_DOCS},
+{_sql_shingles(8)},
+bench AS (
+  SELECT DISTINCT unnest(g) AS h FROM sh WHERE doc_id % 50 = 30 AND doc_id < {AUG_OFFSET}
+),
+docg AS (
+  SELECT doc_id, unnest(g) AS h FROM sh
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM docg d JOIN bench b USING (h)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
 
     _thr = int(0.2 * float(1 << 32))
     sql["sample_docs"] = f"""
