@@ -732,6 +732,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["decontaminate"] = decontaminate_q
 
+    def repetition(sf):
+        # Gopher-family repetition metrics (ops/repetition.py): per-doc token
+        # multiplicities over 32-bit poly hashes — the oracle computes the SAME
+        # hash values, so every share is value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.repetition import add_repetition_stats
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        out = ds.map_batches(add_repetition_stats, batch_format="pyarrow") \
+                .select_columns(["doc_id", "frac_dup_tokens", "top_token_share",
+                                 "top_bigram_share"]).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        for c in ["frac_dup_tokens", "top_token_share", "top_bigram_share"]:
+            # round-half-away-from-zero to match DuckDB ROUND (np.round is half-even)
+            out[c] = np.floor(out[c].to_numpy() * 1e4 + 0.5) / 1e4
+        return pa.Table.from_pandas(out, preserve_index=False)
+    q["repetition_stats"] = repetition
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -1343,6 +1361,36 @@ docg AS (
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
 FROM docg d JOIN bench b USING (h)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+    # repetition metrics: token/bigram multiplicities over the same 32-bit poly
+    # hashes the engine uses (th/sh CTEs); single-token docs fall back to one
+    # fold-all bigram shingle on both sides (share 1.0); 0-token docs LEFT JOIN
+    # to 0.0 shares
+    sql["repetition_stats"] = f"""
+WITH {_sql_shingles(2, src="documents")},
+tok_runs AS (
+  SELECT doc_id, v, count(*) AS c
+  FROM (SELECT doc_id, unnest(h) AS v FROM th) GROUP BY doc_id, v
+),
+tok_stats AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct, max(c) AS top_c
+  FROM tok_runs GROUP BY doc_id
+),
+bi_runs AS (
+  SELECT doc_id, v, count(*) AS c
+  FROM (SELECT doc_id, unnest(g) AS v FROM sh) GROUP BY doc_id, v
+),
+bi_stats AS (
+  SELECT doc_id, sum(c) AS n_bi, max(c) AS top_c FROM bi_runs GROUP BY doc_id
+)
+SELECT d.doc_id,
+  ROUND(COALESCE(1.0e0 - CAST(t.n_distinct AS DOUBLE) / t.n_tok, 0.0e0), 4) AS frac_dup_tokens,
+  ROUND(COALESCE(CAST(t.top_c AS DOUBLE) / t.n_tok, 0.0e0), 4) AS top_token_share,
+  ROUND(COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0e0), 4) AS top_bigram_share
+FROM documents d
+LEFT JOIN tok_stats t USING (doc_id)
+LEFT JOIN bi_stats b USING (doc_id)
+ORDER BY d.doc_id"""
 
     _thr = int(0.2 * float(1 << 32))
     sql["sample_docs"] = f"""
