@@ -750,6 +750,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
     q["repetition_stats"] = repetition
 
+    def chunking(sf):
+        # sequence packing (ops/chunk.py): 16-token windows, 4-token overlap —
+        # every (doc_id, chunk_id, chunk_text, n_chunk_tokens) row value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.chunk import chunk_documents
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        out = chunk_documents(ds, chunk_tokens=16, overlap=4).to_pandas()
+        out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    q["chunk_documents"] = chunking
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -1391,6 +1403,21 @@ FROM documents d
 LEFT JOIN tok_stats t USING (doc_id)
 LEFT JOIN bi_stats b USING (doc_id)
 ORDER BY d.doc_id"""
+
+    # chunking: 16-token windows, 4 overlap (step 12); starts 1, 13, 25, …
+    # while <= len; short tails emitted; list_slice is end-inclusive
+    sql["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, 12)) AS s FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+  CAST((s - 1) // 12 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(t, s, least(s + 15, len(t))), ' ') AS chunk_text,
+  CAST(least(s + 15, len(t)) - s + 1 AS BIGINT) AS n_chunk_tokens
+FROM starts ORDER BY doc_id, chunk_id"""
 
     _thr = int(0.2 * float(1 << 32))
     sql["sample_docs"] = f"""
