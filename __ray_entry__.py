@@ -762,6 +762,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
     q["chunk_documents"] = chunking
 
+    def stratified(sf):
+        # per-lang quota sample (ops/stratified.py): 20 docs per language by
+        # (Horner·Knuth hash, doc_id) — combiner pre-selection + tiny groupby;
+        # the exact selected id set has a ROW_NUMBER oracle
+        import ray.data
+        from byzer_retrieval_ray.ops.stratified import stratified_sample
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "lang"])
+        out = stratified_sample(ds, "lang", 20).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "lang": pa.array(out["lang"], pa.string())})
+    q["stratified_sample"] = stratified
+
+    def bjoin(sf):
+        # broadcast hash join (ops/join.py): enrich each doc with its
+        # language's corpus doc count — dimension side ray.put once, Acero
+        # join per batch
+        import ray.data
+        from byzer_retrieval_ray.ops.join import broadcast_join
+        base = pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "lang"])
+        agg = base.group_by("lang").aggregate([("doc_id", "count")])
+        dim = pa.table({"lang": agg["lang"],
+                        "lang_docs": agg["doc_id_count"].cast(pa.int64())})
+        ds = ray.data.from_arrow(base)
+        out = broadcast_join(ds, dim, on="lang", concurrency=2).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "lang": pa.array(out["lang"], pa.string()),
+                         "lang_docs": pa.array(out["lang_docs"], pa.int64())})
+    q["broadcast_join"] = bjoin
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -1418,6 +1451,27 @@ SELECT doc_id,
   array_to_string(list_slice(t, s, least(s + 15, len(t))), ' ') AS chunk_text,
   CAST(least(s + 15, len(t)) - s + 1 AS BIGINT) AS n_chunk_tokens
 FROM starts ORDER BY doc_id, chunk_id"""
+
+    _horner_knuth = """(list_reduce(list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                                  i -> CAST(unicode(CAST(doc_id AS VARCHAR)[i]) AS HUGEINT)),
+                   (a, b) -> (a*31 + b) % 4294967296) * 2654435761) % 4294967296"""
+
+    sql["stratified_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_horner_knuth} AS hv FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id"""
+
+    sql["broadcast_join"] = """
+SELECT d.doc_id, d.lang, CAST(c.lang_docs AS BIGINT) AS lang_docs
+FROM documents d
+JOIN (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang) c USING (lang)
+ORDER BY d.doc_id"""
 
     _thr = int(0.2 * float(1 << 32))
     sql["sample_docs"] = f"""

@@ -67,16 +67,16 @@ class ContaminationCheck:
 
 
 def decontaminate(ds, benchmark_texts, text_col: str = "text", k: int = 8,
-                  concurrency: int | None = None, keep_flagged: bool = True):
+                  concurrency: int = 2, keep_flagged: bool = True):
     """Flag (keep_flagged) or drop (not keep_flagged) documents sharing any
-    word ``k``-gram with ``benchmark_texts``. Returns a streaming Dataset."""
+    word ``k``-gram with ``benchmark_texts``. Returns a streaming Dataset.
+    (An actor-pool stage always needs a concurrency; size it to the cluster.)"""
     import ray
     bench_ref = ray.put(benchmark_ngram_hashes(benchmark_texts, k))
-    kwargs: dict = {"fn_constructor_kwargs": {
-        "bench_ref": bench_ref, "text_col": text_col, "k": k}}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    out = ds.map_batches(ContaminationCheck, batch_format="pyarrow", **kwargs)
+    out = ds.map_batches(
+        ContaminationCheck, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "text_col": text_col,
+                               "k": k})
     if not keep_flagged:
         import pyarrow.compute as pc
         out = out.map_batches(

@@ -76,10 +76,9 @@ class PIIScrubber:
 
 def scrub_dataset(ds, text_col: str = "text",
                   patterns: list[tuple[str, str, str]] | None = None,
-                  concurrency: int | None = None):
-    """Dataset-level convenience: streaming PII scrub of ``text_col``."""
-    kwargs = {"fn_constructor_kwargs": {"text_col": text_col,
-                                        "patterns": patterns}}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return ds.map_batches(PIIScrubber, batch_format="pyarrow", **kwargs)
+                  concurrency: int = 2):
+    """Dataset-level convenience: streaming PII scrub of ``text_col``.
+    (An actor-pool stage always needs a concurrency; size it to the cluster.)"""
+    return ds.map_batches(
+        PIIScrubber, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": text_col, "patterns": patterns})
