@@ -197,6 +197,34 @@ def run_bench() -> dict:
     brute_force_topk(ds, "embedding", "vec_id", qv, k=10)
     queries["ann_bruteforce"] = round(time.perf_counter() - td, 3)
 
+    # streaming text-pipeline ops (stateless / broadcast stages)
+    from byzer_retrieval_ray.ops.pii import scrub_dataset
+    from byzer_retrieval_ray.ops.chunk import chunk_documents
+    from byzer_retrieval_ray.ops.decontaminate import decontaminate
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    scrub_dataset(ds, concurrency=4).count()
+    queries["pii_scrub_docs"] = round(time.perf_counter() - td, 3)
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    queries["chunk_rows"] = chunk_documents(ds, chunk_tokens=128,
+                                            overlap=16).count()
+    queries["chunk_docs"] = round(time.perf_counter() - td, 3)
+
+    td = time.perf_counter()
+    base = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    bench_texts = base["text"].to_numpy(zero_copy_only=False)[
+        base["doc_id"].to_numpy() % 211 == 7]
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    decontaminate(ds, bench_texts, k=8, concurrency=4).count()
+    queries["decontaminate_docs"] = round(time.perf_counter() - td, 3)
+
     total = time.perf_counter() - t0
     m = info["metrics"]
     result = {
