@@ -21,7 +21,13 @@ is re-runnable; /tmp/campaign_state says WAITING/SAMPLING so a human (or agent)
 sharing the box knows when it is safe to run other work.
 
 Usage: python scripts/scaling_campaign.py [n_good] [levels ...]
-  e.g.  python scripts/scaling_campaign.py 5 2,8 1,4
+  e.g.  python scripts/scaling_campaign.py 5 2,8 2,8 2,8 1,4   # weight 2,8 3:1
+        python scripts/scaling_campaign.py --analyze           # report only
+
+The final analysis also reports a MIN-WALL estimator: contention only ever
+inflates wall time, so per-level minima over many samples converge (from
+above) to the quiet-box walls, and their ratio estimates the quiet-box
+scaling efficiency even when no single sample was fully quiet.
 """
 
 from __future__ import annotations
@@ -115,8 +121,15 @@ def wait_quiet(deadline: float) -> dict | None:
 
 def run_pair(levels: str) -> dict | None:
     env = dict(os.environ, GRAFT_SCRATCH=SCRATCH, GRAFT_SCALING_LEVELS=levels)
-    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
-                        "--scaling"], env=env, capture_output=True, text=True)
+    try:
+        # a pair that needs >20 min is deep inside a contention window — its
+        # walls are garbage and its CPU tag would reject it anyway; cut it
+        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
+                            "--scaling"], env=env, capture_output=True,
+                           text=True, timeout=1200)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"error": "pair timeout (contended)"}), flush=True)
+        return None
     if r.returncode != 0:
         print(json.dumps({"error": r.stderr[-500:]}), flush=True)
         return None
@@ -172,7 +185,51 @@ def main() -> None:
     _state("DONE")
     print(json.dumps({"done": {lv: v for lv, v in good.items()},
                       "best_cpu": best_cpu}), flush=True)
+    print(json.dumps({"analysis": analyze()}), flush=True)
+
+
+def analyze() -> dict:
+    """Re-read the whole JSONL log: per-level min walls (noise only inflates
+    wall time, so the min over many samples estimates the quiet-box wall),
+    min-wall-derived efficiencies, and medians of retro-tagged good samples
+    (tags recomputed against the final best CPU minima)."""
+    recs = []
+    try:
+        with open(LOG) as f:
+            recs = [json.loads(l) for l in f if l.strip()]
+    except FileNotFoundError:
+        return {}
+    best_cpu: dict[int, float] = {}
+    for r in recs:                       # first pass: final per-level cpu minima
+        for lvl in r["levels"]:
+            c = r.get(f"build_cpu_sec_{lvl}")
+            if c is not None and (lvl not in best_cpu or c < best_cpu[lvl]):
+                best_cpu[lvl] = c
+    out: dict = {"n_samples": len(recs), "best_cpu": best_cpu}
+    min_wall: dict[int, float] = {}
+    for r in recs:
+        for lvl in r["levels"]:
+            w = r.get(f"build_sec_{lvl}")
+            if w is not None and (lvl not in min_wall or w < min_wall[lvl]):
+                min_wall[lvl] = w
+    out["min_wall"] = min_wall
+    for lo, hi in ((2, 8), (1, 4)):
+        if lo in min_wall and hi in min_wall:
+            out[f"min_wall_eff_{lo}_{hi}"] = round(
+                (min_wall[lo] / min_wall[hi]) / (hi / lo), 3)
+    import statistics
+    for pair in ({2, 8}, {1, 4}):
+        effs = [r["scaling_efficiency_build"] for r in recs
+                if set(r["levels"]) == pair and tag(dict(r), dict(best_cpu))]
+        if effs:
+            key = "_".join(str(x) for x in sorted(pair))
+            out[f"good_median_{key}"] = round(statistics.median(effs), 3)
+            out[f"good_n_{key}"] = len(effs)
+    return out
 
 
 if __name__ == "__main__":
-    main()
+    if "--analyze" in sys.argv:
+        print(json.dumps(analyze(), indent=2))
+    else:
+        main()
