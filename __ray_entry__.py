@@ -795,6 +795,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "lang_docs": pa.array(out["lang_docs"], pa.int64())})
     q["broadcast_join"] = bjoin
 
+    def normalize(sf):
+        # pre-dedup canonicalization (ops/normalize.py): lowercase + RE2
+        # punctuation strip + whitespace collapse — same kernels' pattern text
+        # runs in DuckDB's RE2, so the normalized text is value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.normalize import normalize_dataset
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        out = normalize_dataset(ds).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "text": pa.array(out["text"], pa.string())})
+    q["normalize_text"] = normalize
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -1451,6 +1465,12 @@ SELECT doc_id,
   array_to_string(list_slice(t, s, least(s + 15, len(t))), ' ') AS chunk_text,
   CAST(least(s + 15, len(t)) - s + 1 AS BIGINT) AS n_chunk_tokens
 FROM starts ORDER BY doc_id, chunk_id"""
+
+    sql["normalize_text"] = r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text),
+       '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS text
+FROM documents ORDER BY doc_id"""
 
     _horner_knuth = """(list_reduce(list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
                                   i -> CAST(unicode(CAST(doc_id AS VARCHAR)[i]) AS HUGEINT)),
