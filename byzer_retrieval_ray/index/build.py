@@ -117,6 +117,22 @@ def _list_parquet_files(source) -> list[str] | None:
     return sorted(out) or None
 
 
+def _pruned_read_columns(avail: list[str], columns: list[str],
+                         extract: tuple[str, str] | None,
+                         version_field: str | None) -> list[str]:
+    """Columns the build actually needs from the source parquet: schema columns
+    plus the extract source and version field — parquet column pruning then
+    skips everything else AT THE READ (a source table with extra payload
+    columns never materializes them). With extraction on, the source's copy of
+    the destination column is also skipped: prep drops and regenerates it."""
+    want = [c for c in columns if not (extract and c == extract[1])]
+    if extract is not None and extract[0] not in want:
+        want.append(extract[0])
+    if version_field is not None and version_field not in want:
+        want.append(version_field)
+    return [c for c in want if c in set(avail)]
+
+
 def _analyzed_fields(st: dsl.StructType) -> list[str]:
     return [f.name for f in st.fields if f.analyze]
 
@@ -188,7 +204,13 @@ def build_index(
     source_paths: list[str] | None = None
     if isinstance(source, (str, list)):
         source_paths = _list_parquet_files(source)
-        source = ray.data.read_parquet(source, override_num_blocks=n_blocks)
+        read_cols = None
+        if source_paths:
+            avail = pq.ParquetFile(source_paths[0]).schema_arrow.names
+            read_cols = _pruned_read_columns(avail, columns, extract,
+                                             version_field)
+        source = ray.data.read_parquet(source, columns=read_cols,
+                                       override_num_blocks=n_blocks)
     ds = source
 
     # ---- Stage A: extract → route → dedup → doc ids → norms → docstore ----
@@ -220,9 +242,11 @@ def build_index(
     # ---- Stage A1: explicit partitioned exchange (disk, not object-store sort) ----
     # Each map task routes its batch and appends one parquet file per touched doc
     # partition under _spill/part=<p>/. The wide rows (html payload) therefore flow
-    # read → spill-write exactly once; no all-to-all sort materializes them. This is
-    # the scalable wide-row exchange; the term shuffle (stage C/D) stays a Ray Data
-    # groupby because runs are compact.
+    # read → spill-write exactly once; no all-to-all sort materializes them. The
+    # term exchange (stage C/D) is the SAME pattern — an explicit per-range disk
+    # spill via _write_runs; neither exchange may go back to a Ray Data
+    # groupby/sort (CLAUDE.md invariant: the AllToAll sort dominated the 8-CPU
+    # build).
     def spill(batch: pa.Table) -> pa.Table:
         import uuid
 

@@ -46,10 +46,14 @@ def chunk_batch(batch: pa.Table, chunk_tokens: int = 512, overlap: int = 0,
     gather = _concat_ranges(doc_tok_offs[chunk_parent] + starts_local, lens)
 
     toks = pc.take(flat, pa.array(gather, pa.int64()))
-    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-    lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
-                                     toks.combine_chunks()
-                                     if isinstance(toks, pa.ChunkedArray) else toks)
+    # int64 offsets via LargeListArray: a batch whose gathered token count
+    # (inflated by overlap) exceeds 2^31-1 must not silently wrap int32 and
+    # corrupt chunk boundaries (the 100 TB streaming claim)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()),
+                                          toks.combine_chunks()
+                                          if isinstance(toks, pa.ChunkedArray)
+                                          else toks)
     chunk_text = pc.binary_join(lists, " ")
 
     ids = batch[id_col].to_numpy(zero_copy_only=False)[chunk_parent]

@@ -20,6 +20,14 @@ _JOIN_TYPES = {"inner", "left outer"}
 
 
 def _validate_right(right: pa.Table, on: str) -> pa.Table:
+    # count_distinct excludes nulls (mode only_valid) — report null keys as
+    # their own error (a null key never joins) instead of a misleading
+    # "must have unique keys" when all non-null keys ARE unique
+    n_null = pc.sum(pc.is_null(right[on])).as_py() or 0
+    if n_null:
+        raise ValueError(
+            f"broadcast join right side has {n_null} null '{on}' key(s); "
+            "null keys never join — drop or fill them first")
     n_distinct = pc.count_distinct(right[on]).as_py()
     if n_distinct != len(right):
         raise ValueError(

@@ -155,15 +155,40 @@ def tag(rec: dict, best_cpu: dict[int, float]) -> bool:
     return good
 
 
+def _retro_good(level_list: list[str]) -> dict[str, list[float]]:
+    """Two-pass retro-tagged good samples per level pair: tags recomputed
+    against the FINAL per-level CPU minima of everything in the log, so the
+    live medians are order-independent (a sample accepted before a lower
+    best_cpu arrived is retro-rejected, exactly as --analyze does)."""
+    good: dict[str, list[float]] = {lv: [] for lv in level_list}
+    try:
+        with open(LOG) as f:
+            recs = [json.loads(l) for l in f if l.strip()]
+    except FileNotFoundError:
+        return good
+    best_cpu: dict[int, float] = {}
+    for r in recs:
+        for lvl in r["levels"]:
+            c = r.get(f"build_cpu_sec_{lvl}")
+            if c is not None and (lvl not in best_cpu or c < best_cpu[lvl]):
+                best_cpu[lvl] = c
+    for r in recs:
+        key = ",".join(str(x) for x in sorted(set(r["levels"])))
+        if key in good and tag(dict(r), dict(best_cpu)):
+            good[key].append(r["scaling_efficiency_build"])
+    return good
+
+
 def main() -> None:
     n_good = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     level_list = sys.argv[2:] or ["2,8", "1,4"]
     deadline = time.time() + DEADLINE
-    best_cpu: dict[int, float] = {}
-    good: dict[str, list[float]] = {lv: [] for lv in level_list}
-    while time.time() < deadline and any(len(v) < n_good for v in good.values()):
+    while time.time() < deadline:
+        good = _retro_good(level_list)
+        if all(len(good[lv]) >= n_good for lv in level_list):
+            break
         for levels in level_list:
-            if len(good[levels]) >= n_good:
+            if len(_retro_good(level_list)[levels]) >= n_good:
                 continue
             if wait_quiet(deadline) is None:
                 break
@@ -174,17 +199,14 @@ def main() -> None:
                 continue
             rec["ts"] = time.time()
             rec["probe_post"] = probe()
-            rec["good"] = tag(rec, best_cpu)
-            if rec["good"]:
-                good[levels].append(rec["scaling_efficiency_build"])
             with open(LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+            good = _retro_good(level_list)
             meds = {lv: (round(statistics.median(v), 3) if v else None, len(v))
                     for lv, v in good.items()}
             print(json.dumps({"sample": rec, "good_medians": meds}), flush=True)
     _state("DONE")
-    print(json.dumps({"done": {lv: v for lv, v in good.items()},
-                      "best_cpu": best_cpu}), flush=True)
+    print(json.dumps({"done": _retro_good(level_list)}), flush=True)
     print(json.dumps({"analysis": analyze()}), flush=True)
 
 
