@@ -142,7 +142,7 @@ def _get_cluster(sf_dir: str, table: str, schema: str, key: str, source_fn) -> R
     cache_key = (sf_dir, table)
     if cache_key in _CLUSTERS:
         return _CLUSTERS[cache_key]
-    tag = hashlib.md5(f"{sf_dir}:{table}:v6".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:{table}:v7".encode()).hexdigest()[:10]
     loc = f"/tmp/byzer_ray_gate/{tag}"
     c = RetrievalCluster(loc)
     try:

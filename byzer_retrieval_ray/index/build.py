@@ -160,6 +160,11 @@ def build_index(
                                                     # (delta-fold merge)
     positions: bool = True,   # index token positions (phrase queries; Lucene
                               # TextField parity) — ~tf-stream-sized extra bytes
+    ann: str | None = "auto",   # "auto": persist HNSW graph + IVF codebook per
+                                # (vector field, serving bucket) at build time
+                                # (Lucene builds the graph at flush:
+                                # XLucene95HnswVectorsFormat.java:119,130);
+                                # None skips the stage
 ) -> dict:
     """Build a new index generation and publish it. Returns the gen_info dict.
 
@@ -437,6 +442,43 @@ def build_index(
     postings_dir = os.path.join(gdir, "postings")
     termstats_dir = os.path.join(gdir, "termstats")
 
+    # ---- ANN stage: persist per-(vector field, serving bucket) HNSW + IVF ----
+    # Launched right after the docstore partitions exist so the graph builds
+    # OVERLAP the postings merge; gathered before publish. Serving actors then
+    # mmap/load these instead of re-running the insertion loop per restart.
+    vec_fields: list[str] = []
+    if ann == "auto":
+        vec_fields = [f.name for f in st.fields
+                      if isinstance(f.data_type, dsl.ArrayType)
+                      and isinstance(f.data_type.element, dsl.SingleType)
+                      and f.data_type.element.name == "float"]
+
+    def _launch_ann() -> list:
+        """One Ray task per (field, bucket) still missing its npz; finished
+        buckets resume from their _partials entry."""
+        if not vec_fields:
+            return []
+        from byzer_retrieval_ray.index import ann_store
+        by_bucket: dict[int, list[str]] = {}
+        for p in range(num_doc_parts):
+            ep = os.path.join(partials, f"docstore-{p:05d}.json")
+            if not os.path.exists(ep):
+                continue
+            e = read_json(ep)
+            if e["n_docs"] > 0:
+                by_bucket.setdefault(p // group, []).append(e["path"])
+        task = ray.remote(num_cpus=1)(ann_store.build_bucket_ann)
+        out = []
+        for fld in vec_fields:
+            for b, ps in sorted(by_bucket.items()):
+                npz = os.path.join(gdir, "ann", f"{fld}-b{b:05d}.npz")
+                ep = os.path.join(partials, f"ann-{fld}-{b:05d}.json")
+                if os.path.exists(ep) and os.path.exists(npz):
+                    out.append(read_json(ep))
+                else:
+                    out.append(task.remote(sorted(ps), fld, b, npz, ep))
+        return out
+
     def merge_write(item: pa.Table) -> pa.Table:
         _pin_worker_threads()
         r = int(item["range_part"][0].as_py())
@@ -476,6 +518,7 @@ def build_index(
         os.path.exists(os.path.join(partials, f"postings-{r:05d}.json"))
         for r in range(num_term_parts))
     if all_parts_done and all_postings_done:
+        ann_refs = _launch_ann()
         metas = [read_json(os.path.join(partials, f"postings-{r:05d}.json"))
                  for r in range(num_term_parts)]
     else:
@@ -495,6 +538,7 @@ def build_index(
                 run_files_by_range[r].append(f)
         if os.environ.get("BYZER_BUILD_STATS"):
             print("=== finalize stage stats ===\n", fin_ds.stats())
+        ann_refs = _launch_ann()     # overlaps the postings merge below
         cpu_f = _box_cpu()
         if os.environ.get("BYZER_TIMING"):
             print(f"PHASE finalize={time.perf_counter() - t_c:.2f} "
@@ -511,6 +555,15 @@ def build_index(
             print(f"PHASE merge_done_at={time.perf_counter() - t_c:.2f} "
                   f"merge_cpu={_box_cpu() - cpu_f:.1f}", flush=True)
     metas = [m for m in metas if m.get("n_postings_rows", 0) > 0 or m.get("n_runs", 0) > 0]
+
+    ann_info: dict[str, dict] = {}
+    for e in (ray.get(r) if not isinstance(r, dict) else r for r in ann_refs):
+        fi = ann_info.setdefault(e["field"], {
+            "max_conn": e["max_conn"], "beam_width": e["beam_width"],
+            "buckets": {}})
+        fi["buckets"][str(e["bucket"])] = {
+            "path": e["path"], "n": e["n"],
+            "ivf_n_centroids": e["ivf_n_centroids"]}
 
     summaries = [read_json(os.path.join(partials, f"docstore-{p:05d}.json"))
                  for p in range(num_doc_parts)
@@ -559,6 +612,7 @@ def build_index(
         "docstore": {str(e["part"]): {k: e[k] for k in ("n_docs", "path", "fingerprint")}
                      for e in summaries},
         "postings": {str(m["range_part"]): m for m in metas},
+        "ann": ann_info,
         "metrics": {
             "wall_sec": wall,
             "docstore_sec": t_docstore,

@@ -988,21 +988,52 @@ class BucketSearcher:
             norms = np.linalg.norm(m64, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = m64 / norms
+            cent = assign = None
             if n_centroids <= 0:
-                n_c = max(1, int(np.sqrt(len(unit))))
-                cent = train_codebook(unit, n_c)
+                # auto codebook: prefer the structure persisted at build time
+                # (index/ann_store.py — byte-identical training arithmetic)
+                loaded = self._load_ann(field, len(ids))
+                if loaded is not None:
+                    from byzer_retrieval_ray.index.ann_store import load_ivf
+                    got = load_ivf(loaded)
+                    if got is not None:
+                        cent, assign = got
+                if cent is None:
+                    n_c = max(1, int(np.sqrt(len(unit))))
+                    cent = train_codebook(unit, n_c)
             else:
                 cent = train_codebook(unit[:min(len(unit), 4096)], n_centroids)
-            assign = (np.argmax(unit @ cent.T, axis=1) if len(unit)
-                      else np.empty(0, np.int64))
+            if assign is None:
+                assign = (np.argmax(unit @ cent.T, axis=1) if len(unit)
+                          else np.empty(0, np.int64))
             self._ivf_cache[key] = (ids, mat, cent, assign)
         return self._ivf_cache[key]
 
+    def _load_ann(self, field: str, n_rows: int,
+                  max_conn: int | None = None,
+                  beam_width: int | None = None) -> str | None:
+        """Path of this bucket's persisted ANN npz when it matches the request
+        (row count and, when given, graph params) — None falls back to the
+        legacy lazy in-actor build (pre-ann generations)."""
+        ent = self.gen.info.get("ann", {}).get(field)
+        if not ent:
+            return None
+        if max_conn is not None and ent.get("max_conn") != max_conn:
+            return None
+        if beam_width is not None and ent.get("beam_width") != beam_width:
+            return None
+        b = ent.get("buckets", {}).get(str(self.bucket))
+        if not b or b.get("n") != n_rows or not os.path.exists(b["path"]):
+            return None
+        return b["path"]
+
     def _hnsw_state(self, field: str, max_conn: int, beam_width: int):
-        """Per-bucket HNSW graph over the vector column, built once per searcher
-        (actor state, ST1 semantics) and cached — the graph-ANN equivalent of
-        the reference's Lucene HNSW serving (RetrievalWorker.java:346-366;
-        defaults maxConn=16, beamWidth=100 per XLucene95HnswVectorsFormat)."""
+        """Per-bucket HNSW graph over the vector column — restored from the
+        structure PERSISTED at build time (index/ann_store.py; Lucene builds
+        the graph at flush: XLucene95HnswVectorsFormat.java:119,130) and cached
+        as actor state. Pre-ann generations or non-default params fall back to
+        the in-actor build (RetrievalWorker.java:346-366 serving semantics;
+        defaults maxConn=16, beamWidth=100)."""
         if not hasattr(self, "_hnsw_cache"):
             self._hnsw_cache: dict = {}
         key = (field, max_conn, beam_width)
@@ -1013,8 +1044,16 @@ class BucketSearcher:
             norms = np.linalg.norm(m64, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = (m64 / norms).astype(np.float32)
-            self._hnsw_cache[key] = (ids, mat,
-                                     HNSWIndex(unit, max_conn, beam_width))
+            index = None
+            path = self._load_ann(field, len(ids), max_conn, beam_width)
+            if path is not None:
+                # graph persisted at build time (index/ann_store.py): O(edges)
+                # restore — the per-node insertion loop never runs here
+                from byzer_retrieval_ray.index.ann_store import load_hnsw
+                index = load_hnsw(path, unit)
+            if index is None:
+                index = HNSWIndex(unit, max_conn, beam_width)
+            self._hnsw_cache[key] = (ids, mat, index)
         return self._hnsw_cache[key]
 
     def search_vector(self, q: SearchQuery, precision: str = "float32",

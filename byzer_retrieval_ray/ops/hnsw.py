@@ -35,9 +35,15 @@ class HNSWIndex:
         self.unit = np.ascontiguousarray(unit, dtype=np.float32)
         self.max_conn = max_conn
         self.m0 = 2 * max_conn
+        self._build(beam_width, seed)
+
+    def _build(self, beam_width: int, seed: int) -> None:
+        """Sequential insertion loop — the expensive part. Runs at BUILD time
+        (index.ann_store persists the result per serving bucket); serving
+        actors restore via ``from_state`` and never re-enter this loop."""
         n = len(self.unit)
         rng = np.random.default_rng(seed)
-        ml = 1.0 / np.log(max(max_conn, 2))
+        ml = 1.0 / np.log(max(self.max_conn, 2))
         with np.errstate(divide="ignore"):
             self.levels = np.minimum(
                 (-np.log(rng.random(n) + 1e-300) * ml).astype(np.int64), 32) \
@@ -145,6 +151,53 @@ class HNSWIndex:
                 if c not in chosen:
                     kept.append((s, c))
         return kept
+
+    # ---------- persistence (build once, serve from disk) ----------
+
+    def state(self) -> dict[str, np.ndarray]:
+        """Flat-array snapshot of the graph (CSR adjacency per level) for
+        ``np.savez`` — the unit-vector matrix itself is NOT included (serving
+        re-derives it from the docstore it reads anyway)."""
+        s: dict[str, np.ndarray] = {
+            "levels": self.levels.astype(np.int64),
+            "meta": np.array([self.entry, self.max_level, self.max_conn,
+                              self.m0, len(self.adj)], dtype=np.int64),
+        }
+        for lvl, adj in enumerate(self.adj):
+            nodes = np.fromiter(adj.keys(), np.int64, len(adj))
+            counts = np.fromiter((len(v) for v in adj.values()), np.int64,
+                                 len(adj))
+            indptr = np.zeros(len(adj) + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            nbrs = (np.concatenate([np.asarray(v, np.int64)
+                                    for v in adj.values()])
+                    if len(adj) and indptr[-1] else np.empty(0, np.int64))
+            s[f"l{lvl}_nodes"] = nodes
+            s[f"l{lvl}_indptr"] = indptr
+            s[f"l{lvl}_nbrs"] = nbrs
+        return s
+
+    @classmethod
+    def from_state(cls, unit: np.ndarray, state) -> "HNSWIndex":
+        """Restore a graph persisted with ``state()`` over the SAME unit-vector
+        matrix (row order must match the build — docstore partitions are read
+        in sorted part order on both sides). O(edges) reconstruction; the
+        per-node insertion loop never runs."""
+        self = cls.__new__(cls)
+        self.unit = np.ascontiguousarray(unit, dtype=np.float32)
+        meta = np.asarray(state["meta"], dtype=np.int64)
+        self.entry, self.max_level = int(meta[0]), int(meta[1])
+        self.max_conn, self.m0 = int(meta[2]), int(meta[3])
+        n_levels = int(meta[4])
+        self.levels = np.asarray(state["levels"], dtype=np.int64)
+        self.adj = []
+        for lvl in range(n_levels):
+            nodes = np.asarray(state[f"l{lvl}_nodes"], dtype=np.int64)
+            indptr = np.asarray(state[f"l{lvl}_indptr"], dtype=np.int64)
+            nbrs = np.asarray(state[f"l{lvl}_nbrs"], dtype=np.int64)
+            self.adj.append({int(nd): nbrs[indptr[i]:indptr[i + 1]].tolist()
+                             for i, nd in enumerate(nodes)})
+        return self
 
     def search(self, q: np.ndarray, k: int, ef: int = 100) -> np.ndarray:
         """Indices of the ~top-k rows by dot(unit, q) (caller re-scores).
