@@ -481,6 +481,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["vector_knn_hnsw"] = vector_knn_hnsw
 
+    def vector_knn_filtered(sf):
+        # filtered KNN through the hnsw path — the filter rides INTO the
+        # traversal as an allowed-mask (reference semantics:
+        # KnnFloatVectorQuery(field, vec, k, filter), RetrievalWorker.java:
+        # 346-366; the reference's flagship LuceneKNNTest.java:104-109 is a
+        # filtered-KNN assertion). lang='zh' passes ~19 rows per bucket at
+        # sf0.01 — under ef=64 the Lucene-cost-model exact escape
+        # (ops/hnsw.HNSWIndex.search) scans the filtered set directly, so the
+        # result is exactly the filtered cosine top-k and the SQL oracle is
+        # value-level. Recall under a selective filter at traversal-scale ef
+        # is covered by tests/test_serving_extras.py::TestFilteredHNSW.
+        c = _docsvec_cluster(sf)
+        qq = SearchQuery("db", "docsvec", vector=_query_vector(sf),
+                         vectorField="vector", limit=10,
+                         filters={"and": [{"field": "lang", "value": "zh"}]})
+        res = c.search("db", "docsvec", qq, precision="float64",
+                       vector_algorithm="hnsw", ef=64)[0]
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in res], pa.int64()),
+            "score": pa.array(np.round(np.array([r["_score"] for r in res],
+                                                np.float64), 4)),
+        })
+    q["vector_knn_filtered"] = vector_knn_filtered
+
     def hybrid_rrf(sf):
         c = _docsvec_cluster(sf)
         qq = SearchQuery("db", "docsvec", keyword="merge sort", fields=["text"],
@@ -1280,6 +1304,17 @@ SELECT id, dup_of FROM best WHERE rn = 1 AND score >= 0.999999e0 ORDER BY id, du
     sql["vector_knn_ivf"] = sql["vector_knn"]
     # HNSW with ef >= bucket size is the exact exhaustive configuration.
     sql["vector_knn_hnsw"] = sql["vector_knn"]
+
+    # filtered hnsw at the gate config is the exact filtered cosine top-k
+    # (selective-filter escape — see queries())
+    sql["vector_knn_filtered"] = f"""
+WITH vec AS (
+  SELECT d.doc_id AS doc_id,
+         (1.0e0 + list_cosine_similarity(e.embedding::DOUBLE[], {_vec})) / 2.0e0 AS score
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'zh'
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM vec ORDER BY score DESC, doc_id LIMIT 10"""
 
     # --- text analysis ---
     def _stop_hits_sql(lang: str) -> str:

@@ -1067,21 +1067,33 @@ class BucketSearcher:
         "hnsw" walks the bucket's HNSW graph with beam ``ef`` (ef >= bucket
         size is the exact exhaustive configuration). Both approximate paths
         re-score their candidate rows with arithmetic identical to the brute
-        path, so recall is the only divergence axis. A filter narrows the
-        candidate set AFTER graph traversal (over-fetch with a larger ef for
-        heavily filtered hnsw recalls — documented)."""
+        path, so recall is the only divergence axis. For hnsw the filter (and
+        tombstones) ride INTO the traversal as an allowed-mask — the
+        reference's filtered-KNN semantics (KnnFloatVectorQuery(field, vec,
+        k, filter), RetrievalWorker.java:346-366) with Lucene's exact
+        fallbacks for selective filters (ops/hnsw.HNSWIndex.search)."""
         dtype = np.float32 if precision == "float32" else np.float64
         qv = np.asarray(q.vector, dtype=dtype)
+        candidates = self.filter_candidates(q.filters)
+        prefiltered = False
         if algorithm == "hnsw":
             ids, mat = self._vectors(q.vectorField)
             if ef < len(ids):
                 ids, mat, index = self._hnsw_state(q.vectorField, max_conn,
                                                    beam_width)
+                allowed = None
+                if candidates is not None:
+                    allowed = np.isin(ids, candidates)
+                else:
+                    ts = self._ts_in_bucket
+                    if ts.size:
+                        allowed = ~np.isin(ids, ts)
                 q64 = np.asarray(q.vector, dtype=np.float64)
                 qn = np.linalg.norm(q64)
                 qunit = (q64 / qn if qn > 0 else q64).astype(np.float32)
-                sel = index.search(qunit, q.limit, ef=ef)
+                sel = index.search(qunit, q.limit, ef=ef, allowed=allowed)
                 ids, mat = ids[sel], mat[sel]
+                prefiltered = allowed is not None
             # ef >= bucket size: exact exhaustive configuration — skip the
             # graph entirely (identical to the brute path)
         elif algorithm == "ivf":
@@ -1095,15 +1107,15 @@ class BucketSearcher:
         else:
             ids, mat = self._vectors(q.vectorField)
         mat = mat.astype(dtype)
-        candidates = self.filter_candidates(q.filters)
-        if candidates is not None:
-            keep = np.isin(ids, candidates)
-            ids, mat = ids[keep], mat[keep]
-        else:
-            ts = self._ts_in_bucket
-            if ts.size:
-                keep = ~np.isin(ids, ts)
+        if not prefiltered:
+            if candidates is not None:
+                keep = np.isin(ids, candidates)
                 ids, mat = ids[keep], mat[keep]
+            else:
+                ts = self._ts_in_bucket
+                if ts.size:
+                    keep = ~np.isin(ids, ts)
+                    ids, mat = ids[keep], mat[keep]
         if ids.size == 0:
             return np.empty(0, np.int64), np.empty(0, dtype)
         dots = mat @ qv

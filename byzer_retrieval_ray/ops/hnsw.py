@@ -101,15 +101,25 @@ class HNSWIndex:
             cur, cur_sim = nbrs[j], float(sims[j])
 
     def _search_layer(self, q: np.ndarray, entries: list[int], ef: int,
-                      level: int) -> list[tuple[float, int]]:
-        """ef-bounded best-first search; returns (sim, node) sorted desc."""
+                      level: int, allowed: np.ndarray | None = None,
+                      budget: list[int] | None = None):
+        """ef-bounded best-first search; returns (sim, node) sorted desc.
+
+        ``allowed`` (bool mask over nodes) makes this a FILTERED traversal:
+        non-passing nodes are still walked for graph connectivity (the Lucene
+        filtered-KNN semantics — KnnFloatVectorQuery threads acceptDocs into
+        the collector, not the graph walk) but only passing nodes enter the
+        result set. ``budget`` is a 1-element visited-node allowance; running
+        out returns None and the caller falls back to an exact scan of the
+        filtered set (Lucene's visitedLimit rule)."""
         adj = self.adj[level]
         visited = set(entries)
         out: list[tuple[float, int]] = []      # min-heap of (sim, node)
         cand: list[tuple[float, int]] = []     # max-heap via negated sim
         for e in entries:
             s = float(self.unit[e] @ q)
-            heapq.heappush(out, (s, e))
+            if allowed is None or allowed[e]:
+                heapq.heappush(out, (s, e))
             heapq.heappush(cand, (-s, e))
         while cand:
             negs, c = heapq.heappop(cand)
@@ -119,13 +129,18 @@ class HNSWIndex:
             if not nbrs:
                 continue
             visited.update(nbrs)
+            if budget is not None:
+                budget[0] -= len(nbrs)
+                if budget[0] < 0:
+                    return None
             sims = self.unit[nbrs] @ q
             for x, s in zip(nbrs, sims.tolist()):
                 if len(out) < ef or s > out[0][0]:
-                    heapq.heappush(out, (s, x))
+                    if allowed is None or allowed[x]:
+                        heapq.heappush(out, (s, x))
+                        if len(out) > ef:
+                            heapq.heappop(out)
                     heapq.heappush(cand, (-s, x))
-                    if len(out) > ef:
-                        heapq.heappop(out)
         return sorted(out, reverse=True)
 
     def _select_neighbors(self, q: np.ndarray, cands: list[tuple[float, int]],
@@ -199,17 +214,40 @@ class HNSWIndex:
                              for i, nd in enumerate(nodes)})
         return self
 
-    def search(self, q: np.ndarray, k: int, ef: int = 100) -> np.ndarray:
+    def search(self, q: np.ndarray, k: int, ef: int = 100,
+               allowed: np.ndarray | None = None) -> np.ndarray:
         """Indices of the ~top-k rows by dot(unit, q) (caller re-scores).
-        ``ef >= n`` returns every row (exact exhaustive configuration)."""
+        ``ef >= n`` returns every row (exact exhaustive configuration).
+
+        ``allowed`` (bool mask, filtered KNN): traversal routes through
+        non-passing nodes but collects only passing ones (reference semantics:
+        KnnFloatVectorQuery(field, vec, k, filter), RetrievalWorker.java:346-366).
+        Two exact escapes mirror Lucene's cost model: a filter with ≤ ef
+        passing rows is scanned directly, and a traversal that visits more
+        nodes than the filter cardinality abandons the graph for the exact
+        scan (Lucene's visitedLimit fallback) — so a highly selective filter
+        can never silently lose recall."""
         n = len(self.unit)
         if n == 0:
             return np.empty(0, np.int64)
-        if ef >= n:
-            return np.arange(n, dtype=np.int64)
+        if allowed is None:
+            if ef >= n:
+                return np.arange(n, dtype=np.int64)
+            q = np.ascontiguousarray(q, dtype=np.float32)
+            cur = self.entry
+            for l in range(self.max_level, 0, -1):
+                cur = self._greedy(q, cur, l)
+            res = self._search_layer(q, [cur], max(ef, k), 0)
+            return np.array([c for _, c in res[:max(ef, k)]], dtype=np.int64)
+        pass_idx = np.flatnonzero(allowed)
+        if pass_idx.size <= max(ef, k) or ef >= n:
+            return pass_idx.astype(np.int64)      # exact: scan the filtered set
         q = np.ascontiguousarray(q, dtype=np.float32)
         cur = self.entry
         for l in range(self.max_level, 0, -1):
             cur = self._greedy(q, cur, l)
-        res = self._search_layer(q, [cur], max(ef, k), 0)
+        budget = [int(pass_idx.size)]
+        res = self._search_layer(q, [cur], max(ef, k), 0, allowed, budget)
+        if res is None:                           # visitedLimit: exact fallback
+            return pass_idx.astype(np.int64)
         return np.array([c for _, c in res[:max(ef, k)]], dtype=np.int64)

@@ -219,3 +219,92 @@ class TestNRTPoll:
             assert len(res) == 7 and "d9" in {r["_id"] for r in res}
         finally:
             c1.deactivate("db", "t")
+
+
+TAG_SCHEMA = ("st(field(_id,long),field(content,string,analyze),"
+              "field(tag,string),field(vector,array(float)))")
+
+
+def _tag_cluster(loc, n=600, dim=16, seed=9, mod=3):
+    rng = np.random.default_rng(seed)
+    c = RetrievalCluster(loc)
+    c.create_table(TableSettings("db", "t", TAG_SCHEMA, loc))
+    docs = [{"_id": i, "content": f"doc {i}", "tag": f"t{i % mod}",
+             "vector": rng.standard_normal(dim).tolist()} for i in range(n)]
+    c.build_from_local("db", "t", docs, key_field="_id",
+                       num_doc_parts=2, num_term_parts=2)
+    return c, docs
+
+
+class TestFilteredHNSW:
+    """Round-4: the filter rides INTO the hnsw traversal as an allowed-mask
+    (reference: KnnFloatVectorQuery(field, vec, k, filter),
+    RetrievalWorker.java:346-366; flagship filtered-KNN assertion
+    LuceneKNNTest.java:104-109), with Lucene's cost-model exact escapes for
+    selective filters."""
+
+    def _brute_filtered(self, c, docs, qi, tag, limit=10):
+        q = SearchQuery("db", "t", vector=docs[qi]["vector"],
+                        vectorField="vector", limit=limit,
+                        filters={"and": [{"field": "tag", "value": tag}]})
+        return c.search("db", "t", q, precision="float64")[0]
+
+    def test_selective_filter_is_exact(self, ray_session, tmp_path):
+        # ~4 passing rows per bucket << ef: the filtered set is scanned
+        # directly (Lucene visitedLimit cost model) — ids AND scores equal
+        # the brute filtered top-k
+        c, docs = _tag_cluster(str(tmp_path), n=600, mod=75)
+        for qi in (7, 123, 400):
+            brute = self._brute_filtered(c, docs, qi, "t1")
+            q = SearchQuery("db", "t", vector=docs[qi]["vector"],
+                            vectorField="vector", limit=10,
+                            filters={"and": [{"field": "tag", "value": "t1"}]})
+            hnsw = c.search("db", "t", q, precision="float64",
+                            vector_algorithm="hnsw", ef=64)[0]
+            assert [(r["_id"], r["_score"]) for r in hnsw] == \
+                   [(r["_id"], r["_score"]) for r in brute]
+            assert all(r["_id"] % 75 == 1 for r in hnsw)
+
+    def test_traversal_recall_under_filter(self, ray_session, tmp_path):
+        # ~200 passing rows per bucket > ef=48: genuine graph traversal with
+        # the allowed-mask; recall@10 vs the filtered brute force stays high
+        # and every returned row passes the filter
+        c, docs = _tag_cluster(str(tmp_path), n=1200, mod=3)
+        hits = total = 0
+        for qi in (1, 50, 123, 300, 571):
+            brute = {r["_id"] for r in self._brute_filtered(c, docs, qi, "t1")}
+            q = SearchQuery("db", "t", vector=docs[qi]["vector"],
+                            vectorField="vector", limit=10,
+                            filters={"and": [{"field": "tag", "value": "t1"}]})
+            hnsw = c.search("db", "t", q, precision="float64",
+                            vector_algorithm="hnsw", ef=48)[0]
+            assert all(r["_id"] % 3 == 1 for r in hnsw)
+            hits += len(brute & {r["_id"] for r in hnsw})
+            total += len(brute)
+        assert total > 0 and hits / total >= 0.9, f"recall {hits}/{total}"
+
+    def test_scores_match_brute_on_returned_rows(self, ray_session, tmp_path):
+        c, docs = _tag_cluster(str(tmp_path), n=1200, mod=3)
+        all_scores = {r["_id"]: r["_score"]
+                      for r in self._brute_filtered(c, docs, 11, "t2",
+                                                    limit=1200)}
+        q = SearchQuery("db", "t", vector=docs[11]["vector"],
+                        vectorField="vector", limit=10,
+                        filters={"and": [{"field": "tag", "value": "t2"}]})
+        hnsw = c.search("db", "t", q, precision="float64",
+                        vector_algorithm="hnsw", ef=48)[0]
+        assert len(hnsw) > 0
+        for r in hnsw:
+            assert r["_score"] == all_scores[r["_id"]]
+
+    def test_tombstones_excluded_from_traversal(self, ray_session, tmp_path):
+        c, docs = _tag_cluster(str(tmp_path), n=400, mod=1)
+        q = SearchQuery("db", "t", vector=docs[42]["vector"],
+                        vectorField="vector", limit=5)
+        top = c.search("db", "t", q, precision="float64",
+                       vector_algorithm="hnsw", ef=32)[0]
+        victim = top[0]["_id"]
+        c.delete_by_ids("db", "t", [victim])
+        after = c.search("db", "t", q, precision="float64",
+                         vector_algorithm="hnsw", ef=32)[0]
+        assert victim not in {r["_id"] for r in after}
