@@ -394,6 +394,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
 
+    # round 4 — recursive groups: a required group holding a TERM and a PHRASE
+    # member (both score when matched; the doc must match >= 1 member), plus a
+    # prohibited group (De Morgan into -scan -join). The reference's
+    # SimpleQueryParser recurses arbitrarily (RetrievalWorker.java:339-341).
+    q["bm25_group_nested"] = lambda sf: _bm25(
+        sf, '+(merge "sort order") -(scan | join)', 20)
+
+    # nested bare groups flatten (OR of OR), exclusion via a prohibited term
+    q["bm25_group_or"] = lambda sf: _bm25(sf, "(scan (order | sort)) -join", 20)
+
     # sloppy phrase "merge sort"~2: in-order tightest-chain matches (one per
     # last-term occurrence, rightmost predecessor), cost = span−1 ≤ 2, tf =
     # Σ 1/(1+cost) — the Lucene sloppy frequency (searcher._sloppy_posting)
@@ -1078,6 +1088,57 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     sql["bm25_parens"] = f"""
 WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
 ex AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')
+SELECT s.doc_id, ROUND(s.score, 4) AS score FROM scored s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # +(merge "sort order") -(scan | join): candidates = merge-docs ∪ phrase
+    # docs, minus scan/join docs; score = bm25(merge) + phrase clause (tf =
+    # phrase freq, weight = Σ per-term idf) where each matches
+    sql["bm25_group_nested"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge"])},
+arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t)), i -> t[i] = 'sort' AND t[i+1] = 'order')) AS freq
+  FROM arr
+),
+wt AS (
+  SELECT (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d1.df AS DOUBLE) + 0.5e0)
+                             / (CAST(d1.df AS DOUBLE) + 0.5e0)))
+       + (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d2.df AS DOUBLE) + 0.5e0)
+                             / (CAST(d2.df AS DOUBLE) + 0.5e0))) AS w
+  FROM stats s,
+       (SELECT df FROM df WHERE term = 'sort') d1,
+       (SELECT df FROM df WHERE term = 'order') d2
+),
+ph AS (
+  SELECT pf.doc_id,
+         wt.w - wt.w / (1.0e0 + CAST(pf.freq AS DOUBLE)
+             * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                  / (CAST(s.sum_ttf AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS score
+  FROM pf
+  JOIN dlq ON dlq.doc_id = pf.doc_id
+  CROSS JOIN wt CROSS JOIN stats s
+  WHERE pf.freq > 0
+),
+ex AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('scan', 'join')),
+cand AS (SELECT doc_id FROM scored UNION SELECT doc_id FROM ph)
+SELECT c.doc_id,
+       ROUND(COALESCE(s.score, 0.0e0) + COALESCE(p.score, 0.0e0), 4) AS score
+FROM cand c
+LEFT JOIN scored s ON s.doc_id = c.doc_id
+LEFT JOIN ph p ON p.doc_id = c.doc_id
+WHERE c.doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY score DESC, c.doc_id LIMIT 20"""
+
+    # (scan (order | sort)) -join: nested bare groups flatten to OR terms
+    sql["bm25_group_or"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["scan", "order", "sort"])},
+ex AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'join')
 SELECT s.doc_id, ROUND(s.score, 4) AS score FROM scored s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM ex)
 ORDER BY score DESC, doc_id LIMIT 20"""

@@ -32,14 +32,27 @@ two-arg constructor), default operator OR. Supported here:
                        Lucene's SloppyPhraseMatcher: out-of-order (transposed)
                        matches are not matched, and overlapping-window
                        enumeration differs for phrases with repeated terms.
-    (a | b)          → grouping (Lucene SimpleQueryParser precedence): a bare
-                       group of OR'd plain terms flattens into SHOULD terms;
-                       ``+(a | b)`` is a required group — the doc must contain
-                       at least one member, members score as term clauses
-                       (Lucene MUST BooleanQuery subclause); ``-(a | b)``
-                       excludes docs containing any member. Groups hold OR'd
-                       plain terms only — nested groups or operators inside a
-                       group raise (documented restriction).
+    ( ... )          → grouping, parsed RECURSIVELY (round 4): groups may hold
+                       any clause type — phrases, prefixes, fuzzies, sloppy
+                       phrases, +/- operators, nested groups. The parse tree
+                       is flattened into the engine's flat clause model by
+                       boolean algebra, EXACTLY where the algebra is exact:
+                         (a (b | c))        → a OR b OR c   (OR of OR flattens)
+                         +(a "b c")         → required group {a, phrase};
+                                              members score as SHOULD clauses
+                                              (Lucene MUST BooleanQuery subclause)
+                         +(a +b -c)         → +b -c with a scoring-only
+                                              (group match ⟺ b ∧ ¬c; a scores)
+                         -(a | "b c")       → -a -"b c"    (De Morgan)
+                         -(+a b)            → -a            (group match ⟺ a)
+                         (a +b) as the ONLY top-level clause → spliced wholesale
+                       The remaining shapes are NOT expressible in a flat
+                       BooleanQuery and raise with a rewrite hint:
+                         a SHOULD group containing +/- next to sibling clauses
+                         (``foo (bar +baz)``) — the requirement is scoped to
+                         one alternative; a prohibited group with more than one
+                         required member or inner exclusions (``-(+a +b)``,
+                         ``-(a -b)``) — an excluded conjunction.
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
     \X               → escape (Lucene SimpleQueryParser ESCAPE): the next
                        character loses its operator meaning and stays in the
@@ -50,12 +63,16 @@ two-arg constructor), default operator OR. Supported here:
                        character is dropped (Lucene behavior); ``\\`` is a
                        literal backslash.
 
-Unsupported (documented): operators nested inside ``( )``.
+``must_groups`` members are TYPED: a plain ``str`` is a term; other clause
+kinds are tuples ``("phrase", terms)``, ``("slop", terms, n)``,
+``("prefix", p)``, ``("fuzzy", term, n)``. Non-term members are also appended
+to the matching SHOULD list so they fetch and score; term members score via
+the searcher's group_terms path (unchanged from round 3).
 
-Clause order for scoring is: plain SHOULD terms, MUST terms, SHOULD phrases, MUST
-phrases, SHOULD/MUST sloppy phrases, SHOULD prefixes, MUST prefixes (the
-float-addition order is fixed and mirrored by the oracle SQL). Analysis stays
-whitespace-only.
+Clause order for scoring is: plain SHOULD terms, MUST terms, group member
+terms, SHOULD phrases, MUST phrases, SHOULD/MUST sloppy phrases, SHOULD
+prefixes, MUST prefixes (the float-addition order is fixed and mirrored by
+the oracle SQL). Analysis stays whitespace-only.
 """
 
 from __future__ import annotations
@@ -63,9 +80,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?')
-_GROUP_RE = re.compile(r'([+-]?)\(([^()]*)\)')
 _FUZZY_RE = re.compile(r'^(.*?)~([012])?$')
+_SLOP_RE = re.compile(r'~(\d+)')
 
 # ESCAPE: \<special> hides the char from every parser pass via a private-use
 # sentinel, restored verbatim in the emitted terms
@@ -86,13 +102,29 @@ def _restore(term: str) -> str:
     return _SENTINEL_RE.sub(lambda m: _UNSENTINEL[m.group(0)], term)
 
 
+def _restore_member(m):
+    if isinstance(m, str):
+        return _restore(m)
+    if m[0] in ("phrase",):
+        return (m[0], tuple(_restore(t) for t in m[1]))
+    if m[0] == "slop":
+        return (m[0], tuple(_restore(t) for t in m[1]), m[2])
+    if m[0] == "prefix":
+        return (m[0], _restore(m[1]))
+    if m[0] == "fuzzy":
+        return (m[0], _restore(m[1]), m[2])
+    return m
+
+
 def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
     for name in ("should", "must", "must_not", "prefixes", "must_prefixes",
                  "not_prefixes"):
         setattr(p, name, [_restore(t) for t in getattr(p, name)])
-    for name in ("phrases", "must_phrases", "not_phrases", "must_groups"):
+    for name in ("phrases", "must_phrases", "not_phrases"):
         setattr(p, name, [tuple(_restore(t) for t in tt)
                           for tt in getattr(p, name)])
+    p.must_groups = [tuple(_restore_member(m) for m in g)
+                     for g in p.must_groups]
     for name in ("fuzzies", "must_fuzzies", "not_fuzzies"):
         setattr(p, name, [(_restore(t), n) for t, n in getattr(p, name)])
     for name in ("slop_phrases", "must_slop_phrases", "not_slop_phrases"):
@@ -115,81 +147,246 @@ class ParsedKeyword:
     fuzzies: list = field(default_factory=list)        # (term, max_edits) pairs
     must_fuzzies: list = field(default_factory=list)
     not_fuzzies: list = field(default_factory=list)
-    must_groups: list = field(default_factory=list)    # tuples of OR'd terms,
-                                                       # each group required
+    must_groups: list = field(default_factory=list)    # tuples of typed members
+                                                       # (str = term), each
+                                                       # group required
     slop_phrases: list = field(default_factory=list)   # (terms tuple, slop) pairs
     must_slop_phrases: list = field(default_factory=list)
     not_slop_phrases: list = field(default_factory=list)
 
+    # ---- flatten helpers (group splicing) ----
+
+    def _has_must(self) -> bool:
+        return bool(self.must or self.must_phrases or self.must_slop_phrases
+                    or self.must_prefixes or self.must_fuzzies
+                    or self.must_groups)
+
+    def _has_not(self) -> bool:
+        return bool(self.must_not or self.not_phrases or self.not_slop_phrases
+                    or self.not_prefixes or self.not_fuzzies)
+
+    def _should_members(self) -> list:
+        """Typed members of this (pure-OR) node, canonical order."""
+        out: list = list(self.should)
+        out += [("phrase", tt) for tt in self.phrases]
+        out += [("slop", tt, n) for tt, n in self.slop_phrases]
+        out += [("prefix", t) for t in self.prefixes]
+        out += [("fuzzy", t, n) for t, n in self.fuzzies]
+        return out
+
+    def _extend_all(self, sub: "ParsedKeyword") -> None:
+        for name in ("should", "must", "must_not", "phrases", "must_phrases",
+                     "not_phrases", "prefixes", "must_prefixes", "not_prefixes",
+                     "fuzzies", "must_fuzzies", "not_fuzzies", "must_groups",
+                     "slop_phrases", "must_slop_phrases", "not_slop_phrases"):
+            getattr(self, name).extend(getattr(sub, name))
+
+    def _extend_should(self, sub: "ParsedKeyword") -> None:
+        for name in ("should", "phrases", "slop_phrases", "prefixes",
+                     "fuzzies"):
+            getattr(self, name).extend(getattr(sub, name))
+
+    def _extend_should_ex_terms(self, sub: "ParsedKeyword") -> None:
+        """SHOULD lists except plain terms (term group-members score via the
+        searcher's group_terms path — adding them to ``should`` too would
+        double-score)."""
+        for name in ("phrases", "slop_phrases", "prefixes", "fuzzies"):
+            getattr(self, name).extend(getattr(sub, name))
+
+    def _negate_members(self, members: list) -> None:
+        for m in members:
+            if isinstance(m, str):
+                self.must_not.append(m)
+            elif m[0] == "phrase":
+                self.not_phrases.append(m[1])
+            elif m[0] == "slop":
+                self.not_slop_phrases.append((m[1], m[2]))
+            elif m[0] == "prefix":
+                self.not_prefixes.append(m[1])
+            elif m[0] == "fuzzy":
+                self.not_fuzzies.append((m[1], m[2]))
+
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
-    p = ParsedKeyword()
     escaped = "\\" in keyword
     if escaped:
         keyword = _hide_escapes(keyword)
-
-    def take_phrase(m: re.Match) -> str:
-        op, body, slop = m.group(1), m.group(2), m.group(3)
-        terms = tuple(body.split())
-        if len(terms) == 1:
-            # single-term phrase == term query (Lucene; slop is irrelevant)
-            (p.must if op == "+" else p.must_not if op == "-"
-             else p.should).append(terms[0])
-        elif terms and slop is not None and int(slop) > 0:
-            # "a b"~N, N>0 → sloppy phrase; ~0 is an exact phrase (Lucene)
-            sp = (terms, int(slop))
-            (p.must_slop_phrases if op == "+" else p.not_slop_phrases
-             if op == "-" else p.slop_phrases).append(sp)
-        elif terms:
-            (p.must_phrases if op == "+" else p.not_phrases if op == "-"
-             else p.phrases).append(terms)
-        return " "
-
-    rest = _PHRASE_RE.sub(take_phrase, keyword)
-
-    def take_group(m: re.Match) -> str:
-        op, body = m.group(1), m.group(2)
-        terms = [t for t in body.replace("|", " ").split() if t]
-        if any((t[:1] in "+-" and len(t) > 1) or t.endswith("*") or "~" in t
-               or '"' in t for t in terms):
-            raise ValueError(
-                f"unsupported syntax inside group ({body}): groups contain "
-                "OR'd plain terms only")
-        if not terms:
-            return " "
-        if op == "+":
-            if len(terms) == 1:
-                p.must.append(terms[0])      # +(a) == +a
-            else:
-                p.must_groups.append(tuple(terms))
-        elif op == "-":
-            p.must_not.extend(terms)         # NOT(a OR b) == -a -b
-        else:
-            p.should.extend(terms)           # OR of OR flattens
-        return " "
-
-    if "(" in rest or ")" in rest:
-        rest = _GROUP_RE.sub(take_group, rest)
-        if "(" in rest or ")" in rest:
-            raise ValueError(f"unbalanced or nested parentheses in {keyword!r}")
-    for raw in rest.replace("|", " ").split():
-        tok = raw
-        op = ""
-        if tok[:1] in "+-" and len(tok) > 1:
-            op, tok = tok[0], tok[1:]
-        tok = tok.strip('"')
-        if not tok:
-            continue
-        if tok.endswith("*") and len(tok) > 1:
-            (p.must_prefixes if op == "+" else p.not_prefixes if op == "-"
-             else p.prefixes).append(tok[:-1])
-            continue
-        m = _FUZZY_RE.match(tok)
-        if m and len(m.group(1)) > 0:
-            n_edits = int(m.group(2)) if m.group(2) else 2   # bare ~ = 2 (Lucene)
-            (p.must_fuzzies if op == "+" else p.not_fuzzies if op == "-"
-             else p.fuzzies).append((m.group(1), n_edits))
-            continue
-        (p.must if op == "+" else p.must_not if op == "-"
-         else p.should).append(tok)
+    p = _parse_query(keyword, top=True)
     return _restore_parsed(p) if escaped else p
+
+
+def _scan_clauses(s: str) -> list[tuple[str, str, object]]:
+    """(op, kind, payload) clause stream: kind ∈ {group, phrase, token}."""
+    out: list[tuple[str, str, object]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace() or c == '|':
+            i += 1
+            continue
+        op = ""
+        if c in "+-" and i + 1 < n and s[i + 1] in '("':
+            op, i = c, i + 1
+            c = s[i]
+        if c == '(':
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if s[j] == '(':
+                    depth += 1
+                elif s[j] == ')':
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"unbalanced parentheses in {s!r}")
+            out.append((op, "group", s[i + 1:j - 1]))
+            i = j
+        elif c == ')':
+            raise ValueError(f"unbalanced parentheses in {s!r}")
+        elif c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                # unterminated quote: lenient — treat as a plain token
+                k = i
+                while k < n and not s[k].isspace() and s[k] not in '|()':
+                    k += 1
+                out.append(("", "token", op + s[i:k]))
+                i = k
+            else:
+                body, k, slop = s[i + 1:j], j + 1, None
+                m = _SLOP_RE.match(s[k:]) if k < n and s[k] == '~' else None
+                if m:
+                    slop = int(m.group(1))
+                    k += m.end()
+                out.append((op, "phrase", (body, slop)))
+                i = k
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in '|()':
+                j += 1
+            out.append(("", "token", s[i:j]))
+            i = j
+    return out
+
+
+def _parse_query(s: str, top: bool) -> ParsedKeyword:
+    p = ParsedKeyword()
+    clauses = _scan_clauses(s)
+    non_empty = [cl for cl in clauses
+                 if not (cl[1] == "group" and not cl[2].strip())]
+    only = top and len(non_empty) == 1
+    for op, kind, payload in clauses:
+        if kind == "group":
+            if not str(payload).strip():
+                continue
+            sub = _parse_query(str(payload), top=False)
+            _splice(p, sub, op, only_clause=only)
+        elif kind == "phrase":
+            body, slop = payload
+            terms = tuple(body.split())
+            if len(terms) == 1:
+                # single-term phrase == term query (Lucene; slop is irrelevant)
+                (p.must if op == "+" else p.must_not if op == "-"
+                 else p.should).append(terms[0])
+            elif terms and slop is not None and slop > 0:
+                sp = (terms, slop)
+                (p.must_slop_phrases if op == "+" else p.not_slop_phrases
+                 if op == "-" else p.slop_phrases).append(sp)
+            elif terms:
+                (p.must_phrases if op == "+" else p.not_phrases if op == "-"
+                 else p.phrases).append(terms)
+        else:
+            _take_token(p, str(payload))
+    return p
+
+
+def _take_token(p: ParsedKeyword, raw: str) -> None:
+    tok, op = raw, ""
+    if tok[:1] in "+-" and len(tok) > 1:
+        op, tok = tok[0], tok[1:]
+    tok = tok.strip('"')
+    if not tok:
+        return
+    if tok.endswith("*") and len(tok) > 1:
+        (p.must_prefixes if op == "+" else p.not_prefixes if op == "-"
+         else p.prefixes).append(tok[:-1])
+        return
+    m = _FUZZY_RE.match(tok)
+    if m and len(m.group(1)) > 0:
+        n_edits = int(m.group(2)) if m.group(2) else 2   # bare ~ = 2 (Lucene)
+        (p.must_fuzzies if op == "+" else p.not_fuzzies if op == "-"
+         else p.fuzzies).append((m.group(1), n_edits))
+        return
+    (p.must if op == "+" else p.must_not if op == "-"
+     else p.should).append(tok)
+
+
+def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
+            only_clause: bool = False) -> None:
+    """Fold a parsed group into its parent by boolean algebra (exact cases
+    only — see the module docstring's grouping table)."""
+    has_must, has_not = sub._has_must(), sub._has_not()
+    if op == "+":
+        if has_must:
+            # +(a +b -c) ≡ +b -c with a scoring-only: group match ⟺ inner
+            # musts ∧ ¬inner nots; inner SHOULD clauses score when matched
+            p._extend_all(sub)
+            return
+        members = sub._should_members()
+        # inner exclusions promote either way: +( -c ...) requires ¬c
+        for name in ("must_not", "not_phrases", "not_slop_phrases",
+                     "not_prefixes", "not_fuzzies"):
+            getattr(p, name).extend(getattr(sub, name))
+        if not members:
+            return
+        if len(members) == 1:
+            # +(x) == +x
+            m = members[0]
+            if isinstance(m, str):
+                p.must.append(m)
+            elif m[0] == "phrase":
+                p.must_phrases.append(m[1])
+            elif m[0] == "slop":
+                p.must_slop_phrases.append((m[1], m[2]))
+            elif m[0] == "prefix":
+                p.must_prefixes.append(m[1])
+            elif m[0] == "fuzzy":
+                p.must_fuzzies.append((m[1], m[2]))
+            return
+        p.must_groups.append(tuple(members))
+        p._extend_should_ex_terms(sub)   # non-term members fetch + score
+        return
+    if op == "-":
+        if not has_must and not has_not:
+            # -(a | "b c") ≡ -a -"b c" (De Morgan)
+            p._negate_members(sub._should_members())
+            return
+        musts: list = list(sub.must)
+        musts += [("phrase", tt) for tt in sub.must_phrases]
+        musts += [("slop", tt, n) for tt, n in sub.must_slop_phrases]
+        musts += [("prefix", t) for t in sub.must_prefixes]
+        musts += [("fuzzy", t, n) for t, n in sub.must_fuzzies]
+        if len(musts) == 1 and not sub.must_groups and not has_not:
+            # -(+a b) ≡ -a: the group matches iff its single required member
+            # does (SHOULD members don't gate matching once a MUST exists)
+            p._negate_members(musts)
+            return
+        if not musts and len(sub.must_groups) == 1 and not has_not:
+            # -(+(a|b) c) ≡ -a -b
+            p._negate_members(list(sub.must_groups[0]))
+            return
+        raise ValueError(
+            "prohibited group with multiple required members or inner "
+            "exclusions is not expressible as a flat boolean query; "
+            "rewrite it (e.g. -(+a +b) has no flat equivalent)")
+    # SHOULD group
+    if not has_must and not has_not:
+        p._extend_should(sub)           # OR of OR flattens
+        p.must_groups.extend(sub.must_groups)
+        return
+    if only_clause:
+        p._extend_all(sub)              # the group IS the query
+        return
+    raise ValueError(
+        "a group containing +/- operators next to sibling clauses scopes its "
+        "requirement to one alternative, which a flat boolean query cannot "
+        "express; rewrite the query (e.g. 'foo (bar +baz)')")

@@ -502,7 +502,11 @@ class BucketSearcher:
             raise ValueError(
                 f"search fields {bad} are not analyzed (schema options: analyze); "
                 f"analyzed fields: {sorted(self.gen.analyzed)}")
-        group_terms = [t for g in pk.must_groups for t in g]
+        # group members are TYPED (str = term; tuples for phrase/slop/prefix/
+        # fuzzy — those are also registered in the matching SHOULD list by the
+        # parser, so they fetch and score through the regular clause sections)
+        group_terms = [m for g in pk.must_groups for m in g
+                       if isinstance(m, str)]
         # MUST clauses score too (Lucene BooleanQuery); required groups' members
         # score as term clauses — clause order: should, must, group members
         scored_terms = should + must + group_terms
@@ -624,9 +628,27 @@ class BucketSearcher:
         if must or must_phrases or pk.must_slop_phrases or pk.must_prefixes \
                 or pk.must_fuzzies or pk.must_groups:
             for grp in pk.must_groups:
-                # +(a | b): the doc must contain ≥1 group member in ≥1 field
-                docs_any = [posts[(f, t)].docs for t in grp for f in fields
-                            if stats[(f, t)][0] > 0]
+                # +(a | "b c" | d*): the doc must match ≥1 group member in
+                # ≥1 field; members' doc sets come from the clause sections
+                # above (typed members — str is a term)
+                docs_any = []
+                for m in grp:
+                    for f in fields:
+                        if isinstance(m, str):
+                            if stats[(f, m)][0] > 0:
+                                docs_any.append(posts[(f, m)].docs)
+                        elif m[0] == "phrase":
+                            if (f, m[1]) in phrase_docs:
+                                docs_any.append(phrase_docs[(f, m[1])])
+                        elif m[0] == "slop":
+                            if (f, (m[1], m[2])) in sphrase_docs:
+                                docs_any.append(sphrase_docs[(f, (m[1], m[2]))])
+                        elif m[0] == "prefix":
+                            if (f, m[1]) in prefix_docs:
+                                docs_any.append(prefix_docs[(f, m[1])])
+                        elif m[0] == "fuzzy":
+                            if (f, (m[1], m[2])) in fuzzy_docs:
+                                docs_any.append(fuzzy_docs[(f, (m[1], m[2]))])
                 g_docs = (np.unique(np.concatenate(docs_any))
                           if docs_any else np.empty(0, np.int64))
                 candidates = g_docs if candidates is None else \

@@ -134,16 +134,25 @@ class TestParenGroups:
         p = parse_keyword("+(a b) +(c | d)")    # multiple required groups
         assert p.must_groups == [("a", "b"), ("c", "d")]
 
-    def test_parse_rejects_unsupported(self):
+    def test_previously_rejected_shapes_now_parse(self):
+        # round 4: groups recurse — nesting, operators and multi-term clauses
+        # inside groups are flattened by exact boolean algebra
         from byzer_retrieval_ray.functions.queryparser import parse_keyword
-        with pytest.raises(ValueError):
-            parse_keyword("+(a (b c))")         # nested
-        with pytest.raises(ValueError):
-            parse_keyword("(a +b)")             # operator inside group
+        p = parse_keyword("+(a (b c))")         # nested OR flattens into the group
+        assert p.must_groups == [("a", "b", "c")]
+        p = parse_keyword("(a +b)")             # whole-query group splices
+        assert p.must == ["b"] and p.should == ["a"]
+        p = parse_keyword("(a* b)")             # prefix member of a bare group
+        assert p.prefixes == ["a"] and p.should == ["b"]
+
+    def test_parse_rejects_non_flat_shapes(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
         with pytest.raises(ValueError):
             parse_keyword("(a b")               # unbalanced
         with pytest.raises(ValueError):
-            parse_keyword("(a* b)")             # prefix inside group
+            parse_keyword("foo (bar +baz)")     # scoped requirement w/ siblings
+        with pytest.raises(ValueError):
+            parse_keyword("-(+a +b)")           # excluded conjunction
 
 
 class TestEscape:
@@ -163,11 +172,11 @@ class TestEscape:
         assert p.should == ["a~1"] and p.fuzzies == [("b", 1)]
         p = parse_keyword(r'\"quoted\" word')
         assert p.should == ['"quoted"', "word"]
-        # group members are emitted during the group pass, escaped literals in
-        # the trailing token loop — the within-list order is part of the fixed
-        # float-addition clause order
+        # round 4: the recursive scanner emits clauses in DOCUMENT order
+        # (the within-list order is part of the fixed float-addition clause
+        # order, mirrored by the oracle SQL where it matters)
         p = parse_keyword(r"\(lit\) (or1 | or2)")
-        assert p.should == ["or1", "or2", "(lit)"]
+        assert p.should == ["(lit)", "or1", "or2"]
         p = parse_keyword(r"back\\slash")
         assert p.should == ["back\\slash"]
         # backslash before a non-special char is dropped (Lucene)
