@@ -536,8 +536,32 @@ def _distinct_shingles(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarra
     return f, new_offs
 
 
+def _prefix_select(flat: np.ndarray, offs: np.ndarray, sizes: np.ndarray,
+                   plen: np.ndarray, df_sketch: np.ndarray | None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc prefix shingles: the ``plen[d]`` smallest of doc d's sorted
+    distinct shingles under the global order — (approx df asc, hash asc) when
+    a df sketch is given (rarest-first, hot shingles pushed out of prefixes),
+    plain hash order otherwise. Returns (shingles int64, doc indices)."""
+    n = sizes.size
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    if df_sketch is not None:
+        dfv = df_sketch[(flat % df_sketch.size).astype(np.int64)]
+        # primary key doc_rep is already sorted, so the permutation stays
+        # within each doc's block: doc_rep[order] == doc_rep
+        order = np.lexsort((flat, dfv, doc_rep))
+        sel = flat[order]
+    else:
+        sel = flat           # doc-grouped, hash-ascending (legacy order)
+    rank = np.arange(flat.size, dtype=np.int64) - np.repeat(offs[:-1], sizes)
+    mask = rank < np.repeat(plen, sizes)
+    return sel[mask].astype(np.int64), doc_rep[mask]
+
+
 def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
-                        shingle_k: int = 3, num_buckets: int = 64):
+                        shingle_k: int = 3, num_buckets: int = 64,
+                        df_order: bool = True,
+                        df_sketch_cells: int = 1 << 20):
     """EXACT n-gram-Jaccard near-dup join via prefix filtering (PPJoin-family).
 
     Unlike the MinHash/SimHash sketches this operator has recall 1.0 at any
@@ -549,19 +573,26 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
 
     Ray-Data-first stages, all narrow:
 
-    1. **prefix emission** (`map_batches`): each doc ships only its PREFIX
-       shingles — the ``|S| - ceil(threshold·|S|) + 1`` smallest hashes under
-       the global hash order. The prefix-filter theorem (Chaudhuri et al.,
+    1. **df sketch** (``df_order=True``, default): one map_batches sweep folds
+       per-batch shingle counts into a FIXED-width cell array
+       (``df_sketch_cells`` × int64 ≈ 8 MB at the default — bounded at any
+       corpus size, broadcast once via ``ray.put``). The prefix order becomes
+       (approx_df asc, hash asc) — RAREST FIRST. The prefix-filter theorem
+       holds for ANY fixed total order, so correctness is unchanged; what
+       changes is that a boilerplate shingle shared by d docs sorts LAST and
+       is excluded from every prefix that has rarer shingles to offer,
+       collapsing the classic O(d²) hot-shingle candidate blowup (sketch
+       collisions merely misorder a few shingles — recall stays 1.0).
+    2. **prefix emission** (`map_batches`): each doc ships only its PREFIX
+       shingles — the ``|S| - ceil(threshold·|S|) + 1`` smallest under the
+       global order. The prefix-filter theorem (Chaudhuri et al.,
        SSJoin/PPJoin) guarantees any pair with J ≥ threshold shares a prefix
        shingle on BOTH sides, so candidate generation is complete; the shuffle
        moves (shingle, id, set_size) rows, never documents or full sets.
-    2. **candidate pairs** per shingle inside hash-bucketed ``map_groups``,
+    3. **candidate pairs** per shingle inside hash-bucketed ``map_groups``,
        with the length filter ``|S_small| ≥ threshold·|S_large|`` (a J ≥ t
-       pair cannot differ more in size). A shingle shared by d docs costs
-       O(d²) pairs — the classic PPJoin candidate bound; df-ordered
-       (rarest-first) prefixes are the known refinement if a corpus has
-       pathological hot shingles, at the price of a global-df pass.
-    3. **exact verification** fully in-cluster via the shared
+       pair cannot differ more in size).
+    4. **exact verification** fully in-cluster via the shared
        ``_verify_pairs_incluster`` pass: each candidate id's sorted distinct
        shingle set is attached id-bucketed and pairs are intersected
        (sorted-array ``np.intersect1d``) pair-bucketed; the driver holds only
@@ -575,6 +606,24 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
     empty = pa.table({"id": pa.array([], pa.int64()),
                       "dup_of": pa.array([], pa.int64())})
 
+    sketch_ref = None
+    if df_order:
+        cells = int(df_sketch_cells)
+
+        def sketch_partial(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_numpy(zero_copy_only=False)
+            flat, _ = _distinct_shingles(texts, shingle_k)
+            cnt = np.bincount((flat % cells).astype(np.int64))
+            nz = np.flatnonzero(cnt)
+            return pa.table({"cell": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(cnt[nz], pa.int64())})
+
+        sketch = np.zeros(cells, dtype=np.int64)
+        for b in ds.map_batches(sketch_partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            np.add.at(sketch, b["cell"].to_numpy(), b["cnt"].to_numpy())
+        sketch_ref = ray.put(sketch)
+
     def prefix_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy()
@@ -585,17 +634,17 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
         # products (0.6·5 = 3.0000000000000004 in doubles) at their true ceil
         alpha = np.ceil(threshold * sizes - 1e-9)
         plen = np.minimum(np.maximum(sizes - alpha + 1, 0), sizes).astype(np.int64)
-        m = plen > 0
-        if not m.any():
+        if not (plen > 0).any():
             return pa.table({"sh": pa.array([], pa.int64()),
                              "id": pa.array([], pa.int64()),
                              "sz": pa.array([], pa.int64()),
                              "__b": pa.array([], pa.int32())})
-        out_sh = flat[_concat_ranges(offs[:-1][m], plen[m])].astype(np.int64)
+        sk = ray.get(sketch_ref) if sketch_ref is not None else None
+        out_sh, out_doc = _prefix_select(flat, offs, sizes, plen, sk)
         return pa.table({
             "sh": pa.array(out_sh),
-            "id": pa.array(np.repeat(ids[m], plen[m]), pa.int64()),
-            "sz": pa.array(np.repeat(sizes[m], plen[m]).astype(np.int64)),
+            "id": pa.array(ids[out_doc], pa.int64()),
+            "sz": pa.array(sizes[out_doc].astype(np.int64)),
             "__b": pa.array((out_sh % num_buckets).astype(np.int32)),
         })
 
