@@ -64,16 +64,35 @@ def _hash_rows(ds, text_col: str, id_col: str, num_buckets: int):
     return ds.map_batches(add_hash, batch_format="pyarrow")
 
 
-def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
+def _id_buckets(col, nb: int) -> np.ndarray:
+    """Deterministic id-hash bucket per row (any id type, via string cast)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = arr.cast(pa.string()).to_numpy(zero_copy_only=False)
+    return (murmur3_np(vals).astype(np.int64) % nb).astype(np.int32)
+
+
+def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64,
+                broadcast_limit: int | None = None):
     """Exact duplicate removal: keep the smallest id per identical text.
 
     Shuffle carries (hash, id) only; per-bucket vectorized resolution finds the
-    LOSERS (non-minimal ids per hash); the loser id set — duplicates only, tiny
-    relative to the corpus — is broadcast via ray.put and filtered out of the
-    original dataset in a second streaming pass. The documents themselves never
-    enter a shuffle. Returns the deduplicated Dataset (all original columns).
+    LOSERS (non-minimal ids per hash). Two elimination paths, picked by loser
+    count against ``broadcast_limit`` (default BROADCAST_ID_WARN):
+
+    * **broadcast semi-join** (the common case — duplicates are a small
+      fraction): the loser id set rides ``ray.put`` once and a streaming pass
+      filters it out; the documents never enter a shuffle.
+    * **id-bucketed anti-join** (very high duplicate rates, where the loser
+      set would blow the driver/object-store): loser marker rows and data
+      rows are co-bucketed by id hash and each bucket's losers knock out
+      their rows inside ``map_groups`` — the corpus pays ONE extra exchange,
+      the driver never materializes an id list.
+
+    Returns the deduplicated Dataset (all original columns).
     """
     import ray
+
+    limit = BROADCAST_ID_WARN if broadcast_limit is None else int(broadcast_limit)
 
     def losers(group: pa.Table) -> pa.Table:
         g = group.sort_by([("__h", "ascending"), (id_col, "ascending")])
@@ -82,27 +101,56 @@ def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
         dup[1:] = h[1:] == h[:-1]
         return pa.table({id_col: g[id_col].filter(pa.array(dup))})
 
-    loser_tbl = _hash_rows(ds, text_col, id_col, num_buckets) \
-        .groupby("__b").map_groups(losers, batch_format="pyarrow").to_pandas()
-    # a fully-unique corpus yields an empty result whose schema may be columnless
-    loser_ids = (np.sort(loser_tbl[id_col].to_numpy())
-                 if id_col in loser_tbl.columns else np.empty(0, np.int64))
-    if loser_ids.size > BROADCAST_ID_WARN:
-        import logging
-        logging.getLogger(__name__).warning(
-            "exact_dedup: %d loser ids broadcast (%.1f GB) — at very high "
-            "duplicate rates prefer an id-bucketed anti-join over the broadcast "
-            "semi-join", loser_ids.size, loser_ids.size * 8 / 1e9)
-    ref = ray.put(loser_ids)
+    loser_ds = _hash_rows(ds, text_col, id_col, num_buckets) \
+        .groupby("__b").map_groups(losers, batch_format="pyarrow").materialize()
+    n_losers = loser_ds.count()
+    if n_losers == 0:
+        return ds
 
-    def keep(batch: pa.Table) -> pa.Table:
-        l = ray.get(ref)
-        if l.size == 0:
-            return batch
-        ids = batch[id_col].to_numpy()
-        return batch.filter(pa.array(~np.isin(ids, l)))
+    if n_losers <= limit:
+        loser_tbl = loser_ds.to_pandas()
+        loser_ids = np.sort(loser_tbl[id_col].to_numpy())
+        ref = ray.put(loser_ids)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        def keep(batch: pa.Table) -> pa.Table:
+            l = ray.get(ref)
+            ids = batch[id_col].to_numpy()
+            return batch.filter(pa.array(~np.isin(ids, l)))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # ---- anti-join fallback: nothing ever lands on the driver ----
+    schema = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") \
+        else ds.schema()
+    fields = list(zip(schema.names, schema.types))
+
+    def tag_data(batch: pa.Table) -> pa.Table:
+        return batch \
+            .append_column("__loser", pa.array(np.zeros(len(batch), np.int8))) \
+            .append_column("__ab", pa.array(_id_buckets(batch[id_col],
+                                                        num_buckets)))
+
+    def tag_loser(batch: pa.Table) -> pa.Table:
+        cols = {name: (batch[id_col] if name == id_col
+                       else pa.nulls(len(batch), typ))
+                for name, typ in fields}
+        t = pa.table(cols)
+        return t \
+            .append_column("__loser", pa.array(np.ones(len(batch), np.int8))) \
+            .append_column("__ab", pa.array(_id_buckets(batch[id_col],
+                                                        num_buckets)))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        is_loser = pc.equal(group["__loser"], 1)
+        loser_ids = group.filter(is_loser)[id_col].to_numpy(zero_copy_only=False)
+        data = group.filter(pc.invert(is_loser))
+        ids = data[id_col].to_numpy(zero_copy_only=False)
+        return data.filter(pa.array(~np.isin(ids, loser_ids))) \
+                   .drop_columns(["__loser", "__ab"])
+
+    tagged = ds.map_batches(tag_data, batch_format="pyarrow") \
+        .union(loser_ds.map_batches(tag_loser, batch_format="pyarrow"))
+    return tagged.groupby("__ab").map_groups(resolve, batch_format="pyarrow")
 
 
 # ---------------- MinHash + LSH near-dup ----------------
