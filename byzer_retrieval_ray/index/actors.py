@@ -157,11 +157,32 @@ class SegmentActorImpl:
 
 def make_segment_actor(manifest_data: dict, buckets: list, num_cpus: float = 1,
                        location: str | None = None, poll_sec: float = 0.0,
-                       assignment: tuple[int, int] | None = None):
+                       assignment: tuple[int, int] | None = None,
+                       node_ip: str | None = None,
+                       resources: dict | None = None,
+                       scheduling_strategy=None):
     """Spawn one segment actor owning ``buckets`` (ray must already be initialized
     by the caller). ``poll_sec`` > 0 enables the NRT manifest poll; ``assignment``
-    is the actor's (index, pool size) for reload-time pair re-derivation."""
+    is the actor's (index, pool size) for reload-time pair re-derivation.
+
+    Placement (multi-node deployments with node-local index dirs): ``node_ip``
+    pins the actor to the node advertising Ray's built-in ``node:<ip>``
+    resource — the same custom-resource scheme the reference uses to re-pin
+    workers to the node holding their shard dirs (RetrievalMaster.java:54-56,
+    RetrievalGateway.java:90-137). ``resources`` passes arbitrary custom
+    resource demands; ``scheduling_strategy`` accepts any Ray scheduling
+    strategy (e.g. NodeAffinitySchedulingStrategy) for finer control. On a
+    shared filesystem none of these are needed."""
     import ray
 
-    cls = ray.remote(num_cpus=num_cpus)(SegmentActorImpl)
+    opts: dict = {"num_cpus": num_cpus}
+    res = dict(resources) if resources else {}
+    if node_ip is not None:
+        # fractional demand: pinning must not consume schedulable capacity
+        res[f"node:{node_ip}"] = 0.001
+    if res:
+        opts["resources"] = res
+    if scheduling_strategy is not None:
+        opts["scheduling_strategy"] = scheduling_strategy
+    cls = ray.remote(**opts)(SegmentActorImpl)
     return cls.remote(manifest_data, buckets, location, poll_sec, assignment)

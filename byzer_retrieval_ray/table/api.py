@@ -486,7 +486,8 @@ class RetrievalCluster:
 
     def activate(self, database: str, table: str, mode: str = "actors",
                  preload: bool = False, num_actors: int | None = None,
-                 nrt_poll_sec: float = 1.0) -> int:
+                 nrt_poll_sec: float = 1.0,
+                 node_ips: list[str] | None = None) -> int:
         """Spawn the serving actor pool. Actors are sized to the CLUSTER (≈ one per
         core by default), each owning a contiguous slice of the table's serving
         buckets — storage partitioning (chosen for build balance, possibly
@@ -494,7 +495,12 @@ class RetrievalCluster:
 
         The per-actor CPU reservation is sized so the whole pool always schedules
         (a 1.0 reservation each would leave actors pending and queries timing
-        out when the pool is larger than the node)."""
+        out when the pool is larger than the node).
+
+        ``node_ips`` pins actor i to node_ips[i % len] via Ray's built-in
+        ``node:<ip>`` resource — the reference's node-locality scheme for
+        node-local index dirs (RetrievalMaster.java:54-56); unnecessary on a
+        shared filesystem."""
         import ray
 
         from byzer_retrieval_ray.index.actors import make_segment_actor
@@ -508,7 +514,9 @@ class RetrievalCluster:
         groups = [(i, g) for i, g in groups if g]
         actors = [make_segment_actor(m.data, g, num_cpus=per_actor,
                                      location=self.location, poll_sec=nrt_poll_sec,
-                                     assignment=(i, n_actors))
+                                     assignment=(i, n_actors),
+                                     node_ip=(node_ips[i % len(node_ips)]
+                                              if node_ips else None))
                   for i, g in groups]
         self._actors[(database, table)] = actors
         self._actor_buckets = getattr(self, "_actor_buckets", {})
