@@ -582,7 +582,15 @@ class RetrievalCluster:
         ``vector_algorithm="ivf"`` serves the vector recall from each bucket's
         coarse IVF index (nprobe/n_centroids knobs; nprobe=n_centroids is
         exact); ``"hnsw"`` walks each bucket's HNSW graph with beam ``ef``
-        (ef >= bucket size is exact)."""
+        (ef >= bucket size is exact; a filter rides into the traversal).
+
+        Sloppy-phrase caveat (documented divergence from Lucene's
+        SloppyPhraseMatcher, frozen by golden test): ``"a b"~N`` matches
+        IN-ORDER alignments only — a doc containing only the transposed
+        ``b a`` does not match, where Lucene would at cost 2 per transposed
+        adjacent pair; window enumeration also differs for phrases with
+        repeated terms. Exact phrases (~0) and all other clause types are
+        Lucene-faithful."""
         qs = self._as_queries(database, table, queries)
         use_actors = (database, table) in self._actors
         # multi-query fan-out (Q8): in actor mode every recall of every query is
