@@ -221,6 +221,47 @@ aug AS (
 )"""
 
 
+_LINE_HEADER = "cookie consent boilerplate accept all"
+_LINE_FOOTER = "copyright footer all rights reserved"
+
+
+def _augmented_docs_lines(sf_dir: str) -> pa.Table:
+    """Multi-line 'web page' corpus for line-level dedup: every doc becomes
+    [header?]\\n text \\n [footer?] (header on doc_id % 3 == 0, footer on
+    doc_id % 2 == 0 — shared boilerplate lines across pages), plus exact page
+    copies (doc_id % 10 == 0, +AUG_OFFSET). The oracle SQL mirrors it."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_numpy(zero_copy_only=False)
+    ml = []
+    for d, s in zip(ids, texts):
+        parts = ([_LINE_HEADER] if d % 3 == 0 else []) + [s] + \
+                ([_LINE_FOOTER] if d % 2 == 0 else [])
+        ml.append("\n".join(parts))
+    base = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(ml, pa.string())})
+    import pyarrow.compute as pc_
+    cp = base.filter(pa.array(ids % 10 == 0))
+    cp = cp.set_column(0, "doc_id", pc_.add(cp["doc_id"], AUG_OFFSET))
+    return pa.concat_tables([base, cp])
+
+
+_SQL_AUG_DOCS_LINES = f"""
+augl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_LINE_HEADER}' || chr(10) ELSE '' END
+         || text
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_LINE_FOOTER}' ELSE '' END AS text
+  FROM documents
+),
+aug AS (
+  SELECT doc_id, text FROM augl
+  UNION ALL
+  SELECT doc_id + {AUG_OFFSET} AS doc_id, text FROM augl WHERE doc_id % 10 = 0
+)"""
+
+
 def _augmented_docs_pii(sf_dir: str) -> pa.Table:
     """documents with deterministic PII injected into every doc_id % 7 == 3 row
     (an email, an IPv4, an international phone number, all derived from doc_id).
@@ -627,6 +668,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"id": pa.array(out["id"], pa.int64()),
                          "dup_of": pa.array(out["dup_of"], pa.int64())})
     q["dedup_ngram"] = dedup_ngram
+
+    def dedup_lines(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.dedup import line_dedup
+        # multi-line page corpus: shared header/footer boilerplate + exact page
+        # copies — the CCNet-style pass keeps each line's global first
+        # occurrence and drops pages left empty (the exact copies vanish).
+        ds = ray.data.from_arrow(_augmented_docs_lines(sf))
+        out = line_dedup(ds, "text", "doc_id", min_chars=1).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "text": pa.array(out["text"], pa.string())})
+    q["dedup_lines"] = dedup_lines
 
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
@@ -1342,6 +1396,28 @@ jac AS (
   JOIN sz nb ON nb.doc_id = i.id
   WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.6e0)
 SELECT id, min(anc) AS dup_of FROM jac GROUP BY id ORDER BY id"""
+
+    # line-level (CCNet-style) dedup: global first occurrence of each line by
+    # (doc_id, line_no) wins; lines shorter than 1 char (empties) are exempt;
+    # docs reassembled with \n, empty remainders dropped. Mirrors
+    # ops/dedup.line_dedup(min_chars=1) exactly.
+    sql["dedup_lines"] = f"""
+WITH {_SQL_AUG_DOCS_LINES},
+lines AS (
+  SELECT doc_id, unnest(lst) AS line, generate_subscripts(lst, 1) AS line_no
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lst FROM aug)
+),
+ranked AS (
+  SELECT doc_id, line, line_no,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+),
+kept AS (SELECT doc_id, line, line_no FROM ranked WHERE rn = 1 OR length(line) < 1),
+rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY doc_id)
+SELECT doc_id, text FROM rebuilt
+WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+ORDER BY doc_id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold

@@ -153,6 +153,158 @@ def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64,
     return tagged.groupby("__ab").map_groups(resolve, batch_format="pyarrow")
 
 
+# ---------------- line-level (CCNet-style) exact dedup ----------------
+
+def _explode_lines(batch: pa.Table, text_col: str, id_col: str, sep: str):
+    """Vectorized explosion of a batch's text column into lines.
+
+    Returns ``(ids, line_no, flat, counts)``: per-line doc ids (numpy),
+    0-based per-doc line numbers (numpy int64), the flat Arrow string array
+    of lines, and per-doc line counts (numpy int64). All Arrow kernels —
+    no per-line Python.
+    """
+    la = pc.split_pattern(batch[text_col], pattern=sep)
+    la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+    counts = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat = la.flatten()
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), counts)
+    line_no = _concat_ranges(np.zeros(len(counts), np.int64), counts)
+    return ids, line_no, flat, counts
+
+
+def _pair_keys(ids: np.ndarray, line_no: np.ndarray) -> np.ndarray:
+    """Type-agnostic, collision-free composite (id, line_no) membership key
+    as numpy unicode rows — vectorized, no per-element Python."""
+    i = ids.astype("U")
+    n = line_no.astype("U")
+    return np.char.add(np.char.add(i, "\x00"), n)
+
+
+def line_dedup(ds, text_col: str, id_col: str, sep: str = "\n",
+               min_chars: int = 1, num_buckets: int = 64,
+               broadcast_limit: int | None = None, drop_empty: bool = True):
+    """CCNet-style line/paragraph-level exact dedup across the whole corpus.
+
+    Every line (text split on ``sep``) of at least ``min_chars`` characters is
+    a dedup candidate; the globally FIRST occurrence — ordered by
+    ``(id, line_no)`` — is kept, every later identical line anywhere in the
+    corpus is removed; docs are reassembled with ``sep`` and docs whose
+    remaining text is empty are dropped (``drop_empty``). This is the
+    boilerplate-removal pass of CCNet/RefinedWeb-style web pipelines (cookie
+    banners, nav bars, copyright footers repeat across pages); the reference
+    engine has no corpus-level dedup (SURVEY.md §2.6) — extension.
+
+    100 TB shape: stage 1 shuffles only narrow ``(line-hash, id, line_no)``
+    rows — the documents never enter the loser exchange; stage 2 resolves
+    losers per hash bucket with one vectorized sort; stage 3 removes loser
+    lines either by a single broadcast of the loser pairs (small loser sets)
+    or, above ``broadcast_limit``, by an id-bucketed anti-join where full doc
+    rows move exactly once (dup *lines* are the COMMON case on boilerplate-
+    heavy web corpora, so unlike :func:`exact_dedup` the fallback here is not
+    a pathology path). Lines shorter than ``min_chars`` (e.g. empty lines)
+    never shuffle and are always kept.
+    """
+    import ray
+
+    limit = BROADCAST_ID_WARN if broadcast_limit is None else int(broadcast_limit)
+
+    def hash_lines(batch: pa.Table) -> pa.Table:
+        ids, line_no, flat, _ = _explode_lines(batch, text_col, id_col, sep)
+        keep = pc.greater_equal(pc.utf8_length(flat), min_chars).to_numpy(
+            zero_copy_only=False)
+        h = _content_hash(flat.to_numpy(zero_copy_only=False)[keep])
+        return pa.table({
+            "__h": pa.array(h, pa.int64()),
+            id_col: pa.array(ids[keep]).cast(batch[id_col].type),
+            "__ln": pa.array(line_no[keep], pa.int64()),
+            "__b": pa.array((h % num_buckets).astype(np.int32)),
+        })
+
+    def losers(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("__h", "ascending"), (id_col, "ascending"),
+                           ("__ln", "ascending")])
+        h = g["__h"].to_numpy()
+        dup = np.zeros(len(h), dtype=bool)
+        dup[1:] = h[1:] == h[:-1]
+        m = pa.array(dup)
+        return pa.table({id_col: g[id_col].filter(m),
+                         "__ln": g["__ln"].filter(m)})
+
+    loser_ds = ds.map_batches(hash_lines, batch_format="pyarrow") \
+        .groupby("__b").map_groups(losers, batch_format="pyarrow").materialize()
+    n_losers = loser_ds.count()
+
+    def _strip(batch: pa.Table, loser_keys: np.ndarray) -> pa.Table:
+        ids, line_no, flat, counts = _explode_lines(batch, text_col, id_col, sep)
+        if len(loser_keys) and len(ids):
+            drop = np.isin(_pair_keys(ids, line_no), loser_keys)
+        else:
+            drop = np.zeros(len(ids), dtype=bool)
+        kept = ~drop
+        row_idx = np.repeat(np.arange(len(batch)), counts)[kept]
+        lk = flat.to_numpy(zero_copy_only=False)[kept]
+        bounds = np.searchsorted(row_idx, np.arange(len(batch) + 1))
+        # per-ROW join of its kept lines (O(rows) Python; the line-level work
+        # above is all Arrow/numpy)
+        new_texts = [sep.join(lk[bounds[r]:bounds[r + 1]])
+                     for r in range(len(batch))]
+        out = batch.set_column(batch.schema.get_field_index(text_col), text_col,
+                               pa.array(new_texts, pa.string()))
+        if drop_empty:
+            out = out.filter(pc.not_equal(pc.utf8_trim_whitespace(
+                out[text_col]), ""))
+        return out
+
+    if n_losers == 0:
+        return ds
+    if n_losers <= limit:
+        lt = loser_ds.to_pandas()
+        keys = np.sort(_pair_keys(lt[id_col].to_numpy(),
+                                  lt["__ln"].to_numpy()))
+        ref = ray.put(keys)
+
+        def strip_bcast(batch: pa.Table) -> pa.Table:
+            return _strip(batch, ray.get(ref))
+
+        return ds.map_batches(strip_bcast, batch_format="pyarrow")
+
+    # ---- id-bucketed anti-join: doc rows and loser pairs co-bucketed ----
+    schema = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") \
+        else ds.schema()
+    fields = list(zip(schema.names, schema.types))
+
+    def tag_data(batch: pa.Table) -> pa.Table:
+        return batch \
+            .append_column("__ln", pa.nulls(len(batch), pa.int64())) \
+            .append_column("__loser", pa.array(np.zeros(len(batch), np.int8))) \
+            .append_column("__ab", pa.array(_id_buckets(batch[id_col],
+                                                        num_buckets)))
+
+    def tag_loser(batch: pa.Table) -> pa.Table:
+        cols = {name: (batch[id_col] if name == id_col
+                       else pa.nulls(len(batch), typ))
+                for name, typ in fields}
+        t = pa.table(cols)
+        return t \
+            .append_column("__ln", batch["__ln"]) \
+            .append_column("__loser", pa.array(np.ones(len(batch), np.int8))) \
+            .append_column("__ab", pa.array(_id_buckets(batch[id_col],
+                                                        num_buckets)))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        is_loser = pc.equal(group["__loser"], 1)
+        lt = group.filter(is_loser)
+        keys = np.sort(_pair_keys(lt[id_col].to_numpy(zero_copy_only=False),
+                                  lt["__ln"].to_numpy()))
+        data = group.filter(pc.invert(is_loser)) \
+                    .drop_columns(["__ln", "__loser", "__ab"])
+        return _strip(data, keys)
+
+    tagged = ds.map_batches(tag_data, batch_format="pyarrow") \
+        .union(loser_ds.map_batches(tag_loser, batch_format="pyarrow"))
+    return tagged.groupby("__ab").map_groups(resolve, batch_format="pyarrow")
+
+
 # ---------------- MinHash + LSH near-dup ----------------
 
 def _word_shingles(tokens: list[str], k: int) -> list[str]:

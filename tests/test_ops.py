@@ -21,6 +21,66 @@ class TestExactDedup:
         assert sorted(out["id"]) == list(range(7))
 
 
+class TestLineDedup:
+    DOCS = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            "cookie banner\nunique one\nfooter",
+            "cookie banner\nunique two\nfooter",
+            "cookie banner\nfooter",          # fully boilerplate -> dropped
+            "unique one\nx",                  # 'unique one' first seen in doc 1
+            "\nshort\n",                      # empty lines exempt (min_chars=1)
+        ],
+        "lang": ["en"] * 5,
+    })
+
+    def expected(self):
+        return {1: "cookie banner\nunique one\nfooter",
+                2: "unique two", 4: "x", 5: "\nshort\n"}
+
+    def test_first_occurrence_wins_and_empty_docs_drop(self, ray_mod):
+        out = dedup.line_dedup(ray_mod.from_arrow(self.DOCS), "text",
+                               "doc_id").to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        assert got == self.expected()
+        assert list(out.columns) == ["doc_id", "text", "lang"]
+
+    def test_antijoin_fallback_identical(self, ray_mod):
+        a = dedup.line_dedup(ray_mod.from_arrow(self.DOCS), "text",
+                             "doc_id").to_pandas().sort_values("doc_id")
+        b = dedup.line_dedup(ray_mod.from_arrow(self.DOCS), "text", "doc_id",
+                             broadcast_limit=0).to_pandas().sort_values("doc_id")
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+    def test_partitioning_invariance(self, ray_mod):
+        big = pa.concat_tables([self.DOCS.set_column(
+            0, "doc_id", pa.array([i * 10 + d for d in range(1, 6)], pa.int64()))
+            for i in range(8)])
+        one = dedup.line_dedup(ray_mod.from_arrow(big).repartition(1),
+                               "text", "doc_id").to_pandas()
+        many = dedup.line_dedup(ray_mod.from_arrow(big).repartition(7),
+                                "text", "doc_id").to_pandas()
+        key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+        assert key(one).equals(key(many))
+
+    def test_min_chars_exempts_short_lines(self, ray_mod):
+        docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": ["ab\nlong shared line",
+                                  "ab\nlong shared line\ntail"]})
+        out = dedup.line_dedup(ray_mod.from_arrow(docs), "text", "doc_id",
+                               min_chars=3).to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        # 'ab' (< 3 chars) survives in both docs; the long line dedups
+        assert got == {1: "ab\nlong shared line", 2: "ab\ntail"}
+
+    def test_string_ids(self, ray_mod):
+        docs = pa.table({"k": ["a", "b"], "text": ["dup line\nown a",
+                                                   "dup line\nown b"]})
+        out = dedup.line_dedup(ray_mod.from_arrow(docs), "text", "k").to_pandas()
+        got = dict(zip(out["k"], out["text"]))
+        assert got == {"a": "dup line\nown a", "b": "own b"}
+
+
 class TestMinHash:
     def test_detects_planted_near_dups(self, ray_mod):
         rng = np.random.default_rng(0)
