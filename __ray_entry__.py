@@ -682,6 +682,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "text": pa.array(out["text"], pa.string())})
     q["dedup_lines"] = dedup_lines
 
+    def asof_events(sf):
+        import ray.data
+        import pyarrow.compute as pc_
+        from byzer_retrieval_ray.ops.asof import asof_join
+        ev = os.path.join(sf, "events.parquet")
+
+        def typed(kind, cols):
+            def f(b: pa.Table) -> pa.Table:
+                return b.filter(pc_.equal(b["event_type"], kind)) \
+                        .select(cols)
+            return f
+
+        base = ray.data.read_parquet(
+            ev, columns=["event_id", "user_id", "ts", "event_type", "value"])
+        clicks = base.map_batches(typed("click", ["event_id", "user_id", "ts"]),
+                                  batch_format="pyarrow")
+        buys = base.map_batches(typed("purchase",
+                                      ["event_id", "user_id", "ts", "value"]),
+                                batch_format="pyarrow")
+        out = asof_join(clicks, buys, on="ts", by="user_id",
+                        right_cols=["event_id", "value", "ts"],
+                        how="inner", tie_col="event_id").to_arrow_refs()
+        import ray as _ray
+        tabs = [x for x in _ray.get(out) if x.num_columns]
+        t = pa.concat_tables(tabs).sort_by([("event_id", "ascending")])
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "ts": t["ts"].cast(pa.int64()),
+            "event_id_r": t["event_id_r"].cast(pa.int64()),
+            "value": pa.array(np.round(t["value"].to_numpy(
+                zero_copy_only=False).astype(np.float64), 4)),
+            "ts_r": t["ts_r"].cast(pa.int64()),
+        })
+    q["asof_events"] = asof_events
+
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
         import ray.data
@@ -1418,6 +1454,22 @@ rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
 SELECT doc_id, text FROM rebuilt
 WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ORDER BY doc_id"""
+
+    # as-of join: each click attaches the most recent prior-or-same-instant
+    # purchase by the same user (inclusive backward; ties broken by greatest
+    # right event_id — mirrors ops/asof.asof_join(tie_col="event_id")).
+    sql["asof_events"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts,
+         r.event_id AS event_id_r, ROUND(r.value, 4) AS value,
+         epoch_us(r.ts) AS ts_r,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+SELECT event_id, user_id, ts, event_id_r, value, ts_r
+FROM pairs WHERE rn = 1 ORDER BY event_id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold
