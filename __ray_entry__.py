@@ -262,6 +262,54 @@ aug AS (
 )"""
 
 
+_C4_LOREM = "lorem ipsum dolor sit amet totally real words."
+_C4_BRACE = "function f() { return 1; } end of snippet."
+
+
+def _augmented_docs_c4(sf_dir: str) -> pa.Table:
+    """'Web page' corpus for the C4 cleaning pass: each doc's words become
+    6-word lines, a terminal '.' appended when (doc_id + line_no) % 3 != 0
+    (1-based line_no); doc_id % 13 == 7 gains a lorem-ipsum line and
+    doc_id % 17 == 5 a curly-brace code line. Mirrored exactly in SQL."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_numpy(zero_copy_only=False)
+    out = []
+    for d, s in zip(ids, texts):
+        w = s.split(" ")
+        lines = []
+        n = -(-len(w) // 6)
+        for i in range(1, n + 1):
+            seg = " ".join(w[(i - 1) * 6: min(i * 6, len(w))])
+            if (d + i) % 3 != 0:
+                seg += "."
+            lines.append(seg)
+        if d % 13 == 7:
+            lines.append(_C4_LOREM)
+        if d % 17 == 5:
+            lines.append(_C4_BRACE)
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(out, pa.string())})
+
+
+_SQL_AUG_DOCS_C4 = f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+exp AS (SELECT doc_id, w, unnest(range(1, CAST(ceil(len(w) / 6.0) AS BIGINT) + 1)) AS i
+        FROM words),
+ln AS (SELECT doc_id, i AS line_no,
+              array_to_string(w[((i - 1) * 6 + 1):least(i * 6, len(w))], ' ')
+              || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END AS line
+       FROM exp),
+base AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+         FROM ln GROUP BY doc_id),
+aug AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 13 = 7 THEN chr(10) || '{_C4_LOREM}' ELSE '' END
+              || CASE WHEN doc_id % 17 = 5 THEN chr(10) || '{_C4_BRACE}' ELSE '' END AS text
+        FROM base)"""
+
+
 def _augmented_docs_pii(sf_dir: str) -> pa.Table:
     """documents with deterministic PII injected into every doc_id % 7 == 3 row
     (an email, an IPv4, an international phone number, all derived from doc_id).
@@ -717,6 +765,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ts_r": t["ts_r"].cast(pa.int64()),
         })
     q["asof_events"] = asof_events
+
+    def c4_filter(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.c4 import c4_quality_filter
+        ds = ray.data.from_arrow(_augmented_docs_c4(sf))
+        out = c4_quality_filter(ds, "text").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "text": pa.array(out["text"], pa.string())})
+    q["c4_filter"] = c4_filter
 
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
@@ -1470,6 +1528,25 @@ pairs AS (
   FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
 SELECT event_id, user_id, ts, event_id_r, value, ts_r
 FROM pairs WHERE rn = 1 ORDER BY event_id"""
+
+    # C4 cleaning pass (Raffel et al. §2.2): keep lines ending in terminal
+    # punctuation with >= 5 words; drop pages with < 3 kept lines, any
+    # 'lorem ipsum', or curly braces. Mirrors ops/c4.c4_quality_filter.
+    sql["c4_filter"] = f"""
+WITH {_SQL_AUG_DOCS_C4},
+kept AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"]$') AND
+                len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                x -> x <> '')) >= 5) AS kl
+  FROM aug)
+SELECT doc_id, array_to_string(kl, chr(10)) AS text
+FROM kept
+WHERE len(kl) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{{') AND NOT contains(text, '}}')
+ORDER BY doc_id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold
