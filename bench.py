@@ -225,6 +225,44 @@ def run_bench() -> dict:
     decontaminate(ds, bench_texts, k=8, concurrency=4).count()
     queries["decontaminate_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.dedup import line_dedup
+    from byzer_retrieval_ray.ops.c4 import c4_quality_filter
+    from byzer_retrieval_ray.ops.asof import asof_join
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    # docs are single-line; split on ". " exercises the same explode/rebuild path
+    line_dedup(ds, "text", "doc_id", sep=" the ").count()
+    queries["dedup_lines_docs"] = round(time.perf_counter() - td, 3)
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    c4_quality_filter(ds, "text", min_words_per_line=3, min_lines=0,
+                      sep=" the ").count()
+    queries["c4_filter_docs"] = round(time.perf_counter() - td, 3)
+
+    td = time.perf_counter()
+    import pyarrow.compute as pc_
+
+    def _typed(kind, cols):
+        def f(b):
+            return b.filter(pc_.equal(b["event_type"], kind)).select(cols)
+        return f
+
+    ev = os.path.join(SF_DIR, "events.parquet")
+    base_ev = ray.data.read_parquet(
+        ev, columns=["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = base_ev.map_batches(_typed("click", ["event_id", "user_id", "ts"]),
+                                 batch_format="pyarrow")
+    buys = base_ev.map_batches(
+        _typed("purchase", ["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow")
+    asof_join(clicks, buys, on="ts", by="user_id",
+              right_cols=["event_id", "value"], tie_col="event_id").count()
+    queries["asof_join_events"] = round(time.perf_counter() - td, 3)
+
     total = time.perf_counter() - t0
     m = info["metrics"]
     result = {
