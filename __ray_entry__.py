@@ -221,6 +221,51 @@ aug AS (
 )"""
 
 
+def _augmented_docs_chain(sf_dir: str) -> pa.Table:
+    """documents + a transitive near-dup CHAIN per doc_id % 10 == 5: copy A
+    (+AUG_OFFSET) keeps ceil(0.8·n) tokens (J(orig,A) ≈ 0.8) and copy B
+    (+2·AUG_OFFSET) keeps ceil(0.7·|A|) of A's tokens (J(A,B) ≈ 0.7 but
+    J(orig,B) ≈ 0.56 < 0.6) — so at threshold 0.6 the pair graph links
+    orig—A—B only through A, exercising real transitivity in the
+    connected-components clustering. The oracle SQL mirrors both tiers."""
+    import math
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    m = base["doc_id"].to_numpy() % 10 == 5
+    ids = base["doc_id"].to_numpy()[m]
+    a_ids, a_texts, b_ids, b_texts = [], [], [], []
+    for d, s in zip(ids, base["text"].to_numpy(zero_copy_only=False)[m]):
+        toks = s.split()
+        if not toks:
+            continue
+        na = math.ceil(len(toks) * 0.8)
+        nb = math.ceil(na * 0.7)
+        a_ids.append(d + AUG_OFFSET)
+        a_texts.append(" ".join(toks[:na]))
+        b_ids.append(d + 2 * AUG_OFFSET)
+        b_texts.append(" ".join(toks[:nb]))
+    tiers = pa.table({"doc_id": pa.array(a_ids + b_ids, pa.int64()),
+                      "text": pa.array(a_texts + b_texts, pa.string())})
+    return pa.concat_tables([base, tiers])
+
+
+_SQL_AUG_DOCS_CHAIN = f"""
+tok0 AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+         FROM documents WHERE doc_id % 10 = 5),
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {AUG_OFFSET} AS doc_id,
+         array_to_string(list_slice(t, 1, CAST(ceil(len(t) * 0.8e0) AS BIGINT)), ' ') AS text
+  FROM tok0 WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id + {2 * AUG_OFFSET} AS doc_id,
+         array_to_string(list_slice(t, 1,
+           CAST(ceil(CAST(ceil(len(t) * 0.8e0) AS BIGINT) * 0.7e0) AS BIGINT)), ' ') AS text
+  FROM tok0 WHERE len(t) > 0
+)"""
+
+
 _LINE_HEADER = "cookie consent boilerplate accept all"
 _LINE_FOOTER = "copyright footer all rights reserved"
 
@@ -729,6 +774,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                          "text": pa.array(out["text"], pa.string())})
     q["dedup_lines"] = dedup_lines
+
+    def dedup_cluster(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.dedup import ngram_jaccard_dedup
+        from byzer_retrieval_ray.ops.components import connected_components
+        ds = ray.data.from_arrow(_augmented_docs_chain(sf))
+        pairs = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.6,
+                                    shingle_k=3, return_pairs=True)
+        out = connected_components(pairs).to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        return pa.table({"id": pa.array(out["id"], pa.int64()),
+                         "cluster": pa.array(out["cluster"], pa.int64())})
+    q["dedup_cluster"] = dedup_cluster
 
     def asof_events(sf):
         import ray.data
@@ -1490,6 +1548,32 @@ jac AS (
   JOIN sz nb ON nb.doc_id = i.id
   WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.6e0)
 SELECT id, min(anc) AS dup_of FROM jac GROUP BY id ORDER BY id"""
+
+    # connected-components clustering over the exact n-gram-Jaccard pair graph
+    # (threshold 0.6, chain augmentation): transitive closure via recursive
+    # CTE; cluster = smallest reachable id. Mirrors
+    # ops/components.connected_components over ngram pairs.
+    sql["dedup_cluster"] = f"""
+WITH RECURSIVE {_SQL_AUG_DOCS_CHAIN},
+{_sql_shingles(3, "aug")},
+dsx AS (SELECT doc_id, list_distinct(g) AS s FROM sh WHERE len(g) > 0),
+sz AS (SELECT doc_id, len(s) AS n FROM dsx),
+ex AS (SELECT doc_id, unnest(s) AS h FROM dsx),
+inter AS (
+  SELECT b.doc_id AS id, a.doc_id AS anc, count(*) AS c
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.id, i.anc FROM inter i
+  JOIN sz na ON na.doc_id = i.anc
+  JOIN sz nb ON nb.doc_id = i.id
+  WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.6e0),
+edges AS (SELECT id AS a, anc AS b FROM jac UNION SELECT anc, id FROM jac),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a ORDER BY id"""
 
     # line-level (CCNet-style) dedup: global first occurrence of each line by
     # (doc_id, line_no) wins; lines shorter than 1 char (empties) are exempt;

@@ -450,7 +450,8 @@ def _band_rows(ds, text_col: str, id_col: str, num_perm: int, bands: int,
 
 
 def _verify_pairs_incluster(ds, pairs_ds, id_col, payload_fn, payload_type,
-                            compare_fn, num_buckets: int):
+                            compare_fn, num_buckets: int,
+                            fold_min_label: bool = True):
     """Verify candidate (id, dup_of) pairs ENTIRELY in-cluster and min-label.
 
     Shared by the MinHash and n-gram-Jaccard passes: ``payload_fn(batch, mask)``
@@ -569,6 +570,10 @@ def _verify_pairs_incluster(ds, pairs_ds, id_col, payload_fn, payload_type,
 
     verified = tagged.groupby("kb").map_groups(attach, batch_format="pyarrow") \
         .groupby("kb").map_groups(verify, batch_format="pyarrow")
+    if not fold_min_label:
+        # raw verified pairs (id > dup_of), e.g. for connected-components
+        # clustering; schema kept stable through the typed-empty union
+        return ray.data.from_arrow(empty).union(verified)
 
     def min_label(group: pa.Table) -> pa.Table:
         """per-id smallest verified anchor (in-cluster fold, id-bucketed)."""
@@ -761,7 +766,8 @@ def _prefix_select(flat: np.ndarray, offs: np.ndarray, sizes: np.ndarray,
 def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
                         shingle_k: int = 3, num_buckets: int = 64,
                         df_order: bool = True,
-                        df_sketch_cells: int = 1 << 20):
+                        df_sketch_cells: int = 1 << 20,
+                        return_pairs: bool = False):
     """EXACT n-gram-Jaccard near-dup join via prefix filtering (PPJoin-family).
 
     Unlike the MinHash/SimHash sketches this operator has recall 1.0 at any
@@ -798,7 +804,10 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
        (sorted-array ``np.intersect1d``) pair-bucketed; the driver holds only
        the candidate id array.
 
-    Returns a Dataset of (id, dup_of) rows for ids that should be dropped.
+    Returns a Dataset of (id, dup_of) rows for ids that should be dropped —
+    or, with ``return_pairs=True``, ALL verified pairs (id > dup_of, no
+    min-label fold), e.g. as the edge list for
+    :func:`ops.components.connected_components`.
     """
     import ray
     import ray.data
@@ -898,7 +907,8 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.6,
         return out
 
     return _verify_pairs_incluster(ds, pairs_ds, id_col, payload, set_t,
-                                   compare, num_buckets)
+                                   compare, num_buckets,
+                                   fold_min_label=not return_pairs)
 
 
 # ---------------- embedding cosine near-dup ----------------
