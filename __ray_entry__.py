@@ -788,6 +788,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "cluster": pa.array(out["cluster"], pa.int64())})
     q["dedup_cluster"] = dedup_cluster
 
+    def tfidf_keywords(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.tfidf import tfidf_topk
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        out = tfidf_topk(ds, "text", "doc_id", k=5).to_pandas()
+        out = out.sort_values(["id", "rank"]).reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["id"], pa.int64()),
+            "token": pa.array(out["token"], pa.string()),
+            "score": pa.array(np.round(out["score"].to_numpy(), 4),
+                              pa.float64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        })
+    q["tfidf_keywords"] = tfidf_keywords
+
     def asof_events(sf):
         import ray.data
         import pyarrow.compute as pc_
@@ -1596,6 +1612,27 @@ rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
 SELECT doc_id, text FROM rebuilt
 WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ORDER BY doc_id"""
+
+    # per-doc TF-IDF top-5 keywords: score = tf * ln(N/df), ties by token.
+    # Mirrors ops/tfidf.tfidf_topk.
+    sql["tfidf_keywords"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+tfx AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT tok, count(*) AS df FROM tfx GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok AS token,
+         CAST(t.tf AS DOUBLE) * ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+  FROM tfx t JOIN dfx d USING (tok) CROSS JOIN nn),
+ranked AS (SELECT doc_id, token, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS rank
+           FROM scored)
+SELECT doc_id, token, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""
 
     # as-of join: each click attaches the most recent prior-or-same-instant
     # purchase by the same user (inclusive backward; ties broken by greatest
