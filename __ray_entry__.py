@@ -788,6 +788,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "cluster": pa.array(out["cluster"], pa.int64())})
     q["dedup_cluster"] = dedup_cluster
 
+    def dup_spans(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.spans import duplicate_spans
+        ds = ray.data.from_arrow(_augmented_docs(sf))
+        out = duplicate_spans(ds, "text", "doc_id", window=8).to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["id"], pa.int64()),
+            "n_windows": pa.array(out["n_windows"], pa.int64()),
+            "n_dup_windows": pa.array(out["n_dup_windows"], pa.int64()),
+            "dup_token_frac": pa.array(
+                np.round(out["dup_token_frac"].to_numpy(), 4), pa.float64()),
+        })
+    q["dup_spans"] = dup_spans
+
     def tfidf_keywords(sf):
         import ray.data
         from byzer_retrieval_ray.ops.tfidf import tfidf_topk
@@ -1612,6 +1627,33 @@ rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
 SELECT doc_id, text FROM rebuilt
 WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ORDER BY doc_id"""
+
+    # exact duplicated-span annotation (Lee et al. EXACTSUBSTR, window=8 poly
+    # word-8-gram hashes): a window is dup when its hash occurs >= 2 times in
+    # the corpus; frac = union coverage / n_tok. Mirrors
+    # ops/spans.duplicate_spans over the exact-copy augmentation.
+    sql["dup_spans"] = f"""
+WITH {_SQL_AUG_DOCS},
+{_sql_shingles(8, "aug")},
+wins AS (SELECT doc_id, unnest(g) AS h, generate_subscripts(g, 1) AS w FROM sh),
+cnt AS (SELECT h, count(*) AS c FROM wins GROUP BY h),
+ntok AS (SELECT doc_id, len(t) AS n_tok FROM toks),
+nwin AS (SELECT doc_id, len(g) AS n_windows FROM sh WHERE len(g) > 0),
+dup AS (SELECT w.doc_id, w.w FROM wins w JOIN cnt USING (h) WHERE c >= 2),
+cov AS (SELECT DISTINCT d.doc_id, d.w + u.u AS p
+        FROM dup d
+        JOIN ntok nt ON nt.doc_id = d.doc_id
+        JOIN (SELECT unnest(range(0, 8)) AS u) u ON u.u < least(8, nt.n_tok)),
+covn AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id),
+dupn AS (SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY doc_id)
+SELECT nw.doc_id, nw.n_windows,
+       COALESCE(dn.n_dup, 0) AS n_dup_windows,
+       ROUND(COALESCE(cn.covered, 0) / CAST(nt.n_tok AS DOUBLE), 4) AS dup_token_frac
+FROM nwin nw
+JOIN ntok nt USING (doc_id)
+LEFT JOIN dupn dn USING (doc_id)
+LEFT JOIN covn cn USING (doc_id)
+ORDER BY nw.doc_id"""
 
     # per-doc TF-IDF top-5 keywords: score = tf * ln(N/df), ties by token.
     # Mirrors ops/tfidf.tfidf_topk.
