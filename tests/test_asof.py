@@ -132,6 +132,21 @@ class TestShapes:
                         tie_col="rid").to_pandas()
         assert len(out) == 5 and out["rid"].isna().all()
 
+    def test_broadcast_path_identical(self, ray_mod):
+        from byzer_retrieval_ray.ops.asof import asof_join_broadcast
+        for kw in ({}, {"direction": "forward"}, {"tolerance": 3},
+                   {"how": "inner"}):
+            a = asof_join(ray_mod.from_arrow(LEFT), ray_mod.from_arrow(RIGHT),
+                          on="ts", by="u", right_cols=["rid", "val"],
+                          tie_col="rid", **kw).to_pandas() \
+                .sort_values("eid").reset_index(drop=True)
+            b = asof_join_broadcast(
+                ray_mod.from_arrow(LEFT), ray_mod.from_arrow(RIGHT),
+                on="ts", by="u", right_cols=["rid", "val"],
+                tie_col="rid", **kw).to_pandas() \
+                .sort_values("eid").reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+
     def test_bad_args_raise(self, ray_mod):
         with pytest.raises(ValueError):
             asof_join(ray_mod.from_arrow(LEFT), ray_mod.from_arrow(RIGHT),
