@@ -803,6 +803,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["dup_spans"] = dup_spans
 
+    def quantiles_events(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.quantiles import exact_quantiles
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["value"])
+        qs = [0.1, 0.5, 0.9, 0.99]
+        got = exact_quantiles(ds, "value", qs, n_candidates=64,
+                              collect_limit=500)
+        return pa.table({
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([round(got[q], 6) for q in qs], pa.float64()),
+        })
+    q["quantiles_events"] = quantiles_events
+
     def tfidf_keywords(sf):
         import ray.data
         from byzer_retrieval_ray.ops.tfidf import tfidf_topk
@@ -1654,6 +1668,19 @@ JOIN ntok nt USING (doc_id)
 LEFT JOIN dupn dn USING (doc_id)
 LEFT JOIN covn cn USING (doc_id)
 ORDER BY nw.doc_id"""
+
+    # exact quantiles: value at 0-based rank floor(q·(n-1)) of the sorted
+    # column (the "lower" discrete quantile — mirrors
+    # ops/quantiles.exact_quantiles' rank arithmetic).
+    sql["quantiles_events"] = """
+WITH s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+nn AS (SELECT count(*) AS c FROM events),
+qs AS (SELECT unnest([0.1e0, 0.5e0, 0.9e0, 0.99e0]) AS q)
+SELECT qs.q, ROUND(s.value, 6) AS value
+FROM qs
+JOIN nn ON true
+JOIN s ON s.rn = CAST(floor(qs.q * (nn.c - 1)) AS BIGINT) + 1
+ORDER BY qs.q"""
 
     # per-doc TF-IDF top-5 keywords: score = tf * ln(N/df), ties by token.
     # Mirrors ops/tfidf.tfidf_topk.
