@@ -1131,6 +1131,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["events_window"] = events_window
 
+    def events_hopping(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.windows import hopping_window_agg
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["ts", "event_type", "value"])
+        out = hopping_window_agg(ds, "ts", "event_type", "value",
+                                 window_sec=1800, hop_sec=600).to_pandas()
+        out = out.sort_values(["key", "window_start"]).reset_index(drop=True)
+        return pa.table({
+            "key": pa.array(out["key"], pa.string()),
+            "window_start": pa.array(out["window_start"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_v": pa.array(np.round(out["sum_v"].to_numpy(), 3), pa.float64()),
+            "min_v": pa.array(np.round(out["min_v"].to_numpy(), 6), pa.float64()),
+            "max_v": pa.array(np.round(out["max_v"].to_numpy(), 6), pa.float64()),
+        })
+    q["events_hopping"] = events_hopping
+
     # --- deterministic hash sample + corpus-level n-gram stats ---
     def sample_docs(sf):
         import ray.data
@@ -1521,6 +1539,24 @@ SELECT event_type AS key,
        ROUND(MIN(value), 6) AS min_v,
        ROUND(MAX(value), 6) AS max_v
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # hopping windows (30 min window / 10 min hop): each event lands in 3
+    # overlapping windows — mirrors ops/windows.hopping_window_agg.
+    sql["events_hopping"] = """
+WITH ev AS (
+  SELECT event_type AS key,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS s_max,
+         value
+  FROM events),
+exp AS (
+  SELECT key, value, s_max - u.i * 600 AS window_start
+  FROM ev, (SELECT unnest(range(0, 3)) AS i) u)
+SELECT key, window_start,
+       count(*) AS n,
+       ROUND(SUM(value), 3) AS sum_v,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM exp GROUP BY 1, 2 ORDER BY 1, 2"""
 
     sql["token_counts"] = """
 SELECT doc_id,

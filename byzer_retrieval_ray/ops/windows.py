@@ -51,6 +51,54 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
         .map_groups(lambda g: fold(g.drop_columns(["__b"])), batch_format="pyarrow")
 
 
+def hopping_window_agg(ds, ts_col: str, key_col: str, value_col: str,
+                       window_sec: int, hop_sec: int):
+    """count + sum + min + max per (key, HOPPING window): overlapping windows
+    of ``window_sec`` starting every ``hop_sec`` (``hop_sec`` must divide
+    ``window_sec``). Each event lands in exactly window/hop windows — the
+    explode happens INSIDE the per-batch combiner (vectorized repeat/tile),
+    so the shuffle still carries one row per (key, window, batch), not per
+    event replica. Returns the same schema as :func:`tumbling_window_agg`;
+    hop == window degenerates to tumbling (asserted in tests)."""
+    if window_sec % hop_sec:
+        raise ValueError(
+            f"hop_sec must divide window_sec, got {window_sec}/{hop_sec}")
+    m = window_sec // hop_sec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy() // 1_000_000  # µs → s
+        s_max = (ts // hop_sec) * hop_sec
+        starts = np.repeat(s_max, m) - np.tile(
+            np.arange(m, dtype=np.int64) * hop_sec, ts.size)
+        rep = pa.array(np.repeat(np.arange(ts.size), m), pa.int64())
+        t = pa.table({
+            "key": batch[key_col].take(rep),
+            "window_start": pa.array(starts, pa.int64()),
+            "v": batch[value_col].take(rep),
+        })
+        g = t.group_by(["key", "window_start"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        return g.rename_columns(["key", "window_start", "n", "sum_v",
+                                 "min_v", "max_v"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by(["key", "window_start"]).aggregate(
+            [("n", "sum"), ("sum_v", "sum"), ("min_v", "min"), ("max_v", "max")])
+        return g.rename_columns(["key", "window_start", "n", "sum_v",
+                                 "min_v", "max_v"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        h = np.abs(batch["window_start"].to_numpy()) % 16
+        return batch.append_column("__b", pa.array(h.astype(np.int32)))
+
+    return partials.map_batches(bucketed, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: fold(g.drop_columns(["__b"])),
+                    batch_format="pyarrow")
+
+
 def sessionize(ds, ts_col: str, user_col: str, gap_sec: float, num_buckets: int = 64):
     """Gap-based sessionization: consecutive events of one user belong to the same
     session while the time gap ≤ ``gap_sec``; a larger gap starts a new session.

@@ -29,6 +29,57 @@ class TestTumblingWindow:
         np.testing.assert_allclose(got["min_v"], want["min_v"], rtol=0)
 
 
+class TestHoppingWindow:
+    def test_hop_equal_window_degenerates_to_tumbling(self, ray_session):
+        import ray.data
+        from byzer_retrieval_ray.ops.windows import (hopping_window_agg,
+                                                     tumbling_window_agg)
+        src = "/root/testdata/sf0.001/events.parquet"
+        cols = ["ts", "event_type", "value"]
+        key = lambda df: df.sort_values(["key", "window_start"]) \
+                           .reset_index(drop=True)
+        a = key(tumbling_window_agg(
+            ray.data.read_parquet(src, columns=cols),
+            "ts", "event_type", "value", 3600).to_pandas())
+        b = key(hopping_window_agg(
+            ray.data.read_parquet(src, columns=cols),
+            "ts", "event_type", "value", 3600, 3600).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_pandas_explode(self, ray_session):
+        import ray.data
+        import pyarrow.parquet as pq
+        from byzer_retrieval_ray.ops.windows import hopping_window_agg
+        src = "/root/testdata/sf0.001/events.parquet"
+        got = hopping_window_agg(
+            ray.data.read_parquet(src, columns=["ts", "event_type", "value"]),
+            "ts", "event_type", "value", 1800, 600).to_pandas()
+        got = got.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+        df = pq.read_table(src).to_pandas()
+        df["s_max"] = (df["ts"].astype("int64") // 10**6 // 600) * 600
+        parts = [df.assign(window_start=df["s_max"] - i * 600)
+                 for i in range(3)]
+        exp = pd.concat(parts)
+        want = exp.groupby(["event_type", "window_start"]).agg(
+            n=("value", "size"), sum_v=("value", "sum"),
+            min_v=("value", "min"), max_v=("value", "max")).reset_index()
+        want = want.sort_values(["event_type", "window_start"]) \
+                   .reset_index(drop=True)
+        assert list(got["key"]) == list(want["event_type"])
+        np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+        np.testing.assert_allclose(got["sum_v"], want["sum_v"], rtol=1e-9)
+        # every event appears in exactly window/hop = 3 windows
+        assert got["n"].sum() == 3 * len(df)
+
+    def test_bad_hop_raises(self, ray_session):
+        import ray.data
+        from byzer_retrieval_ray.ops.windows import hopping_window_agg
+        with pytest.raises(ValueError):
+            hopping_window_agg(
+                ray.data.range(1), "ts", "k", "v", 1800, 700)
+
+
 class TestSkewBalance:
     def test_term_partitions_byte_balanced(self, ray_session, tmp_path):
         """Sampled ttf-weighted boundaries must keep per-partition posting bytes
