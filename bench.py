@@ -171,6 +171,45 @@ def run_bench() -> dict:
     queries["bm25_p99"] = round(float(np.percentile(lat_arr, 99)), 4)
     cluster.deactivate("web", "pages")
 
+    # ---- vector build + ANN-persistence serving ----
+    # HNSW graph + IVF codebook are persisted per (field, serving bucket) at
+    # BUILD time (index/ann_store.py); the serving numbers prove the design:
+    # vector_first_query must be milliseconds (graph restored, not rebuilt)
+    # and must not scale with the bucket vector count.
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    nv = int(os.environ.get("BYZER_BENCH_VECS", "24000"))
+    vdir = f"{SCRATCH}/byzer_bench_vecs/{nv}"
+    vfile = os.path.join(vdir, "vecs.parquet")
+    rng = np.random.default_rng(42)
+    emb = rng.normal(size=(nv, 64)).astype(np.float32)
+    if not os.path.exists(vfile):
+        os.makedirs(vdir, exist_ok=True)
+        offs = np.arange(0, (nv + 1) * 64, 64, dtype=np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offs), pa.array(emb.ravel()))
+        _pq.write_table(pa.table({"vec_id": pa.array(np.arange(nv), pa.int64()),
+                                  "emb": la}), vfile)
+    cluster.create_table(TableSettings(
+        "web", "vecs", "st(field(vec_id,long),field(emb,array(float)))", loc))
+    tv = time.perf_counter()
+    cluster.build_from_parquet("web", "vecs", vdir, key_field="vec_id",
+                               num_doc_parts=16, num_term_parts=4,
+                               num_serving_buckets=16)
+    queries["vector_build"] = round(time.perf_counter() - tv, 3)
+    ta = time.perf_counter()
+    cluster.activate("web", "vecs", preload=True)
+    queries["vector_activate"] = round(time.perf_counter() - ta, 3)
+    vlat = []
+    for i in range(17):
+        q = SearchQuery("web", "vecs", vector=[float(x) for x in emb[i * 7]],
+                        vectorField="emb", limit=10)
+        tq = time.perf_counter()
+        cluster.search("web", "vecs", q, vector_algorithm="hnsw", ef=100)
+        vlat.append(time.perf_counter() - tq)
+    queries["vector_first_query_ms"] = round(vlat[0] * 1000, 2)
+    queries["vector_p50_ms"] = round(float(np.percentile(vlat[1:], 50)) * 1000, 2)
+    cluster.deactivate("web", "vecs")
+
     # ---- dataset ops over the driver tables ----
     import ray.data
     from byzer_retrieval_ray.ops.dedup import exact_dedup, minhash_lsh_dedup
