@@ -1094,6 +1094,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "text": pa.array(out["text"], pa.string())})
     q["normalize_text"] = normalize
 
+    def perplexity(sf):
+        # CCNet-style bigram-LM perplexity (ops/perplexity.py): train the
+        # additive-smoothed LM on the curated subset doc_id % 20 == 0, score
+        # EVERY document — counts, vocab and every ln-term are exactly
+        # reproducible in SQL, so logppl is value-checked end-to-end
+        import ray.data
+        from byzer_retrieval_ray.ops.perplexity import (perplexity_score,
+                                                        train_bigram_lm)
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        def _train_only(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 20 == 0))
+        train = ds.map_batches(_train_only, batch_format="pyarrow")
+        model = train_bigram_lm(train, "text")
+        out = perplexity_score(ds, model, "text", "doc_id", concurrency=2) \
+            .select_columns(["id", "n_tokens", "logppl"]).to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        # round-half-away-from-zero to match DuckDB ROUND (logppl > 0 always:
+        # every smoothed P < 1)
+        lp = np.floor(out["logppl"].to_numpy() * 1e4 + 0.5) / 1e4
+        return pa.table({"doc_id": pa.array(out["id"], pa.int64()),
+                         "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+                         "logppl": pa.array(lp, pa.float64())})
+    q["perplexity"] = perplexity
+
+    def dsir(sf):
+        # DSIR importance weights (ops/dsir.py): target = the curated subset
+        # doc_id % 20 == 5, raw = the whole corpus; hashed unigram+bigram
+        # features over the SQL-replicable poly hashes, so every per-doc
+        # log importance weight is value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.dsir import (dsir_log_weights,
+                                                  fit_hashed_ngram_dist)
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+
+        def _target_only(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 20 == 5))
+        target = fit_hashed_ngram_dist(
+            ds.map_batches(_target_only, batch_format="pyarrow"), "text",
+            num_buckets=4096)
+        raw = fit_hashed_ngram_dist(ds, "text", num_buckets=4096)
+        out = dsir_log_weights(ds, target, raw, "text", "doc_id",
+                               concurrency=2).to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        lw = np.floor(out["logw"].to_numpy() * 1e4 + 0.5) / 1e4
+        # logw spans both signs: DuckDB ROUND is half-away-from-zero, the
+        # floor(+0.5) trick is half-up — they differ only when a value lands
+        # EXACTLY on a .00005 boundary, impossible for these irrational sums
+        neg = out["logw"].to_numpy() < 0
+        lw[neg] = -(np.floor(-out["logw"].to_numpy()[neg] * 1e4 + 0.5) / 1e4)
+        return pa.table({"doc_id": pa.array(out["id"], pa.int64()),
+                         "n_features": pa.array(out["n_features"], pa.int64()),
+                         "logw": pa.array(lw, pa.float64())})
+    q["dsir_weights"] = dsir
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -2077,4 +2133,63 @@ SELECT media_id,
        LEAST(CAST(CEIL((ms // 20) / 4.0e0) AS BIGINT), 64) AS n_frames,
        ROUND(rms, 4) AS rms
 FROM c ORDER BY media_id"""
+
+    # bigram-LM perplexity: additive smoothing a=0.5 (exact in binary), train
+    # subset doc_id % 20 = 0, vocab = train distinct tokens; docs with < 2
+    # tokens have no bigram and are dropped on both sides
+    sql["perplexity"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+train_pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c
+  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE doc_id % 20 = 0 AND len(t) >= 2)
+  GROUP BY 1, 2
+),
+train_ctx AS (SELECT w1, sum(c) AS c1 FROM train_pairs GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 20 = 0)
+),
+score_pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, len(t) AS n
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)
+)
+SELECT s.doc_id,
+  CAST(any_value(s.n) AS BIGINT) AS n_tokens,
+  ROUND(-sum(ln(COALESCE(b.c, 0) + 0.5e0)
+             - ln(COALESCE(x.c1, 0) + 0.5e0 * v.v)) / (any_value(s.n) - 1),
+        4) AS logppl
+FROM score_pairs s
+LEFT JOIN train_pairs b ON s.w1 = b.w1 AND s.w2 = b.w2
+LEFT JOIN train_ctx x ON s.w1 = x.w1
+CROSS JOIN vocab v
+GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+    # DSIR importance weights: hashed unigram+bigram features (poly hashes
+    # mod 4096), target = doc_id % 20 = 5 subset, raw = whole corpus,
+    # additive smoothing a=0.5; docs with 0 tokens have no features (dropped)
+    sql["dsir_weights"] = f"""
+WITH {_sql_shingles(2, src="documents")},
+feat AS (
+  SELECT doc_id, CAST(unnest(h) % 4096 AS BIGINT) AS f FROM th
+  UNION ALL
+  SELECT doc_id, CAST(unnest(g) % 4096 AS BIGINT) AS f FROM sh
+),
+tgt AS (SELECT f, count(*) AS c FROM feat WHERE doc_id % 20 = 5 GROUP BY f),
+rawc AS (SELECT f, count(*) AS c FROM feat GROUP BY f),
+tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tgt) AS t_tot,
+               (SELECT sum(c) FROM rawc) AS r_tot)
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_features,
+  ROUND(sum(ln(COALESCE(t.c, 0) + 0.5e0) - ln(tot.t_tot + 0.5e0 * 4096)
+            - ln(r.c + 0.5e0) + ln(tot.r_tot + 0.5e0 * 4096)), 4) AS logw
+FROM feat d
+LEFT JOIN tgt t ON d.f = t.f
+JOIN rawc r ON d.f = r.f
+CROSS JOIN tot
+GROUP BY d.doc_id ORDER BY d.doc_id"""
     return sql

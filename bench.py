@@ -302,6 +302,41 @@ def run_bench() -> dict:
               right_cols=["event_id", "value"], tie_col="event_id").count()
     queries["asof_join_events"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.perplexity import (perplexity_score,
+                                                    train_bigram_lm)
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def _train_subset(b):
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 20 == 0))
+
+    model = train_bigram_lm(
+        ds.map_batches(_train_subset, batch_format="pyarrow"), "text")
+    queries["perplexity_train_docs"] = round(time.perf_counter() - td, 3)
+    td = time.perf_counter()
+    perplexity_score(ds, model, "text", "doc_id", concurrency=4).count()
+    queries["perplexity_score_docs"] = round(time.perf_counter() - td, 3)
+
+    from byzer_retrieval_ray.ops.dsir import (dsir_log_weights,
+                                              fit_hashed_ngram_dist)
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def _dsir_target(b):
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 20 == 5))
+
+    tgt = fit_hashed_ngram_dist(
+        ds.map_batches(_dsir_target, batch_format="pyarrow"), "text")
+    raw = fit_hashed_ngram_dist(ds, "text")
+    queries["dsir_fit_docs"] = round(time.perf_counter() - td, 3)
+    td = time.perf_counter()
+    dsir_log_weights(ds, tgt, raw, "text", "doc_id", concurrency=4).count()
+    queries["dsir_score_docs"] = round(time.perf_counter() - td, 3)
+
     total = time.perf_counter() - t0
     m = info["metrics"]
     result = {
