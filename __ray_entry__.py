@@ -1150,6 +1150,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "logw": pa.array(lw, pa.float64())})
     q["dsir_weights"] = dsir
 
+    def export_layout(sf):
+        # deterministic shuffled shard export (ops/export.py): every doc's
+        # (shard, position) in the WRITTEN files is value-checked against
+        # the fmix32(Horner31(id#seed)) permutation computed in SQL
+        import tempfile
+        import ray.data
+        import pyarrow.parquet as _pq
+        from byzer_retrieval_ray.ops.export import shuffled_export
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "lang"])
+        out_dir = tempfile.mkdtemp(prefix="byzer_export_gate_")
+        shuffled_export(ds, out_dir, "doc_id", seed=42, num_shards=8)
+        ids, shards, poss = [], [], []
+        for k in range(8):
+            p = os.path.join(out_dir, f"part-{k:05d}.parquet")
+            if not os.path.exists(p):
+                continue
+            part = _pq.read_table(p)["doc_id"].to_pylist()
+            ids.extend(part)
+            shards.extend([k] * len(part))
+            poss.extend(range(len(part)))
+        import shutil as _sh
+        _sh.rmtree(out_dir, ignore_errors=True)
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "shard": pa.array(shards, pa.int64()),
+                      "pos": pa.array(poss, pa.int64())})
+        return t.sort_by("doc_id")
+    q["export_layout"] = export_layout
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -2192,4 +2221,25 @@ LEFT JOIN tgt t ON d.f = t.f
 JOIN rawc r ON d.f = r.f
 CROSS JOIN tot
 GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+    # shuffled export layout: key = fmix32(Horner31(str(doc_id) || '#42')),
+    # shard = key % 8, pos = rank by (key, doc_id) within the shard —
+    # mirrors ops/export.shuffle_keys exactly (functions/polyhash.py fmix32)
+    sql["export_layout"] = """
+WITH h0 AS (
+  SELECT doc_id, list_reduce(list_transform(range(1, length(s) + 1),
+         i -> CAST(unicode(s[i]) AS HUGEINT)),
+         (a, b) -> (a * 31 + b) % 4294967296) AS h
+  FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) || '#42' AS s FROM documents)
+),
+f1 AS (SELECT doc_id, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT doc_id, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT doc_id, xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT doc_id, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS d FROM f3),
+k AS (SELECT doc_id, xor(d, d >> 16) AS key FROM f4)
+SELECT doc_id,
+       CAST(key % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k ORDER BY doc_id"""
     return sql

@@ -337,6 +337,18 @@ def run_bench() -> dict:
     dsir_log_weights(ds, tgt, raw, "text", "doc_id", concurrency=4).count()
     queries["dsir_score_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.export import shuffled_export
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    exp_dir = os.path.join(os.environ.get("GRAFT_SCRATCH", "/tmp"),
+                           "byzer_bench_export")
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    shuffled_export(ds, exp_dir, "doc_id", seed=1, num_shards=16)
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    queries["export_docs"] = round(time.perf_counter() - td, 3)
+
     total = time.perf_counter() - t0
     m = info["metrics"]
     result = {

@@ -67,3 +67,25 @@ def fold_u64(values: np.ndarray, mult: int = 1000003, axis: int | None = None) -
     for j in range(vals.shape[1]):
         out = out * m + vals[:, j]
     return out
+
+
+def fmix32_np(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3's 32-bit finalizer (public avalanche constants) over a
+    uint64 array holding values < 2^32 — xor-shift/multiply steps only, so
+    it is exactly expressible in DuckDB:
+
+        xor(h, h >> 16), CAST((CAST(. AS HUGEINT) * 2246822507) % 4294967296
+        AS BIGINT), xor(. , . >> 13), * 3266489909, xor(. , . >> 16)
+
+    Use after poly_hash_np(bits=32) when the hash keys a modulo partition
+    (shards/buckets): Horner hashes of near-sequential strings are uniform
+    as VALUES but correlated in their low bits; the finalizer avalanches
+    them (ops/export.py shard keys).
+    """
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & _MASK32
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & _MASK32
+    h ^= h >> np.uint64(16)
+    return h
