@@ -1310,6 +1310,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["multimodal_audio"] = multimodal_audio
 
+    def multimodal_video(sf):
+        # real YUV4MPEG2 (y4m) decode through the actor-pool frame sampler
+        # over constant-luma clips: frame f of clip i has every Y byte equal
+        # to (i*13 + 7*f) % 256, so every sampled frame's mean luma (and the
+        # per-clip mean over the stride-4, cap-64 sample) is closed-form
+        import ray.data
+        from byzer_retrieval_ray.ops.multimodal import (VideoFrameSample,
+                                                        synth_media_table)
+        ds = ray.data.from_arrow(synth_media_table(32, "y4m"))
+        out = ds.map_batches(VideoFrameSample(stride=4), batch_format="pyarrow",
+                             batch_size=8, concurrency=2).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+            "n_sampled": pa.array([len(x) for x in out["frame_luma"]],
+                                  pa.int64()),
+            "mean_luma": pa.array(np.round([float(np.mean(x))
+                                            for x in out["frame_luma"]], 4)),
+        })
+    q["multimodal_video"] = multimodal_video
+
     return q
 
 
@@ -2162,6 +2184,25 @@ SELECT media_id,
        LEAST(CAST(CEIL((ms // 20) / 4.0e0) AS BIGINT), 64) AS n_frames,
        ROUND(rms, 4) AS rms
 FROM c ORDER BY media_id"""
+
+    # constant-luma y4m clips: n_frames = 5+(i*11)%60, sampled frames
+    # j*4 < n_frames capped at 64, each sampled mean = (i*13 + 28j) % 256
+    sql["multimodal_video"] = """
+WITH c AS (
+  SELECT CAST(range AS BIGINT) AS media_id,
+         5 + (range * 11) % 60 AS nf
+  FROM range(32)
+),
+s AS (
+  SELECT media_id, nf,
+         unnest(range(0, LEAST(CAST(CEIL(nf / 4.0e0) AS BIGINT), 64))) AS j
+  FROM c
+)
+SELECT media_id,
+       CAST(any_value(nf) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       ROUND(avg(CAST((media_id * 13 + 28 * j) % 256 AS DOUBLE)), 4) AS mean_luma
+FROM s GROUP BY media_id ORDER BY media_id"""
 
     # bigram-LM perplexity: additive smoothing a=0.5 (exact in binary), train
     # subset doc_id % 20 = 0, vocab = train distinct tokens; docs with < 2

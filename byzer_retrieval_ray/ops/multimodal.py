@@ -299,14 +299,125 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
             "height": pa.array(np.zeros(n, np.int32)),
             "duration_ms": pa.array(np.array(durs, np.int32)),
         })
+    if kind == "y4m":
+        # constant-luma frames: clip i, frame f has every Y byte equal to
+        # (i·13 + 7·f) % 256 — each sampled frame's mean luma is exactly
+        # that constant, giving VideoFrameSample a closed-form SQL oracle
+        payloads, nfs = [], []
+        for i in range(n):
+            w = 8 + (i % 5) * 4
+            h = 8 + (i % 3) * 4
+            nf = 5 + (i * 11) % 60
+            y = np.empty((nf, h, w), dtype=np.uint8)
+            for f in range(nf):
+                y[f] = (i * 13 + 7 * f) % 256
+            payloads.append(encode_y4m(y))
+            nfs.append(nf)
+        return pa.table({
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n),
+            "width": pa.array(np.array([8 + (i % 5) * 4 for i in range(n)], np.int32)),
+            "height": pa.array(np.array([8 + (i % 3) * 4 for i in range(n)], np.int32)),
+            "duration_ms": pa.array(np.array([nf * 40 for nf in nfs], np.int32)),
+        })
     payloads = [rng.integers(0, 256, size=int(rng.integers(64, 256)),
                              dtype=np.uint8).tobytes() for _ in range(n)]
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array([kind] * n),
         "payload": pa.array(payloads, pa.binary()),
-        "mime": pa.array(["image/fake" if kind == "image" else "audio/fake"] * n),
+        "mime": pa.array([f"{kind if kind in ('image', 'video') else 'audio'}/fake"] * n),
         "width": pa.array(rng.integers(4, 64, n).astype(np.int32)),
         "height": pa.array(rng.integers(4, 64, n).astype(np.int32)),
         "duration_ms": pa.array(rng.integers(100, 4000, n).astype(np.int32)),
     })
+
+
+# --- video: YUV4MPEG2 (y4m) — an uncompressed public container parseable
+# with numpy alone (plain-text stream header "YUV4MPEG2 W.. H.. F..\n",
+# then per frame "FRAME...\n" + raw planes). C420 subsampling only.
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
+    """y4m → (Y planes as uint8 (n_frames, h, w), width, height).
+
+    Chroma planes are skipped (luma is what frame-sampling features read).
+    Only C420 family subsampling (the y4m default) is supported.
+    """
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    w = h = 0
+    for tok in data[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise ValueError(f"unsupported y4m chroma mode {tok!r}")
+    if w <= 0 or h <= 0 or w % 2 or h % 2:
+        raise ValueError(f"bad y4m dimensions {w}x{h}")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m frame header")
+        body = data[fnl + 1: fnl + 1 + ysz + 2 * csz]
+        if len(body) < ysz + 2 * csz:
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(body[:ysz], dtype=np.uint8).reshape(h, w))
+        pos = fnl + 1 + ysz + 2 * csz
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), w, h
+
+
+def encode_y4m(y_frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w) uint8 Y planes → y4m bytes (C420, neutral 128 chroma)."""
+    n, h, w = y_frames.shape
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(y_frames[f].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+class VideoFrameSample:
+    """binary video → every-nth-frame mean luma. y4m payloads (YUV4MPEG2
+    magic) decode for real via numpy; other containers raise unless
+    ``fake=True``. Emits n_frames (total in the clip) and ``frame_luma``
+    (list<float64> of sampled frames' Y-plane means, capped at 64)."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 64,
+                 fake: bool = False, payload_col: str = "payload"):
+        self.stride = stride
+        self.max_frames = max_frames
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, lumas = [], []
+        for payload in batch[self.payload_col].to_pylist():
+            if payload[:9] == b"YUV4MPEG2":
+                y, _, _ = decode_y4m(payload)
+                total = y.shape[0]
+                sampled = y[::self.stride][: self.max_frames]
+                means = sampled.mean(axis=(1, 2), dtype=np.float64)
+            elif self.fake:
+                rng = _fake_rng(payload)
+                total = int(rng.integers(1, 300))
+                means = (rng.random(total) * 255)[::self.stride][: self.max_frames]
+            else:
+                raise NotImplementedError(
+                    "video container not decodable here (real decoder: "
+                    "YUV4MPEG2/y4m); construct VideoFrameSample(fake=True) "
+                    "for the stub")
+            n_frames.append(total)
+            lumas.append([float(m) for m in means])
+        return batch.append_column(
+            "n_frames", pa.array(n_frames, pa.int32())).append_column(
+            "frame_luma", pa.array(lumas, pa.list_(pa.float64())))

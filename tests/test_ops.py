@@ -387,6 +387,18 @@ class TestMultimodal:
         b = multimodal.ImageDecode(fake=True)(t)
         assert a["channel_mean"].to_pylist() == b["channel_mean"].to_pylist()
 
+    def test_video_plumbing(self, ray_mod):
+        t = multimodal.synth_media_table(8, "video")
+        ds = ray_mod.from_arrow(t)
+        out = ds.map_batches(multimodal.VideoFrameSample(fake=True),
+                             batch_format="pyarrow", batch_size=4).to_pandas()
+        assert len(out) == 8 and "frame_luma" in out and "n_frames" in out
+
+    def test_video_real_decode_raises(self):
+        t = multimodal.synth_media_table(2, "video")
+        with pytest.raises(NotImplementedError):
+            multimodal.VideoFrameSample(fake=False)(t)
+
 
 class TestNarrowShuffles:
     """100 TB shape: the dedup shuffles carry sketches only — never documents or
@@ -495,6 +507,30 @@ class TestRealMultimodalCodecs:
         for es in out["frame_energy"]:
             assert len(es) >= 1
             assert abs(np.mean(es) - 0.5 / np.sqrt(2)) < 0.05
+
+    def test_y4m_round_trip(self):
+        y = np.arange(3 * 8 * 12, dtype=np.uint8).reshape(3, 8, 12) % 251
+        frames, w, h = multimodal.decode_y4m(multimodal.encode_y4m(y))
+        assert (w, h) == (12, 8)
+        assert np.array_equal(frames, y)
+        with pytest.raises(ValueError, match="YUV4MPEG2"):
+            multimodal.decode_y4m(b"not a video")
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_y4m(multimodal.encode_y4m(y)[:-10])
+        with pytest.raises(ValueError, match="chroma"):
+            multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + b"\0" * 48)
+
+    def test_video_stage_decodes_real_y4m(self, ray_mod):
+        ds = ray_mod.from_arrow(multimodal.synth_media_table(10, "y4m"))
+        out = ds.map_batches(multimodal.VideoFrameSample(stride=4),
+                             batch_format="pyarrow", batch_size=4,
+                             concurrency=2).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        for i, row in out.iterrows():
+            nf = 5 + (i * 11) % 60
+            assert row["n_frames"] == nf
+            want = [(i * 13 + 7 * f) % 256 for f in range(0, nf, 4)][:64]
+            assert list(row["frame_luma"]) == want
 
     def test_bmp_through_resize_stage(self, ray_mod):
         ds = ray_mod.from_arrow(multimodal.synth_media_table(8, "bmp"))
