@@ -1179,6 +1179,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.sort_by("doc_id")
     q["export_layout"] = export_layout
 
+    def _aug_urls(sf):
+        """Deterministic messy-URL column from doc_id (mirrored in SQL):
+        mixed-case scheme/host, default + non-default ports, empty paths,
+        tracking params in every position, fragments."""
+        import pyarrow.parquet as _pq
+        ids = _pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id"])["doc_id"].to_pylist()
+        urls = []
+        for i in ids:
+            scheme = "HTTPS" if i % 2 == 0 else "http"
+            sub = "www" if i % 3 == 0 else f"Sub{i % 7}"
+            tld = [".co.uk", ".com", ".org", ".com.au"][i % 4]
+            if i % 6 == 0:
+                port = ":443" if i % 2 == 0 else ":80"
+            elif i % 6 == 1:
+                port = ":8080"
+            else:
+                port = ""
+            path = "" if i % 3 == 0 else f"/P/{i}"
+            query = [f"?utm_source=g&id={i}",
+                     f"?id={i}&utm_campaign=c",
+                     "?gclid=z", "?a=1&b=2", ""][i % 5]
+            frag = "#frag" if i % 2 == 1 else ""
+            urls.append(f"{scheme}://{sub}.Example{i % 13}{tld}"
+                        f"{port}{path}{query}{frag}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    def url_canonical(sf):
+        # URL canonicalization (ops/url.py): lowercase scheme/host, default
+        # ports dropped, empty path -> /, tracking params stripped in place,
+        # fragment dropped, registrable domain via the PSL-approximation
+        # regex — every canonical url/host/domain string value-checked
+        import ray.data
+        from byzer_retrieval_ray.ops.url import add_canonical_urls
+        ds = ray.data.from_arrow(_aug_urls(sf))
+        out = ds.map_batches(lambda b: add_canonical_urls(b, "url"),
+                             batch_format="pyarrow") \
+                .select_columns(["doc_id", "canon_url", "canon_host",
+                                 "canon_domain"]).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    q["url_canonical"] = url_canonical
+
+    def url_domains(sf):
+        # per-registrable-domain doc counts (combiner + bucketed fold)
+        import ray.data
+        from byzer_retrieval_ray.ops.url import domain_stats
+        ds = ray.data.from_arrow(_aug_urls(sf))
+        out = domain_stats(ds, "url").to_pandas()
+        out = out.sort_values("domain").reset_index(drop=True)
+        return pa.table({"domain": pa.array(out["domain"], pa.string()),
+                         "n_docs": pa.array(out["n_docs"], pa.int64())})
+    q["url_domain_stats"] = url_domains
+
     # --- grouped top-k (per-group sort inside map_groups) ---
     def top_docs_per_lang(sf):
         import ray.data
@@ -2283,4 +2338,60 @@ SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1
             AS BIGINT) AS pos
 FROM k ORDER BY doc_id"""
+
+    # messy-URL augmentation + RFC3986-ish canonicalization, both replicated
+    # from ops/url.py (same RE2 patterns; list_filter mirrors the
+    # tracking-param strip with order preserved)
+    _sql_url_canon = """
+urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'www' ELSE 'Sub' || CAST(doc_id % 7 AS VARCHAR) END) ||
+    '.Example' || CAST(doc_id % 13 AS VARCHAR) ||
+    (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.org' ELSE '.com.au' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+          WHEN doc_id % 6 = 1 THEN ':8080' ELSE '' END) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/P/' || CAST(doc_id AS VARCHAR) END) ||
+    (CASE doc_id % 5 WHEN 0 THEN '?utm_source=g&id=' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=c'
+                     WHEN 2 THEN '?gclid=z' WHEN 3 THEN '?a=1&b=2' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM urls
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host ||
+    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+               AND NOT (scheme = 'https' AND port = '443')
+          THEN ':' || port ELSE '' END) ||
+    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+    (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon_url,
+    host AS canon_host,
+    regexp_extract(host,
+      '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp|com\\.br|co\\.in|com\\.cn)|[^.]+\\.[^.]+)$',
+      1) AS canon_domain
+  FROM (
+    SELECT *, array_to_string(list_filter(string_split(query, '&'),
+              x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=|$)')), '&') AS q2
+    FROM parts)
+)"""
+
+    sql["url_canonical"] = f"""
+WITH {_sql_url_canon}
+SELECT doc_id, canon_url, canon_host, canon_domain
+FROM canon ORDER BY doc_id"""
+
+    sql["url_domain_stats"] = f"""
+WITH {_sql_url_canon}
+SELECT canon_domain AS domain, CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY 1 ORDER BY 1"""
     return sql
