@@ -762,6 +762,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "dup_of": pa.array(out["dup_of"], pa.int64())})
     q["dedup_ngram"] = dedup_ngram
 
+    def dedup_semantic(sf):
+        # SemDeDup-style semantic dedup (ops/semdedup.py): centroids PINNED
+        # to the base vectors vec_id < 16 so the k-means assignment itself
+        # is SQL-checkable (argmax cosine, ties to lowest centroid); exact
+        # aug copies give true in-cluster dups at threshold 0.95. Every
+        # vector's (cluster, dup_of) is value-checked; nulls -> -1 on both
+        # sides (keepers)
+        import ray.data
+        from byzer_retrieval_ray.ops.semdedup import semantic_dedup
+        aug = _augmented_embeddings(sf)
+        cents_tbl = aug.filter(pa.array(aug["vec_id"].to_numpy() < 16))
+        cents = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in cents_tbl["embedding"].to_pylist()])
+        ds = ray.data.from_arrow(aug)
+        out = semantic_dedup(ds, "embedding", "vec_id", threshold=0.95,
+                             centroids=cents).to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        dup = out["dup_of"].fillna(-1).astype(np.int64)
+        return pa.table({"id": pa.array(out["id"], pa.int64()),
+                         "cluster": pa.array(out["cluster"], pa.int64()),
+                         "dup_of": pa.array(dup, pa.int64())})
+    q["dedup_semantic"] = dedup_semantic
+
     def dedup_lines(sf):
         import ray.data
         from byzer_retrieval_ray.ops.dedup import line_dedup
@@ -1952,6 +1975,41 @@ best AS (
   FROM pairs
 )
 SELECT id, dup_of FROM best WHERE rn = 1 AND score >= 0.999999e0 ORDER BY id, dup_of"""
+
+    # SemDeDup with pinned centroids: assignment = argmax cosine to the 16
+    # base vectors (ties to lowest centroid id), dup_of = highest-cosine
+    # earlier same-cluster member when >= 0.95, else -1
+    sql["dedup_semantic"] = f"""
+WITH {_SQL_AUG_EMB},
+cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+sims AS (
+  SELECT a.vec_id AS id, c.cid,
+         list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS s
+  FROM aug a CROSS JOIN cents c
+),
+assign AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM sims) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.id AS id, y.id AS cand,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS s
+  FROM assign x
+  JOIN assign y ON x.cluster = y.cluster AND y.id < x.id
+  JOIN aug ea ON ea.vec_id = x.id
+  JOIN aug eb ON eb.vec_id = y.id
+),
+best AS (
+  SELECT id, cand, s,
+         row_number() OVER (PARTITION BY id ORDER BY s DESC, cand) AS rn
+  FROM pairs
+)
+SELECT a.id AS id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(COALESCE(CASE WHEN b.s >= 0.95e0 THEN b.cand END, -1) AS BIGINT) AS dup_of
+FROM assign a LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (id)
+ORDER BY id"""
 
     # IVF with nprobe = n_centroids is exact ⇒ the brute-force cosine SQL applies.
     sql["ann_ivf"] = sql["ann_bruteforce"]
