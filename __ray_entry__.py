@@ -355,6 +355,64 @@ aug AS (SELECT doc_id,
         FROM base)"""
 
 
+_GOPHER_SYMS = "### ## # #### ##"
+_GOPHER_NUMS = "12345 67890 2468 13579 31415 2718 999 42"
+_GOPHER_STOPS = "the data and that table have to be of use with care"
+
+
+def _augmented_docs_gopher(sf_dir: str) -> pa.Table:
+    """'Web page' corpus for the Gopher quality rules: each doc's words become
+    8-word lines; doc_id % 5 == 1 prefixes every base line with a bullet
+    ('• '), doc_id % 7 == 2 suffixes every base line with '...'; then fixed
+    extra lines: symbols (doc_id % 11 == 3), digit-only words
+    (doc_id % 13 == 7), stop words (doc_id % 3 != 0 — so % 3 == 0 docs fail
+    the stop-word rule). Mirrored exactly in SQL (_SQL_AUG_DOCS_GOPHER)."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_numpy(zero_copy_only=False)
+    out = []
+    for d, s in zip(ids, texts):
+        w = s.split(" ")
+        lines = []
+        n = -(-len(w) // 8)
+        for i in range(1, n + 1):
+            seg = " ".join(w[(i - 1) * 8: min(i * 8, len(w))])
+            if d % 5 == 1:
+                seg = "• " + seg
+            if d % 7 == 2:
+                seg += "..."
+            lines.append(seg)
+        if d % 11 == 3:
+            lines.append(_GOPHER_SYMS)
+        if d % 13 == 7:
+            lines.append(_GOPHER_NUMS)
+        if d % 3 != 0:
+            lines.append(_GOPHER_STOPS)
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(out, pa.string())})
+
+
+_SQL_AUG_DOCS_GOPHER = f"""
+gwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gexp AS (SELECT doc_id, w,
+                unnest(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)) AS i
+         FROM gwords),
+gln AS (SELECT doc_id, i AS line_no,
+               CASE WHEN doc_id % 5 = 1 THEN '• ' ELSE '' END
+               || array_to_string(w[((i - 1) * 8 + 1):least(i * 8, len(w))], ' ')
+               || CASE WHEN doc_id % 7 = 2 THEN '...' ELSE '' END AS line
+        FROM gexp),
+gbase AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+          FROM gln GROUP BY doc_id),
+aug AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 11 = 3 THEN chr(10) || '{_GOPHER_SYMS}' ELSE '' END
+              || CASE WHEN doc_id % 13 = 7 THEN chr(10) || '{_GOPHER_NUMS}' ELSE '' END
+              || CASE WHEN doc_id % 3 <> 0 THEN chr(10) || '{_GOPHER_STOPS}' ELSE '' END AS text
+        FROM gbase)"""
+
+
 def _augmented_docs_pii(sf_dir: str) -> pa.Table:
     """documents with deterministic PII injected into every doc_id % 7 == 3 row
     (an email, an IPv4, an international phone number, all derived from doc_id).
@@ -901,6 +959,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                          "text": pa.array(out["text"], pa.string())})
     q["c4_filter"] = c4_filter
+
+    def gopher_filter(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.gopher import gopher_stats
+        ds = ray.data.from_arrow(_augmented_docs_gopher(sf))
+        out = gopher_stats(ds, "text", "doc_id", min_words=20).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_words": pa.array(out["n_words"], pa.int64()),
+            "mean_word_len": pa.array(out["mean_word_len"], pa.float64()),
+            "symbol_ratio": pa.array(out["symbol_ratio"], pa.float64()),
+            "bullet_frac": pa.array(out["bullet_frac"], pa.float64()),
+            "ellipsis_frac": pa.array(out["ellipsis_frac"], pa.float64()),
+            "alpha_frac": pa.array(out["alpha_frac"], pa.float64()),
+            "n_stop": pa.array(out["n_stop"], pa.int64()),
+            "keep": pa.array(out["keep"].astype(np.int64), pa.int64()),
+        })
+    q["gopher_filter"] = gopher_filter
 
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
@@ -1958,6 +2035,57 @@ WHERE len(kl) >= 3
   AND NOT contains(lower(text), 'lorem ipsum')
   AND NOT contains(text, '{{') AND NOT contains(text, '}}')
 ORDER BY doc_id"""
+
+    # Gopher quality rules (Rae et al. 2021, A1.1) over the augmented corpus;
+    # per-doc metrics + keep flag, mirrors ops/gopher.gopher_stats with
+    # min_words=20. Words = \s+ runs (empties dropped); '...' counted
+    # non-overlapping; keep computed on UNROUNDED doubles on both sides.
+    sql["gopher_filter"] = f"""
+WITH {_SQL_AUG_DOCS_GOPHER},
+w AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS w
+      FROM aug),
+m AS (SELECT doc_id, text, len(w) AS n_words,
+        CASE WHEN len(w) > 0 THEN
+          CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+               AS DOUBLE) / len(w) ELSE 0e0 END AS mwl,
+        CASE WHEN len(w) > 0 THEN
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(w) ELSE 0e0 END AS alpha_frac,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(w, x -> lower(x)), s))) AS n_stop,
+        CASE WHEN len(w) > 0 THEN
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+          / len(w) ELSE 0e0 END AS symbol_ratio
+      FROM w),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+lm AS (SELECT doc_id,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, x -> x LIKE '• %' OR x LIKE '- %'
+                                      OR x LIKE '* %')) AS DOUBLE) / len(ls)
+           ELSE 0e0 END AS bullet_frac,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+                AS DOUBLE) / len(ls) ELSE 0e0 END AS ellipsis_frac
+       FROM l)
+SELECT m.doc_id, n_words,
+       ROUND(mwl, 4) AS mean_word_len,
+       ROUND(symbol_ratio, 4) AS symbol_ratio,
+       ROUND(bullet_frac, 4) AS bullet_frac,
+       ROUND(ellipsis_frac, 4) AS ellipsis_frac,
+       ROUND(alpha_frac, 4) AS alpha_frac,
+       n_stop,
+       CAST(n_words >= 20 AND n_words <= 100000
+            AND mwl >= 3e0 AND mwl <= 10e0
+            AND symbol_ratio <= 0.1e0
+            AND bullet_frac <= 0.9e0
+            AND ellipsis_frac <= 0.3e0
+            AND alpha_frac >= 0.8e0
+            AND n_stop >= 2 AS BIGINT) AS keep
+FROM m JOIN lm USING (doc_id)
+ORDER BY m.doc_id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold

@@ -282,6 +282,13 @@ def run_bench() -> dict:
                       sep=" the ").count()
     queries["c4_filter_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.gopher import gopher_quality_filter
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    gopher_quality_filter(ds, "text", min_words=20).count()
+    queries["gopher_filter_docs"] = round(time.perf_counter() - td, 3)
+
     td = time.perf_counter()
     import pyarrow.compute as pc_
 
