@@ -979,6 +979,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["gopher_filter"] = gopher_filter
 
+    _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0,
+                    "src3": 3.0, "src4": 1.5}
+
+    def mixture(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.mixture import mixture_resample
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "source"])
+        out = mixture_resample(ds, "source", _MIX_WEIGHTS,
+                               "doc_id").to_pandas()
+        out = out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "source": pa.array(out["source"], pa.string()),
+            "epoch": pa.array(out["epoch"], pa.int64()),
+        })
+    q["mixture_resample"] = mixture
+
+    def pmi(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.pmi import pmi_collocations
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["text"])
+        out = pmi_collocations(ds, "text", min_count=5)
+        out = out.sort_values("ngram").reset_index(drop=True)
+        return pa.table({
+            "ngram": pa.array(out["ngram"], pa.string()),
+            "count": pa.array(out["count"], pa.int64()),
+            "pmi": pa.array(out["pmi"], pa.float64()),
+        })
+    q["pmi_bigrams"] = pmi
+
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
         import ray.data
@@ -2086,6 +2118,57 @@ SELECT m.doc_id, n_words,
             AND n_stop >= 2 AS BIGINT) AS keep
 FROM m JOIN lm USING (doc_id)
 ORDER BY m.doc_id"""
+
+    # domain-mixture resampling: k = floor(w) + (fmix32(Horner31(str(id)))
+    # < floor(frac(w) * 2^32)); every emitted copy value-checked with its
+    # epoch. Mirrors ops/mixture.mixture_resample (weights _MIX_WEIGHTS,
+    # default 1.0).
+    sql["mixture_resample"] = """
+WITH wts(domain, wt) AS (VALUES
+  ('src0', 2.5e0), ('src1', 0.25e0), ('src2', 0e0),
+  ('src3', 3e0), ('src4', 1.5e0)),
+d AS (SELECT doc_id, source, coalesce(wt, 1e0) AS wt
+      FROM documents LEFT JOIN wts ON source = wts.domain),
+h0 AS (SELECT doc_id, source, wt,
+         list_reduce(list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+           i -> CAST(unicode(CAST(doc_id AS VARCHAR)[i]) AS HUGEINT)),
+           (a, b) -> (a * 31 + b) % 4294967296) AS h
+       FROM d),
+f1 AS (SELECT *, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT *, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT *, xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT *, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS e FROM f3),
+u AS (SELECT doc_id, source, wt, xor(e, e >> 16) AS u FROM f4),
+k AS (SELECT doc_id, source,
+        CAST(floor(wt) AS BIGINT)
+        + CASE WHEN u < CAST(trunc((wt - floor(wt)) * 4294967296e0) AS BIGINT)
+               THEN 1 ELSE 0 END AS k
+      FROM u)
+SELECT doc_id, source, unnest(range(0, k)) AS epoch
+FROM k WHERE k > 0 ORDER BY doc_id, epoch"""
+
+    # PMI collocations: pmi = ln((cab/nb) / ((ca/nu)*(cb/nu))) over adjacent
+    # word pairs, count >= 5; identical expression tree + half-away ROUND(4)
+    # as ops/pmi.pmi_collocations (words = \s+ runs, empties dropped).
+    sql["pmi_bigrams"] = """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM arr),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM ucnt),
+bi AS (SELECT unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS g
+       FROM arr),
+bcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY g),
+btot AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bcnt)
+SELECT g AS ngram, cab AS count,
+       ROUND(ln((cab / nb) / ((u1.c / nu) * (u2.c / nu))), 4) AS pmi
+FROM bcnt
+JOIN ucnt u1 ON split_part(g, ' ', 1) = u1.w
+JOIN ucnt u2 ON split_part(g, ' ', 2) = u2.w
+CROSS JOIN tot CROSS JOIN btot
+WHERE cab >= 5
+ORDER BY ngram"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold

@@ -289,6 +289,21 @@ def run_bench() -> dict:
     gopher_quality_filter(ds, "text", min_words=20).count()
     queries["gopher_filter_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.mixture import mixture_resample
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "source"])
+    mixture_resample(ds, "source", {"src0": 2.5, "src1": 0.25},
+                     "doc_id").count()
+    queries["mixture_resample_docs"] = round(time.perf_counter() - td, 3)
+
+    from byzer_retrieval_ray.ops.pmi import pmi_collocations
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["text"])
+    pmi_collocations(ds, "text", min_count=5, k=20)
+    queries["pmi_bigrams_docs"] = round(time.perf_counter() - td, 3)
+
     td = time.perf_counter()
     import pyarrow.compute as pc_
 
