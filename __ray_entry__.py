@@ -1011,6 +1011,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["pmi_bigrams"] = pmi
 
+    def bloom(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.bloom import bloom_members, build_bloom
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id"])
+        seen = ds.map_batches(
+            lambda b: b.filter(pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0)),
+            batch_format="pyarrow")
+        bm = build_bloom(seen, "doc_id", m_bits=1024, k=3)
+        out = bloom_members(ds, "doc_id", bm, m_bits=1024,
+                            k=3).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "member": pa.array(out["member"], pa.int64())})
+    q["bloom_seen"] = bloom
+
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
         import ray.data
@@ -2169,6 +2186,29 @@ JOIN ucnt u2 ON split_part(g, ' ', 2) = u2.w
 CROSS JOIN tot CROSS JOIN btot
 WHERE cab >= 5
 ORDER BY ngram"""
+
+    # Bloom seen-set: build over doc_id % 3 == 0, probe every doc.
+    # pos_i = fmix32(Horner31(str(id) || '#' || i)) % 1024, k = 3; member
+    # iff all three bits are set — EXACT bit-array replication, so the
+    # oracle reproduces the engine's false positives bit-for-bit.
+    sql["bloom_seen"] = """
+WITH seeds AS (SELECT unnest(range(0, 3)) AS i),
+s0 AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS s
+       FROM documents CROSS JOIN seeds),
+h0 AS (SELECT doc_id, list_reduce(list_transform(range(1, length(s) + 1),
+         j -> CAST(unicode(s[j]) AS HUGEINT)),
+         (a, b) -> (a * 31 + b) % 4294967296) AS h
+       FROM s0),
+f1 AS (SELECT doc_id, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT doc_id, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT doc_id, xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT doc_id, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS e FROM f3),
+u AS (SELECT doc_id, xor(e, e >> 16) % 1024 AS pos FROM f4),
+bp AS (SELECT DISTINCT pos FROM u WHERE doc_id % 3 = 0)
+SELECT u.doc_id,
+       CAST(bool_and(bp.pos IS NOT NULL) AS BIGINT) AS member
+FROM u LEFT JOIN bp ON u.pos = bp.pos
+GROUP BY u.doc_id ORDER BY u.doc_id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold

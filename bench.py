@@ -304,6 +304,15 @@ def run_bench() -> dict:
     pmi_collocations(ds, "text", min_count=5, k=20)
     queries["pmi_bigrams_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.bloom import bloom_members, build_bloom
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id"])
+    bm = build_bloom(ds, "doc_id", m_bits=1 << 22, k=3)
+    bm_ref = ray.put(bm)
+    bloom_members(ds, "doc_id", bm_ref, m_bits=1 << 22, k=3).count()
+    queries["bloom_seen_docs"] = round(time.perf_counter() - td, 3)
+
     td = time.perf_counter()
     import pyarrow.compute as pc_
 
