@@ -27,8 +27,16 @@ from byzer_retrieval_ray.index.postings import _concat_ranges
 
 
 def chunk_batch(batch: pa.Table, chunk_tokens: int = 512, overlap: int = 0,
-                text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """(id_col, chunk_id, chunk_text, n_chunk_tokens) rows for one batch."""
+                text_col: str = "text", id_col: str = "doc_id",
+                drop_covered_tails: bool = False) -> pa.Table:
+    """(id_col, chunk_id, chunk_text, n_chunk_tokens) rows for one batch.
+
+    ``drop_covered_tails=True`` skips windows past the first whose tokens are
+    entirely contained in the previous window (start + overlap >= n_tok, e.g.
+    7 tokens at C=4/O=2 would emit a 1-token tail already covered by the
+    previous chunk) — opt-in so the default frozen semantics (and the gate
+    oracle) are unchanged; duplicate tail tokens inflate training epochs.
+    """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
@@ -42,6 +50,12 @@ def chunk_batch(batch: pa.Table, chunk_tokens: int = 512, overlap: int = 0,
     chunk_parent = np.repeat(np.arange(len(n_tok)), n_chunks)
     chunk_idx = _concat_ranges(np.zeros(len(n_tok), np.int64), n_chunks)
     starts_local = chunk_idx * step
+    if drop_covered_tails:
+        keep = ~((chunk_idx > 0)
+                 & (starts_local + overlap >= n_tok[chunk_parent]))
+        chunk_parent = chunk_parent[keep]
+        chunk_idx = chunk_idx[keep]
+        starts_local = starts_local[keep]
     lens = np.minimum(chunk_tokens, n_tok[chunk_parent] - starts_local)
     gather = _concat_ranges(doc_tok_offs[chunk_parent] + starts_local, lens)
 
@@ -66,8 +80,10 @@ def chunk_batch(batch: pa.Table, chunk_tokens: int = 512, overlap: int = 0,
 
 
 def chunk_documents(ds, chunk_tokens: int = 512, overlap: int = 0,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text", id_col: str = "doc_id",
+                    drop_covered_tails: bool = False):
     """Dataset-level streaming chunker (rows out ≥ rows in — a flat map)."""
     return ds.map_batches(
-        lambda b: chunk_batch(b, chunk_tokens, overlap, text_col, id_col),
+        lambda b: chunk_batch(b, chunk_tokens, overlap, text_col, id_col,
+                              drop_covered_tails),
         batch_format="pyarrow")

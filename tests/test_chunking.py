@@ -54,3 +54,28 @@ class TestChunkBatch:
         assert len(out) == 5 * 3                       # 25 tokens -> 3 windows
         g = out.groupby("doc_id")["n_chunk_tokens"].sum()
         assert set(g) == {25}
+
+
+class TestDropCoveredTails:
+    def test_advice_example(self):
+        # 7 tokens, C=4/O=2: default emits starts 0,2,4,6 (the 1-token tail
+        # 'g' is fully inside 'e f g'); drop_covered_tails skips start 6
+        t = pa.table({"doc_id": [1], "text": ["a b c d e f g"]})
+        dflt = chunk_batch(t, chunk_tokens=4, overlap=2)
+        assert dflt["chunk_text"].to_pylist() == \
+            ["a b c d", "c d e f", "e f g", "g"]
+        trimmed = chunk_batch(t, chunk_tokens=4, overlap=2,
+                              drop_covered_tails=True)
+        assert trimmed["chunk_text"].to_pylist() == \
+            ["a b c d", "c d e f", "e f g"]
+
+    def test_noop_without_overlap_or_short_docs(self):
+        t = pa.table({"doc_id": [1, 2], "text": ["a b c d e", "x y"]})
+        a = chunk_batch(t, chunk_tokens=4, overlap=0)
+        b = chunk_batch(t, chunk_tokens=4, overlap=0,
+                        drop_covered_tails=True)
+        assert a.equals(b)
+        # the first window is never dropped even when the doc fits inside it
+        c = chunk_batch(t, chunk_tokens=8, overlap=3,
+                        drop_covered_tails=True)
+        assert c["chunk_text"].to_pylist() == ["a b c d e", "x y"]
