@@ -1028,6 +1028,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "member": pa.array(out["member"], pa.int64())})
     q["bloom_seen"] = bloom
 
+    def pack(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.pack import pack_sequences
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        out = pack_sequences(ds, "text", "doc_id", seq_len=64,
+                             num_buckets=8).to_pandas()
+        out = out.sort_values("seq_id").reset_index(drop=True)
+        return pa.table({"seq_id": pa.array(out["seq_id"], pa.int64()),
+                         "text": pa.array(out["text"], pa.string()),
+                         "n_tokens": pa.array(out["n_tokens"], pa.int64())})
+    q["pack_sequences"] = pack
+
     # --- similarity search over embeddings ---
     def ann_bruteforce(sf):
         import ray.data
@@ -2209,6 +2222,20 @@ SELECT u.doc_id,
        CAST(bool_and(bp.pos IS NOT NULL) AS BIGINT) AS member
 FROM u LEFT JOIN bp ON u.pos = bp.pos
 GROUP BY u.doc_id ORDER BY u.doc_id"""
+
+    # GPT-style packing: global stream = tokens(doc) + ['<eos>'] in doc_id
+    # order, cut into 64-token sequences, tail dropped. Mirrors
+    # ops/pack.pack_sequences byte-for-byte (space-joined windows).
+    sql["pack_sequences"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(list_append(w, '<eos>')) AS tok,
+                unnest(range(0, len(w) + 1)) AS j FROM t),
+pos AS (SELECT tok, row_number() OVER (ORDER BY doc_id, j) - 1 AS p FROM toks),
+seq AS (SELECT p // 64 AS seq_id, string_agg(tok, ' ' ORDER BY p) AS text,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM pos GROUP BY p // 64)
+SELECT seq_id, text, n_tokens FROM seq WHERE n_tokens = 64 ORDER BY seq_id"""
 
     # embedding near-dup with num_planes=0 (single bucket, recall 1.0): for each id
     # the engine links to the highest-cosine SMALLER id if cosine ≥ threshold

@@ -313,6 +313,13 @@ def run_bench() -> dict:
     bloom_members(ds, "doc_id", bm_ref, m_bits=1 << 22, k=3).count()
     queries["bloom_seen_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.pack import pack_sequences
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pack_sequences(ds, "text", "doc_id", seq_len=512, num_buckets=16).count()
+    queries["pack_sequences_docs"] = round(time.perf_counter() - td, 3)
+
     td = time.perf_counter()
     import pyarrow.compute as pc_
 
