@@ -1549,6 +1549,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["multimodal_video"] = multimodal_video
 
+    def hll_distinct_q(sf):
+        # HyperLogLog approximate distinct count (ops/hll.py): two key
+        # streams off documents exercise BOTH estimator branches — plain
+        # tokens (tiny vocab → linear counting) and doc_id:token composites
+        # (~12k distinct → raw HLL). Registers/estimate are deterministic
+        # (fmix32∘Horner31 hash, integer-exact register sum), so the oracle
+        # replicates the full sketch, not just an error band.
+        import pyarrow.compute as pc
+        import ray.data
+        from byzer_retrieval_ray.ops.hll import hll_distinct
+
+        def toks(batch: pa.Table) -> pa.Table:
+            t = pc.list_flatten(pc.utf8_split_whitespace(batch["text"]))
+            return pa.table({"key": t.filter(pc.not_equal(t, ""))})
+
+        def doc_toks(batch: pa.Table) -> pa.Table:
+            text = batch["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            split = pc.utf8_split_whitespace(text)
+            docs = pa.Array.from_pandas(
+                batch["doc_id"].cast(pa.string()).to_pandas().repeat(
+                    pc.list_value_length(split).to_pandas()))
+            t = pc.list_flatten(split)
+            keep = pc.not_equal(t, "")
+            return pa.table({"key": pc.binary_join_element_wise(
+                docs.filter(keep), t.filter(keep), ":")})
+
+        rows = []
+        for kind, fn, cols in (("doc_tokens", doc_toks, ["doc_id", "text"]),
+                               ("tokens", toks, ["text"])):
+            ds = ray.data.read_parquet(
+                os.path.join(sf, "documents.parquet"), columns=cols) \
+                .map_batches(fn, batch_format="pyarrow")
+            got = hll_distinct(ds, "key", p=12)
+            rows.append((kind, got))
+        return pa.table({
+            "key_kind": pa.array([k for k, _ in rows], pa.string()),
+            "m": pa.array([g["m"] for _, g in rows], pa.int64()),
+            "zeros": pa.array([g["zeros"] for _, g in rows], pa.int64()),
+            "branch": pa.array([g["branch"] for _, g in rows], pa.string()),
+            "estimate": pa.array([round(g["estimate"], 4) for _, g in rows],
+                                 pa.float64()),
+            "raw": pa.array([round(g["raw"], 4) for _, g in rows],
+                            pa.float64()),
+        })
+    q["hll_distinct"] = hll_distinct_q
+
     return q
 
 
@@ -2730,4 +2778,70 @@ FROM canon ORDER BY doc_id"""
 WITH {_sql_url_canon}
 SELECT canon_domain AS domain, CAST(count(*) AS BIGINT) AS n_docs
 FROM canon GROUP BY 1 ORDER BY 1"""
+
+    # HyperLogLog sketch replicated in full (ops/hll.py, p=12 → m=4096):
+    # h = fmix32(Horner31(key)) (same chain as export_layout); register
+    # j = h % 4096 keeps max rho, rho = 21 - floor(log2(h >> 12)) via
+    # length(bin(w)) (exact — bin() is unpadded), 21 when the remainder is 0.
+    # The register sum is the INTEGER Σ 2^(21-M[j]) (order-independent, so it
+    # matches numpy exactly); linear-counting kicks in at raw ≤ 2.5m with
+    # empty registers — both branches covered by the two key streams.
+    def _sql_hll(keys_cte: str) -> str:
+        return f"""
+WITH {keys_cte},
+h0 AS (
+  SELECT list_reduce(list_transform(range(1, length(key) + 1),
+         i -> CAST(unicode(key[i]) AS HUGEINT)),
+         (a, b) -> (a * 31 + b) % 4294967296) AS h
+  FROM keys
+),
+f1 AS (SELECT xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS d FROM f3),
+k AS (SELECT xor(d, d >> 16) AS key FROM f4),
+rho AS (
+  SELECT key % 4096 AS j,
+         CASE WHEN key >> 12 > 0 THEN 20 - (length(bin(key >> 12)) - 1)
+              ELSE 21 END AS r
+  FROM k
+),
+regs AS (
+  SELECT g.j, COALESCE(mx.m_rho, 0) AS m_rho
+  FROM (SELECT unnest(range(0, 4096)) AS j) g
+  LEFT JOIN (SELECT j, max(r) AS m_rho FROM rho GROUP BY j) mx ON g.j = mx.j
+),
+agg AS (
+  SELECT sum(CAST(1 AS BIGINT) << (21 - m_rho)) AS s_int,
+         sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM regs
+),
+est AS (
+  SELECT (0.7213e0 / (1.0e0 + 1.079e0 / 4096)) * 4096 * 4096 * 2097152.0e0
+           / CAST(s_int AS DOUBLE) AS raw,
+         CAST(zeros AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT CAST(4096 AS BIGINT) AS m, zeros,
+  CASE WHEN raw <= 2.5e0 * 4096 AND zeros > 0 THEN 'linear' ELSE 'hll' END AS branch,
+  ROUND(CASE WHEN raw <= 2.5e0 * 4096 AND zeros > 0
+             THEN 4096 * ln(4096 / CAST(zeros AS DOUBLE))
+             ELSE raw END, 4) AS estimate,
+  ROUND(raw, 4) AS raw
+FROM est"""
+
+    _hll_tok_keys = """keys AS (
+  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS key
+  FROM documents)"""
+    _hll_doctok_keys = """keys AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) || ':' || tok AS key FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS tok
+    FROM documents))"""
+    sql["hll_distinct"] = f"""
+SELECT 'doc_tokens' AS key_kind, * FROM ({_sql_hll(_hll_doctok_keys)})
+UNION ALL
+SELECT 'tokens' AS key_kind, * FROM ({_sql_hll(_hll_tok_keys)})
+ORDER BY key_kind"""
     return sql
