@@ -1597,6 +1597,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["hll_distinct"] = hll_distinct_q
 
+    def pagerank_docs(sf):
+        # PageRank over a deterministic synthetic link graph on doc_ids
+        # (ids are contiguous 0..N-1): doc i (unless i%5==4, the dangling
+        # set) links to (i*31 + j*97) % N for j = 1..(i%3 + 1), self-loops
+        # dropped. 8 damped power iterations (ops/pagerank.py); the oracle
+        # unrolls the same 8 iterations in SQL. Scores reported as rank·N
+        # (mean 1.0) rounded to 4 — f64 fold-order noise is ~1e-13.
+        import ray.data
+        from byzer_retrieval_ray.ops.pagerank import pagerank
+        nodes_src = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id"])
+        n = nodes_src.count()
+
+        def mk_edges(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            k = ids % 3 + 1
+            keep = ids % 5 != 4
+            ids2, k2 = ids[keep], k[keep]
+            src = np.repeat(ids2, k2)
+            off = np.concatenate([np.zeros(1, np.int64),
+                                  np.cumsum(k2)[:-1]]).astype(np.int64)
+            j = np.arange(src.size, dtype=np.int64) - np.repeat(off, k2) + 1
+            dst = (src * 31 + j * 97) % n
+            m = dst != src
+            return pa.table({"src": pa.array(src[m], pa.int64()),
+                             "dst": pa.array(dst[m], pa.int64())})
+
+        def node_tbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["doc_id"]})
+
+        out = pagerank(nodes_src.map_batches(mk_edges, batch_format="pyarrow"),
+                       nodes_src.map_batches(node_tbl, batch_format="pyarrow"),
+                       damping=0.85, n_iters=8, num_buckets=32) \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["id"], pa.int64()),
+            "rank_x_n": pa.array(np.round(out["rank"].to_numpy() * n, 4),
+                                 pa.float64()),
+        })
+    q["pagerank_docs"] = pagerank_docs
+
     return q
 
 
@@ -2844,4 +2886,43 @@ SELECT 'doc_tokens' AS key_kind, * FROM ({_sql_hll(_hll_doctok_keys)})
 UNION ALL
 SELECT 'tokens' AS key_kind, * FROM ({_sql_hll(_hll_tok_keys)})
 ORDER BY key_kind"""
+
+    # PageRank, 8 damped power iterations unrolled (mirrors ops/pagerank.py
+    # exactly): r_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} r_t(u)/outdeg(u) + D_t/N),
+    # D_t = Σ r_t over dangling (outdeg-0) nodes. Same synthetic graph as
+    # the queries() entry; scores as ROUND(r·N, 4).
+    _pr_iter = """
+r{K} AS (
+  SELECT d0.doc_id AS id,
+         (1.0e0 - 0.85e0) / nn.n
+           + 0.85e0 * (COALESCE(c.s, 0.0e0) + dang.dm / nn.n) AS r
+  FROM documents d0
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(p.r), 0.0e0) AS dm
+              FROM r{P} p LEFT JOIN outdeg o ON p.id = o.src
+              WHERE o.src IS NULL) dang
+  LEFT JOIN (SELECT e.dst AS id, sum(p.r / o.deg) AS s
+             FROM edges e
+             JOIN r{P} p ON p.id = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) c ON c.id = d0.doc_id
+)"""
+    _pr_unrolled = ",".join(
+        _pr_iter.format(K=k, P=k - 1) for k in range(1, 9))
+    sql["pagerank_docs"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 31 + j.j * 97) % nn.n AS dst
+  FROM documents d
+  CROSS JOIN nn
+  JOIN (SELECT unnest(range(1, 4)) AS j) j ON j.j <= d.doc_id % 3 + 1
+  WHERE d.doc_id % 5 <> 4
+    AND (d.doc_id * 31 + j.j * 97) % nn.n <> d.doc_id
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS id, 1.0e0 / nn.n AS r FROM documents CROSS JOIN nn),
+{_pr_unrolled}
+SELECT r8.id AS doc_id, ROUND(r8.r * nn.n, 4) AS rank_x_n
+FROM r8 CROSS JOIN nn ORDER BY doc_id"""
     return sql
