@@ -387,6 +387,56 @@ def run_bench() -> dict:
     shutil.rmtree(exp_dir, ignore_errors=True)
     queries["export_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.hll import hll_distinct
+
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def _doc_toks(b):
+        import pyarrow.compute as _pc
+        text = b["text"].combine_chunks() if isinstance(
+            b["text"], pa.ChunkedArray) else b["text"]
+        split = _pc.utf8_split_whitespace(text)
+        docs = pa.Array.from_pandas(
+            b["doc_id"].cast(pa.string()).to_pandas().repeat(
+                _pc.list_value_length(split).to_pandas()))
+        t = _pc.list_flatten(split)
+        keep = _pc.not_equal(t, "")
+        return pa.table({"key": _pc.binary_join_element_wise(
+            docs.filter(keep), t.filter(keep), ":")})
+
+    hll_distinct(ds.map_batches(_doc_toks, batch_format="pyarrow"),
+                 "key", p=14)
+    queries["hll_distinct_docs"] = round(time.perf_counter() - td, 3)
+
+    from byzer_retrieval_ray.ops.pagerank import pagerank
+
+    td = time.perf_counter()
+    nodes_src = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"])
+    n_nodes = nodes_src.count()
+
+    def _mk_edges(b):
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = ids % 3 + 1
+        keep = ids % 5 != 4
+        ids2, k2 = ids[keep], k[keep]
+        src = np.repeat(ids2, k2)
+        off = np.concatenate([np.zeros(1, np.int64),
+                              np.cumsum(k2)[:-1]]).astype(np.int64)
+        j = np.arange(src.size, dtype=np.int64) - np.repeat(off, k2) + 1
+        dst = (src * 31 + j * 97) % n_nodes
+        m_ = dst != src
+        return pa.table({"src": pa.array(src[m_], pa.int64()),
+                         "dst": pa.array(dst[m_], pa.int64())})
+
+    pagerank(nodes_src.map_batches(_mk_edges, batch_format="pyarrow"),
+             nodes_src.map_batches(lambda b: pa.table({"id": b["doc_id"]}),
+                                   batch_format="pyarrow"),
+             n_iters=8, num_buckets=32).count()
+    queries["pagerank_docs"] = round(time.perf_counter() - td, 3)
+
     total = time.perf_counter() - t0
     m = info["metrics"]
     result = {

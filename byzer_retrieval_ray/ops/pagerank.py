@@ -1,9 +1,8 @@
 """Distributed PageRank over a link graph (Page et al. 1999; damped power
-iteration). A webtext corpus is crawled FROM a link graph — per-page
-PageRank is the classic quality/centrality prior (used as a quality signal
-by CommonCrawl-derived corpora), and the graph-shaped sibling of
-ops/components.py (which labels near-dup clusters on the same row layout).
-The reference engine has no graph ops (SURVEY.md §2) — extension.
+iteration, Pregel-style bucket actors). A webtext corpus is crawled FROM a
+link graph — per-page PageRank is the classic quality/centrality prior
+(used as a quality signal by CommonCrawl-derived corpora). The reference
+engine has no graph ops (SURVEY.md §2) — extension.
 
 Semantics (standard, matching the unrolled-SQL oracle in __ray_entry__):
 
@@ -17,16 +16,38 @@ A FIXED iteration count (default 8) rather than a convergence test keeps
 the result closed-form replicable; at d=0.85 eight rounds settle web-ish
 graphs to ~1e-3 relative, plenty for a quality prior.
 
-100 TB shape (the ops/components.py exchange pattern): edge rows are
-(int64 src, int64 dst) ONLY — materialized once, bucketed by src % nb, and
-reused every round; rank rows (one per node: key, r, outdeg) live bucketed
-by the same key space. Each round is two hash-bucketed exchanges —
-(1) src-bucket join emits (dst, r/outdeg) contribution messages,
-(2) dst-bucket fold sums them per node — plus one streaming scalar
-aggregate for the dangling mass. The driver holds only N and D_t.
-Float order inside a fold is batch-order-dependent (f64 noise ~1e-15);
-consumers that need run-stable output should round (the gate rounds
-r·N to 4 decimals).
+WHY ACTORS, NOT Dataset groupby: an iteration is two bucketed exchanges of
+tiny rows; as Ray Data ``groupby().map_groups`` stages each exchange is an
+AllToAll sort barrier with ~1-2 s fixed cost — 8 iterations paid ~30-80 s
+of pure orchestration on a 500-node graph (measured both per-round
+materialize and one chained 16-barrier plan). Iterative message passing
+with per-round global state is exactly the case the Dataset API can't
+express efficiently, so this is the classic Pregel shape instead:
+
+* ``num_buckets`` long-lived actors; bucket b owns nodes with
+  ``id % nb == b`` — their rank/outdeg arrays — and the edges whose SRC
+  lives there (so contributions read local state only).
+* Loading streams through ``map_batches`` tasks that slice each batch by
+  bucket and push slices to the owning actor — worker→actor through the
+  object store, never the driver.
+* Per iteration: (1) every actor emits per-target-bucket message arrays
+  (dst, r/outdeg) as object refs; the driver routes REFS (never payloads)
+  to target actors; (2) every actor folds the messages addressed to it
+  (np.add.at over searchsorted node index) and returns its new dangling
+  partial — the only per-round driver state is nb floats.
+* Result: ``ray.data.from_arrow_refs`` over per-actor (id, rank) tables —
+  ranks never pass through the driver.
+
+Partitioning assumption (documented like ops/pack.py): one bucket's nodes
++ src-edges must fit the actor's heap — size ``num_buckets`` to the graph
+(10^12 edges / 10^4 buckets ≈ 10^8 edge int64-pairs ≈ 1.6 GB per actor).
+Actors reserve ``cpus_per_actor`` each — default 0 (event-driven folds,
+mostly idle), which guarantees every bucket schedules even on a tiny
+cluster and can never deadlock against the 1-CPU loader tasks that block
+on actor calls; at cluster scale set it so ``num_buckets ×
+cpus_per_actor`` tracks real cores and spreads buckets across nodes. Float fold order
+inside a bucket is arrival-order-dependent (f64 noise ~1e-15); consumers
+needing run-stable output should round (the gate rounds r·N to 4).
 """
 
 from __future__ import annotations
@@ -35,19 +56,104 @@ import numpy as np
 import pyarrow as pa
 
 
-def _schema() -> pa.Schema:
-    return pa.schema([("key", pa.int64()), ("val", pa.int64()),
-                      ("r", pa.float64()), ("deg", pa.int64()),
-                      ("kind", pa.int8()), ("kb", pa.int32())])
+def _make_bucket_actor():
+    import ray
+
+    @ray.remote
+    class _PageRankBucket:
+        """Owns one bucket: node ids (sorted), ranks, outdegs, and the
+        edges whose src is local. See module docstring."""
+
+        def __init__(self, bucket: int, nb: int):
+            self.bucket = bucket
+            self.nb = nb
+            self._node_chunks: list[np.ndarray] = []
+            self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+            self.ids = None
+
+        def add_nodes(self, ids: np.ndarray) -> None:
+            self._node_chunks.append(np.asarray(ids, np.int64))
+
+        def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+            self._edge_chunks.append((np.asarray(src, np.int64),
+                                      np.asarray(dst, np.int64)))
+
+        def finalize(self, n_total: int) -> float:
+            """Sort/dedup-check nodes, compute outdeg, init ranks; return
+            this bucket's initial dangling-mass partial."""
+            ids = (np.concatenate(self._node_chunks)
+                   if self._node_chunks else np.empty(0, np.int64))
+            self.ids = np.unique(ids)            # sorted; tolerates dup rows
+            if self._edge_chunks:
+                self.src = np.concatenate([s for s, _ in self._edge_chunks])
+                self.dst = np.concatenate([t for _, t in self._edge_chunks])
+            else:
+                self.src = np.empty(0, np.int64)
+                self.dst = np.empty(0, np.int64)
+            self._node_chunks = self._edge_chunks = None
+            self.deg = np.zeros(self.ids.size, np.int64)
+            if self.src.size:
+                loc = np.searchsorted(self.ids, self.src)
+                if (loc >= self.ids.size).any() or \
+                        (self.ids[np.minimum(loc, self.ids.size - 1)]
+                         != self.src).any():
+                    raise ValueError("edge src missing from node set")
+                np.add.at(self.deg, loc, 1)
+                self._src_loc = loc
+                self._dst_bucket = (self.dst % self.nb).astype(np.int32)
+            self.r = np.full(self.ids.size, 1.0 / n_total)
+            return float(self.r[self.deg == 0].sum())
+
+        def emit(self) -> list:
+            """Per-target-bucket (dst, contrib) message arrays from the
+            CURRENT ranks, each ray.put into the object store. Returns the
+            nb refs (None for empty targets) — the driver routes refs only,
+            payloads move actor→actor through the store."""
+            if self.src.size == 0:
+                return [None] * self.nb
+            contrib = self.r[self._src_loc] / self.deg[self._src_loc]
+            order = np.argsort(self._dst_bucket, kind="stable")
+            db = self._dst_bucket[order]
+            dsts = self.dst[order]
+            cs = contrib[order]
+            bounds = np.searchsorted(db, np.arange(self.nb + 1))
+            out = []
+            for b in range(self.nb):
+                sl = slice(bounds[b], bounds[b + 1])
+                out.append(ray.put((dsts[sl], cs[sl]))
+                           if bounds[b + 1] > bounds[b] else None)
+            return out
+
+        def apply(self, msg_refs: list, dang_total: float, base: float,
+                  d: float, n_total: int) -> float:
+            """Fold the messages addressed here (refs resolved in-actor);
+            set r_{t+1}; return the new dangling partial."""
+            csum = np.zeros(self.ids.size, np.float64)
+            for ref in msg_refs:
+                if ref is None:
+                    continue
+                dst, contrib = ray.get(ref)
+                loc = np.searchsorted(self.ids, np.asarray(dst, np.int64))
+                np.add.at(csum, loc, np.asarray(contrib, np.float64))
+            self.r = base + d * (csum + dang_total / n_total)
+            return float(self.r[self.deg == 0].sum())
+
+        def ranks_table(self) -> pa.Table:
+            return pa.table({"id": pa.array(self.ids, pa.int64()),
+                             "rank": pa.array(self.r, pa.float64())})
+
+    return _PageRankBucket
 
 
 def pagerank(edges_ds, nodes_ds, src_col: str = "src", dst_col: str = "dst",
              node_col: str = "id", damping: float = 0.85, n_iters: int = 8,
-             num_buckets: int = 64):
+             num_buckets: int = 16, cpus_per_actor: float = 0.0):
     """PageRank of the ``(src_col, dst_col)`` int64 edge list over the node
-    set ``nodes_ds[node_col]`` (which must contain every src/dst and may add
-    isolated nodes). Returns a Dataset of ``(id, rank)`` rows, Σ rank = 1.
+    set ``nodes_ds[node_col]`` (which must contain every src/dst exactly
+    once and may add isolated nodes). Returns a Dataset of ``(id, rank)``
+    rows, Σ rank = 1.
     """
+    import ray
     import ray.data
 
     nb = num_buckets
@@ -57,129 +163,56 @@ def pagerank(edges_ds, nodes_ds, src_col: str = "src", dst_col: str = "dst",
         return ray.data.from_arrow(pa.table(
             {"id": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}))
 
-    def edge_rows(batch: pa.Table) -> pa.Table:
+    cls = _make_bucket_actor()
+    actors = [cls.options(num_cpus=cpus_per_actor).remote(b, nb)
+              for b in range(nb)]
+    # all actors must be SCHEDULED before the push tasks run: a push task
+    # blocks on actor calls, so tasks saturating the CPUs while actors are
+    # still pending would deadlock a small cluster
+    ray.get([a.__ray_ready__.remote() for a in actors])
+
+    # stream-load: tasks slice each batch by owning bucket and push slices
+    # to actors (worker→actor via object store; the .get inside the task
+    # makes delivery happen-before the pipeline finishes)
+    def push_nodes(batch: pa.Table) -> pa.Table:
+        ids = batch[node_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kb = ids % nb
+        refs = [actors[b].add_nodes.remote(ids[kb == b])
+                for b in np.unique(kb)]
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    def push_edges(batch: pa.Table) -> pa.Table:
         src = batch[src_col].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         dst = batch[dst_col].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        return pa.table({"key": pa.array(src, pa.int64()),
-                         "val": pa.array(dst, pa.int64()),
-                         "r": pa.array(np.zeros(src.size), pa.float64()),
-                         "deg": pa.array(np.zeros(src.size, np.int64)),
-                         "kind": pa.array(np.zeros(src.size, np.int8)),
-                         "kb": pa.array((src % nb).astype(np.int32))})
+        kb = src % nb
+        refs = [actors[b].add_edges.remote(src[kb == b], dst[kb == b])
+                for b in np.unique(kb)]
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(src)], pa.int64())})
 
-    edges = edges_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    nodes_ds.map_batches(push_nodes, batch_format="pyarrow").count()
+    edges_ds.map_batches(push_edges, batch_format="pyarrow").count()
 
-    # outdeg: per-batch (src, partial_count) combiner, then a src-bucket fold
-    # joined with zero rows for every node — one narrow exchange, once.
-    def deg_partials(batch: pa.Table) -> pa.Table:
-        src, cnt = np.unique(batch["key"].to_numpy(), return_counts=True)
-        return pa.table({"key": pa.array(src, pa.int64()),
-                         "val": pa.array(np.zeros(src.size, np.int64)),
-                         "r": pa.array(np.zeros(src.size), pa.float64()),
-                         "deg": pa.array(cnt.astype(np.int64)),
-                         "kind": pa.array(np.full(src.size, 1, np.int8)),
-                         "kb": pa.array((src % nb).astype(np.int32))})
-
-    def node_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[node_col].combine_chunks().cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        return pa.table({"key": pa.array(ids, pa.int64()),
-                         "val": pa.array(np.zeros(ids.size, np.int64)),
-                         "r": pa.array(np.zeros(ids.size), pa.float64()),
-                         "deg": pa.array(np.zeros(ids.size, np.int64)),
-                         "kind": pa.array(np.full(ids.size, 1, np.int8)),
-                         "kb": pa.array((ids % nb).astype(np.int32))})
-
-    r0 = 1.0 / n
-
-    def init_fold(group: pa.Table) -> pa.Table:
-        key = group["key"].to_numpy()
-        uk, inv = np.unique(key, return_inverse=True)
-        deg = np.zeros(uk.size, np.int64)
-        np.add.at(deg, inv, group["deg"].to_numpy())
-        return pa.table({"key": pa.array(uk, pa.int64()),
-                         "val": pa.array(np.zeros(uk.size, np.int64)),
-                         "r": pa.array(np.full(uk.size, r0), pa.float64()),
-                         "deg": pa.array(deg),
-                         "kind": pa.array(np.full(uk.size, 1, np.int8)),
-                         "kb": pa.array((uk % nb).astype(np.int32))})
-
-    ranks = edges.map_batches(deg_partials, batch_format="pyarrow") \
-        .union(nodes_ds.map_batches(node_rows, batch_format="pyarrow")) \
-        .groupby("kb").map_groups(init_fold, batch_format="pyarrow") \
-        .materialize()
-
-    def dangling_mass(rs) -> float:
-        # streaming scalar: Σ r over outdeg-0 nodes (per-batch partials)
-        def part(batch: pa.Table) -> pa.Table:
-            m = batch["deg"].to_numpy() == 0
-            s = float(batch["r"].to_numpy()[m].sum())
-            return pa.table({"s": pa.array([s], pa.float64())})
-        tot = rs.map_batches(part, batch_format="pyarrow").sum("s")
-        return float(tot or 0.0)
-
-    def propagate(group: pa.Table) -> pa.Table:
-        """src-bucket group of edge rows (kind 0) + rank rows (kind 1):
-        emit (dst, r/deg) messages (kind 2) and pass rank rows through."""
-        kind = group["kind"].to_numpy()
-        lab = group.filter(pa.array(kind == 1))
-        edg = group.filter(pa.array(kind == 0))
-        lk = lab["key"].to_numpy()
-        order = np.argsort(lk)
-        lk = lk[order]
-        lr = lab["r"].to_numpy()[order]
-        ld = lab["deg"].to_numpy()[order]
-        ek = edg["key"].to_numpy()
-        loc = np.searchsorted(lk, ek)
-        contrib = lr[loc] / ld[loc]          # every src has a rank row
-        dst = edg["val"].to_numpy()
-        key = np.concatenate([lab["key"].to_numpy(), dst])
-        r = np.concatenate([lab["r"].to_numpy(), contrib])
-        deg = np.concatenate([lab["deg"].to_numpy(),
-                              np.zeros(dst.size, np.int64)])
-        knd = np.concatenate([np.full(len(lab), 1, np.int8),
-                              np.full(dst.size, 2, np.int8)])
-        return pa.table({"key": pa.array(key, pa.int64()),
-                         "val": pa.array(np.zeros(key.size, np.int64)),
-                         "r": pa.array(r, pa.float64()),
-                         "deg": pa.array(deg),
-                         "kind": pa.array(knd),
-                         "kb": pa.array((key % nb).astype(np.int32))})
-
+    partials = ray.get([a.finalize.remote(n) for a in actors])
     base = (1.0 - d) / n
     for _ in range(n_iters):
-        dang = dangling_mass(ranks)
-        dang_over_n = dang / n
+        dang = float(sum(partials))
+        # emitted[g][b] is the ref to bucket g's messages for bucket b;
+        # the driver only routes refs — payloads never leave the store
+        emitted = ray.get([a.emit.remote() for a in actors])
+        partials = ray.get([
+            actors[b].apply.remote([emitted[g][b] for g in range(nb)],
+                                   dang, base, d, n)
+            for b in range(nb)])
 
-        def apply_fold(group: pa.Table, _b=base, _don=dang_over_n) -> pa.Table:
-            kind = group["kind"].to_numpy()
-            lab = group.filter(pa.array(kind == 1))
-            msg = group.filter(pa.array(kind == 2))
-            lk = lab["key"].to_numpy()
-            order = np.argsort(lk)
-            lk = lk[order]
-            ld = lab["deg"].to_numpy()[order]
-            csum = np.zeros(lk.size, np.float64)
-            mk = msg["key"].to_numpy()
-            if mk.size:
-                loc = np.searchsorted(lk, mk)
-                np.add.at(csum, loc, msg["r"].to_numpy())
-            newr = _b + d * (csum + _don)
-            return pa.table({"key": pa.array(lk, pa.int64()),
-                             "val": pa.array(np.zeros(lk.size, np.int64)),
-                             "r": pa.array(newr, pa.float64()),
-                             "deg": pa.array(ld),
-                             "kind": pa.array(np.full(lk.size, 1, np.int8)),
-                             "kb": pa.array((lk % nb).astype(np.int32))})
-
-        ranks = edges.union(ranks) \
-            .groupby("kb").map_groups(propagate, batch_format="pyarrow") \
-            .groupby("kb").map_groups(apply_fold, batch_format="pyarrow") \
-            .materialize()
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table({"id": batch["key"], "rank": batch["r"]})
-
-    return ranks.map_batches(project, batch_format="pyarrow")
+    out = ray.data.from_arrow_refs(
+        [a.ranks_table.remote() for a in actors])
+    # from_arrow_refs snapshots the tables; actors can die afterwards
+    out = out.materialize()
+    for a in actors:
+        ray.kill(a)
+    return out
