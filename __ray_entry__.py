@@ -1639,6 +1639,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["pagerank_docs"] = pagerank_docs
 
+    def cms_watchlist(sf):
+        # Count-min sketch frequency estimates for a fixed token watchlist
+        # (ops/cms.py, width=512 depth=3 — narrow on purpose so realized
+        # collisions overestimate and the oracle must reproduce the full
+        # counter matrix semantics, not just exact counts). Keys include
+        # frequent, rare and ABSENT tokens.
+        import pyarrow.compute as pc
+        import ray.data
+        from byzer_retrieval_ray.ops.cms import cms_counts
+
+        def toks(batch: pa.Table) -> pa.Table:
+            t = pc.list_flatten(pc.utf8_split_whitespace(batch["text"]))
+            return pa.table({"key": t.filter(pc.not_equal(t, ""))})
+
+        watch = ["merge", "the", "spark", "window", "customer",
+                 "zzz-absent", "Quux"]
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["text"]) \
+            .map_batches(toks, batch_format="pyarrow")
+        got = cms_counts(ds, "key", watch, width=512, depth=3)
+        ks = sorted(watch)
+        return pa.table({"key": pa.array(ks, pa.string()),
+                         "est": pa.array([got[k] for k in ks], pa.int64())})
+    q["cms_watchlist"] = cms_watchlist
+
     return q
 
 
@@ -2925,4 +2950,41 @@ r0 AS (SELECT doc_id AS id, 1.0e0 / nn.n AS r FROM documents CROSS JOIN nn),
 {_pr_unrolled}
 SELECT r8.id AS doc_id, ROUND(r8.r * nn.n, 4) AS rank_x_n
 FROM r8 CROSS JOIN nn ORDER BY doc_id"""
+
+    # Count-min sketch (ops/cms.py, width=512 depth=3): counter C[i][col]
+    # = Σ multiplicities of stream tokens hashing to col in row i, with
+    # col_i(key) = fmix32(Horner31(key || '#' || i)) % 512 (the bloom_seen
+    # hash composition); est(key) = min over rows of its counters —
+    # realized collisions reproduced exactly, integer arithmetic only.
+    sql["cms_watchlist"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+watch AS (SELECT unnest(['merge', 'the', 'spark', 'window', 'customer',
+                         'zzz-absent', 'Quux']) AS wk),
+allk AS (SELECT tok AS key FROM tc UNION SELECT wk FROM watch),
+seeds AS (SELECT unnest(range(0, 3)) AS i),
+s0 AS (SELECT key, i, key || '#' || CAST(i AS VARCHAR) AS s
+       FROM allk CROSS JOIN seeds),
+h0 AS (SELECT key, i, list_reduce(list_transform(range(1, length(s) + 1),
+         j -> CAST(unicode(s[j]) AS HUGEINT)),
+         (a, b) -> (a * 31 + b) % 4294967296) AS h
+       FROM s0),
+f1 AS (SELECT key, i, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT key, i, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT key, i, xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT key, i, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS e FROM f3),
+cols AS (SELECT key, i, xor(e, e >> 16) % 512 AS col FROM f4),
+ctr AS (SELECT k.i, k.col, sum(tc.c) AS cnt
+        FROM cols k JOIN tc ON k.key = tc.tok
+        GROUP BY k.i, k.col)
+SELECT w.wk AS key,
+       CAST(min(COALESCE(ctr.cnt, 0)) AS BIGINT) AS est
+FROM watch w
+JOIN cols wc ON wc.key = w.wk
+LEFT JOIN ctr ON ctr.i = wc.i AND ctr.col = wc.col
+GROUP BY w.wk ORDER BY key"""
     return sql

@@ -410,6 +410,21 @@ def run_bench() -> dict:
                  "key", p=14)
     queries["hll_distinct_docs"] = round(time.perf_counter() - td, 3)
 
+    from byzer_retrieval_ray.ops.cms import cms_counts
+
+    td = time.perf_counter()
+
+    def _toks_only(b):
+        import pyarrow.compute as _pc
+        t = _pc.list_flatten(_pc.utf8_split_whitespace(b["text"]))
+        return pa.table({"key": t.filter(_pc.not_equal(t, ""))})
+
+    cms_counts(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"])
+        .map_batches(_toks_only, batch_format="pyarrow"),
+        "key", ["merge", "the", "spark", "window"], width=1 << 14, depth=4)
+    queries["cms_watchlist_docs"] = round(time.perf_counter() - td, 3)
+
     from byzer_retrieval_ray.ops.pagerank import pagerank
 
     td = time.perf_counter()
