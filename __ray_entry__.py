@@ -70,11 +70,17 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
 
 
-def _sql_term_scores(terms: list[str]) -> str:
-    """Per-doc summed BM25 (k1=1.2, b=0.75, Lucene quantized dl) for the OR query."""
-    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+def _sql_term_scores(terms: list[str] | None, qterms_sql: str | None = None) -> str:
+    """Per-doc summed BM25 (k1=1.2, b=0.75, Lucene quantized dl) for the OR query.
+    ``terms`` inlines literals; ``qterms_sql`` instead computes the term set in
+    SQL (more_like_this)."""
+    if qterms_sql is not None:
+        qterms = f"qterms AS ({qterms_sql})"
+    else:
+        quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        qterms = f"qterms AS (SELECT unnest([{quoted}]) AS term)"
     return f"""
-qterms AS (SELECT unnest([{quoted}]) AS term),
+{qterms},
 scored AS (
   -- Lucene BM25: weight = (k1+1)*idf; score = weight - weight/(1 + tf*normInv);
   -- all arithmetic forced to DOUBLE (e0 literals) to match the engine's float64 path
@@ -1664,6 +1670,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "est": pa.array([got[k] for k in ks], pa.int64())})
     q["cms_watchlist"] = cms_watchlist
 
+    def mlt_docs(sf):
+        # MoreLikeThis (query-by-document): top-5 tf·ln(N/df) terms of doc 42
+        # run as an OR BM25 query (table/api.py more_like_this). The oracle
+        # computes the SAME term selection in SQL and feeds it into the
+        # shared quantized-BM25 template — scores AND the selection both
+        # value-checked.
+        import duckdb as _dd
+        c = _docs_cluster(sf)
+        src_text = _dd.sql(
+            f"SELECT text FROM '{os.path.join(sf, 'documents.parquet')}' "
+            f"WHERE doc_id = 42").fetchone()[0]
+        hits, _terms = c.more_like_this(
+            "db", "docs", like_text=src_text, field="text", limit=15,
+            max_query_terms=5, precision="float64", algorithm="bmw")
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in hits], pa.int64()),
+            "score": pa.array(np.round(np.array([r["_score"] for r in hits],
+                                                np.float64), 4)),
+        })
+    q["mlt_docs"] = mlt_docs
+
     return q
 
 
@@ -2987,4 +3014,20 @@ FROM watch w
 JOIN cols wc ON wc.key = w.wk
 LEFT JOIN ctr ON ctr.i = wc.i AND ctr.col = wc.col
 GROUP BY w.wk ORDER BY key"""
+
+    # MoreLikeThis: qterms = top-5 terms of doc 42 by tf·ln(N/df) (ties by
+    # term asc) computed IN SQL, then the shared Lucene-BM25 template.
+    _mlt_qterms = """
+  SELECT term FROM (
+    SELECT tf.term,
+           CAST(tf.tf AS DOUBLE)
+             * ln(CAST(stats.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS s
+    FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats
+    WHERE tf.doc_id = 42
+    ORDER BY s DESC, tf.term LIMIT 5)"""
+    sql["mlt_docs"] = ("WITH " + _SQL_TOKS + ", "
+                       + _sql_term_scores(None, qterms_sql=_mlt_qterms)
+                       + """
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 15""")
     return sql

@@ -92,6 +92,12 @@ _ESCAPE_RE = re.compile(r'\\(.)')
 _SENTINEL_RE = re.compile('[' + ''.join(_UNSENTINEL) + ']')
 
 
+def escape_term(term: str) -> str:
+    """Backslash-escape every parser special so ``term`` round-trips the
+    parser as ONE plain term (programmatic query builders: more_like_this)."""
+    return "".join("\\" + c if c in _SPECIALS else c for c in term)
+
+
 def _hide_escapes(keyword: str) -> str:
     # \special → sentinel(special); \other → other (Lucene drops the backslash)
     return _ESCAPE_RE.sub(lambda m: _SENTINEL.get(m.group(1), m.group(1)),

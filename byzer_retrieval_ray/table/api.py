@@ -650,6 +650,52 @@ class RetrievalCluster:
                 out.append(self._materialize(database, table, ids, scores, False))
         return out
 
+    def more_like_this(self, database: str, table: str, like_text: str,
+                       field: str = "text", limit: int = 10,
+                       max_query_terms: int = 5, **search_kwargs):
+        """Query-by-document (Lucene ``MoreLikeThis`` shape — the reference
+        exposes no MLT; this is the standard simplification of
+        queries.mlt.MoreLikeThis): score the source text's terms by
+        tf·ln(N/df) (collection stats from the index, all active
+        generations), take the top ``max_query_terms`` (ties broken by term
+        ascending), and run them as a plain OR BM25 query over ``field``.
+        Returns ``(hits, terms)`` — the source document itself ranks unless
+        the caller filters it.
+
+        The source text is the caller's (Lucene's
+        ``MoreLikeThis.like(Reader)``) — necessarily so, because analyzed
+        fields are indexed but never stored here (TextField parity), exactly
+        the configuration where Lucene MLT also needs the reader form.
+
+        Scale shape: term selection is a driver-side termstats probe
+        (≤ distinct terms of ONE doc) and the query is the normal serving
+        path — no extra distributed stage.
+        """
+        from byzer_retrieval_ray.functions.queryparser import escape_term
+        from byzer_retrieval_ray.functions.tokenize import tokenize_query
+        from byzer_retrieval_ray.index.searcher import StatsView
+
+        toks = tokenize_query(like_text)
+        if not toks:
+            return [], []
+        terms, tf = np.unique(toks, return_counts=True)
+        m = self.manifest(database, table)
+        sv = StatsView(m.data, GenerationReader(m.data))
+        st = sv.term_stats([(field, str(t)) for t in terms])
+        n = sv.stats["n_docs"]
+        df = np.array([st[(field, str(t))][0] for t in terms], np.float64)
+        known = df > 0                    # MLT considers only indexed terms
+        terms, tf, df = terms[known], tf[known], df[known]
+        if terms.size == 0:
+            return [], []
+        score = tf.astype(np.float64) * np.log(n / df)
+        order = np.lexsort((terms, -score))              # score desc, term asc
+        chosen = [str(t) for t in terms[order[:max_query_terms]]]
+        q = SearchQuery(database, table, filters={},
+                        keyword=" ".join(escape_term(t) for t in chosen),
+                        fields=[field], limit=limit)
+        return self.search(database, table, q, **search_kwargs)[0], chosen
+
     def _attach_from(self, doc_tbls: list, ids, scores) -> list[dict]:
         if len(ids) == 0 or not doc_tbls:
             return []
