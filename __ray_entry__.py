@@ -1691,6 +1691,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["mlt_docs"] = mlt_docs
 
+    def hll_by_lang(sf):
+        # per-group HLL (ops/hll.hll_by_key, p=8): distinct doc_id:token
+        # composites per language — the grouped sibling of hll_distinct
+        # (one packed m-byte partial per (group, batch), one bucketed
+        # exchange). Full sketch value-checked per group.
+        import pyarrow.compute as pc
+        import ray.data
+        from byzer_retrieval_ray.ops.hll import hll_by_key
+
+        def doc_toks(batch: pa.Table) -> pa.Table:
+            text = batch["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            split = pc.utf8_split_whitespace(text)
+            reps = pc.list_value_length(split).to_pandas()
+            docs = pa.Array.from_pandas(
+                batch["doc_id"].cast(pa.string()).to_pandas().repeat(reps))
+            langs = pa.Array.from_pandas(
+                batch["lang"].cast(pa.string()).to_pandas().repeat(reps))
+            t = pc.list_flatten(split)
+            keep = pc.not_equal(t, "")
+            return pa.table({
+                "key": pc.binary_join_element_wise(
+                    docs.filter(keep), t.filter(keep), ":"),
+                "lang": langs.filter(keep)})
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "lang", "text"]) \
+            .map_batches(doc_toks, batch_format="pyarrow")
+        out = hll_by_key(ds, "key", "lang", p=8, num_buckets=8) \
+            .to_pandas().sort_values("group").reset_index(drop=True)
+        return pa.table({
+            "lang": pa.array(out["group"], pa.string()),
+            "m": pa.array(out["m"], pa.int64()),
+            "zeros": pa.array(out["zeros"], pa.int64()),
+            "branch": pa.array(out["branch"], pa.string()),
+            "estimate": pa.array(np.round(out["estimate"].to_numpy(), 4),
+                                 pa.float64()),
+            "raw": pa.array(np.round(out["raw"].to_numpy(), 4), pa.float64()),
+        })
+    q["hll_by_lang"] = hll_by_lang
+
     return q
 
 
@@ -3030,4 +3073,63 @@ GROUP BY w.wk ORDER BY key"""
                        + """
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 15""")
+
+    # per-group HLL (p=8 → m=256, scale=25): same sketch as hll_distinct
+    # computed independently per language over doc_id:token keys.
+    sql["hll_by_lang"] = """
+WITH keys AS (
+  SELECT DISTINCT lang AS grp, CAST(doc_id AS VARCHAR) || ':' || tok AS key
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+),
+h0 AS (
+  SELECT grp, list_reduce(list_transform(range(1, length(key) + 1),
+         i -> CAST(unicode(key[i]) AS HUGEINT)),
+         (a, b) -> (a * 31 + b) % 4294967296) AS h
+  FROM keys
+),
+f1 AS (SELECT grp, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT grp, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT grp, xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT grp, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS d FROM f3),
+k AS (SELECT grp, xor(d, d >> 16) AS key FROM f4),
+rho AS (
+  SELECT grp, key % 256 AS j,
+         CASE WHEN key >> 8 > 0 THEN 24 - (length(bin(key >> 8)) - 1)
+              ELSE 25 END AS r
+  FROM k
+),
+grid AS (
+  SELECT g.grp, j.j
+  FROM (SELECT DISTINCT grp FROM keys) g
+  CROSS JOIN (SELECT unnest(range(0, 256)) AS j) j
+),
+regs AS (
+  SELECT grid.grp, grid.j, COALESCE(mx.m_rho, 0) AS m_rho
+  FROM grid
+  LEFT JOIN (SELECT grp, j, max(r) AS m_rho FROM rho GROUP BY grp, j) mx
+    ON grid.grp = mx.grp AND grid.j = mx.j
+),
+agg AS (
+  SELECT grp,
+         sum(CAST(1 AS BIGINT) << (25 - m_rho)) AS s_int,
+         sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 256 * 256 * 33554432.0e0
+           / CAST(s_int AS DOUBLE) AS raw,
+         CAST(zeros AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT grp AS lang, CAST(256 AS BIGINT) AS m, zeros,
+  CASE WHEN raw <= 2.5e0 * 256 AND zeros > 0 THEN 'linear' ELSE 'hll' END AS branch,
+  ROUND(CASE WHEN raw <= 2.5e0 * 256 AND zeros > 0
+             THEN 256 * ln(256 / CAST(zeros AS DOUBLE))
+             ELSE raw END, 4) AS estimate,
+  ROUND(raw, 4) AS raw
+FROM est ORDER BY lang"""
     return sql

@@ -101,3 +101,70 @@ def hll_distinct(ds, key_col: str, p: int = 12) -> dict:
         for row in b["regs"].to_pylist():
             regs = merge_registers(regs, np.asarray(row, dtype=np.int64))
     return _estimate(regs, p)
+
+
+def hll_by_key(ds, key_col: str, group_col: str, p: int = 8,
+               num_buckets: int = 64):
+    """Approximate distinct ``key_col`` PER ``group_col`` value (distinct
+    urls per domain, distinct tokens per language, ...). Returns a Dataset
+    of (group, estimate, raw, zeros, m, branch) rows, one per group.
+
+    100 TB shape: the per-batch combiner emits ONE packed register vector
+    per (group, batch) — m bytes (int8 registers: rho ≤ 33-p < 128), never
+    key strings — and one hash-bucketed exchange groups them; the max-fold
+    and estimate run vectorized per bucket. Default p=8 keeps a partial at
+    256 bytes/group/batch; groups per bucket only need Σ m bytes of heap.
+    """
+    import ray.data
+
+    if not 4 <= p <= 20:
+        raise ValueError("need 4 <= p <= 20")
+    m = 1 << p
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].cast(pa.string()).to_pylist()
+        grps = batch[group_col].cast(pa.string()).to_pylist()
+        order = np.argsort(np.asarray(grps, object), kind="stable")
+        gs = np.asarray(grps, object)[order]
+        ks = np.asarray(keys, object)[order]
+        out_g, out_r = [], []
+        i = 0
+        while i < len(gs):
+            j = i
+            while j < len(gs) and gs[j] == gs[i]:
+                j += 1
+            out_g.append(gs[i])
+            out_r.append(_registers(list(ks[i:j]), p).astype(np.int8).tobytes())
+            i = j
+        gh = fmix32_np(poly_hash_np([str(g) for g in out_g], bits=32))
+        return pa.table({
+            "group": pa.array(out_g, pa.string()),
+            "regs": pa.array(out_r, pa.binary(m)),
+            "gb": pa.array((gh % np.uint64(nb)).astype(np.int32)),
+        })
+
+    def fold(group_tbl: pa.Table) -> pa.Table:
+        g = np.asarray(group_tbl["group"].to_pylist(), object)
+        packed = np.frombuffer(
+            b"".join(group_tbl["regs"].to_pylist()), np.int8).reshape(-1, m)
+        order = np.argsort(g, kind="stable")
+        g, packed = g[order], packed[order]
+        first = np.ones(g.size, bool)
+        first[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(first) - 1
+        merged = np.zeros((int(gid[-1]) + 1, m), np.int64)
+        np.maximum.at(merged, gid, packed.astype(np.int64))
+        rows = [_estimate(merged[k], p) for k in range(merged.shape[0])]
+        ug = g[first]
+        return pa.table({
+            "group": pa.array(list(ug), pa.string()),
+            "estimate": pa.array([r["estimate"] for r in rows], pa.float64()),
+            "raw": pa.array([r["raw"] for r in rows], pa.float64()),
+            "zeros": pa.array([r["zeros"] for r in rows], pa.int64()),
+            "m": pa.array([r["m"] for r in rows], pa.int64()),
+            "branch": pa.array([r["branch"] for r in rows], pa.string()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gb").map_groups(fold, batch_format="pyarrow")

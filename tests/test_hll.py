@@ -76,3 +76,54 @@ class TestHLL:
         a = hll_distinct(ray_mod.from_arrow(ints), "k", p=11)
         b = hll_distinct(ray_mod.from_arrow(strs), "k", p=11)
         assert a == b
+
+
+def grouped_table(groups):
+    # groups: dict group -> number of distinct keys; each key repeated twice
+    gs, ks = [], []
+    for g, n in groups.items():
+        for i in range(n):
+            for _ in range(2):
+                gs.append(g)
+                ks.append(f"{g}/key-{i}")
+    rng = np.random.default_rng(7)
+    order = rng.permutation(len(gs))
+    return pa.table({"g": pa.array(np.asarray(gs, object)[order]),
+                     "k": pa.array(np.asarray(ks, object)[order])})
+
+
+class TestHLLByKey:
+    def test_matches_per_group_hll_distinct(self, ray_mod):
+        # grouped fold must give byte-identical estimates to running
+        # hll_distinct on each group's rows alone (same registers)
+        from byzer_retrieval_ray.ops.hll import hll_by_key
+        groups = {"en": 900, "de": 40, "fr": 2500}
+        t = grouped_table(groups)
+        out = hll_by_key(ray_mod.from_arrow(t).repartition(7), "k", "g",
+                         p=8, num_buckets=4).to_pandas()
+        out = out.set_index("group")
+        assert sorted(out.index) == sorted(groups)
+        for g in groups:
+            sub = t.filter(pa.compute.equal(t["g"], g))
+            want = hll_distinct(ray_mod.from_arrow(sub), "k", p=8)
+            row = out.loc[g]
+            assert row["estimate"] == want["estimate"]
+            assert row["raw"] == want["raw"]
+            assert row["zeros"] == want["zeros"]
+            assert row["branch"] == want["branch"]
+
+    def test_partition_invariance(self, ray_mod):
+        from byzer_retrieval_ray.ops.hll import hll_by_key
+        t = grouped_table({"a": 300, "b": 1500, "c": 5})
+        a = hll_by_key(ray_mod.from_arrow(t), "k", "g", p=8) \
+            .to_pandas().sort_values("group").reset_index(drop=True)
+        b = hll_by_key(ray_mod.from_arrow(t).repartition(11), "k", "g",
+                       p=8, num_buckets=3) \
+            .to_pandas().sort_values("group").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_bad_p_rejected(self, ray_mod):
+        from byzer_retrieval_ray.ops.hll import hll_by_key
+        ds = ray_mod.from_arrow(grouped_table({"a": 5}))
+        with pytest.raises(ValueError):
+            hll_by_key(ds, "k", "g", p=3)
