@@ -875,6 +875,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "cluster": pa.array(out["cluster"], pa.int64())})
     q["dedup_cluster"] = dedup_cluster
 
+    def dedup_canonical(sf):
+        # near-dup pipeline END-TO-END: pair graph → connected components →
+        # ONE kept representative per cluster (longest text wins, ties →
+        # smallest doc_id); singletons keep themselves. Exercises
+        # ops/components.select_canonical's two bucketed exchanges.
+        import pyarrow.compute as pc
+        import ray.data
+        from byzer_retrieval_ray.ops.components import (connected_components,
+                                                        select_canonical)
+        from byzer_retrieval_ray.ops.dedup import ngram_jaccard_dedup
+        tbl = _augmented_docs_chain(sf)
+        pairs = ngram_jaccard_dedup(ray.data.from_arrow(tbl), "text", "doc_id",
+                                    threshold=0.6, shingle_k=3,
+                                    return_pairs=True)
+        labels = connected_components(pairs)
+
+        def score_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": batch["doc_id"],
+                "score": pc.cast(pc.utf8_length(batch["text"]), pa.float64())})
+
+        docs = ray.data.from_arrow(tbl).map_batches(score_rows,
+                                                    batch_format="pyarrow")
+        out = select_canonical(docs, labels).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["id"], pa.int64()),
+                         "cluster": pa.array(out["cluster"], pa.int64()),
+                         "keep": pa.array(out["keep"], pa.bool_())})
+    q["dedup_canonical"] = dedup_canonical
+
     def dup_spans(sf):
         import ray.data
         from byzer_retrieval_ray.ops.spans import duplicate_spans
@@ -2164,6 +2194,38 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a ORDER BY id"""
+
+    # canonical selection on top of the same cluster graph: longest text wins
+    # a cluster (ties → smallest doc_id); unpaired docs are their own cluster
+    sql["dedup_canonical"] = f"""
+WITH RECURSIVE {_SQL_AUG_DOCS_CHAIN},
+{_sql_shingles(3, "aug")},
+dsx AS (SELECT doc_id, list_distinct(g) AS s FROM sh WHERE len(g) > 0),
+sz AS (SELECT doc_id, len(s) AS n FROM dsx),
+ex AS (SELECT doc_id, unnest(s) AS h FROM dsx),
+inter AS (
+  SELECT b.doc_id AS id, a.doc_id AS anc, count(*) AS c
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.id, i.anc FROM inter i
+  JOIN sz na ON na.doc_id = i.anc
+  JOIN sz nb ON nb.doc_id = i.id
+  WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.6e0),
+edges AS (SELECT id AS a, anc AS b FROM jac UNION SELECT anc, id FROM jac),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+cc AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+lab AS (
+  SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+         length(d.text) AS sc
+  FROM aug d LEFT JOIN cc ON cc.id = d.doc_id)
+SELECT doc_id, cluster,
+       (row_number() OVER (PARTITION BY cluster ORDER BY sc DESC, doc_id) = 1)
+         AS keep
+FROM lab ORDER BY doc_id"""
 
     # line-level (CCNet-style) dedup: global first occurrence of each line by
     # (doc_id, line_no) wins; lines shorter than 1 char (empties) are exempt;

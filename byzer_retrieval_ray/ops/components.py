@@ -127,3 +127,85 @@ def connected_components(pairs_ds, a_col: str = "id", b_col: str = "dup_of",
 def _label_schema() -> pa.Schema:
     return pa.schema([("key", pa.int64()), ("val", pa.int64()),
                       ("kind", pa.int8()), ("kb", pa.int32())])
+
+
+def select_canonical(docs_ds, labels_ds, id_col: str = "id",
+                     score_col: str = "score", num_buckets: int = 64):
+    """Pick ONE representative per duplicate cluster and flag every doc.
+
+    ``docs_ds`` carries (id_col, score_col) for EVERY document (score = the
+    keep-preference, e.g. text length or a quality score); ``labels_ds`` is
+    ``connected_components`` output (id, cluster) covering only docs that
+    appeared in a near-dup pair. Returns a Dataset of (id, cluster, keep)
+    rows — one per doc: docs without a label are their own singleton cluster
+    (keep=True); within a multi-doc cluster the highest score wins, ties
+    broken by smallest id (deterministic).
+
+    100 TB shape: two hash-bucketed exchanges carrying (int64, float64)
+    triples only — never documents. Exchange 1 buckets by doc id to attach
+    cluster labels to scores; exchange 2 buckets by cluster id for the
+    vectorized per-cluster argmax. The near-dup pair graph is a vanishing
+    fraction of the corpus, so labels_ds is small relative to docs_ds and
+    the cluster buckets are balanced by the hash.
+    """
+    nb = num_buckets
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        sc = batch[score_col].combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "vf": pa.array(sc, pa.float64()),
+                         "vi": pa.array(np.zeros(ids.size, np.int64)),
+                         "kind": pa.array(np.zeros(ids.size, np.int8)),
+                         "b": pa.array((ids % nb).astype(np.int32))})
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().cast(pa.int64()).to_numpy()
+        cl = batch["cluster"].combine_chunks().cast(pa.int64()).to_numpy()
+        # cluster ids ride an int64 column of their own — doc ids carry
+        # generation bits at 54+ and would lose precision through a float64
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "vf": pa.array(np.zeros(ids.size, np.float64)),
+                         "vi": pa.array(cl, pa.int64()),
+                         "kind": pa.array(np.ones(ids.size, np.int8)),
+                         "b": pa.array((ids % nb).astype(np.int32))})
+
+    def attach(group: pa.Table) -> pa.Table:
+        """id-bucket: doc rows (kind=0, vf=score) + label rows (kind=1,
+        vi=cluster) → (id, score, cluster) with cluster defaulting to id."""
+        kind = group["kind"].to_numpy()
+        doc = group.filter(pa.array(kind == 0))
+        lab = group.filter(pa.array(kind == 1))
+        ids = doc["id"].to_numpy()
+        sc = doc["vf"].to_numpy()
+        lk = lab["id"].to_numpy()
+        lv = lab["vi"].to_numpy()
+        order = np.argsort(lk)
+        lk, lv = lk[order], lv[order]
+        loc = np.searchsorted(lk, ids)
+        ok = loc < lk.size
+        ok[ok] &= lk[loc[ok]] == ids[ok]
+        cl = ids.copy()
+        cl[ok] = lv[loc[ok]]
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "score": pa.array(sc, pa.float64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "cb": pa.array((cl % nb).astype(np.int32))})
+
+    def pick(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy()
+        sc = group["score"].to_numpy()
+        cl = group["cluster"].to_numpy()
+        order = np.lexsort((ids, -sc, cl))   # cluster asc, score desc, id asc
+        ids, sc, cl = ids[order], sc[order], cl[order]
+        keep = np.ones(ids.size, bool)
+        keep[1:] = cl[1:] != cl[:-1]
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "keep": pa.array(keep)})
+
+    merged = docs_ds.map_batches(doc_rows, batch_format="pyarrow") \
+        .union(labels_ds.map_batches(label_rows, batch_format="pyarrow"))
+    return merged.groupby("b").map_groups(attach, batch_format="pyarrow") \
+        .groupby("cb").map_groups(pick, batch_format="pyarrow")

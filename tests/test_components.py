@@ -68,3 +68,60 @@ class TestNgramPairGraph:
         out = connected_components(
             ray_mod.from_arrow(pa.Table.from_pandas(pairs))).to_pandas()
         assert dict(zip(out["id"], out["cluster"])) == {1: 1, 2: 1, 3: 1}
+
+
+class TestSelectCanonical:
+    # clusters {1,2,3,4} (scores make 3 win), {10,11,12} (tie on score →
+    # smallest id 10 wins), singleton pair cluster {20,21}, plus docs 50/51
+    # never seen in a pair (self-clusters, always kept)
+    PAIRS = [(2, 1), (3, 2), (4, 3), (11, 10), (12, 10), (21, 20)]
+    DOCS = {1: 5.0, 2: 7.0, 3: 9.0, 4: 9.0, 10: 4.0, 11: 4.0, 12: 2.0,
+            20: 1.0, 21: 8.0, 50: 0.0, 51: 3.0}
+
+    def _run(self, ray_mod, num_buckets=8, parts=1):
+        from byzer_retrieval_ray.ops.components import (connected_components,
+                                                        select_canonical)
+        docs = pa.table({
+            "id": pa.array(sorted(self.DOCS), pa.int64()),
+            "score": pa.array([self.DOCS[i] for i in sorted(self.DOCS)],
+                              pa.float64())})
+        labels = connected_components(
+            ray_mod.from_arrow(pairs_tbl(self.PAIRS)))
+        ds = ray_mod.from_arrow(docs)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = select_canonical(ds, labels, num_buckets=num_buckets).to_pandas()
+        return out.sort_values("id").reset_index(drop=True)
+
+    def test_keep_flags(self, ray_mod):
+        out = self._run(ray_mod)
+        keep = set(out[out["keep"]]["id"])
+        # 3 beats 4 on the score tie by smaller id? no — 3 and 4 tie at 9.0,
+        # smaller id 3 wins; cluster {10,11,12}: 10 and 11 tie at 4.0 → 10;
+        # {20,21}: 21 wins on score; singletons 50, 51 kept
+        assert keep == {3, 10, 21, 50, 51}
+        assert len(out) == len(self.DOCS)
+        cl = dict(zip(out["id"], out["cluster"]))
+        assert cl[50] == 50 and cl[51] == 51
+        assert cl[1] == cl[2] == cl[3] == cl[4] == 1
+        assert cl[20] == cl[21] == 20
+
+    def test_partition_and_bucket_invariance(self, ray_mod):
+        a = self._run(ray_mod)
+        b = self._run(ray_mod, num_buckets=3, parts=6)
+        assert a.equals(b)
+
+    def test_big_ids_survive(self, ray_mod):
+        # ids above 2^53 (generation-striped doc ids) must round-trip exactly
+        from byzer_retrieval_ray.ops.components import select_canonical
+        big = (1 << 54) + 3
+        docs = pa.table({"id": pa.array([big, big + 1], pa.int64()),
+                         "score": pa.array([1.0, 2.0], pa.float64())})
+        labels = ray_mod.from_arrow(pa.table({
+            "id": pa.array([big, big + 1], pa.int64()),
+            "cluster": pa.array([big, big], pa.int64())}))
+        out = select_canonical(ray_mod.from_arrow(docs), labels).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        assert list(out["id"]) == [big, big + 1]
+        assert list(out["cluster"]) == [big, big]
+        assert list(out["keep"]) == [False, True]
