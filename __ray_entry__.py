@@ -755,6 +755,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("term", pa.string()), ("df", pa.int64()), ("ttf", pa.int64())]))
     q["term_df"] = term_df
 
+    def spell_suggest(sf):
+        # did-you-mean over the index term dictionary (DirectSpellChecker
+        # shape): each misspelling → nearest dictionary terms by
+        # (levenshtein asc, df desc, term asc); "scon" exercises the
+        # distance tiebreak, "stor" the df tiebreak at equal distance.
+        # transpositions=False = DuckDB levenshtein().
+        c = _docs_cluster(sf)
+        qs, terms, dfs, dists = [], [], [], []
+        for misspelt in ["scon", "stor", "bigg"]:
+            for h in c.suggest("db", "docs", "text", misspelt, max_edits=2,
+                               limit=5, transpositions=False):
+                qs.append(misspelt)
+                terms.append(h["term"])
+                dfs.append(h["df"])
+                dists.append(h["dist"])
+        return pa.table({
+            "query": pa.array(qs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "dist": pa.array(dists, pa.int64()),
+        })
+    q["spell_suggest"] = spell_suggest
+
     def collection_stats(sf):
         c = _docs_cluster(sf)
         s = c.manifest("db", "docs").current_gen_info()["stats"]
@@ -2042,6 +2065,31 @@ WITH toks AS (
 )
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks
 GROUP BY term ORDER BY df DESC, term LIMIT 20"""
+
+    # spell suggestion: per misspelling the dictionary terms within
+    # levenshtein 2, exact term excluded, ranked (dist asc, df desc, term
+    # asc), top 5 — the engine runs the same ranking over its termstats
+    # parts (transpositions=False)
+    sql["spell_suggest"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+qs AS (SELECT unnest(['scon', 'stor', 'bigg']) AS query),
+c AS (
+  SELECT qs.query, d.term, d.df, levenshtein(d.term, qs.query) AS dist
+  FROM dict d CROSS JOIN qs
+),
+ranked AS (
+  SELECT query, term, df, dist,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY dist, df DESC, term) AS rn
+  FROM c WHERE dist BETWEEN 1 AND 2
+)
+SELECT query, term, df, dist FROM ranked WHERE rn <= 5
+ORDER BY query, dist, df DESC, term"""
 
     sql["collection_stats"] = """
 SELECT count(*) AS n_docs,

@@ -65,11 +65,14 @@ def fuzzy_candidates(query: str, terms: list[str], lens: np.ndarray,
     return band[ok]
 
 
-def edit_distance_within(query: str, terms: list[str], n: int,
-                         transpositions: bool = True) -> np.ndarray:
-    """Boolean mask: edit_distance(query, term) ≤ n for each term."""
+def edit_distances(query: str, terms: list[str], n: int,
+                   transpositions: bool = True) -> np.ndarray:
+    """int64 edit distances (OSA when ``transpositions``, else Levenshtein)
+    of ``query`` to each term, with ``n + 1`` standing for "greater than n"
+    (length-pruned rows included) — the ranking form the spell suggester
+    needs, where ``edit_distance_within`` only needs the ≤ n mask."""
     if not terms:
-        return np.zeros(0, dtype=bool)
+        return np.zeros(0, dtype=np.int64)
     q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
     m = q.size
     mat, lens = _cp_matrix(terms)
@@ -97,4 +100,12 @@ def edit_distance_within(query: str, terms: list[str], n: int,
             cur[:, j] = sub
         prev2, prev = prev, cur
     dist = prev[np.arange(N), lens]
-    return cand & (dist <= n)
+    return np.where(cand, np.minimum(dist, big), big)
+
+
+def edit_distance_within(query: str, terms: list[str], n: int,
+                         transpositions: bool = True) -> np.ndarray:
+    """Boolean mask: edit_distance(query, term) ≤ n for each term."""
+    if not terms:
+        return np.zeros(0, dtype=bool)
+    return edit_distances(query, terms, n, transpositions) <= n

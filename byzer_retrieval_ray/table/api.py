@@ -696,6 +696,74 @@ class RetrievalCluster:
                         fields=[field], limit=limit)
         return self.search(database, table, q, **search_kwargs)[0], chosen
 
+    def suggest(self, database: str, table: str, field: str, term: str,
+                max_edits: int = 2, limit: int = 5,
+                transpositions: bool = True) -> list[dict]:
+        """Did-you-mean term suggestions (the Lucene
+        ``suggest.spell.DirectSpellChecker`` shape, simplified — the
+        reference exposes no spell API; extension): dictionary terms of
+        ``field`` within ``max_edits`` of ``term`` (OSA with adjacent
+        transpositions when ``transpositions``, plain Levenshtein otherwise),
+        the exact term itself excluded, ranked by (edit distance asc, df
+        desc, term asc), top ``limit``. Each hit is ``{"term", "df",
+        "dist"}``. df sums across active generations and is build-time df —
+        deletes don't decrement it until compaction, exactly like Lucene's
+        docFreq.
+
+        Scale shape: ONE column-pruned distributed scan of the term
+        dictionary (the termstats parquet parts); every batch runs the
+        vectorized length-band + bag-distance prefilter and ships only its
+        few surviving (term, df, dist) rows to a tiny driver fold — no
+        full-dictionary DP, no shuffle."""
+        import ray.data
+
+        from byzer_retrieval_ray.functions.fuzzy import (edit_distances,
+                                                         fuzzy_candidates)
+        man = self.manifest(database, table)
+        paths = []
+        for g in man.active_generations():
+            info = man.data["generations"][str(g)]
+            for e in info.get("postings", {}).values():
+                p = e.get("termstats_path")
+                if p and os.path.exists(p):
+                    paths.append(p)
+        if not paths:
+            return []
+        q, ne, fld = str(term), int(max_edits), str(field)
+
+        def cands(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            empty = pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.int64())})
+            sub = batch.filter(pc.equal(batch["field"], fld))
+            terms = sub["term"].to_pylist()
+            if not terms:
+                return empty
+            lens = np.array([len(t) for t in terms], dtype=np.int64)
+            idx = fuzzy_candidates(q, terms, lens, ne)
+            if idx.size == 0:
+                return empty
+            cand = [terms[i] for i in idx]
+            d = edit_distances(q, cand, ne, transpositions)
+            keep = (d >= 1) & (d <= ne)
+            kidx = idx[keep]
+            return pa.table({
+                "term": pa.array([terms[i] for i in kidx], pa.string()),
+                "df": sub["df"].take(pa.array(kidx)).cast(pa.int64()),
+                "dist": pa.array(d[keep], pa.int64())})
+
+        out = ray.data.read_parquet(paths, columns=["field", "term", "df"]) \
+            .map_batches(cands, batch_format="pyarrow").to_pandas()
+        if not len(out):
+            return []
+        agg = out.groupby("term", as_index=False) \
+            .agg(df=("df", "sum"), dist=("dist", "min")) \
+            .sort_values(["dist", "df", "term"],
+                         ascending=[True, False, True], kind="mergesort")
+        return [{"term": str(r.term), "df": int(r.df), "dist": int(r.dist)}
+                for r in agg.head(limit).itertuples()]
+
     def _attach_from(self, doc_tbls: list, ids, scores) -> list[dict]:
         if len(ids) == 0 or not doc_tbls:
             return []

@@ -118,3 +118,27 @@ class TestScanColumns:
         # requesting doc_id keeps it
         df2 = c.scan_table("db", "t", columns=["doc_id", "_id"]).to_pandas()
         assert sorted(df2.columns) == ["_id", "doc_id"]
+
+
+class TestSuggest:
+    def test_spell_suggest_ranking(self, cluster):
+        hits = cluster.suggest("db", "j", "content", "shred", max_edits=2)
+        assert hits and hits[0]["term"] == "shared" and hits[0]["dist"] == 1
+        assert hits[0]["df"] == 60
+
+    def test_exact_term_excluded(self, cluster):
+        hits = cluster.suggest("db", "j", "content", "shared", max_edits=2)
+        assert all(h["term"] != "shared" for h in hits)
+
+    def test_transpositions_flag(self, cluster):
+        # jsno → json is ONE adjacent swap (OSA) but TWO plain-Levenshtein
+        # edits; max_edits=1 separates the metrics
+        osa = cluster.suggest("db", "j", "content", "jsno", max_edits=1,
+                              transpositions=True)
+        assert [h["term"] for h in osa] == ["json"]
+        lev = cluster.suggest("db", "j", "content", "jsno", max_edits=1,
+                              transpositions=False)
+        assert lev == []
+
+    def test_unknown_field_empty(self, cluster):
+        assert cluster.suggest("db", "j", "nosuch", "shred") == []
