@@ -529,14 +529,17 @@ def _bm25(sf_dir: str, keyword: str, limit: int, filters: dict | None = None) ->
     return _search_rows(c, "docs", q)
 
 
-def _sql_bm25(terms: list[str], limit: int, candidates_sql: str | None = None) -> str:
+def _sql_bm25(terms: list[str], limit: int, candidates_sql: str | None = None,
+              offset: int = 0) -> str:
     """Top-limit by (score desc, doc_id). candidates_sql: SQL producing candidate
-    doc_ids (filter semantics: zero-score candidates included)."""
+    doc_ids (filter semantics: zero-score candidates included). ``offset``
+    skips the first rows of the total order (search_after oracle)."""
+    off = f" OFFSET {offset}" if offset else ""
     base = "WITH " + _SQL_TOKS + ", " + _sql_term_scores(terms)
     if candidates_sql is None:
         return base + f"""
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
-ORDER BY score DESC, doc_id LIMIT {limit}"""
+ORDER BY score DESC, doc_id LIMIT {limit}{off}"""
     return base + f""",
 cand AS ({candidates_sql})
 SELECT cand.doc_id AS doc_id, ROUND(COALESCE(scored.score, 0.0), 4) AS score
@@ -564,6 +567,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- BM25 search (Q1/Q5): single/multi/absent term, match-all ---
     q["bm25_single_term"] = lambda sf: _bm25(sf, "merge", 10)
+
+    def bm25_page2(sf):
+        # search_after pagination: page 1's last (raw unrounded score,
+        # doc_id) is the cursor; page 2 must be EXACTLY rows 11-20 of the
+        # global (score desc, doc_id asc) order — the oracle is OFFSET 10.
+        c = _docs_cluster(sf)
+        kw = "scan join order sort"
+        q1 = SearchQuery("db", "docs", keyword=kw, fields=["text"], limit=10)
+        page1 = c.search("db", "docs", q1, precision="float64",
+                         algorithm="bmw")[0]
+        last = page1[-1]
+        q2 = SearchQuery("db", "docs", keyword=kw, fields=["text"], limit=10,
+                         search_after=[float(last["_score"]),
+                                       int(last["doc_id"])])
+        return _search_rows(c, "docs", q2)
+    q["bm25_page2"] = bm25_page2
     q["bm25_multi_term"] = lambda sf: _bm25(sf, "scan join order sort", 20)
     q["bm25_absent_term"] = lambda sf: _bm25(sf, "zzz_not_a_term", 10)
     q["match_all"] = lambda sf: _bm25(sf, "*", 50)
@@ -1795,6 +1814,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_single_term"] = _sql_bm25(["merge"], 10)
     sql["bm25_multi_term"] = _sql_bm25(["scan", "join", "order", "sort"], 20)
+    sql["bm25_page2"] = _sql_bm25(["scan", "join", "order", "sort"], 10,
+                                  offset=10)
     sql["bm25_absent_term"] = _sql_bm25(["zzz_not_a_term"], 10)
     sql["match_all"] = ("SELECT doc_id, 1.0e0 AS score FROM documents "
                         "ORDER BY doc_id LIMIT 50")

@@ -317,6 +317,18 @@ _EMPTY = Posting(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.ui
                  np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8))
 
 
+def _cursor_mask(ids: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
+    """Boolean mask of hits STRICTLY after the ``(score, doc_id)`` pagination
+    cursor in the (score desc, doc_id asc) result order (Lucene
+    ``IndexSearcher.searchAfter`` semantics). Scores compare in float64 of
+    the serving dtype — the cursor comes from a previous page of the same
+    pipeline, so equality at the boundary is exact, not approximate."""
+    s = np.float64(after[0])
+    d = np.int64(after[1])
+    sc = scores.astype(np.float64)
+    return (sc < s) | ((sc == s) & (ids > d))
+
+
 def _const_posting(docs: np.ndarray) -> Posting:
     """Synthetic posting for a constant-score clause (tf/norms unused; block
     metadata present so BMW can treat it like any clause)."""
@@ -482,12 +494,20 @@ class BucketSearcher:
         """Per-bucket top-limit (doc_ids, scores) for a keyword recall."""
         dtype = np.float32 if precision == "float32" else np.float64
         limit = q.limit
+        after = getattr(q, "search_after", None)
+        if after is not None:
+            # BMW's top-k pruning threshold ignores the cursor and would skip
+            # blocks whose post-cursor hits we need; TAAT is exact and returns
+            # the identical total order (same clause-order float addition)
+            algorithm = "taat"
         candidates = self.filter_candidates(q.filters)
         keyword = (q.keyword or "").strip()
 
         if keyword == "*":
             ids = candidates if candidates is not None \
                 else self._drop_tombstones(np.sort(self.doc_ids()))
+            if after is not None:
+                ids = ids[_cursor_mask(ids, np.ones(ids.size, np.float64), after)]
             ids = ids[:limit]
             return ids, np.ones(ids.size, dtype=dtype)
 
@@ -707,6 +727,9 @@ class BucketSearcher:
             ids = candidates
             if excluded is not None:
                 ids = ids[~np.isin(ids, excluded, assume_unique=True)]
+            if after is not None:
+                ids = ids[_cursor_mask(ids, np.zeros(ids.size, np.float64),
+                                       after)]
             ids = ids[:limit]
             return ids, np.zeros(ids.size, dtype=dtype)
 
@@ -718,7 +741,8 @@ class BucketSearcher:
                 scorers, candidates, limit, dtype, excluded=excluded,
                 zero_fill=(bool(q.filters) and not must and not must_phrases
                            and not pk.must_slop_phrases and not pk.must_prefixes
-                           and not pk.must_fuzzies and not pk.must_groups))
+                           and not pk.must_fuzzies and not pk.must_groups),
+                after=after)
         return ids, scores
 
     def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":
@@ -861,10 +885,12 @@ class BucketSearcher:
                                                    cache, w, dtype=dtype)
 
     def _search_taat(self, scorers, candidates, limit, dtype, excluded=None,
-                     zero_fill=False):
+                     zero_fill=False, after=None):
         """Vectorized term-at-a-time; exact; supports filter candidates, +/- term
         constraints and tombstones. ``zero_fill`` adds zero-score filter matches
-        (SHOULD + FILTER BooleanQuery semantics)."""
+        (SHOULD + FILTER BooleanQuery semantics). ``after`` is the
+        (score, doc_id) pagination cursor — only hits strictly after it in
+        the (score desc, doc_id asc) total order survive."""
         all_docs = []
         for _, posting, cache, w in scorers:
             all_docs.append(posting.docs)
@@ -892,6 +918,9 @@ class BucketSearcher:
                 zero = zero[~np.isin(zero, excluded, assume_unique=True)]
             union = np.concatenate([union, zero])
             scores = np.concatenate([scores, np.zeros(zero.size, dtype=dtype)])
+        if after is not None:
+            keep = _cursor_mask(union, scores, after)
+            union, scores = union[keep], scores[keep]
         order = np.lexsort((union, -scores.astype(np.float64)))[:limit]
         return union[order], scores[order]
 
@@ -1094,6 +1123,11 @@ class BucketSearcher:
         reference's filtered-KNN semantics (KnnFloatVectorQuery(field, vec,
         k, filter), RetrievalWorker.java:346-366) with Lucene's exact
         fallbacks for selective filters (ops/hnsw.HNSWIndex.search)."""
+        if getattr(q, "search_after", None) is not None:
+            # ANN recalls return approximate top-k — a deeper page would need
+            # over-fetch heuristics; hybrid RRF re-scores by rank, where a
+            # score cursor is meaningless. Keyword-only, explicitly.
+            raise ValueError("search_after pagination is keyword-only")
         dtype = np.float32 if precision == "float32" else np.float64
         qv = np.asarray(q.vector, dtype=dtype)
         candidates = self.filter_candidates(q.filters)

@@ -49,6 +49,12 @@ class SearchQuery:
     vector: list = field(default_factory=list)
     vectorField: Optional[str] = None
     limit: int = 10
+    # keyword-recall pagination cursor [score, doc_id] (Lucene
+    # IndexSearcher.searchAfter shape — extension; the reference paginates by
+    # re-running with a larger limit): only hits strictly after the cursor in
+    # the (score desc, doc_id asc) total order are returned. Keyword-only —
+    # hybrid RRF re-scores by rank, where a score cursor is meaningless.
+    search_after: Optional[list] = None
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

@@ -308,3 +308,76 @@ class TestFilteredHNSW:
         after = c.search("db", "t", q, precision="float64",
                          vector_algorithm="hnsw", ef=32)[0]
         assert victim not in {r["_id"] for r in after}
+
+
+class TestSearchAfter:
+    """search_after pagination: per-shard cursor filter (Lucene searchAfter)."""
+
+    def _text_cluster(self, loc, n=120):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "p", "st(field(_id,long),field(content,string,analyze))", loc))
+        # many score ties (same tf/length classes) to exercise the doc_id
+        # tiebreak at page boundaries
+        docs = [{"_id": i,
+                 "content": ("alpha " * (1 + i % 3) + "beta " * (i % 2)
+                             + f"w{i}")}
+                for i in range(n)]
+        c.build_from_local("db", "p", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_pages_tile_the_full_ranking(self, ray_session, tmp_path):
+        c = self._text_cluster(str(tmp_path))
+        base = SearchQuery("db", "p", keyword="alpha beta",
+                           fields=["content"], limit=120)
+        full = c.search("db", "p", base, precision="float64")[0]
+        assert len(full) == 120
+        pages, cursor = [], None
+        while True:
+            q = SearchQuery("db", "p", keyword="alpha beta",
+                            fields=["content"], limit=25,
+                            search_after=cursor)
+            page = c.search("db", "p", q, precision="float64")[0]
+            if not page:
+                break
+            pages.extend(page)
+            cursor = [float(page[-1]["_score"]), int(page[-1]["doc_id"])]
+        assert [(r["doc_id"], r["_score"]) for r in pages] == \
+               [(r["doc_id"], r["_score"]) for r in full]
+
+    def test_match_all_and_filter_pages(self, ray_session, tmp_path):
+        c = self._text_cluster(str(tmp_path), n=40)
+        q1 = SearchQuery("db", "p", keyword="*", limit=15)
+        p1 = c.search("db", "p", q1, precision="float64")[0]
+        q2 = SearchQuery("db", "p", keyword="*", limit=15,
+                         search_after=[float(p1[-1]["_score"]),
+                                       int(p1[-1]["doc_id"])])
+        p2 = c.search("db", "p", q2, precision="float64")[0]
+        ids = [r["doc_id"] for r in p1 + p2]
+        assert ids == sorted(ids) and len(set(ids)) == 30
+
+    def test_actor_mode_pages_match_inproc(self, ray_session, tmp_path):
+        # the cursor rides q.__dict__ into the serving actors; both modes
+        # must return identical pages
+        c = self._text_cluster(str(tmp_path), n=60)
+        q1 = SearchQuery("db", "p", keyword="alpha beta",
+                         fields=["content"], limit=20)
+        p1 = c.search("db", "p", q1, precision="float64")[0]
+        q2 = SearchQuery("db", "p", keyword="alpha beta",
+                         fields=["content"], limit=20,
+                         search_after=[float(p1[-1]["_score"]),
+                                       int(p1[-1]["doc_id"])])
+        inproc = c.search("db", "p", q2, precision="float64")[0]
+        c.activate("db", "p")
+        actors = c.search("db", "p", q2, precision="float64")[0]
+        assert [(r["doc_id"], r["_score"]) for r in actors] == \
+               [(r["doc_id"], r["_score"]) for r in inproc]
+
+    def test_vector_cursor_rejected(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=50)
+        q = SearchQuery("db", "v", vector=docs[3]["vector"],
+                        vectorField="vector", limit=5,
+                        search_after=[1.0, 0])
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.search("db", "v", q)
