@@ -583,6 +583,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        int(last["doc_id"])])
         return _search_rows(c, "docs", q2)
     q["bm25_page2"] = bm25_page2
+
+    def bm25_facets(sf):
+        # facet counts over the WHOLE match set (every doc containing merge
+        # OR sort), not the top-k — Lucene FacetsCollector semantics; only
+        # (value, count) partials leave each shard
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.facet_counts("db", "docs", q2, "lang", limit=10,
+                             precision="float64")
+        return pa.table({
+            "lang": pa.array([o["value"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["bm25_facets"] = bm25_facets
     q["bm25_multi_term"] = lambda sf: _bm25(sf, "scan join order sort", 20)
     q["bm25_absent_term"] = lambda sf: _bm25(sf, "zzz_not_a_term", 10)
     q["match_all"] = lambda sf: _bm25(sf, "*", 50)
@@ -1816,6 +1831,18 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_multi_term"] = _sql_bm25(["scan", "join", "order", "sort"], 20)
     sql["bm25_page2"] = _sql_bm25(["scan", "join", "order", "sort"], 10,
                                   offset=10)
+
+    # facet counts over the full OR match set of 'merge sort', by lang
+    sql["bm25_facets"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.lang AS lang, count(*) AS cnt
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY cnt DESC, lang LIMIT 10"""
     sql["bm25_absent_term"] = _sql_bm25(["zzz_not_a_term"], 10)
     sql["match_all"] = ("SELECT doc_id, 1.0e0 AS score FROM documents "
                         "ORDER BY doc_id LIMIT 50")

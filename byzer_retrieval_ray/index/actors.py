@@ -145,6 +145,12 @@ class SegmentActorImpl:
                 out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
+    def facet_keyword(self, q: dict, facet_field: str,
+                      precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.facet_keyword(query, facet_field, precision)
+                for s in self.searchers]
+
     def filter_op(self, q: dict) -> pa.Table:
         query = SearchQuery.from_dict(q)
         tbls = [s.filter_op(query) for s in self.searchers]

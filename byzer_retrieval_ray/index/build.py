@@ -222,6 +222,9 @@ def build_index(
     extract_src = extract[0] if extract else None
     extract_dst = extract[1] if extract else None
 
+    arrow_types = {f.name: t for f, t in
+                   zip(st.fields, dsl.to_arrow_schema(st).types)}
+
     def prep(batch: pa.Table) -> pa.Table:
         if extract_src is not None:
             txt = extract_text(batch[extract_src].combine_chunks())
@@ -233,6 +236,14 @@ def build_index(
                 and version_field in batch.column_names:
             keep.append(version_field)
         batch = batch.select(keep)
+        # normalize to the DECLARED schema types: a source block whose column
+        # is all-null arrives typed pa.null() (from_items/JSON inference) and
+        # would poison the spill-file concat with mixed schemas; int width and
+        # large_string drift normalizes here too
+        for i, name in enumerate(batch.column_names):
+            want = arrow_types.get(name)
+            if want is not None and batch.column(i).type != want:
+                batch = batch.set_column(i, name, batch.column(i).cast(want))
         keys = batch[key_field].to_numpy(zero_copy_only=False)
         if key_is_long:
             part = (keys.astype(np.int64) % num_doc_parts).astype(np.int32)

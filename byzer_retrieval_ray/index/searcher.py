@@ -1205,12 +1205,46 @@ class BucketSearcher:
 
     # ---------- result materialization ----------
 
-    def fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:
+    def facet_keyword(self, q: SearchQuery, facet_field: str,
+                      precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL facet counts over the ENTIRE keyword match set
+        (the Lucene facets shape: FacetsCollector counts every hit, not the
+        top-k). Returns (value, cnt) rows for this bucket — the master sums
+        partials across buckets. Facet values are returned as strings (Lucene
+        facet labels are strings); null/missing values don't count. Runs the
+        exact TAAT path with an unbounded limit — facets need every match's
+        id, never its rank — and reads ONE narrow stored column per bucket
+        (fetch_docs column pruning), so the per-bucket payload is
+        (distinct values × 16B), independent of match count."""
+        import pyarrow.compute as pc
+        from dataclasses import replace
+
+        empty = pa.table({"value": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[facet_field])
+        if facet_field not in tbl.column_names:
+            return empty
+        vc = pc.value_counts(tbl[facet_field].combine_chunks())
+        vals, cnts = vc.field("values"), vc.field("counts")
+        keep = pc.is_valid(vals)
+        return pa.table({"value": pc.cast(vals.filter(keep), pa.string()),
+                         "cnt": pc.cast(cnts.filter(keep), pa.int64())})
+
+    def fetch_docs(self, doc_ids: np.ndarray,
+                   columns: list | None = None) -> pa.Table:
         """Stored fields for the given ids — a direct predicate-pushdown parquet read
         (row-group pruned on the sorted doc_id column), deliberately NOT cached:
         stored fields can carry wide payloads (html) that must not live in the
-        serving actor's heap."""
+        serving actor's heap. ``columns`` prunes to the named stored fields
+        (facet counting reads one narrow column, never the whole row)."""
         cols = [c for c in self._stored_columns() if c in _available_columns(self)]
+        if columns is not None:
+            cols = [c for c in cols if c in columns]
         if "doc_id" not in cols:
             cols = ["doc_id"] + cols
         paths = self.gen.docstore_paths(self.bucket)

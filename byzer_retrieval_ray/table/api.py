@@ -696,6 +696,45 @@ class RetrievalCluster:
                         fields=[field], limit=limit)
         return self.search(database, table, q, **search_kwargs)[0], chosen
 
+    def facet_counts(self, database: str, table: str, query, facet_field: str,
+                     limit: int = 10, precision: str = "float32") -> list[dict]:
+        """Facet counts of a stored field over a keyword query's ENTIRE match
+        set (the Lucene faceting shape — FacetsCollector + SSDV facets count
+        every hit, not the top-k; the reference exposes no facet API:
+        extension). Returns ``[{"value", "count"}, ...]`` ranked by
+        (count desc, value asc), top ``limit``; values are strings (Lucene
+        facet labels); docs with a null/missing field don't count.
+
+        Scale shape: each bucket ships only its (distinct value, count)
+        partial — match ids never leave the shard; the master fold is
+        |values|-sized. Keyword recall only (filters supported; a vector
+        recall's "match set" is its top-k, which is ranking, not faceting)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("facet_counts takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("facet_counts is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.facet_keyword.remote(q.__dict__, facet_field, precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.facet_keyword(q, facet_field, precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return []
+        df = pa.concat_tables(tbls).to_pandas()
+        agg = df.groupby("value", as_index=False)["cnt"].sum() \
+            .sort_values(["cnt", "value"], ascending=[False, True],
+                         kind="mergesort")
+        return [{"value": str(r.value), "count": int(r.cnt)}
+                for r in agg.head(limit).itertuples()]
+
     def suggest(self, database: str, table: str, field: str, term: str,
                 max_edits: int = 2, limit: int = 5,
                 transpositions: bool = True) -> list[dict]:

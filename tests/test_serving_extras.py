@@ -381,3 +381,51 @@ class TestSearchAfter:
                         search_after=[1.0, 0])
         with pytest.raises(ValueError, match="keyword-only"):
             c.search("db", "v", q)
+
+
+class TestFacets:
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "f", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string))", loc))
+        docs = [{"_id": i, "content": "hit " + ("extra " if i % 5 == 0 else ""),
+                 "cat": ["a", "b", "c"][i % 3]}
+                for i in range(60)]
+        # doc 59 replaced with a null category — must not be counted
+        docs[59]["cat"] = None
+        c.build_from_local("db", "f", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_counts_whole_match_set(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "f", keyword="hit", fields=["content"], limit=2)
+        out = c.facet_counts("db", "f", q, "cat")
+        # limit=2 on the QUERY must not bound facet counting: 59 non-null
+        # matches, cats a:20 b:20 c:19 (59 % 3 == 2 was the nulled doc)
+        assert out == [{"value": "a", "count": 20}, {"value": "b", "count": 20},
+                       {"value": "c", "count": 19}]
+
+    def test_filter_and_limit(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "f", keyword="extra", fields=["content"],
+                        limit=1)
+        out = c.facet_counts("db", "f", q, "cat", limit=2)
+        # matches: _id % 5 == 0 → cats of 0,5,...,55 = a,c,b,a,c,b... =
+        # {a:4, b:4, c:4} → top-2 by (count desc, value asc)
+        assert out == [{"value": "a", "count": 4}, {"value": "b", "count": 4}]
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "f", keyword="hit", fields=["content"], limit=3)
+        inproc = c.facet_counts("db", "f", q, "cat")
+        c.activate("db", "f")
+        assert c.facet_counts("db", "f", q, "cat") == inproc
+
+    def test_vector_rejected(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=30)
+        q = SearchQuery("db", "v", vector=docs[1]["vector"],
+                        vectorField="vector", limit=5)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.facet_counts("db", "v", q, "content")
