@@ -598,6 +598,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cnt": pa.array([o["count"] for o in out], pa.int64()),
         })
     q["bm25_facets"] = bm25_facets
+
+    def bm25_highlight(sf):
+        # best-passage snippets for the top-10 hits: the 8-token window with
+        # the most DISTINCT query terms (ties → earliest start); the snippet
+        # STRING itself is value-checked against the SQL reconstruction
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.highlight("db", "docs", q2, "text", window=8,
+                          precision="float64", algorithm="bmw")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "score": pa.array(np.round(np.array(
+                [o["_score"] for o in out], np.float64), 4)),
+            "snippet": pa.array([o["snippet"] for o in out], pa.string()),
+            "n_matched": pa.array([o["n_matched"] for o in out], pa.int64()),
+        })
+    q["bm25_highlight"] = bm25_highlight
     q["bm25_multi_term"] = lambda sf: _bm25(sf, "scan join order sort", 20)
     q["bm25_absent_term"] = lambda sf: _bm25(sf, "zzz_not_a_term", 10)
     q["match_all"] = lambda sf: _bm25(sf, "*", 50)
@@ -1831,6 +1849,34 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_multi_term"] = _sql_bm25(["scan", "join", "order", "sort"], 20)
     sql["bm25_page2"] = _sql_bm25(["scan", "join", "order", "sort"], 10,
                                   offset=10)
+
+    # best-window snippets for the top-10 'merge sort' hits: window of 8
+    # tokens with the most distinct query terms, ties to the earliest start;
+    # snippet reconstructed by joining the window tokens with single spaces
+    sql["bm25_highlight"] = ("WITH " + _SQL_TOKS + ", "
+                             + _sql_term_scores(["merge", "sort"]) + """,
+top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+tk AS (
+  SELECT t.doc_id, t.score,
+         list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> '') AS w
+  FROM top t JOIN documents d ON d.doc_id = t.doc_id),
+starts AS (
+  SELECT doc_id, score, w,
+         unnest(range(1, greatest(len(w) - 8 + 1, 1) + 1)) AS s
+  FROM tk),
+wins AS (
+  SELECT doc_id, score, w, s,
+         CAST(len(list_filter(['merge', 'sort'],
+              q -> list_contains(list_slice(w, s, s + 7), q))) AS BIGINT) AS m
+  FROM starts),
+best AS (
+  SELECT doc_id, score, w, s, m,
+         row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, s) AS rn
+  FROM wins)
+SELECT doc_id, ROUND(score, 4) AS score,
+       array_to_string(list_slice(w, s, s + 7), ' ') AS snippet,
+       m AS n_matched
+FROM best WHERE rn = 1 ORDER BY score DESC, doc_id""")
 
     # facet counts over the full OR match set of 'merge sort', by lang
     sql["bm25_facets"] = """

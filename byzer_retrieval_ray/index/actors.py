@@ -160,6 +160,10 @@ class SegmentActorImpl:
         tbls = [s.fetch_docs(doc_ids) for s in self.searchers]
         return pa.concat_tables(tbls, promote_options="default")
 
+    def fetch_analyzed(self, doc_ids: np.ndarray, field: str) -> pa.Table:
+        tbls = [s.fetch_analyzed(doc_ids, field) for s in self.searchers]
+        return pa.concat_tables(tbls, promote_options="default")
+
 
 def make_segment_actor(manifest_data: dict, buckets: list, num_cpus: float = 1,
                        location: str | None = None, poll_sec: float = 0.0,

@@ -1235,6 +1235,26 @@ class BucketSearcher:
         return pa.table({"value": pc.cast(vals.filter(keep), pa.string()),
                          "cnt": pc.cast(cnts.filter(keep), pa.int64())})
 
+    def fetch_analyzed(self, doc_ids: np.ndarray, field: str) -> pa.Table:
+        """(doc_id, field) rows for the given ids where ``field`` is an
+        ANALYZED column — excluded from search results (Lucene TextField
+        parity: indexed, not stored) but retained in the docstore parquet
+        (posting re-emission reads it), which makes snippet/highlight
+        generation free where Lucene would require stored=true. Same
+        predicate-pushdown read discipline as fetch_docs."""
+        paths = self.gen.docstore_paths(self.bucket)
+        if not paths:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             field: pa.array([], pa.string())})
+        ids_arr = np.asarray(doc_ids)
+        if self._ts_in_bucket.size and ids_arr.size:
+            ids_arr = ids_arr[~np.isin(ids_arr, self._ts_in_bucket)]
+        ids = [int(d) for d in ids_arr]
+        return pa.concat_tables([
+            pq.read_table(p, columns=["doc_id", field],
+                          filters=[("doc_id", "in", ids)])
+            for p in paths])
+
     def fetch_docs(self, doc_ids: np.ndarray,
                    columns: list | None = None) -> pa.Table:
         """Stored fields for the given ids — a direct predicate-pushdown parquet read

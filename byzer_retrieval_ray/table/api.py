@@ -696,6 +696,67 @@ class RetrievalCluster:
                         fields=[field], limit=limit)
         return self.search(database, table, q, **search_kwargs)[0], chosen
 
+    def highlight(self, database: str, table: str, query, field: str,
+                  window: int = 16, **search_kwargs) -> list[dict]:
+        """Keyword search + best-passage snippets (the Lucene
+        UnifiedHighlighter shape, simplified — the reference exposes no
+        highlight API: extension). Runs the normal serving path, then for
+        each of the top-limit hits picks the ``window``-token window of
+        ``field`` containing the most DISTINCT query terms (ties → earliest)
+        and returns ``{"doc_id", "_score", "snippet", "n_matched"}`` rows in
+        rank order. Plain terms highlight (the parsed query's should/must/
+        group members); ``field`` must be analyzed — its text comes from the
+        docstore, which retains analyzed columns (where Lucene would need
+        stored=true).
+
+        Scale shape: snippets are computed for ≤ limit docs — one
+        predicate-pushdown docstore read of (doc_id, field), never a scan."""
+        from byzer_retrieval_ray.functions.highlight import make_snippet
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("highlight takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("highlight is keyword-only")
+        hits = self.search(database, table, q, **search_kwargs)[0]
+        if not hits:
+            return []
+        ids = np.array([h["doc_id"] for h in hits], np.int64)
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            tbls = ray.get([a.fetch_analyzed.remote(ids, field)
+                            for a in self._actors[(database, table)]],
+                           timeout=QUERY_TIMEOUT_SEC)
+        else:
+            tbls = [s.fetch_analyzed(ids, field)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        texts: dict[int, str] = {}
+        if tbls:
+            joined = pa.concat_tables(tbls, promote_options="default")
+            texts = dict(zip(joined["doc_id"].to_pylist(),
+                             joined[field].to_pylist()))
+        pk = parse_keyword(q.keyword) if q.keyword.strip() != "*" else None
+        terms = set()
+        if pk is not None:
+            terms = {t for t in pk.should + pk.must if isinstance(t, str)}
+            terms |= {m for g in pk.must_groups for m in g
+                      if isinstance(m, str)}
+            # phrase members highlight individually (Lucene UH does too)
+            terms |= {t for ph in pk.phrases + pk.must_phrases for t in ph}
+            terms |= {t for ph, _ in pk.slop_phrases + pk.must_slop_phrases
+                      for t in ph}
+        out = []
+        for h in hits:
+            snip, m = make_snippet(str(texts.get(h["doc_id"], "") or ""),
+                                   terms, window)
+            out.append({"doc_id": h["doc_id"], "_score": h["_score"],
+                        "snippet": snip, "n_matched": m})
+        return out
+
     def facet_counts(self, database: str, table: str, query, facet_field: str,
                      limit: int = 10, precision: str = "float32") -> list[dict]:
         """Facet counts of a stored field over a keyword query's ENTIRE match

@@ -429,3 +429,81 @@ class TestFacets:
                         vectorField="vector", limit=5)
         with pytest.raises(ValueError, match="keyword-only"):
             c.facet_counts("db", "v", q, "content")
+
+
+class TestHighlight:
+    """Best-passage snippets (Lucene UnifiedHighlighter shape, simplified):
+    the window-token window with the most DISTINCT query terms, ties to the
+    earliest start; snippet text joins tokens with single spaces."""
+
+    def test_best_window_unit(self):
+        from byzer_retrieval_ray.functions.highlight import (best_window,
+                                                             make_snippet)
+        toks = "x x merge x x sort merge x".split()
+        # window=3: [4,7)='x sort merge' has both distinct terms, earliest
+        # window with 2 distinct is [3,6)='x x sort'? no — contains only sort.
+        # cum windows: starts 0..5; both terms first co-occur at start 4.
+        s, m = best_window(toks, {"merge", "sort"}, 3)
+        assert (s, m) == (4, 2)
+        # ties → earliest: single term, window 2, first hit at index 2
+        s, m = best_window(toks, {"merge"}, 2)
+        assert (s, m) == (1, 1)
+        # doc shorter than window → whole doc, matched counted once
+        snip, m = make_snippet("sort sort", {"sort"}, 8)
+        assert snip == "sort sort" and m == 1
+        # empty doc / no terms
+        assert make_snippet("", {"a"}, 4) == ("", 0)
+        assert make_snippet("a b c", set(), 2) == ("a b", 0)
+
+    def _cluster(self, loc, n=80):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "h", "st(field(_id,long),field(text,string,analyze))", loc))
+        docs = [{"_id": i,
+                 "text": (f"pad{i} filler words here merge happens then "
+                          + "x " * (i % 7) + "sort concludes the run "
+                          + f"tail{i}")}
+                for i in range(n)]
+        c.build_from_local("db", "h", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_snippets_and_actor_parity(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "h", keyword="merge sort", fields=["text"],
+                        limit=10)
+        out = c.highlight("db", "h", q, "text", window=6,
+                          precision="float64")
+        assert len(out) == 10
+        hits = c.search("db", "h", q, precision="float64")[0]
+        assert [o["doc_id"] for o in out] == [h["doc_id"] for h in hits]
+        for o in out:
+            # every snippet is <= 6 tokens from the doc, contains >= 1 term
+            toks = o["snippet"].split()
+            assert len(toks) <= 6 and o["n_matched"] >= 1
+            assert "merge" in toks or "sort" in toks
+        # doc 0 has 'merge happens then sort' adjacent (i%7==0 → no x pad):
+        # a 6-window catches both
+        by_id = {o["doc_id"]: o for o in out}
+        if 0 in by_id:
+            assert by_id[0]["n_matched"] == 2
+        c.activate("db", "h")
+        actor_out = c.highlight("db", "h", q, "text", window=6,
+                                precision="float64")
+        assert actor_out == out
+
+    def test_phrase_members_highlight(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path), n=30)
+        q = SearchQuery("db", "h", keyword='"merge happens"', fields=["text"],
+                        limit=5)
+        out = c.highlight("db", "h", q, "text", window=4,
+                          precision="float64")
+        assert out and all(o["n_matched"] == 2 for o in out)
+        assert all("merge happens" in o["snippet"] for o in out)
+
+    def test_vector_rejected(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=20)
+        q = SearchQuery("db", "v", vector=docs[0]["vector"],
+                        vectorField="vector", limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.highlight("db", "v", q, "content")
