@@ -640,6 +640,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_fuzzy"] = bm25_fuzzy
 
+    # wildcard clauses (extension; Lucene WildcardQuery semantics): ? = one
+    # char, * = any sequence, constant score 1.0 per matching doc, mixed with
+    # a scored BM25 term; m?rge matches 'merge', s*t matches every s...t token
+    q["bm25_wildcard"] = lambda sf: _bm25(sf, "m?rge s*t order", 20)
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -1954,6 +1959,25 @@ comb AS (
          COALESCE(s.score, 0.0e0)
          + CASE WHEN f.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
   FROM scored s FULL OUTER JOIN fz f ON s.doc_id = f.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # wildcard clauses: ? = exactly one char, * = any sequence (anchored
+    # regex over the token dictionary); each pattern contributes a constant
+    # 1.0 per matching doc, added AFTER the scored term (engine clause order)
+    sql["bm25_wildcard"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["order"])},
+w1 AS (SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^m.rge$')),
+w2 AS (SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^s.*t$')),
+comb AS (
+  SELECT COALESCE(s.doc_id, w1.doc_id, w2.doc_id) AS doc_id,
+         COALESCE(s.score, 0.0e0)
+         + CASE WHEN w1.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END
+         + CASE WHEN w2.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
+  FROM scored s
+  FULL OUTER JOIN w1 ON s.doc_id = w1.doc_id
+  FULL OUTER JOIN w2 ON COALESCE(s.doc_id, w1.doc_id) = w2.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""

@@ -23,6 +23,18 @@ two-arg constructor), default operator OR. Supported here:
                        automaton's metric), CONSTANT score 1.0 per matching doc
                        (Lucene's per-term boosted scoring is a documented
                        divergence); +/- variants supported.
+    t?st, s*t        → wildcard clause (EXTENSION — Lucene WildcardQuery
+                       semantics, which SimpleQueryParser itself does not
+                       expose): ``?`` matches exactly one character, ``*`` any
+                       sequence; a token whose only wildcard is one trailing
+                       ``*`` stays a prefix clause. CONSTANT score 1.0 per doc
+                       containing ≥1 dictionary term matching the pattern
+                       (constant-score MultiTermQuery rewrite, like prefix/
+                       fuzzy); +/- variants supported. ``\?``/``\*`` escape to
+                       literal characters. The literal prefix before the first
+                       wildcard bounds the dictionary scan; a leading-wildcard
+                       pattern scans the full term dictionary (as Lucene's
+                       does) with a vectorized RE2 kernel.
     "a b"~N          → sloppy phrase (Lucene NEAR): IN-ORDER matches whose window
                        cost (span − (len−1) extra gap tokens) is ≤ N, scored with
                        the Lucene sloppy-frequency tf = Σ 1/(1+cost) over one
@@ -85,7 +97,7 @@ _SLOP_RE = re.compile(r'~(\d+)')
 
 # ESCAPE: \<special> hides the char from every parser pass via a private-use
 # sentinel, restored verbatim in the emitted terms
-_SPECIALS = '+-"*~()|\\'
+_SPECIALS = '+-"*~()|\\?'
 _SENTINEL = {c: chr(0xE000 + i) for i, c in enumerate(_SPECIALS)}
 _UNSENTINEL = {v: k for k, v in _SENTINEL.items()}
 _ESCAPE_RE = re.compile(r'\\(.)')
@@ -108,6 +120,15 @@ def _restore(term: str) -> str:
     return _SENTINEL_RE.sub(lambda m: _UNSENTINEL[m.group(0)], term)
 
 
+def _restore_pattern(pat: str) -> str:
+    """Wildcard patterns restore escaped ``*``/``?`` BACKSLASH-escaped so the
+    dictionary expansion can tell literal characters from wildcard operators
+    (``te\\*t?`` → pattern ``te\\*t?``: literal star, one-char wildcard)."""
+    return _SENTINEL_RE.sub(
+        lambda m: ("\\" + _UNSENTINEL[m.group(0)])
+        if _UNSENTINEL[m.group(0)] in "*?" else _UNSENTINEL[m.group(0)], pat)
+
+
 def _restore_member(m):
     if isinstance(m, str):
         return _restore(m)
@@ -117,6 +138,8 @@ def _restore_member(m):
         return (m[0], tuple(_restore(t) for t in m[1]), m[2])
     if m[0] == "prefix":
         return (m[0], _restore(m[1]))
+    if m[0] == "wildcard":
+        return (m[0], _restore_pattern(m[1]))
     if m[0] == "fuzzy":
         return (m[0], _restore(m[1]), m[2])
     return m
@@ -126,6 +149,8 @@ def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
     for name in ("should", "must", "must_not", "prefixes", "must_prefixes",
                  "not_prefixes"):
         setattr(p, name, [_restore(t) for t in getattr(p, name)])
+    for name in ("wildcards", "must_wildcards", "not_wildcards"):
+        setattr(p, name, [_restore_pattern(t) for t in getattr(p, name)])
     for name in ("phrases", "must_phrases", "not_phrases"):
         setattr(p, name, [tuple(_restore(t) for t in tt)
                           for tt in getattr(p, name)])
@@ -153,6 +178,9 @@ class ParsedKeyword:
     fuzzies: list = field(default_factory=list)        # (term, max_edits) pairs
     must_fuzzies: list = field(default_factory=list)
     not_fuzzies: list = field(default_factory=list)
+    wildcards: list = field(default_factory=list)      # pattern strings
+    must_wildcards: list = field(default_factory=list)
+    not_wildcards: list = field(default_factory=list)
     must_groups: list = field(default_factory=list)    # tuples of typed members
                                                        # (str = term), each
                                                        # group required
@@ -165,11 +193,12 @@ class ParsedKeyword:
     def _has_must(self) -> bool:
         return bool(self.must or self.must_phrases or self.must_slop_phrases
                     or self.must_prefixes or self.must_fuzzies
-                    or self.must_groups)
+                    or self.must_wildcards or self.must_groups)
 
     def _has_not(self) -> bool:
         return bool(self.must_not or self.not_phrases or self.not_slop_phrases
-                    or self.not_prefixes or self.not_fuzzies)
+                    or self.not_prefixes or self.not_fuzzies
+                    or self.not_wildcards)
 
     def _should_members(self) -> list:
         """Typed members of this (pure-OR) node, canonical order."""
@@ -178,25 +207,28 @@ class ParsedKeyword:
         out += [("slop", tt, n) for tt, n in self.slop_phrases]
         out += [("prefix", t) for t in self.prefixes]
         out += [("fuzzy", t, n) for t, n in self.fuzzies]
+        out += [("wildcard", t) for t in self.wildcards]
         return out
 
     def _extend_all(self, sub: "ParsedKeyword") -> None:
         for name in ("should", "must", "must_not", "phrases", "must_phrases",
                      "not_phrases", "prefixes", "must_prefixes", "not_prefixes",
                      "fuzzies", "must_fuzzies", "not_fuzzies", "must_groups",
-                     "slop_phrases", "must_slop_phrases", "not_slop_phrases"):
+                     "slop_phrases", "must_slop_phrases", "not_slop_phrases",
+                     "wildcards", "must_wildcards", "not_wildcards"):
             getattr(self, name).extend(getattr(sub, name))
 
     def _extend_should(self, sub: "ParsedKeyword") -> None:
         for name in ("should", "phrases", "slop_phrases", "prefixes",
-                     "fuzzies"):
+                     "fuzzies", "wildcards"):
             getattr(self, name).extend(getattr(sub, name))
 
     def _extend_should_ex_terms(self, sub: "ParsedKeyword") -> None:
         """SHOULD lists except plain terms (term group-members score via the
         searcher's group_terms path — adding them to ``should`` too would
         double-score)."""
-        for name in ("phrases", "slop_phrases", "prefixes", "fuzzies"):
+        for name in ("phrases", "slop_phrases", "prefixes", "fuzzies",
+                     "wildcards"):
             getattr(self, name).extend(getattr(sub, name))
 
     def _negate_members(self, members: list) -> None:
@@ -211,6 +243,8 @@ class ParsedKeyword:
                 self.not_prefixes.append(m[1])
             elif m[0] == "fuzzy":
                 self.not_fuzzies.append((m[1], m[2]))
+            elif m[0] == "wildcard":
+                self.not_wildcards.append(m[1])
 
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
@@ -312,6 +346,14 @@ def _take_token(p: ParsedKeyword, raw: str) -> None:
     tok = tok.strip('"')
     if not tok:
         return
+    core = tok[:-1] if tok.endswith("*") else tok
+    if len(tok) > 1 and ("?" in tok or "*" in core):
+        # mid-token / leading / repeated wildcard (a single trailing * alone
+        # stays a prefix clause; wildcards don't combine with ~ — any ~ in
+        # the token is a literal pattern character here)
+        (p.must_wildcards if op == "+" else p.not_wildcards if op == "-"
+         else p.wildcards).append(tok)
+        return
     if tok.endswith("*") and len(tok) > 1:
         (p.must_prefixes if op == "+" else p.not_prefixes if op == "-"
          else p.prefixes).append(tok[:-1])
@@ -340,7 +382,7 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         members = sub._should_members()
         # inner exclusions promote either way: +( -c ...) requires ¬c
         for name in ("must_not", "not_phrases", "not_slop_phrases",
-                     "not_prefixes", "not_fuzzies"):
+                     "not_prefixes", "not_fuzzies", "not_wildcards"):
             getattr(p, name).extend(getattr(sub, name))
         if not members:
             return
@@ -357,6 +399,8 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
                 p.must_prefixes.append(m[1])
             elif m[0] == "fuzzy":
                 p.must_fuzzies.append((m[1], m[2]))
+            elif m[0] == "wildcard":
+                p.must_wildcards.append(m[1])
             return
         p.must_groups.append(tuple(members))
         p._extend_should_ex_terms(sub)   # non-term members fetch + score
@@ -371,6 +415,7 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         musts += [("slop", tt, n) for tt, n in sub.must_slop_phrases]
         musts += [("prefix", t) for t in sub.must_prefixes]
         musts += [("fuzzy", t, n) for t, n in sub.must_fuzzies]
+        musts += [("wildcard", t) for t in sub.must_wildcards]
         if len(musts) == 1 and not sub.must_groups and not has_not:
             # -(+a b) ≡ -a: the group matches iff its single required member
             # does (SHOULD members don't gate matching once a MUST exists)

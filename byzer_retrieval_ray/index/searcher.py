@@ -32,6 +32,7 @@ from __future__ import annotations
 import heapq
 import logging
 import os
+import re
 from collections import OrderedDict
 
 import numpy as np
@@ -212,6 +213,68 @@ class GenerationReader:
                     return out
         return out
 
+    def expand_wildcard(self, field: str, pattern: str,
+                        limit: int = 1024) -> list[str]:
+        """Dictionary terms of ``field`` matching a Lucene WildcardQuery
+        pattern (``*`` = any sequence, ``?`` = exactly one char; ``\\*``/``\\?``
+        are literal). The literal prefix before the first wildcard bounds the
+        scan to its term-range interval like expand_prefix; a leading-wildcard
+        pattern scans every range's full dictionary (Lucene's WildcardQuery
+        automaton does the same) through ONE vectorized RE2 kernel per range
+        (pyarrow match_substring_regex), never a per-term Python loop. Matches
+        stay in sorted term order; the ``limit`` cap is deterministic and
+        logged when hit."""
+        import bisect
+        rx_parts, lit_parts, i, in_lit = [], [], 0, True
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\" and i + 1 < len(pattern):
+                rx_parts.append(re.escape(pattern[i + 1]))
+                if in_lit:
+                    lit_parts.append(pattern[i + 1])
+                i += 2
+                continue
+            if c == "*":
+                rx_parts.append(".*")
+                in_lit = False
+            elif c == "?":
+                rx_parts.append(".")
+                in_lit = False
+            else:
+                rx_parts.append(re.escape(c))
+                if in_lit:
+                    lit_parts.append(c)
+            i += 1
+        rx = "^" + "".join(rx_parts) + "$"
+        lit = "".join(lit_parts)
+        out: list[str] = []
+        lo_r = self.route_term(lit) if lit else 0
+        hi_r = self.route_term(lit + "￿") if lit \
+            else max(self.info["num_term_parts"], 1) - 1
+        for r in range(lo_r, hi_r + 1):
+            lst = self._sorted_terms(r).get(field, [])
+            if len(lst) == 0:
+                continue
+            if lit:
+                i0 = bisect.bisect_left(lst, lit)
+                i1 = bisect.bisect_left(lst, lit + "￿", lo=i0)
+                cand = lst[i0:i1]
+            else:
+                cand = lst
+            if len(cand) == 0:
+                continue
+            mask = pc.match_substring_regex(
+                pa.array(cand, pa.string()), rx).to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(mask):
+                out.append(cand[i])
+                if len(out) >= limit:
+                    _LOG.warning(
+                        "wildcard expansion %r on field %r hit the %d-term "
+                        "cap; keeping the %d lexicographically smallest "
+                        "matches", pattern, field, limit, limit)
+                    return out
+        return out
+
     def _term_lens(self, r: int, field: str) -> np.ndarray:
         """Cached length array of range r's sorted term list (the fuzzy length
         band then prunes without touching the strings)."""
@@ -282,6 +345,13 @@ class StatsView:
         terms: set[str] = set()
         for r in self.readers:
             terms.update(r.expand_fuzzy(field, term, n, transpositions, limit))
+        return sorted(terms)[:limit]
+
+    def expand_wildcard(self, field: str, pattern: str,
+                        limit: int = 1024) -> list[str]:
+        terms: set[str] = set()
+        for r in self.readers:
+            terms.update(r.expand_wildcard(field, pattern, limit))
         return sorted(terms)[:limit]
 
 
@@ -643,10 +713,33 @@ class BucketSearcher:
                         scorers.append(((fld, f"{term}~{n_edits}"),
                                         _const_posting(docs), None, dtype(1.0)))
 
+        # wildcard clauses (t?st / s*t): constant 1.0 per doc containing a
+        # dictionary term matching the pattern (expansion like prefixes);
+        # appended LAST in the fixed clause order (the oracle adds its CASE
+        # term last to mirror the float-addition order)
+        all_wilds = pk.wildcards + pk.must_wildcards + pk.not_wildcards
+        wild_docs: dict[tuple[str, str], np.ndarray] = {}
+        if all_wilds:
+            for wc in dict.fromkeys(all_wilds):
+                for fld in fields:
+                    terms = self.stats.expand_wildcard(fld, wc)
+                    if not terms:
+                        continue
+                    tpairs = [(fld, t) for t in terms]
+                    tposts = self.fetch_postings(tpairs)
+                    docs_any = [tposts[p].docs for p in tpairs if tposts[p].df > 0]
+                    if not docs_any:
+                        continue
+                    docs = np.unique(np.concatenate(docs_any))
+                    wild_docs[(fld, wc)] = docs
+                    if wc in pk.wildcards or wc in pk.must_wildcards:
+                        scorers.append(((fld, wc),
+                                        _const_posting(docs), None, dtype(1.0)))
+
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
         if must or must_phrases or pk.must_slop_phrases or pk.must_prefixes \
-                or pk.must_fuzzies or pk.must_groups:
+                or pk.must_fuzzies or pk.must_wildcards or pk.must_groups:
             for grp in pk.must_groups:
                 # +(a | "b c" | d*): the doc must match ≥1 group member in
                 # ≥1 field; members' doc sets come from the clause sections
@@ -669,6 +762,9 @@ class BucketSearcher:
                         elif m[0] == "fuzzy":
                             if (f, (m[1], m[2])) in fuzzy_docs:
                                 docs_any.append(fuzzy_docs[(f, (m[1], m[2]))])
+                        elif m[0] == "wildcard":
+                            if (f, m[1]) in wild_docs:
+                                docs_any.append(wild_docs[(f, m[1])])
                 g_docs = (np.unique(np.concatenate(docs_any))
                           if docs_any else np.empty(0, np.int64))
                 candidates = g_docs if candidates is None else \
@@ -707,6 +803,13 @@ class BucketSearcher:
                            if docs_any else np.empty(0, np.int64))
                 candidates = fz_docs if candidates is None else \
                     candidates[np.isin(candidates, fz_docs, assume_unique=True)]
+            for wc in pk.must_wildcards:
+                docs_any = [wild_docs[(f, wc)] for f in fields
+                            if (f, wc) in wild_docs]
+                wc_docs = (np.unique(np.concatenate(docs_any))
+                           if docs_any else np.empty(0, np.int64))
+                candidates = wc_docs if candidates is None else \
+                    candidates[np.isin(candidates, wc_docs, assume_unique=True)]
             candidates = self._drop_tombstones(candidates)
         excluded = None
         ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
@@ -718,6 +821,8 @@ class BucketSearcher:
                if (f, pre) in prefix_docs]
         ex += [fuzzy_docs[(f, fz)] for fz in pk.not_fuzzies for f in fields
                if (f, fz) in fuzzy_docs]
+        ex += [wild_docs[(f, wc)] for wc in pk.not_wildcards for f in fields
+               if (f, wc) in wild_docs]
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
@@ -741,7 +846,8 @@ class BucketSearcher:
                 scorers, candidates, limit, dtype, excluded=excluded,
                 zero_fill=(bool(q.filters) and not must and not must_phrases
                            and not pk.must_slop_phrases and not pk.must_prefixes
-                           and not pk.must_fuzzies and not pk.must_groups),
+                           and not pk.must_fuzzies and not pk.must_wildcards
+                           and not pk.must_groups),
                 after=after)
         return ids, scores
 

@@ -263,3 +263,75 @@ class TestSloppy:
         scores = {r["_id"]: r["_score"] for r in res}
         assert set(scores) == {0, 1}
         assert scores[1] > scores[0]
+
+
+class TestWildcard:
+    """Wildcard clauses (extension; Lucene WildcardQuery semantics): ? = one
+    char, * = any sequence; constant score 1.0 per matching doc; a single
+    trailing * stays a prefix clause."""
+
+    def test_parse_shapes(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword("qu?ck s*t tail* -f*x +?at")
+        assert p.wildcards == ["qu?ck", "s*t"]
+        assert p.prefixes == ["tail"]           # single trailing * = prefix
+        assert p.not_wildcards == ["f*x"] and p.must_wildcards == ["?at"]
+        # escaped wildcards are literal: pattern keeps the backslash so the
+        # expansion can tell literal * / ? apart; a fully-escaped token is a
+        # plain term
+        p2 = parse_keyword(r"te\*t? qu\?ck")
+        assert p2.wildcards == [r"te\*t?"] and p2.should == ["qu?ck"]
+        p3 = parse_keyword("(f*x | dog)")
+        assert p3.wildcards == ["f*x"] and p3.should == ["dog"]
+
+    def test_matches_constant_score(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "qu?ck",
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        assert all(r["_score"] == 1.0 for r in res)
+
+    def test_leading_and_infix(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "*own",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5]
+        res = cluster.search("db", "p", {"keyword": "f*x",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1]
+        res = cluster.search("db", "p", {"keyword": "?at",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [2]    # cat; 3-char tokens only
+
+    def test_must_not_and_mixed(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "quick -f*x",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [2, 3, 5, 6]
+        res = cluster.search("db", "p", {"keyword": "+?at quick",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [2]
+        # BM25 term + constant 1.0, like the prefix-mixed test
+        mixed = {r["_id"]: r["_score"] for r in cluster.search(
+            "db", "p", {"keyword": "unrelated qu?ck", "fields": ["content"],
+                        "limit": 10}, precision="float64")[0]}
+        assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
+
+    def test_group_and_parity(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "(f*x | dog)",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2]
+        for kw in ("qu?ck", "*own unrelated", '+f*x "quick brown"',
+                   "unrelated ?at"):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
+
+    def test_no_match_and_escape(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "zz?z*",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []
+        # escaped ? is a literal char: no token "qu?ck" exists in the corpus
+        res = cluster.search("db", "p", {"keyword": r"qu\?ck",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []
