@@ -599,6 +599,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_facets"] = bm25_facets
 
+    def bm25_field_stats(sf):
+        # numeric stats (count/min/max/sum/mean) of a stored field over the
+        # WHOLE match set — the Lucene stats-aggregation shape; each bucket
+        # ships one 4-value partial, match ids never leave the shard
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        st = c.field_stats("db", "docs", q2, "n_chars", precision="float64")
+        return pa.table({
+            "cnt": pa.array([st["count"]], pa.int64()),
+            "vmin": pa.array([st["min"]], pa.int64()),
+            "vmax": pa.array([st["max"]], pa.int64()),
+            "vsum": pa.array([st["sum"]], pa.int64()),
+            "mean": pa.array([float(np.round(st["mean"], 4))], pa.float64()),
+        })
+    q["bm25_field_stats"] = bm25_field_stats
+
+    def export_matches(sf):
+        # search → training-data bridge: EVERY doc matching the query streams
+        # out as a Dataset (per-bucket match ids stay in the object store;
+        # docstore batches probe them with np.isin — the driver never holds
+        # the match set)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        return c.export_matches("db", "docs", q2,
+                                columns=["doc_id", "lang", "n_chars"])
+    q["export_matches"] = export_matches
+
     def bm25_highlight(sf):
         # best-passage snippets for the top-10 hits: the 8-token window with
         # the most DISTINCT query terms (ties → earliest start); the snippet
@@ -1894,6 +1923,34 @@ m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
 SELECT d.lang AS lang, count(*) AS cnt
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 GROUP BY d.lang ORDER BY cnt DESC, lang LIMIT 10"""
+
+    # full match-set export: every doc containing merge OR sort, pruned to
+    # three columns (row order irrelevant — the gate canon-sorts)
+    sql["export_matches"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+
+    # numeric stats of n_chars over the same whole match set (nulls excluded,
+    # SQL COUNT(col) semantics; integer sum stays exact)
+    sql["bm25_field_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT COUNT(d.n_chars) AS cnt,
+       CAST(MIN(d.n_chars) AS BIGINT) AS vmin,
+       CAST(MAX(d.n_chars) AS BIGINT) AS vmax,
+       CAST(SUM(d.n_chars) AS BIGINT) AS vsum,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars), 4) AS mean
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
     sql["bm25_absent_term"] = _sql_bm25(["zzz_not_a_term"], 10)
     sql["match_all"] = ("SELECT doc_id, 1.0e0 AS score FROM documents "
                         "ORDER BY doc_id LIMIT 50")

@@ -151,6 +151,12 @@ class SegmentActorImpl:
         return [s.facet_keyword(query, facet_field, precision)
                 for s in self.searchers]
 
+    def stats_keyword(self, q: dict, field: str,
+                      precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.stats_keyword(query, field, precision)
+                for s in self.searchers]
+
     def filter_op(self, q: dict) -> pa.Table:
         query = SearchQuery.from_dict(q)
         tbls = [s.filter_op(query) for s in self.searchers]

@@ -1341,6 +1341,35 @@ class BucketSearcher:
         return pa.table({"value": pc.cast(vals.filter(keep), pa.string()),
                          "cnt": pc.cast(cnts.filter(keep), pa.int64())})
 
+    def stats_keyword(self, q: SearchQuery, field: str,
+                      precision: str = "float32") -> dict:
+        """Per-bucket PARTIAL numeric stats (count / min / max / sum) of a
+        stored field over the ENTIRE keyword match set (the Lucene
+        StatsResults / elasticsearch stats-aggregation shape). Same scale
+        shape as facet_keyword: exact TAAT with an unbounded limit, ONE
+        narrow column-pruned docstore read, and the bucket ships a single
+        4-value partial — match ids never leave the shard. Nulls don't
+        count (SQL COUNT(col) semantics); integer sums stay integers (the
+        Arrow sum kernel widens to int64), so the driver fold is exact."""
+        from dataclasses import replace
+
+        empty = {"cnt": 0, "min": None, "max": None, "sum": None}
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return empty
+        col = tbl[field]
+        cnt = len(col) - col.null_count
+        if cnt == 0:
+            return empty
+        mm = pc.min_max(col)
+        return {"cnt": int(cnt), "min": mm["min"].as_py(),
+                "max": mm["max"].as_py(), "sum": pc.sum(col).as_py()}
+
     def fetch_analyzed(self, doc_ids: np.ndarray, field: str) -> pa.Table:
         """(doc_id, field) rows for the given ids where ``field`` is an
         ANALYZED column — excluded from search results (Lucene TextField

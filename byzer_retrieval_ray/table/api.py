@@ -37,6 +37,18 @@ from byzer_retrieval_ray.table.query import SearchQuery, TableSettings
 QUERY_TIMEOUT_SEC = 30.0  # RetrievalMaster.java:222, :322
 
 
+def _match_bucket_ids(man_data: dict, bucket: int, gen: int, q_dict: dict,
+                      precision: str) -> np.ndarray:
+    """export_matches stage 1 (runs as a Ray task): one bucket's FULL match
+    set for a keyword query — exact TAAT, unbounded limit, tombstone-aware.
+    The sorted id array stays in the object store; docstore read tasks probe
+    it with np.isin, so the driver never holds match ids."""
+    s = BucketSearcher(man_data, bucket, gen=gen)
+    ids, _ = s.search_keyword(SearchQuery.from_dict(q_dict),
+                              precision=precision, algorithm="taat")
+    return np.sort(np.asarray(ids, dtype=np.int64))
+
+
 class RetrievalCluster:
     """A named retrieval cluster rooted at a storage location."""
 
@@ -323,6 +335,73 @@ class RetrievalCluster:
             ds = sub if ds is None else ds.union(sub)
         if ds is None:
             raise RuntimeError(f"table {database}.{table} has no published generation")
+        return ds
+
+    def export_matches(self, database: str, table: str, query,
+                       columns: list[str] | None = None,
+                       precision: str = "float32"):
+        """Stream EVERY doc matching a keyword query out as a
+        ``ray.data.Dataset`` (the search → training-data bridge; the
+        reference's S5 export is full-scan only: extension). Two stages:
+
+        1. one Ray task per (generation, bucket) builds that bucket's
+           searcher and leaves its matched doc_ids IN THE OBJECT STORE
+           (exact TAAT, unbounded limit, tombstone-aware) — match ids never
+           land on the driver;
+        2. a streaming Dataset over the bucket's docstore parquet filters
+           each batch against its bucket's id set (np.isin membership),
+           column-pruned like scan_table.
+
+        Downstream consumers keep streaming (write_parquet, map_batches,
+        iter_batches) — nothing materializes the match set in one place.
+        Keyword recall only (filters supported); ``columns`` prunes the
+        parquet read (doc_id is always read for the membership probe, only
+        returned if requested)."""
+        import ray
+        import ray.data
+
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("export_matches takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("export_matches is keyword-only")
+        from dataclasses import replace
+        qd = dict(replace(q, limit=int(1 << 62), search_after=None).__dict__)
+        m = self.manifest(database, table)
+        if not m.active_generations():
+            GenerationReader(m.data)     # raises the standard no-gen error
+        man_ref = ray.put(m.data)
+        match_task = ray.remote(num_cpus=1)(_match_bucket_ids)
+        ds = None
+        for g, b in self._gen_buckets(m):
+            gr = GenerationReader(m.data, g)
+            paths = [p for p in gr.docstore_paths(b)
+                     if p and os.path.exists(p)]
+            if not paths:
+                continue
+            ids_ref = match_task.remote(man_ref, b, g, qd, precision)
+            read_cols = None
+            if columns is not None:
+                read_cols = list(dict.fromkeys(["doc_id"] + list(columns)))
+            sub = ray.data.read_parquet(paths, columns=read_cols)
+            keep_id = columns is None or "doc_id" in columns
+
+            def keep_matches(t: pa.Table, ids_ref=ids_ref,
+                             keep_id=keep_id) -> pa.Table:
+                ids = ray.get(ids_ref)    # zero-copy local after first fetch
+                keep = np.isin(t["doc_id"].to_numpy(), ids)
+                out = t.filter(pa.array(keep))
+                drop = [c for c in out.column_names if c.startswith("__")]
+                if not keep_id:
+                    drop.append("doc_id")
+                return out.drop_columns(drop) if drop else out
+
+            sub = sub.map_batches(keep_matches, batch_format="pyarrow")
+            ds = sub if ds is None else ds.union(sub)
+        if ds is None:
+            raise RuntimeError(
+                f"table {database}.{table} has no published generation")
         return ds
 
     def commit(self, database: str, table: str) -> bool:
@@ -795,6 +874,45 @@ class RetrievalCluster:
                          kind="mergesort")
         return [{"value": str(r.value), "count": int(r.cnt)}
                 for r in agg.head(limit).itertuples()]
+
+    def field_stats(self, database: str, table: str, query, field: str,
+                    precision: str = "float32") -> dict:
+        """Numeric stats (count / min / max / sum / mean) of a stored field
+        over a keyword query's ENTIRE match set (the Lucene StatsResults /
+        stats-aggregation shape; the reference exposes no stats API:
+        extension). Nulls don't count (SQL COUNT(col) semantics); integer
+        columns fold exactly (per-bucket Arrow sums widen to int64, the
+        driver folds Python ints); ``mean`` is sum/count in float64 or None
+        when count is 0.
+
+        Scale shape: each bucket ships ONE (count, min, max, sum) partial —
+        match ids never leave the shard; the driver fold is O(buckets).
+        Keyword recall only (filters supported), like facet_counts."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("field_stats takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("field_stats is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.stats_keyword.remote(q.__dict__, field, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.stats_keyword(q, field, precision)
+                     for s in self._searchers(database, table)]
+        parts = [p for p in parts if p["cnt"]]
+        cnt = sum(p["cnt"] for p in parts)
+        if cnt == 0:
+            return {"count": 0, "min": None, "max": None, "sum": None,
+                    "mean": None}
+        vsum = sum(p["sum"] for p in parts)
+        return {"count": cnt, "min": min(p["min"] for p in parts),
+                "max": max(p["max"] for p in parts), "sum": vsum,
+                "mean": float(vsum) / cnt}
 
     def suggest(self, database: str, table: str, field: str, term: str,
                 max_edits: int = 2, limit: int = 5,

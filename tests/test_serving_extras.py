@@ -507,3 +507,101 @@ class TestHighlight:
                         vectorField="vector", limit=3)
         with pytest.raises(ValueError, match="keyword-only"):
             c.highlight("db", "v", q, "content")
+
+
+class TestFieldStats:
+    """Numeric stats over the ENTIRE match set (Lucene stats-aggregation
+    shape): per-bucket (count,min,max,sum) partials, O(buckets) driver fold."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "s", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc))
+        docs = [{"_id": i, "content": "hit " + ("extra " if i % 5 == 0 else ""),
+                 "n": i * 10}
+                for i in range(60)]
+        docs[7]["n"] = None          # null must not count
+        c.build_from_local("db", "s", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_whole_match_set_and_nulls(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "s", keyword="hit", fields=["content"], limit=2)
+        st = c.field_stats("db", "s", q, "n")
+        # limit=2 must not bound stats; 60 matches minus the null = 59
+        vals = [i * 10 for i in range(60) if i != 7]
+        assert st == {"count": 59, "min": 0, "max": 590, "sum": sum(vals),
+                      "mean": sum(vals) / 59}
+        assert isinstance(st["sum"], int)     # integer fold stays exact
+
+    def test_filterlike_query_and_actor_parity(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "s", keyword="extra", fields=["content"],
+                        limit=1)
+        inproc = c.field_stats("db", "s", q, "n")
+        # matches: _id % 5 == 0 -> n = 0,50,...,550 (12 values, none null)
+        vals = [i * 10 for i in range(0, 60, 5)]
+        assert inproc == {"count": 12, "min": 0, "max": 550, "sum": sum(vals),
+                          "mean": sum(vals) / 12}
+        c.activate("db", "s")
+        assert c.field_stats("db", "s", q, "n") == inproc
+
+    def test_empty_and_vector_rejected(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "s", keyword="zzz_absent", fields=["content"],
+                        limit=5)
+        st = c.field_stats("db", "s", q, "n")
+        assert st == {"count": 0, "min": None, "max": None, "sum": None,
+                      "mean": None}
+        c2, docs = _vec_cluster(str(tmp_path) + "/v", n=20)
+        qv = SearchQuery("db", "v", vector=docs[0]["vector"],
+                         vectorField="vector", limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c2.field_stats("db", "v", qv, "_id")
+
+
+class TestExportMatches:
+    """Search → Dataset bridge: every match streams out; per-bucket match ids
+    live in the object store, probed by docstore read tasks."""
+
+    def _cluster(self, loc, n=90):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "e", "st(field(_id,long),field(content,string,analyze),"
+            "field(tag,string))", loc))
+        docs = [{"_id": i,
+                 "content": ("alpha " if i % 3 == 0 else "beta ") + f"w{i}",
+                 "tag": f"t{i % 4}"} for i in range(n)]
+        c.build_from_local("db", "e", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_full_match_set_streams(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "e", keyword="alpha", fields=["content"],
+                        limit=2)   # limit must NOT bound the export
+        ds = c.export_matches("db", "e", q, columns=["_id", "tag"])
+        df = ds.to_pandas().sort_values("_id").reset_index(drop=True)
+        assert list(df["_id"]) == [i for i in range(90) if i % 3 == 0]
+        assert list(df.columns) == ["_id", "tag"]
+
+    def test_must_not_and_tombstones(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "e", keyword="alpha -w0", fields=["content"],
+                        limit=1)
+        got = sorted(c.export_matches("db", "e", q, columns=["_id"])
+                     .to_pandas()["_id"])
+        assert got == [i for i in range(3, 90, 3)]
+        c.delete_by_ids("db", "e", [3, 9])
+        got = sorted(c.export_matches("db", "e", q, columns=["_id"])
+                     .to_pandas()["_id"])
+        assert got == [i for i in range(3, 90, 3) if i not in (3, 9)]
+
+    def test_vector_rejected(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=20)
+        q = SearchQuery("db", "v", vector=docs[0]["vector"],
+                        vectorField="vector", limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.export_matches("db", "v", q)
