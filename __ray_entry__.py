@@ -616,6 +616,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_field_stats"] = bm25_field_stats
 
+    def bm25_range_facets(sf):
+        # histogram facet (half-open bins) of n_chars over the whole match
+        # set — Lucene LongRangeFacetCounts shape; each bucket ships one
+        # bins-length count vector
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.range_facets("db", "docs", q2, "n_chars",
+                             edges=[0, 100, 200, 400, 800],
+                             precision="float64")
+        return pa.table({
+            "lo": pa.array([o["lo"] for o in out], pa.int64()),
+            "hi": pa.array([o["hi"] for o in out], pa.int64()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["bm25_range_facets"] = bm25_range_facets
+
     def export_matches(sf):
         # search → training-data bridge: EVERY doc matching the query streams
         # out as a Dataset (per-bucket match ids stay in the object store;
@@ -668,6 +685,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                 np.float64), 4)),
         })
     q["bm25_fuzzy"] = bm25_fuzzy
+
+    # phrase-prefix ("merge so*" — the MultiPhraseQuery/autocomplete shape):
+    # 'merge' followed by ANY dictionary term starting with 'so', constant
+    # score 1.0 per matching doc, mixed with a scored BM25 term
+    q["bm25_phrase_prefix"] = lambda sf: _bm25(sf, '"merge so*" order', 20)
 
     # wildcard clauses (extension; Lucene WildcardQuery semantics): ? = one
     # char, * = any sequence, constant score 1.0 per matching doc, mixed with
@@ -1936,6 +1958,23 @@ m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
 
+    # histogram facet: half-open bins [lo, hi) of n_chars over the match set
+    sql["bm25_range_facets"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+bins(lo, hi) AS (VALUES (0, 100), (100, 200), (200, 400), (400, 800))
+SELECT CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+       CAST(COUNT(d.doc_id) AS BIGINT) AS cnt
+FROM bins b
+LEFT JOIN (SELECT d.doc_id, d.n_chars FROM documents d
+           JOIN m ON m.doc_id = d.doc_id) d
+  ON d.n_chars >= b.lo AND d.n_chars < b.hi
+GROUP BY b.lo, b.hi ORDER BY lo"""
+
     # numeric stats of n_chars over the same whole match set (nulls excluded,
     # SQL COUNT(col) semantics; integer sum stays exact)
     sql["bm25_field_stats"] = """
@@ -2016,6 +2055,29 @@ comb AS (
          COALESCE(s.score, 0.0e0)
          + CASE WHEN f.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
   FROM scored s FULL OUTER JOIN fz f ON s.doc_id = f.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # phrase-prefix: doc matches when token i = 'merge' and token i+1 starts
+    # with 'so' (one union position slot); constant 1.0 added after the
+    # scored term, engine clause order
+    sql["bm25_phrase_prefix"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["order"])},
+arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pp AS (
+  SELECT DISTINCT doc_id FROM arr
+  WHERE len(list_filter(range(1, len(t)),
+            i -> t[i] = 'merge' AND starts_with(t[i+1], 'so'))) > 0
+),
+comb AS (
+  SELECT COALESCE(s.doc_id, p.doc_id) AS doc_id,
+         COALESCE(s.score, 0.0e0)
+         + CASE WHEN p.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
+  FROM scored s FULL OUTER JOIN pp p ON s.doc_id = p.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""

@@ -35,6 +35,17 @@ two-arg constructor), default operator OR. Supported here:
                        wildcard bounds the dictionary scan; a leading-wildcard
                        pattern scans the full term dictionary (as Lucene's
                        does) with a vectorized RE2 kernel.
+    "a b*"           → phrase-prefix (EXTENSION — the Lucene
+                       MultiPhraseQuery/autocomplete shape): a trailing ``*``
+                       on the LAST quoted token matches docs where the
+                       leading terms are followed by ANY dictionary term
+                       starting with that prefix (one union position slot,
+                       Lucene MultiPhraseQuery semantics). CONSTANT score
+                       1.0 per matching doc (the constant-score multi-term
+                       rewrite, like prefix/fuzzy/wildcard — Lucene's
+                       summed-idf MultiPhraseQuery scoring is a documented
+                       divergence); +/- variants supported. ``"so*"`` with a
+                       single token degrades to a prefix clause.
     "a b"~N          → sloppy phrase (Lucene NEAR): IN-ORDER matches whose window
                        cost (span − (len−1) extra gap tokens) is ≤ N, scored with
                        the Lucene sloppy-frequency tf = Σ 1/(1+cost) over one
@@ -136,6 +147,8 @@ def _restore_member(m):
         return (m[0], tuple(_restore(t) for t in m[1]))
     if m[0] == "slop":
         return (m[0], tuple(_restore(t) for t in m[1]), m[2])
+    if m[0] == "pprefix":
+        return (m[0], tuple(_restore(t) for t in m[1]), _restore(m[2]))
     if m[0] == "prefix":
         return (m[0], _restore(m[1]))
     if m[0] == "wildcard":
@@ -161,6 +174,9 @@ def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
     for name in ("slop_phrases", "must_slop_phrases", "not_slop_phrases"):
         setattr(p, name, [(tuple(_restore(t) for t in tt), n)
                           for tt, n in getattr(p, name)])
+    for name in ("pphrases", "must_pphrases", "not_pphrases"):
+        setattr(p, name, [(tuple(_restore(t) for t in tt), _restore(pre))
+                          for tt, pre in getattr(p, name)])
     return p
 
 
@@ -181,6 +197,9 @@ class ParsedKeyword:
     wildcards: list = field(default_factory=list)      # pattern strings
     must_wildcards: list = field(default_factory=list)
     not_wildcards: list = field(default_factory=list)
+    pphrases: list = field(default_factory=list)       # (terms tuple, prefix)
+    must_pphrases: list = field(default_factory=list)
+    not_pphrases: list = field(default_factory=list)
     must_groups: list = field(default_factory=list)    # tuples of typed members
                                                        # (str = term), each
                                                        # group required
@@ -193,12 +212,13 @@ class ParsedKeyword:
     def _has_must(self) -> bool:
         return bool(self.must or self.must_phrases or self.must_slop_phrases
                     or self.must_prefixes or self.must_fuzzies
-                    or self.must_wildcards or self.must_groups)
+                    or self.must_wildcards or self.must_pphrases
+                    or self.must_groups)
 
     def _has_not(self) -> bool:
         return bool(self.must_not or self.not_phrases or self.not_slop_phrases
                     or self.not_prefixes or self.not_fuzzies
-                    or self.not_wildcards)
+                    or self.not_wildcards or self.not_pphrases)
 
     def _should_members(self) -> list:
         """Typed members of this (pure-OR) node, canonical order."""
@@ -208,6 +228,7 @@ class ParsedKeyword:
         out += [("prefix", t) for t in self.prefixes]
         out += [("fuzzy", t, n) for t, n in self.fuzzies]
         out += [("wildcard", t) for t in self.wildcards]
+        out += [("pprefix", tt, pre) for tt, pre in self.pphrases]
         return out
 
     def _extend_all(self, sub: "ParsedKeyword") -> None:
@@ -215,12 +236,13 @@ class ParsedKeyword:
                      "not_phrases", "prefixes", "must_prefixes", "not_prefixes",
                      "fuzzies", "must_fuzzies", "not_fuzzies", "must_groups",
                      "slop_phrases", "must_slop_phrases", "not_slop_phrases",
-                     "wildcards", "must_wildcards", "not_wildcards"):
+                     "wildcards", "must_wildcards", "not_wildcards",
+                     "pphrases", "must_pphrases", "not_pphrases"):
             getattr(self, name).extend(getattr(sub, name))
 
     def _extend_should(self, sub: "ParsedKeyword") -> None:
         for name in ("should", "phrases", "slop_phrases", "prefixes",
-                     "fuzzies", "wildcards"):
+                     "fuzzies", "wildcards", "pphrases"):
             getattr(self, name).extend(getattr(sub, name))
 
     def _extend_should_ex_terms(self, sub: "ParsedKeyword") -> None:
@@ -228,7 +250,7 @@ class ParsedKeyword:
         searcher's group_terms path — adding them to ``should`` too would
         double-score)."""
         for name in ("phrases", "slop_phrases", "prefixes", "fuzzies",
-                     "wildcards"):
+                     "wildcards", "pphrases"):
             getattr(self, name).extend(getattr(sub, name))
 
     def _negate_members(self, members: list) -> None:
@@ -245,6 +267,8 @@ class ParsedKeyword:
                 self.not_fuzzies.append((m[1], m[2]))
             elif m[0] == "wildcard":
                 self.not_wildcards.append(m[1])
+            elif m[0] == "pprefix":
+                self.not_pphrases.append((m[1], m[2]))
 
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
@@ -323,10 +347,22 @@ def _parse_query(s: str, top: bool) -> ParsedKeyword:
         elif kind == "phrase":
             body, slop = payload
             terms = tuple(body.split())
-            if len(terms) == 1:
-                # single-term phrase == term query (Lucene; slop is irrelevant)
-                (p.must if op == "+" else p.must_not if op == "-"
-                 else p.should).append(terms[0])
+            if len(terms) >= 2 and slop is None and terms[-1].endswith("*") \
+                    and len(terms[-1]) > 1 and "*" not in terms[-1][:-1] \
+                    and "?" not in terms[-1]:
+                # "a b*" phrase-prefix: leading terms + one union prefix slot
+                pp = (terms[:-1], terms[-1][:-1])
+                (p.must_pphrases if op == "+" else p.not_pphrases
+                 if op == "-" else p.pphrases).append(pp)
+            elif len(terms) == 1:
+                # single-term phrase == term query (Lucene; slop is
+                # irrelevant); a single quoted prefix/wildcard ("so*")
+                # degrades to its unquoted clause via _take_token
+                if "*" in terms[0] or "?" in terms[0]:
+                    _take_token(p, op + terms[0])
+                else:
+                    (p.must if op == "+" else p.must_not if op == "-"
+                     else p.should).append(terms[0])
             elif terms and slop is not None and slop > 0:
                 sp = (terms, slop)
                 (p.must_slop_phrases if op == "+" else p.not_slop_phrases
@@ -382,7 +418,8 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         members = sub._should_members()
         # inner exclusions promote either way: +( -c ...) requires ¬c
         for name in ("must_not", "not_phrases", "not_slop_phrases",
-                     "not_prefixes", "not_fuzzies", "not_wildcards"):
+                     "not_prefixes", "not_fuzzies", "not_wildcards",
+                     "not_pphrases"):
             getattr(p, name).extend(getattr(sub, name))
         if not members:
             return
@@ -401,6 +438,8 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
                 p.must_fuzzies.append((m[1], m[2]))
             elif m[0] == "wildcard":
                 p.must_wildcards.append(m[1])
+            elif m[0] == "pprefix":
+                p.must_pphrases.append((m[1], m[2]))
             return
         p.must_groups.append(tuple(members))
         p._extend_should_ex_terms(sub)   # non-term members fetch + score
@@ -416,6 +455,7 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         musts += [("prefix", t) for t in sub.must_prefixes]
         musts += [("fuzzy", t, n) for t, n in sub.must_fuzzies]
         musts += [("wildcard", t) for t in sub.must_wildcards]
+        musts += [("pprefix", tt, pre) for tt, pre in sub.must_pphrases]
         if len(musts) == 1 and not sub.must_groups and not has_not:
             # -(+a b) ≡ -a: the group matches iff its single required member
             # does (SHOULD members don't gate matching once a MUST exists)

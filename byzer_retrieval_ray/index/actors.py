@@ -157,6 +157,12 @@ class SegmentActorImpl:
         return [s.stats_keyword(query, field, precision)
                 for s in self.searchers]
 
+    def range_facets_keyword(self, q: dict, field: str, edges: list,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.range_facets_keyword(query, field, edges, precision)
+                for s in self.searchers]
+
     def filter_op(self, q: dict) -> pa.Table:
         query = SearchQuery.from_dict(q)
         tbls = [s.filter_op(query) for s in self.searchers]

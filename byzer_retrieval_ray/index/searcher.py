@@ -611,8 +611,10 @@ class BucketSearcher:
         phrase_pairs = [(f, t) for ph in all_phrases for t in ph for f in fields]
         all_sphrases = pk.slop_phrases + pk.must_slop_phrases + pk.not_slop_phrases
         sphrase_pairs = [(f, t) for ph, _ in all_sphrases for t in ph for f in fields]
+        all_pphrases = pk.pphrases + pk.must_pphrases + pk.not_pphrases
+        pp_pairs = [(f, t) for tt, _ in all_pphrases for t in tt for f in fields]
         fetch = list(dict.fromkeys(uniq_pairs + must_pairs + not_pairs
-                                   + phrase_pairs + sphrase_pairs))
+                                   + phrase_pairs + sphrase_pairs + pp_pairs))
         stats = self.stats.term_stats(fetch)
         posts = self.fetch_postings([p for p in fetch if stats[p][0] > 0])
 
@@ -736,10 +738,46 @@ class BucketSearcher:
                         scorers.append(((fld, wc),
                                         _const_posting(docs), None, dtype(1.0)))
 
+        # phrase-prefix clauses ("a b*"): the leading terms followed by ANY
+        # dictionary term starting with the prefix — ONE union position slot
+        # (Lucene MultiPhraseQuery), evaluated by merging the expanded terms'
+        # positions into a pseudo-posting and running the standard vectorized
+        # phrase adjacency; CONSTANT score 1.0 per matching doc (the
+        # constant-score multi-term rewrite, like prefix/fuzzy/wildcard)
+        pp_docs: dict[tuple, np.ndarray] = {}
+        if all_pphrases:
+            PSEUDO = "\x00pprefix"
+            for ppx in dict.fromkeys(all_pphrases):
+                pterms, pre = ppx
+                for fld in fields:
+                    if any(stats[(fld, t)][0] == 0 for t in pterms):
+                        continue
+                    exp = self.stats.expand_prefix(fld, pre)
+                    if not exp:
+                        continue
+                    epairs = [(fld, t) for t in exp]
+                    eposts = self.fetch_postings(epairs)
+                    merged = self._union_positions_posting(
+                        [eposts[p] for p in epairs])
+                    if merged is None:
+                        continue
+                    posts2 = dict(posts)
+                    posts2[(fld, PSEUDO)] = merged
+                    pp = self._phrase_posting(
+                        fld, tuple(pterms) + (PSEUDO,), posts2)
+                    if pp is None:
+                        continue
+                    pp_docs[(fld, ppx)] = pp.docs
+                    if ppx in pk.pphrases or ppx in pk.must_pphrases:
+                        scorers.append(
+                            ((fld, " ".join(pterms) + " " + pre + "*"),
+                             _const_posting(pp.docs), None, dtype(1.0)))
+
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
         if must or must_phrases or pk.must_slop_phrases or pk.must_prefixes \
-                or pk.must_fuzzies or pk.must_wildcards or pk.must_groups:
+                or pk.must_fuzzies or pk.must_wildcards or pk.must_pphrases \
+                or pk.must_groups:
             for grp in pk.must_groups:
                 # +(a | "b c" | d*): the doc must match ≥1 group member in
                 # ≥1 field; members' doc sets come from the clause sections
@@ -765,6 +803,9 @@ class BucketSearcher:
                         elif m[0] == "wildcard":
                             if (f, m[1]) in wild_docs:
                                 docs_any.append(wild_docs[(f, m[1])])
+                        elif m[0] == "pprefix":
+                            if (f, (m[1], m[2])) in pp_docs:
+                                docs_any.append(pp_docs[(f, (m[1], m[2]))])
                 g_docs = (np.unique(np.concatenate(docs_any))
                           if docs_any else np.empty(0, np.int64))
                 candidates = g_docs if candidates is None else \
@@ -810,6 +851,13 @@ class BucketSearcher:
                            if docs_any else np.empty(0, np.int64))
                 candidates = wc_docs if candidates is None else \
                     candidates[np.isin(candidates, wc_docs, assume_unique=True)]
+            for ppx in pk.must_pphrases:
+                docs_any = [pp_docs[(f, ppx)] for f in fields
+                            if (f, ppx) in pp_docs]
+                pd = (np.unique(np.concatenate(docs_any))
+                      if docs_any else np.empty(0, np.int64))
+                candidates = pd if candidates is None else \
+                    candidates[np.isin(candidates, pd, assume_unique=True)]
             candidates = self._drop_tombstones(candidates)
         excluded = None
         ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
@@ -823,6 +871,8 @@ class BucketSearcher:
                if (f, fz) in fuzzy_docs]
         ex += [wild_docs[(f, wc)] for wc in pk.not_wildcards for f in fields
                if (f, wc) in wild_docs]
+        ex += [pp_docs[(f, ppx)] for ppx in pk.not_pphrases for f in fields
+               if (f, ppx) in pp_docs]
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
@@ -847,7 +897,7 @@ class BucketSearcher:
                 zero_fill=(bool(q.filters) and not must and not must_phrases
                            and not pk.must_slop_phrases and not pk.must_prefixes
                            and not pk.must_fuzzies and not pk.must_wildcards
-                           and not pk.must_groups),
+                           and not pk.must_pphrases and not pk.must_groups),
                 after=after)
         return ids, scores
 
@@ -913,6 +963,42 @@ class BucketSearcher:
         return Posting(docs, freqs, norms, docs[starts],
                        np.maximum.reduceat(freqs, starts),
                        np.minimum.reduceat(norms, starts))
+
+    @staticmethod
+    def _union_positions_posting(plist: list) -> "Posting | None":
+        """Merged pseudo-posting for ONE multi-term position slot (the Lucene
+        MultiPhraseQuery union): docs = union of the terms' docs, positions =
+        per-doc ascending merge. Whitespace analysis puts exactly one token
+        per position, so the expanded terms' position sets are disjoint per
+        doc and tfs add. Fully vectorized (repeat + lexsort + unique)."""
+        live = [p for p in plist if p.df > 0]
+        if not live:
+            return None
+        if len(live) == 1:
+            return live[0]
+        doc_arrs, pos_arrs = [], []
+        for p in live:
+            pos, _ = p.positions()
+            doc_arrs.append(np.repeat(p.docs, p.tfs))
+            pos_arrs.append(pos)
+        d = np.concatenate(doc_arrs)
+        po = np.concatenate(pos_arrs)
+        order = np.lexsort((po, d))
+        d, po = d[order], po[order]
+        docs, tfs = np.unique(d, return_counts=True)
+        tfs = tfs.astype(np.int64)
+        norms = np.zeros(docs.size, np.uint8)
+        for p in live:
+            norms[np.searchsorted(docs, p.docs)] = p.norms
+        B = codec.BLOCK_SIZE
+        starts = np.arange(0, docs.size, B)
+        out = Posting(docs, tfs, norms, docs[starts],
+                      np.maximum.reduceat(tfs, starts),
+                      np.minimum.reduceat(norms, starts))
+        offs = np.zeros(docs.size + 1, np.int64)
+        np.cumsum(tfs, out=offs[1:])
+        out._pos = (po, offs)
+        return out
 
     def _sloppy_posting(self, fld: str, terms: tuple, slop: int,
                         posts) -> "Posting | None":
@@ -1369,6 +1455,32 @@ class BucketSearcher:
         mm = pc.min_max(col)
         return {"cnt": int(cnt), "min": mm["min"].as_py(),
                 "max": mm["max"].as_py(), "sum": pc.sum(col).as_py()}
+
+    def range_facets_keyword(self, q: SearchQuery, field: str,
+                             edges: list, precision: str = "float32") -> np.ndarray:
+        """Per-bucket PARTIAL histogram of ``field`` over the ENTIRE keyword
+        match set: counts per half-open bin [edges[i], edges[i+1]) — the
+        Lucene LongRangeFacetCounts shape. Same scale discipline as
+        facet/stats: exact unbounded TAAT, one narrow docstore read, and the
+        bucket ships len(edges)-1 int64 counts. Nulls and values outside
+        [edges[0], edges[-1]) don't count."""
+        from dataclasses import replace
+
+        nbins = len(edges) - 1
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return np.zeros(nbins, np.int64)
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return np.zeros(nbins, np.int64)
+        col = tbl[field].combine_chunks()
+        vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        e = np.asarray(edges, np.float64)
+        binned = np.searchsorted(e, vals, side="right") - 1
+        ok = (binned >= 0) & (binned < nbins) & (vals < e[-1])
+        return np.bincount(binned[ok], minlength=nbins).astype(np.int64)
 
     def fetch_analyzed(self, doc_ids: np.ndarray, field: str) -> pa.Table:
         """(doc_id, field) rows for the given ids where ``field`` is an

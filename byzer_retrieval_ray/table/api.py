@@ -828,6 +828,8 @@ class RetrievalCluster:
             terms |= {t for ph in pk.phrases + pk.must_phrases for t in ph}
             terms |= {t for ph, _ in pk.slop_phrases + pk.must_slop_phrases
                       for t in ph}
+            terms |= {t for tt, _ in pk.pphrases + pk.must_pphrases
+                      for t in tt}
         out = []
         for h in hits:
             snip, m = make_snippet(str(texts.get(h["doc_id"], "") or ""),
@@ -913,6 +915,44 @@ class RetrievalCluster:
         return {"count": cnt, "min": min(p["min"] for p in parts),
                 "max": max(p["max"] for p in parts), "sum": vsum,
                 "mean": float(vsum) / cnt}
+
+    def range_facets(self, database: str, table: str, query, field: str,
+                     edges: list, precision: str = "float32") -> list[dict]:
+        """Histogram facet of a numeric stored field over a keyword query's
+        ENTIRE match set (the Lucene LongRangeFacetCounts shape; the
+        reference exposes no facet API: extension). ``edges`` defines
+        len(edges)-1 half-open bins [edges[i], edges[i+1]); returns
+        ``[{"lo", "hi", "count"}, ...]`` in bin order. Nulls and values
+        outside [edges[0], edges[-1]) don't count.
+
+        Scale shape: each bucket ships ONE len(edges)-1 int64 count vector —
+        match ids never leave the shard; the driver fold is O(buckets·bins).
+        Keyword recall only (filters supported), like facet_counts."""
+        if len(edges) < 2 or any(edges[i] >= edges[i + 1]
+                                 for i in range(len(edges) - 1)):
+            raise ValueError("edges must be at least 2 strictly "
+                             "increasing values")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("range_facets takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("range_facets is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.range_facets_keyword.remote(q.__dict__, field,
+                                                  list(edges), precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.range_facets_keyword(q, field, list(edges), precision)
+                     for s in self._searchers(database, table)]
+        total = np.sum(np.stack(parts), axis=0) if parts \
+            else np.zeros(len(edges) - 1, np.int64)
+        return [{"lo": edges[i], "hi": edges[i + 1], "count": int(total[i])}
+                for i in range(len(edges) - 1)]
 
     def suggest(self, database: str, table: str, field: str, term: str,
                 max_edits: int = 2, limit: int = 5,

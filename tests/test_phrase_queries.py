@@ -335,3 +335,66 @@ class TestWildcard:
         res = cluster.search("db", "p", {"keyword": r"qu\?ck",
                                          "fields": ["content"], "limit": 10})[0]
         assert res == []
+
+
+class TestPhrasePrefix:
+    """"a b*" phrase-prefix (MultiPhraseQuery/autocomplete shape): leading
+    terms followed by ANY dictionary term starting with the prefix; one
+    union position slot; constant score 1.0."""
+
+    def test_parse_shapes(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword('"merge so*" +"quick br*" -"bad pre*"')
+        assert p.pphrases == [(("merge",), "so")]
+        assert p.must_pphrases == [(("quick",), "br")]
+        assert p.not_pphrases == [(("bad",), "pre")]
+        # single-token quoted prefix degrades to a plain prefix clause
+        p2 = parse_keyword('"so*"')
+        assert p2.prefixes == ["so"] and not p2.pphrases
+        # a sloppy phrase with a trailing * stays a sloppy phrase (the *
+        # is part of the term under whitespace analysis)
+        p3 = parse_keyword('"a b*"~2')
+        assert p3.slop_phrases and not p3.pphrases
+
+    def test_adjacency_and_union_slot(self, cluster):
+        # corpus: doc0 'quick brown fox jumps', doc3 'quick stop then brown',
+        # doc5 'prefix quick brown', doc6 'quick quick quick'
+        res = cluster.search("db", "p", {"keyword": '"quick bro*"',
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [0, 2, 5]
+        assert all(r["_score"] == 1.0 for r in res)
+        # union slot: quick followed by b* OR st* OR qu*
+        res = cluster.search("db", "p", {"keyword": '"quick st*"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [3]
+        res = cluster.search("db", "p", {"keyword": '"quick qu*"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [6]
+
+    def test_three_term_leading_chain(self, cluster):
+        res = cluster.search("db", "p", {"keyword": '"quick brown fo*"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [0]
+
+    def test_must_not_and_parity(self, cluster):
+        res = cluster.search("db", "p", {"keyword": '+"quick bro*" fox',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 2, 5]
+        res = cluster.search("db", "p", {"keyword": 'quick -"quick bro*"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [1, 3, 6]
+        for kw in ('"quick bro*"', '"quick bro*" unrelated',
+                   '+"quick bro*" "quick brown"'):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64",
+                               algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64",
+                               algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
+
+    def test_no_expansion_no_match(self, cluster):
+        res = cluster.search("db", "p", {"keyword": '"quick zz*"',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []

@@ -605,3 +605,41 @@ class TestExportMatches:
                         vectorField="vector", limit=3)
         with pytest.raises(ValueError, match="keyword-only"):
             c.export_matches("db", "v", q)
+
+
+class TestRangeFacets:
+    """Histogram facet over the ENTIRE match set (LongRangeFacetCounts
+    shape): half-open [lo, hi) bins, one count vector per bucket."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "r", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc))
+        docs = [{"_id": i, "content": "hit", "n": i} for i in range(50)]
+        docs[10]["n"] = None          # null doesn't count
+        c.build_from_local("db", "r", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_half_open_bins_and_nulls(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "r", keyword="hit", fields=["content"], limit=3)
+        out = c.range_facets("db", "r", q, "n", edges=[0, 10, 20, 45])
+        # [0,10)=10, [10,20)=9 (10 is null), [20,45)=25; 45..49 out of range
+        assert out == [{"lo": 0, "hi": 10, "count": 10},
+                       {"lo": 10, "hi": 20, "count": 9},
+                       {"lo": 20, "hi": 45, "count": 25}]
+
+    def test_actor_parity_and_validation(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "r", keyword="hit", fields=["content"], limit=3)
+        inproc = c.range_facets("db", "r", q, "n", edges=[0, 25, 50])
+        c.activate("db", "r")
+        assert c.range_facets("db", "r", q, "n", edges=[0, 25, 50]) == inproc
+        with pytest.raises(ValueError, match="increasing"):
+            c.range_facets("db", "r", q, "n", edges=[5, 5])
+        qv = SearchQuery("db", "r", keyword="hit", vector=[0.1] * 4,
+                         vectorField="v", fields=["content"], limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.range_facets("db", "r", qv, "n", edges=[0, 1])
