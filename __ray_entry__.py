@@ -633,6 +633,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_range_facets"] = bm25_range_facets
 
+    def term_vectors(sf):
+        # per-doc term vectors (Lucene TermVectors shape) for five docs —
+        # read from the docstore's analyzed column, vectorized Arrow
+        # split + group count
+        c = _docs_cluster(sf)
+        return c.term_vectors("db", "docs", [0, 1, 2, 3, 4], "text")
+    q["term_vectors"] = term_vectors
+
+    def bm25_rerank(sf):
+        # two-stage retrieval: BM25 top-50 candidates re-scored by a
+        # deterministic "model" (n_chars) — only depth docs reach the driver
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.rerank("db", "docs", q2,
+                       lambda hits: [h["n_chars"] for h in hits],
+                       depth=50, precision="float64")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "new_score": pa.array([int(o["_score"]) for o in out], pa.int64()),
+            "first_score": pa.array(np.round(np.array(
+                [o["_first_stage_score"] for o in out], np.float64), 4)),
+        })
+    q["bm25_rerank"] = bm25_rerank
+
     def export_matches(sf):
         # search → training-data bridge: EVERY doc matching the query streams
         # out as a Dataset (per-bucket match ids stay in the object store;
@@ -685,6 +710,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                 np.float64), 4)),
         })
     q["bm25_fuzzy"] = bm25_fuzzy
+
+    # boosted term (term^B, classic QueryParser boost): weight × B, linear
+    # in the BM25 weight — the oracle replicates the integer boost as a
+    # duplicated term in the OR list
+    q["bm25_boost"] = lambda sf: _bm25(sf, "merge^2 sort", 20)
 
     # phrase-prefix ("merge so*" — the MultiPhraseQuery/autocomplete shape):
     # 'merge' followed by ANY dictionary term starting with 'so', constant
@@ -1903,6 +1933,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_single_term"] = _sql_bm25(["merge"], 10)
     sql["bm25_multi_term"] = _sql_bm25(["scan", "join", "order", "sort"], 20)
+    # merge^2: the boost is linear in the BM25 weight, so it scores exactly
+    # like the term appearing twice
+    sql["bm25_boost"] = _sql_bm25(["merge", "merge", "sort"], 20)
     sql["bm25_page2"] = _sql_bm25(["scan", "join", "order", "sort"], 10,
                                   offset=10)
 
@@ -1957,6 +1990,28 @@ WITH toks AS (
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+
+    # rerank: deterministic BM25 top-50 cut (score desc, doc_id asc), then
+    # re-ordered by the n_chars "model" (desc, doc_id asc), top 10
+    sql["bm25_rerank"] = ("WITH " + _SQL_TOKS + ", "
+                          + _sql_term_scores(["merge", "sort"]) + """,
+top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 50)
+SELECT t.doc_id, CAST(d.n_chars AS BIGINT) AS new_score,
+       ROUND(t.score, 4) AS first_score
+FROM top t JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY new_score DESC, t.doc_id LIMIT 10""")
+
+    # per-doc term vectors: whitespace tokens of five docs, (doc_id, term)
+    # grouped counts
+    sql["term_vectors"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+FROM toks WHERE doc_id IN (0, 1, 2, 3, 4)
+GROUP BY doc_id, term ORDER BY doc_id, term"""
 
     # histogram facet: half-open bins [lo, hi) of n_chars over the match set
     sql["bm25_range_facets"] = """

@@ -76,6 +76,15 @@ two-arg constructor), default operator OR. Supported here:
                          one alternative; a prohibited group with more than one
                          required member or inner exclusions (``-(+a +b)``,
                          ``-(a -b)``) — an excluded conjunction.
+    term^B           → boosted term (EXTENSION — the classic Lucene
+                       QueryParser boost; SimpleQueryParser has none): the
+                       clause weight multiplies by B (float ≥ 0). Linear in
+                       the BM25 weight, so ``merge^2`` scores exactly like
+                       ``merge merge``; boosts are additive across
+                       occurrences (``merge^2 merge`` ≡ ×3). Plain terms
+                       only (+term^B boosts a required term; boosts on
+                       prohibited terms are ignored — Lucene does the same);
+                       ``\^`` escapes a literal caret.
     *                → match-all (handled upstream, RetrievalWorker.java:336-337)
     \X               → escape (Lucene SimpleQueryParser ESCAPE): the next
                        character loses its operator meaning and stays in the
@@ -104,11 +113,12 @@ import re
 from dataclasses import dataclass, field
 
 _FUZZY_RE = re.compile(r'^(.*?)~([012])?$')
+_BOOST_RE = re.compile(r'^(.+)\^(\d+(?:\.\d+)?)$')
 _SLOP_RE = re.compile(r'~(\d+)')
 
 # ESCAPE: \<special> hides the char from every parser pass via a private-use
 # sentinel, restored verbatim in the emitted terms
-_SPECIALS = '+-"*~()|\\?'
+_SPECIALS = '+-"*~()|\\?^'
 _SENTINEL = {c: chr(0xE000 + i) for i, c in enumerate(_SPECIALS)}
 _UNSENTINEL = {v: k for k, v in _SENTINEL.items()}
 _ESCAPE_RE = re.compile(r'\\(.)')
@@ -177,6 +187,7 @@ def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
     for name in ("pphrases", "must_pphrases", "not_pphrases"):
         setattr(p, name, [(tuple(_restore(t) for t in tt), _restore(pre))
                           for tt, pre in getattr(p, name)])
+    p.boosts = {_restore(t): b for t, b in p.boosts.items()}
     return p
 
 
@@ -200,6 +211,9 @@ class ParsedKeyword:
     pphrases: list = field(default_factory=list)       # (terms tuple, prefix)
     must_pphrases: list = field(default_factory=list)
     not_pphrases: list = field(default_factory=list)
+    boosts: dict = field(default_factory=dict)         # term → EXTRA weight
+                                                       # beyond multiplicity
+                                                       # (term^B adds B−1)
     must_groups: list = field(default_factory=list)    # tuples of typed members
                                                        # (str = term), each
                                                        # group required
@@ -239,11 +253,17 @@ class ParsedKeyword:
                      "wildcards", "must_wildcards", "not_wildcards",
                      "pphrases", "must_pphrases", "not_pphrases"):
             getattr(self, name).extend(getattr(sub, name))
+        self._merge_boosts(sub)
+
+    def _merge_boosts(self, sub: "ParsedKeyword") -> None:
+        for t, b in sub.boosts.items():
+            self.boosts[t] = self.boosts.get(t, 0.0) + b
 
     def _extend_should(self, sub: "ParsedKeyword") -> None:
         for name in ("should", "phrases", "slop_phrases", "prefixes",
                      "fuzzies", "wildcards", "pphrases"):
             getattr(self, name).extend(getattr(sub, name))
+        self._merge_boosts(sub)
 
     def _extend_should_ex_terms(self, sub: "ParsedKeyword") -> None:
         """SHOULD lists except plain terms (term group-members score via the
@@ -252,6 +272,7 @@ class ParsedKeyword:
         for name in ("phrases", "slop_phrases", "prefixes", "fuzzies",
                      "wildcards", "pphrases"):
             getattr(self, name).extend(getattr(sub, name))
+        self._merge_boosts(sub)
 
     def _negate_members(self, members: list) -> None:
         for m in members:
@@ -400,6 +421,13 @@ def _take_token(p: ParsedKeyword, raw: str) -> None:
         (p.must_fuzzies if op == "+" else p.not_fuzzies if op == "-"
          else p.fuzzies).append((m.group(1), n_edits))
         return
+    mb = _BOOST_RE.match(tok)
+    if mb:
+        tok, b = mb.group(1), float(mb.group(2))
+        if op != "-" and b != 1.0:
+            # clause weight × B, additive across occurrences (boosts on
+            # prohibited terms are ignored — non-scoring)
+            p.boosts[tok] = p.boosts.get(tok, 0.0) + (b - 1.0)
     (p.must if op == "+" else p.must_not if op == "-"
      else p.should).append(tok)
 

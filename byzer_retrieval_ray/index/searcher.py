@@ -601,9 +601,16 @@ class BucketSearcher:
         # score as term clauses — clause order: should, must, group members
         scored_terms = should + must + group_terms
         pairs = [(f, t) for t in scored_terms for f in fields]
-        mult: dict[tuple[str, str], int] = {}
+        mult: dict[tuple[str, str], float] = {}
         for p in pairs:
             mult[p] = mult.get(p, 0) + 1
+        # term^B boosts: the clause weight is linear in the BM25 weight, so
+        # an extra (B−1) on the multiplicity scores exactly like B copies of
+        # the term (the oracle replicates integer boosts as duplicate terms)
+        for t, extra in pk.boosts.items():
+            for f in fields:
+                if (f, t) in mult:
+                    mult[(f, t)] += extra
         uniq_pairs = list(mult.keys())  # insertion-ordered = clause order
         must_pairs = [(f, t) for t in must for f in fields]
         not_pairs = [(f, t) for t in must_not for f in fields]

@@ -916,6 +916,90 @@ class RetrievalCluster:
                 "max": max(p["max"] for p in parts), "sum": vsum,
                 "mean": float(vsum) / cnt}
 
+    def rerank(self, database: str, table: str, query, rerank_fn,
+               depth: int = 50, limit: int | None = None,
+               **search_kwargs) -> list[dict]:
+        """Two-stage retrieval (the cross-encoder / LTR rerank shape; the
+        reference's emb_llm hook is first-stage only: extension). Stage 1
+        runs the normal search with ``depth`` candidates; stage 2 calls
+        ``rerank_fn(hits) -> sequence of floats`` ONCE on the entire
+        candidate list (batched model inference, never per-doc), then the
+        top ``limit`` (default: the query's limit) return re-ordered by
+        (new score desc, doc_id asc). Each hit keeps its stage-1 score as
+        ``_first_stage_score``; ``_score`` becomes the rerank score.
+
+        Scale shape: only ``depth`` candidates ever reach the driver/model —
+        the candidate cut is the distributed engine's job; the rerank cost
+        is O(depth), independent of corpus size."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("rerank takes exactly one query")
+        q = qs[0]
+        lim = int(limit) if limit is not None else q.limit
+        from dataclasses import replace
+        q1 = replace(q, limit=int(depth), search_after=None)
+        hits = self.search(database, table, q1, **search_kwargs)[0]
+        if not hits:
+            return []
+        scores = np.asarray(list(rerank_fn(hits)), dtype=np.float64)
+        if scores.shape != (len(hits),):
+            raise ValueError(
+                f"rerank_fn must return one score per hit "
+                f"({len(hits)} hits, got shape {scores.shape})")
+        order = np.lexsort((np.array([h["doc_id"] for h in hits], np.int64),
+                            -scores))
+        out = []
+        for i in order[:lim]:
+            h = dict(hits[int(i)])
+            h["_first_stage_score"] = h["_score"]
+            h["_score"] = float(scores[int(i)])
+            out.append(h)
+        return out
+
+    def term_vectors(self, database: str, table: str, doc_ids, field: str) -> pa.Table:
+        """Per-document term vectors (the Lucene TermVectors shape — Fields
+        per doc with term→freq; the reference never enables
+        ``storeTermVectors``, so this is an extension the docstore gets for
+        free): ``(doc_id, term, tf)`` rows for the requested docs in
+        (doc_id, term) order, analyzed with the indexing analyzer
+        (whitespace). Reads the ANALYZED column from the docstore via one
+        predicate-pushdown fetch per bucket — Lucene would need the term
+        vectors stored at index time; here the analyzed text is already
+        retained for posting re-emission. Tokenization is the vectorized
+        Arrow kernel (split + flatten + group count), no per-row Python."""
+        import pyarrow.compute as pc
+
+        ids = np.asarray(list(doc_ids), np.int64)
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            tbls = ray.get([a.fetch_analyzed.remote(ids, field)
+                            for a in self._actors[(database, table)]],
+                           timeout=QUERY_TIMEOUT_SEC)
+        else:
+            tbls = [s.fetch_analyzed(ids, field)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if not tbls:
+            return empty
+        tbl = pa.concat_tables(tbls, promote_options="default")
+        toks = pc.utf8_split_whitespace(tbl[field].combine_chunks())
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(tbl["doc_id"].to_numpy(), reps)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"doc_id": pa.array(doc_rep, pa.int64()),
+                          "term": flat}).filter(keep)
+        if len(pairs) == 0:
+            return empty
+        agg = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        agg = agg.rename_columns(["doc_id", "term", "tf"])
+        agg = agg.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+        return agg.set_column(2, "tf", pc.cast(agg["tf"], pa.int64()))
+
     def range_facets(self, database: str, table: str, query, field: str,
                      edges: list, precision: str = "float32") -> list[dict]:
         """Histogram facet of a numeric stored field over a keyword query's

@@ -398,3 +398,55 @@ class TestPhrasePrefix:
         res = cluster.search("db", "p", {"keyword": '"quick zz*"',
                                          "fields": ["content"], "limit": 10})[0]
         assert res == []
+
+
+class TestBoost:
+    """term^B boosts (classic QueryParser boost, extension): clause weight
+    × B, additive across occurrences, exactly like B copies of the term."""
+
+    def test_parse_shapes(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword("merge^2 sort +fox^1.5 -dog^3")
+        assert p.should == ["merge", "sort"] and p.must == ["fox"]
+        assert p.must_not == ["dog"]            # boost on prohibited ignored
+        assert p.boosts == {"merge": 1.0, "fox": 0.5}
+        # additive across occurrences; ^1 is a no-op; \^ is a literal caret
+        p2 = parse_keyword(r"a^2 a b^1 c\^2")
+        assert p2.boosts == {"a": 1.0} and p2.should == ["a", "a", "b", "c^2"]
+
+    def test_boost_equals_duplicate_term(self, cluster):
+        q1 = {"keyword": "quick^2 brown", "fields": ["content"], "limit": 10}
+        q2 = {"keyword": "quick quick brown", "fields": ["content"],
+              "limit": 10}
+        a = cluster.search("db", "p", q1, precision="float64")[0]
+        b = cluster.search("db", "p", q2, precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in a] == \
+               [(r["_id"], r["_score"]) for r in b]
+        # boost actually changes the ranking vs the unboosted query
+        c = cluster.search("db", "p", {"keyword": "quick brown",
+                                       "fields": ["content"], "limit": 10},
+                           precision="float64")[0]
+        sa = {r["_id"]: r["_score"] for r in a}
+        sc = {r["_id"]: r["_score"] for r in c}
+        assert sa[6] > sc[6]                    # doc6 = 'quick quick quick'
+
+    def test_taat_bmw_parity_and_fractional(self, cluster):
+        for kw in ("quick^2 brown", "quick^0.5 brown", "+quick^3"):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64",
+                               algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64",
+                               algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
+        # fractional boost shrinks the term's contribution
+        half = cluster.search("db", "p", {"keyword": "quick^0.5",
+                                          "fields": ["content"], "limit": 10},
+                              precision="float64")[0]
+        full = cluster.search("db", "p", {"keyword": "quick",
+                                          "fields": ["content"], "limit": 10},
+                              precision="float64")[0]
+        hs = {r["_id"]: r["_score"] for r in half}
+        fs = {r["_id"]: r["_score"] for r in full}
+        for i in hs:
+            assert hs[i] == pytest.approx(fs[i] * 0.5, rel=1e-12)

@@ -643,3 +643,48 @@ class TestRangeFacets:
                          vectorField="v", fields=["content"], limit=3)
         with pytest.raises(ValueError, match="keyword-only"):
             c.range_facets("db", "r", qv, "n", edges=[0, 1])
+
+
+class TestTermVectorsAndRerank:
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "tv", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc))
+        docs = [{"_id": 0, "content": "a b a c", "n": 5},
+                {"_id": 1, "content": "b b b", "n": 9},
+                {"_id": 2, "content": "hit a", "n": 7},
+                {"_id": 3, "content": "hit c hit", "n": 1}]
+        c.build_from_local("db", "tv", docs, key_field="_id",
+                           num_doc_parts=2, num_term_parts=2)
+        return c
+
+    def test_term_vectors(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        tv = c.term_vectors("db", "tv", [0, 1], "content")
+        rows = list(zip(tv["doc_id"].to_pylist(), tv["term"].to_pylist(),
+                        tv["tf"].to_pylist()))
+        assert rows == [(0, "a", 2), (0, "b", 1), (0, "c", 1), (1, "b", 3)]
+        c.activate("db", "tv")
+        tv2 = c.term_vectors("db", "tv", [0, 1], "content")
+        assert tv2.equals(tv)
+        # unknown ids yield no rows
+        assert len(c.term_vectors("db", "tv", [99], "content")) == 0
+
+    def test_rerank(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "tv", keyword="hit a", fields=["content"],
+                        limit=2)
+        out = c.rerank("db", "tv", q, lambda hits: [h["n"] for h in hits],
+                       depth=10, precision="float64")
+        # candidates: docs 0,2,3; reranked by n desc -> 1 absent, 2(n=7),
+        # 0(n=5) top-2
+        assert [(o["doc_id"], o["_score"]) for o in out] == \
+               [(2, 7.0), (0, 5.0)]
+        assert all("_first_stage_score" in o for o in out)
+        # limit defaults to the query's; depth bounds stage 1
+        out2 = c.rerank("db", "tv", q, lambda hits: [h["n"] for h in hits],
+                        depth=1, precision="float64")
+        assert len(out2) == 1
+        with pytest.raises(ValueError, match="one score per hit"):
+            c.rerank("db", "tv", q, lambda hits: [1.0])
