@@ -658,6 +658,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_rerank"] = bm25_rerank
 
+    def bm25_sort_by_field(sf):
+        # Lucene Sort(SortField) shape: the ENTIRE match set ordered by a
+        # stored field, scoring skipped; each bucket ships at most limit
+        # (doc_id, value) rows
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=20)
+        out = c.search_by_field("db", "docs", q2, "n_chars",
+                                ascending=False, precision="float64")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "n_chars": pa.array([o["n_chars"] for o in out], pa.float64()),
+        })
+    q["bm25_sort_by_field"] = bm25_sort_by_field
+
+    def index_stats(sf):
+        # segments-info / CollectionStatistics shape: n_docs + per-field
+        # doc_count / sum_ttf / distinct terms (one column-pruned termstats
+        # scan)
+        c = _docs_cluster(sf)
+        st = c.index_stats("db", "docs")
+        f = st["fields"]["text"]
+        return pa.table({
+            "n_docs": pa.array([st["n_docs"]], pa.int64()),
+            "doc_count": pa.array([f["doc_count"]], pa.int64()),
+            "sum_ttf": pa.array([f["sum_ttf"]], pa.int64()),
+            "distinct_terms": pa.array([f["distinct_terms"]], pa.int64()),
+        })
+    q["index_stats"] = index_stats
+
     def export_matches(sf):
         # search → training-data bridge: EVERY doc matching the query streams
         # out as a Dataset (per-bucket match ids stay in the object store;
@@ -1990,6 +2020,34 @@ WITH toks AS (
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+
+    # sort-by-field: whole match set ordered by n_chars desc (nulls
+    # excluded), doc_id tiebreak, scoring skipped
+    sql["bm25_sort_by_field"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS n_chars
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.n_chars IS NOT NULL
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 20"""
+
+    # index stats: n_docs, per-field doc_count/sum_ttf (whitespace tokens),
+    # distinct dictionary terms of the analyzed field
+    sql["index_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS doc_count,
+       CAST(COUNT(*) AS BIGINT) AS sum_ttf,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms
+FROM toks"""
 
     # rerank: deterministic BM25 top-50 cut (score desc, doc_id asc), then
     # re-ordered by the n_chars "model" (desc, doc_id asc), top 10

@@ -163,6 +163,12 @@ class SegmentActorImpl:
         return [s.range_facets_keyword(query, field, edges, precision)
                 for s in self.searchers]
 
+    def sort_keyword(self, q: dict, field: str, ascending: bool,
+                     precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.sort_keyword(query, field, ascending, precision)
+                for s in self.searchers]
+
     def filter_op(self, q: dict) -> pa.Table:
         query = SearchQuery.from_dict(q)
         tbls = [s.filter_op(query) for s in self.searchers]

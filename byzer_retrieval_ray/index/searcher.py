@@ -1489,6 +1489,40 @@ class BucketSearcher:
         ok = (binned >= 0) & (binned < nbins) & (vals < e[-1])
         return np.bincount(binned[ok], minlength=nbins).astype(np.int64)
 
+    def sort_keyword(self, q: SearchQuery, field: str, ascending: bool,
+                     precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL top-limit of the keyword match set ordered by a
+        stored field (the Lucene ``Sort(SortField)`` shape — sorted collection
+        skips scoring, ``needsScores=false``). Exact unbounded TAAT for the
+        match set, ONE narrow docstore read, then a vectorized partial top-k
+        by (value, doc_id): the bucket ships at most ``limit`` (doc_id, value)
+        rows — never the match set. Docs with a null sort value are excluded
+        (documented divergence: Lucene sorts missing values last)."""
+        from dataclasses import replace
+
+        limit = q.limit
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.float64())})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return empty
+        col = tbl[field].combine_chunks()
+        valid = pc.is_valid(col)
+        tbl = tbl.filter(valid)
+        if len(tbl) == 0:
+            return empty
+        vals = tbl[field].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dids = tbl["doc_id"].to_numpy()
+        order = np.lexsort((dids, vals if ascending else -vals))[:limit]
+        return pa.table({"doc_id": pa.array(dids[order], pa.int64()),
+                         "value": pa.array(vals[order], pa.float64())})
+
     def fetch_analyzed(self, doc_ids: np.ndarray, field: str) -> pa.Table:
         """(doc_id, field) rows for the given ids where ``field`` is an
         ANALYZED column — excluded from search results (Lucene TextField

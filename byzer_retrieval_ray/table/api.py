@@ -916,6 +916,134 @@ class RetrievalCluster:
                 "max": max(p["max"] for p in parts), "sum": vsum,
                 "mean": float(vsum) / cnt}
 
+    def snapshot(self, database: str, table: str, dest_location: str) -> str:
+        """Consistent table backup (the Lucene SnapshotDeletionPolicy /
+        backup shape): copies every ACTIVE generation directory (build
+        scratch ``_partials`` excluded) plus the tombstone files to
+        ``dest_location/<database>/<table>`` and writes a rewritten manifest
+        whose absolute paths point into the destination. The manifest is
+        written LAST, so a torn copy is invisible — restore is just
+        ``RetrievalCluster(dest_location)`` (M8: state lives on disk).
+        The snapshot is immutable history: later mutations of the source
+        (deletes, upserts, compactions) don't touch it.
+
+        Scale note: this is a driver-side file copy intended for manifests +
+        shared-FS administration; at 100 TB the generation directories live
+        on shared storage and the copy should be delegated to the storage
+        layer (reflink/object-store copy) — the manifest rewrite here is the
+        engine-specific part."""
+        import json
+
+        m = self.manifest(database, table)
+        if not m.active_generations():
+            GenerationReader(m.data)     # standard no-generation error
+        src = os.path.dirname(m.path)
+        dst = os.path.join(dest_location, database, table)
+        os.makedirs(dst, exist_ok=True)
+        for g in m.active_generations():
+            sgen = m.gen_dir(g)
+            dgen = os.path.join(dst, os.path.basename(sgen))
+            if os.path.exists(dgen):
+                shutil.rmtree(dgen)
+            shutil.copytree(sgen, dgen,
+                            ignore=shutil.ignore_patterns("_partials"))
+        # tombstone files live inside gen dirs — copied above; the prefix
+        # rewrite below fixes their manifest paths along with everything else
+        data = json.loads(json.dumps(m.data).replace(src, dst))
+        atomic_write_json(os.path.join(dst, "manifest.json"), data)
+        return dst
+
+    def index_stats(self, database: str, table: str) -> dict:
+        """Index/collection statistics (the Lucene segments-info +
+        CollectionStatistics shape): ``n_docs`` and per-analyzed-field
+        ``{doc_count, sum_ttf, distinct_terms}`` summed over ACTIVE
+        generations, the active generation list, and on-disk bytes by
+        component. ``distinct_terms`` comes from ONE column-pruned scan of
+        the termstats parquet parts (field column only) — at 100 TB that
+        read is |terms| rows of one dictionary column, never the postings.
+        Multi-generation note: a term present in k active generations counts
+        k times (Lucene's per-segment term counts behave the same way);
+        ``compact()`` restores exact counts."""
+        import pyarrow.compute as pc
+        from byzer_retrieval_ray.index.searcher import StatsView
+
+        m = self.manifest(database, table)
+        gr0 = GenerationReader(m.data)
+        sv = StatsView(m.data, gr0)
+        fields = {fld: {"doc_count": int(fs["doc_count"]),
+                        "sum_ttf": int(fs["sum_ttf"]),
+                        "distinct_terms": 0}
+                  for fld, fs in sv.stats["fields"].items()}
+        for r in sv.readers:
+            for rp in range(max(r.info["num_term_parts"], 1)):
+                p = r.termstats_path(rp)
+                if not (p and os.path.exists(p)):
+                    continue
+                vc = pc.value_counts(
+                    pq.read_table(p, columns=["field"])["field"]
+                    .combine_chunks())
+                for f, c in zip(vc.field("values").to_pylist(),
+                                vc.field("counts").to_pylist()):
+                    if f in fields:
+                        fields[f]["distinct_terms"] += int(c)
+        nbytes: dict[str, int] = {}
+        for g in m.active_generations():
+            gdir = m.gen_dir(g)
+            for root, _, files in os.walk(gdir):
+                sub = os.path.relpath(root, gdir).split(os.sep)[0]
+                for fn in files:
+                    kind = sub if sub in ("docstore", "postings", "termstats",
+                                          "ann") else "meta"
+                    try:
+                        nbytes[kind] = nbytes.get(kind, 0) + \
+                            os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        return {"n_docs": int(sv.stats["n_docs"]),
+                "generations": m.active_generations(),
+                "fields": fields, "bytes": nbytes}
+
+    def search_by_field(self, database: str, table: str, query, field: str,
+                        ascending: bool = False,
+                        precision: str = "float32") -> list[dict]:
+        """Keyword search ordered by a STORED FIELD instead of relevance (the
+        Lucene ``IndexSearcher.search(query, n, Sort)`` shape — sorted
+        collection skips scoring). Returns the top ``query.limit``
+        ``{"doc_id", field}`` rows of the ENTIRE match set ordered by
+        (value asc|desc, doc_id asc). Docs with a null sort value are
+        excluded (documented divergence: Lucene's missing-value default
+        sorts them last).
+
+        Scale shape: each bucket ships AT MOST limit (doc_id, value) rows —
+        its partial top-k over the full match set; the driver merge is
+        O(buckets·limit). Keyword recall only (filters supported)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("search_by_field takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("search_by_field is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.sort_keyword.remote(q.__dict__, field, ascending,
+                                          precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.sort_keyword(q, field, ascending, precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return []
+        merged = pa.concat_tables(tbls)
+        vals = merged["value"].to_numpy(zero_copy_only=False)
+        dids = merged["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dids, vals if ascending else -vals))[:q.limit]
+        return [{"doc_id": int(dids[i]), field: float(vals[i])}
+                for i in order]
+
     def rerank(self, database: str, table: str, query, rerank_fn,
                depth: int = 50, limit: int | None = None,
                **search_kwargs) -> list[dict]:

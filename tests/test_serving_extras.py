@@ -688,3 +688,69 @@ class TestTermVectorsAndRerank:
         assert len(out2) == 1
         with pytest.raises(ValueError, match="one score per hit"):
             c.rerank("db", "tv", q, lambda hits: [1.0])
+
+
+class TestSortByFieldAndSnapshot:
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "sb", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc))
+        docs = [{"_id": i, "content": "hit" if i % 2 == 0 else "miss",
+                 "n": (i * 37) % 50} for i in range(40)]
+        docs[4]["n"] = None
+        c.build_from_local("db", "sb", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_sort_by_field_whole_match_set(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "sb", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.search_by_field("db", "sb", q, "n", ascending=False)
+        want = sorted(((i, (i * 37) % 50) for i in range(0, 40, 2) if i != 4),
+                      key=lambda x: (-x[1], x[0]))[:5]
+        assert [(o["doc_id"], o["n"]) for o in out] == \
+               [(d, float(v)) for d, v in want]
+        asc = c.search_by_field("db", "sb", q, "n", ascending=True)
+        want_a = sorted(((i, (i * 37) % 50) for i in range(0, 40, 2)
+                         if i != 4), key=lambda x: (x[1], x[0]))[:5]
+        assert [(o["doc_id"], o["n"]) for o in asc] == \
+               [(d, float(v)) for d, v in want_a]
+        c.activate("db", "sb")
+        assert c.search_by_field("db", "sb", q, "n", ascending=False) == out
+
+    def test_index_stats(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        st = c.index_stats("db", "sb")
+        assert st["n_docs"] == 40 and st["generations"] == [1]
+        f = st["fields"]["content"]
+        # every doc has one token; dictionary = {hit, miss}
+        assert f == {"doc_count": 40, "sum_ttf": 40, "distinct_terms": 2}
+        assert st["bytes"]["docstore"] > 0 and st["bytes"]["postings"] > 0
+
+    def test_snapshot_restore_and_immutability(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path) + "/src")
+        q = SearchQuery("db", "sb", keyword="hit", fields=["content"],
+                        limit=50)
+        before = c.search("db", "sb", q, precision="float64")[0]
+        dest = str(tmp_path) + "/backup"
+        c.snapshot("db", "sb", dest)
+        # restore = open a cluster at the destination (M8)
+        r = RetrievalCluster(dest)
+        got = r.search("db", "sb", q, precision="float64")[0]
+        assert [(x["doc_id"], x["_score"]) for x in got] == \
+               [(x["doc_id"], x["_score"]) for x in before]
+        # mutating the source must not touch the snapshot
+        c.delete_by_ids("db", "sb", [0, 2])
+        r2 = RetrievalCluster(dest)
+        again = r2.search("db", "sb", q, precision="float64")[0]
+        assert [(x["doc_id"], x["_score"]) for x in again] == \
+               [(x["doc_id"], x["_score"]) for x in before]
+        # snapshot after deletes carries the tombstones
+        dest2 = str(tmp_path) + "/backup2"
+        c.snapshot("db", "sb", dest2)
+        r3 = RetrievalCluster(dest2)
+        ids = {x["doc_id"] for x in r3.search("db", "sb", q,
+                                              precision="float64")[0]}
+        assert 0 not in ids and 2 not in ids
