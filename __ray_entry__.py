@@ -756,6 +756,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a scored BM25 term; m?rge matches 'merge', s*t matches every s...t token
     q["bm25_wildcard"] = lambda sf: _bm25(sf, "m?rge s*t order", 20)
 
+    # regexp clauses /re/ (Lucene RegexpQuery, RE2 dialect, fully anchored):
+    # constant 1.0 per doc containing a matching dictionary term, mixed with
+    # a scored BM25 term; | and ( ) are literal regex syntax between the
+    # slashes (the parser must not treat them as operators/groups)
+    q["bm25_regexp"] = lambda sf: _bm25(sf, "order /m.rge/ /s(ort|can)/", 20)
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2210,6 +2216,28 @@ comb AS (
   FROM scored s
   FULL OUTER JOIN w1 ON s.doc_id = w1.doc_id
   FULL OUTER JOIN w2 ON COALESCE(s.doc_id, w1.doc_id) = w2.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # order /m.rge/ /s(ort|can)/: one scored term, two regexp clauses — each
+    # a constant 1.0 per doc containing a dictionary term FULLY matching the
+    # RE2 pattern (^…$ anchors), added AFTER the scored term (engine clause
+    # order); DuckDB's regexp_matches is RE2 too, so the dialect is identical
+    sql["bm25_regexp"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["order"])},
+r1 AS (SELECT DISTINCT doc_id FROM toks
+       WHERE regexp_matches(term, '^(?:m.rge)$')),
+r2 AS (SELECT DISTINCT doc_id FROM toks
+       WHERE regexp_matches(term, '^(?:s(ort|can))$')),
+comb AS (
+  SELECT COALESCE(s.doc_id, r1.doc_id, r2.doc_id) AS doc_id,
+         COALESCE(s.score, 0.0e0)
+         + CASE WHEN r1.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END
+         + CASE WHEN r2.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS score
+  FROM scored s
+  FULL OUTER JOIN r1 ON s.doc_id = r1.doc_id
+  FULL OUTER JOIN r2 ON COALESCE(s.doc_id, r1.doc_id) = r2.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""

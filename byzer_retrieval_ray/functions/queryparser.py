@@ -46,6 +46,25 @@ two-arg constructor), default operator OR. Supported here:
                        summed-idf MultiPhraseQuery scoring is a documented
                        divergence); +/- variants supported. ``"so*"`` with a
                        single token degrades to a prefix clause.
+    /re/             → regexp clause (EXTENSION — Lucene RegexpQuery via the
+                       classic QueryParser's ``/re/`` delimiters, which
+                       SimpleQueryParser itself does not expose): dictionary
+                       terms FULLY matching the RE2 regex (implicit ^…$
+                       anchors, Lucene semantics). ``|``, ``( )``, spaces and
+                       every other parser special are LITERAL regex syntax
+                       between the slashes; ``\/`` is a literal slash. The
+                       leading literal-character run of the pattern bounds
+                       the dictionary scan (Lucene's automaton common-prefix
+                       optimisation); a pattern starting with a regex
+                       metacharacter scans the full dictionary through one
+                       vectorized RE2 kernel per term range. CONSTANT score
+                       1.0 per doc containing ≥1 matching dictionary term
+                       (constant-score MultiTermQuery rewrite, like prefix/
+                       fuzzy/wildcard); ``+/re/`` / ``-/re/`` variants
+                       supported. A term that merely CONTAINS or starts with
+                       ``/`` (paths) parses as a plain term unless it both
+                       starts and ends with one — escape as ``\/`` to force
+                       a literal-slash term.
     "a b"~N          → sloppy phrase (Lucene NEAR): IN-ORDER matches whose window
                        cost (span − (len−1) extra gap tokens) is ≤ N, scored with
                        the Lucene sloppy-frequency tf = Σ 1/(1+cost) over one
@@ -118,7 +137,7 @@ _SLOP_RE = re.compile(r'~(\d+)')
 
 # ESCAPE: \<special> hides the char from every parser pass via a private-use
 # sentinel, restored verbatim in the emitted terms
-_SPECIALS = '+-"*~()|\\?^'
+_SPECIALS = '+-"*~()|\\?^/'
 _SENTINEL = {c: chr(0xE000 + i) for i, c in enumerate(_SPECIALS)}
 _UNSENTINEL = {v: k for k, v in _SENTINEL.items()}
 _ESCAPE_RE = re.compile(r'\\(.)')
@@ -150,6 +169,14 @@ def _restore_pattern(pat: str) -> str:
         if _UNSENTINEL[m.group(0)] in "*?" else _UNSENTINEL[m.group(0)], pat)
 
 
+def _restore_regexp(pat: str) -> str:
+    """Regexp patterns restore EVERY escaped special backslash-escaped: the
+    user's ``\\+`` inside ``/re/`` is RE2 syntax for a literal plus and must
+    reach the engine verbatim (RE2 treats ``\\<punct>`` as the literal
+    character, so this is exactly what the user wrote)."""
+    return _SENTINEL_RE.sub(lambda m: "\\" + _UNSENTINEL[m.group(0)], pat)
+
+
 def _restore_member(m):
     if isinstance(m, str):
         return _restore(m)
@@ -163,6 +190,8 @@ def _restore_member(m):
         return (m[0], _restore(m[1]))
     if m[0] == "wildcard":
         return (m[0], _restore_pattern(m[1]))
+    if m[0] == "regexp":
+        return (m[0], _restore_regexp(m[1]))
     if m[0] == "fuzzy":
         return (m[0], _restore(m[1]), m[2])
     return m
@@ -174,6 +203,8 @@ def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
         setattr(p, name, [_restore(t) for t in getattr(p, name)])
     for name in ("wildcards", "must_wildcards", "not_wildcards"):
         setattr(p, name, [_restore_pattern(t) for t in getattr(p, name)])
+    for name in ("regexps", "must_regexps", "not_regexps"):
+        setattr(p, name, [_restore_regexp(t) for t in getattr(p, name)])
     for name in ("phrases", "must_phrases", "not_phrases"):
         setattr(p, name, [tuple(_restore(t) for t in tt)
                           for tt in getattr(p, name)])
@@ -208,6 +239,9 @@ class ParsedKeyword:
     wildcards: list = field(default_factory=list)      # pattern strings
     must_wildcards: list = field(default_factory=list)
     not_wildcards: list = field(default_factory=list)
+    regexps: list = field(default_factory=list)        # RE2 pattern strings
+    must_regexps: list = field(default_factory=list)
+    not_regexps: list = field(default_factory=list)
     pphrases: list = field(default_factory=list)       # (terms tuple, prefix)
     must_pphrases: list = field(default_factory=list)
     not_pphrases: list = field(default_factory=list)
@@ -226,13 +260,14 @@ class ParsedKeyword:
     def _has_must(self) -> bool:
         return bool(self.must or self.must_phrases or self.must_slop_phrases
                     or self.must_prefixes or self.must_fuzzies
-                    or self.must_wildcards or self.must_pphrases
-                    or self.must_groups)
+                    or self.must_wildcards or self.must_regexps
+                    or self.must_pphrases or self.must_groups)
 
     def _has_not(self) -> bool:
         return bool(self.must_not or self.not_phrases or self.not_slop_phrases
                     or self.not_prefixes or self.not_fuzzies
-                    or self.not_wildcards or self.not_pphrases)
+                    or self.not_wildcards or self.not_regexps
+                    or self.not_pphrases)
 
     def _should_members(self) -> list:
         """Typed members of this (pure-OR) node, canonical order."""
@@ -242,6 +277,7 @@ class ParsedKeyword:
         out += [("prefix", t) for t in self.prefixes]
         out += [("fuzzy", t, n) for t, n in self.fuzzies]
         out += [("wildcard", t) for t in self.wildcards]
+        out += [("regexp", t) for t in self.regexps]
         out += [("pprefix", tt, pre) for tt, pre in self.pphrases]
         return out
 
@@ -251,6 +287,7 @@ class ParsedKeyword:
                      "fuzzies", "must_fuzzies", "not_fuzzies", "must_groups",
                      "slop_phrases", "must_slop_phrases", "not_slop_phrases",
                      "wildcards", "must_wildcards", "not_wildcards",
+                     "regexps", "must_regexps", "not_regexps",
                      "pphrases", "must_pphrases", "not_pphrases"):
             getattr(self, name).extend(getattr(sub, name))
         self._merge_boosts(sub)
@@ -261,7 +298,7 @@ class ParsedKeyword:
 
     def _extend_should(self, sub: "ParsedKeyword") -> None:
         for name in ("should", "phrases", "slop_phrases", "prefixes",
-                     "fuzzies", "wildcards", "pphrases"):
+                     "fuzzies", "wildcards", "regexps", "pphrases"):
             getattr(self, name).extend(getattr(sub, name))
         self._merge_boosts(sub)
 
@@ -270,7 +307,7 @@ class ParsedKeyword:
         searcher's group_terms path — adding them to ``should`` too would
         double-score)."""
         for name in ("phrases", "slop_phrases", "prefixes", "fuzzies",
-                     "wildcards", "pphrases"):
+                     "wildcards", "regexps", "pphrases"):
             getattr(self, name).extend(getattr(sub, name))
         self._merge_boosts(sub)
 
@@ -288,6 +325,8 @@ class ParsedKeyword:
                 self.not_fuzzies.append((m[1], m[2]))
             elif m[0] == "wildcard":
                 self.not_wildcards.append(m[1])
+            elif m[0] == "regexp":
+                self.not_regexps.append(m[1])
             elif m[0] == "pprefix":
                 self.not_pphrases.append((m[1], m[2]))
 
@@ -345,6 +384,18 @@ def _scan_clauses(s: str) -> list[tuple[str, str, object]]:
                 out.append((op, "phrase", (body, slop)))
                 i = k
         else:
+            # /re/ (or +/re/ / -/re/): scan to the CLOSING slash — `|`,
+            # parens and spaces are literal regex syntax between the
+            # delimiters (an escaped slash is already sentinel-hidden here,
+            # so the next literal '/' really closes the pattern); an
+            # unterminated '/' degrades to a plain token
+            k0 = i + (1 if c in "+-" and i + 1 < n and s[i + 1] == "/" else 0)
+            if s[k0:k0 + 1] == "/":
+                j2 = s.find("/", k0 + 1)
+                if j2 > k0 + 1:
+                    out.append(("", "token", s[i:j2 + 1]))
+                    i = j2 + 1
+                    continue
             j = i
             while j < n and not s[j].isspace() and s[j] not in '|()':
                 j += 1
@@ -403,6 +454,12 @@ def _take_token(p: ParsedKeyword, raw: str) -> None:
     tok = tok.strip('"')
     if not tok:
         return
+    if len(tok) >= 3 and tok[0] == "/" and tok[-1] == "/":
+        # /re/ regexp clause (RE2 syntax between the delimiters, checked
+        # BEFORE wildcard/prefix/fuzzy — the pattern may contain * ? ~ ^)
+        (p.must_regexps if op == "+" else p.not_regexps if op == "-"
+         else p.regexps).append(tok[1:-1])
+        return
     core = tok[:-1] if tok.endswith("*") else tok
     if len(tok) > 1 and ("?" in tok or "*" in core):
         # mid-token / leading / repeated wildcard (a single trailing * alone
@@ -447,7 +504,7 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         # inner exclusions promote either way: +( -c ...) requires ¬c
         for name in ("must_not", "not_phrases", "not_slop_phrases",
                      "not_prefixes", "not_fuzzies", "not_wildcards",
-                     "not_pphrases"):
+                     "not_regexps", "not_pphrases"):
             getattr(p, name).extend(getattr(sub, name))
         if not members:
             return
@@ -466,6 +523,8 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
                 p.must_fuzzies.append((m[1], m[2]))
             elif m[0] == "wildcard":
                 p.must_wildcards.append(m[1])
+            elif m[0] == "regexp":
+                p.must_regexps.append(m[1])
             elif m[0] == "pprefix":
                 p.must_pphrases.append((m[1], m[2]))
             return
@@ -483,6 +542,7 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         musts += [("prefix", t) for t in sub.must_prefixes]
         musts += [("fuzzy", t, n) for t, n in sub.must_fuzzies]
         musts += [("wildcard", t) for t in sub.must_wildcards]
+        musts += [("regexp", t) for t in sub.must_regexps]
         musts += [("pprefix", tt, pre) for tt, pre in sub.must_pphrases]
         if len(musts) == 1 and not sub.must_groups and not has_not:
             # -(+a b) ≡ -a: the group matches iff its single required member

@@ -275,6 +275,71 @@ class GenerationReader:
                     return out
         return out
 
+    def expand_regexp(self, field: str, pattern: str,
+                      limit: int = 1024) -> list[str]:
+        """Dictionary terms of ``field`` FULLY matching an RE2 regex (Lucene
+        RegexpQuery semantics: the pattern is implicitly anchored ^…$).
+        The pattern's leading literal-character run bounds the scan to its
+        term-range interval (Lucene's automaton common-prefix optimisation);
+        a pattern starting with a regex metacharacter scans every range's
+        full dictionary through ONE vectorized RE2 kernel per range, never a
+        per-term Python loop. Matches stay in sorted term order; the
+        ``limit`` cap is deterministic and logged when hit."""
+        import bisect
+        # literal prefix: chars before the first RE2 metacharacter; an
+        # escaped punctuation char (\.) contributes its literal. A trailing
+        # literal whose NEXT pattern char is a quantifier (a* / a? / a{ )
+        # must be dropped from the prefix — the quantifier may erase it.
+        _META = set(".[]{}()*+?|^$\\")
+        lit_parts: list[str] = []
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\" and i + 1 < len(pattern) \
+                    and not pattern[i + 1].isalnum():
+                nxt = pattern[i + 2:i + 3]
+                if nxt in "*+?{":
+                    break
+                lit_parts.append(pattern[i + 1])
+                i += 2
+                continue
+            if c in _META:
+                break
+            if pattern[i + 1:i + 2] in "*+?{":
+                break
+            lit_parts.append(c)
+            i += 1
+        lit = "".join(lit_parts)
+        rx = "^(?:" + pattern + ")$"
+        re.compile(rx)  # surface bad patterns as ValueError-ish here, once
+        out: list[str] = []
+        lo_r = self.route_term(lit) if lit else 0
+        hi_r = self.route_term(lit + "￿") if lit \
+            else max(self.info["num_term_parts"], 1) - 1
+        for r in range(lo_r, hi_r + 1):
+            lst = self._sorted_terms(r).get(field, [])
+            if len(lst) == 0:
+                continue
+            if lit:
+                i0 = bisect.bisect_left(lst, lit)
+                i1 = bisect.bisect_left(lst, lit + "￿", lo=i0)
+                cand = lst[i0:i1]
+            else:
+                cand = lst
+            if len(cand) == 0:
+                continue
+            mask = pc.match_substring_regex(
+                pa.array(cand, pa.string()), rx).to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(mask):
+                out.append(cand[i])
+                if len(out) >= limit:
+                    _LOG.warning(
+                        "regexp expansion %r on field %r hit the %d-term "
+                        "cap; keeping the %d lexicographically smallest "
+                        "matches", pattern, field, limit, limit)
+                    return out
+        return out
+
     def _term_lens(self, r: int, field: str) -> np.ndarray:
         """Cached length array of range r's sorted term list (the fuzzy length
         band then prunes without touching the strings)."""
@@ -352,6 +417,13 @@ class StatsView:
         terms: set[str] = set()
         for r in self.readers:
             terms.update(r.expand_wildcard(field, pattern, limit))
+        return sorted(terms)[:limit]
+
+    def expand_regexp(self, field: str, pattern: str,
+                      limit: int = 1024) -> list[str]:
+        terms: set[str] = set()
+        for r in self.readers:
+            terms.update(r.expand_regexp(field, pattern, limit))
         return sorted(terms)[:limit]
 
 
@@ -745,6 +817,28 @@ class BucketSearcher:
                         scorers.append(((fld, wc),
                                         _const_posting(docs), None, dtype(1.0)))
 
+        # regexp clauses (/re/): constant 1.0 per doc containing a dictionary
+        # term fully matching the RE2 pattern (expansion like wildcards);
+        # appended after wildcards in the fixed clause order
+        all_rx = pk.regexps + pk.must_regexps + pk.not_regexps
+        rx_docs: dict[tuple[str, str], np.ndarray] = {}
+        if all_rx:
+            for rx in dict.fromkeys(all_rx):
+                for fld in fields:
+                    terms = self.stats.expand_regexp(fld, rx)
+                    if not terms:
+                        continue
+                    tpairs = [(fld, t) for t in terms]
+                    tposts = self.fetch_postings(tpairs)
+                    docs_any = [tposts[p].docs for p in tpairs if tposts[p].df > 0]
+                    if not docs_any:
+                        continue
+                    docs = np.unique(np.concatenate(docs_any))
+                    rx_docs[(fld, rx)] = docs
+                    if rx in pk.regexps or rx in pk.must_regexps:
+                        scorers.append(((fld, f"/{rx}/"),
+                                        _const_posting(docs), None, dtype(1.0)))
+
         # phrase-prefix clauses ("a b*"): the leading terms followed by ANY
         # dictionary term starting with the prefix — ONE union position slot
         # (Lucene MultiPhraseQuery), evaluated by merging the expanded terms'
@@ -783,8 +877,8 @@ class BucketSearcher:
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
         if must or must_phrases or pk.must_slop_phrases or pk.must_prefixes \
-                or pk.must_fuzzies or pk.must_wildcards or pk.must_pphrases \
-                or pk.must_groups:
+                or pk.must_fuzzies or pk.must_wildcards or pk.must_regexps \
+                or pk.must_pphrases or pk.must_groups:
             for grp in pk.must_groups:
                 # +(a | "b c" | d*): the doc must match ≥1 group member in
                 # ≥1 field; members' doc sets come from the clause sections
@@ -810,6 +904,9 @@ class BucketSearcher:
                         elif m[0] == "wildcard":
                             if (f, m[1]) in wild_docs:
                                 docs_any.append(wild_docs[(f, m[1])])
+                        elif m[0] == "regexp":
+                            if (f, m[1]) in rx_docs:
+                                docs_any.append(rx_docs[(f, m[1])])
                         elif m[0] == "pprefix":
                             if (f, (m[1], m[2])) in pp_docs:
                                 docs_any.append(pp_docs[(f, (m[1], m[2]))])
@@ -858,6 +955,13 @@ class BucketSearcher:
                            if docs_any else np.empty(0, np.int64))
                 candidates = wc_docs if candidates is None else \
                     candidates[np.isin(candidates, wc_docs, assume_unique=True)]
+            for rx in pk.must_regexps:
+                docs_any = [rx_docs[(f, rx)] for f in fields
+                            if (f, rx) in rx_docs]
+                r_docs = (np.unique(np.concatenate(docs_any))
+                          if docs_any else np.empty(0, np.int64))
+                candidates = r_docs if candidates is None else \
+                    candidates[np.isin(candidates, r_docs, assume_unique=True)]
             for ppx in pk.must_pphrases:
                 docs_any = [pp_docs[(f, ppx)] for f in fields
                             if (f, ppx) in pp_docs]
@@ -878,6 +982,8 @@ class BucketSearcher:
                if (f, fz) in fuzzy_docs]
         ex += [wild_docs[(f, wc)] for wc in pk.not_wildcards for f in fields
                if (f, wc) in wild_docs]
+        ex += [rx_docs[(f, rx)] for rx in pk.not_regexps for f in fields
+               if (f, rx) in rx_docs]
         ex += [pp_docs[(f, ppx)] for ppx in pk.not_pphrases for f in fields
                if (f, ppx) in pp_docs]
         if ex:
@@ -904,7 +1010,8 @@ class BucketSearcher:
                 zero_fill=(bool(q.filters) and not must and not must_phrases
                            and not pk.must_slop_phrases and not pk.must_prefixes
                            and not pk.must_fuzzies and not pk.must_wildcards
-                           and not pk.must_pphrases and not pk.must_groups),
+                           and not pk.must_regexps and not pk.must_pphrases
+                           and not pk.must_groups),
                 after=after)
         return ids, scores
 

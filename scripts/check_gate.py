@@ -27,7 +27,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # usage: check_gate.py [sf_dir] [--only SUBSTR]  (filter entries by name)
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        del args[i:i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -48,6 +55,8 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if only in k}
     n_pass = n_fail = 0
     for name, fn in qs.items():
         try:

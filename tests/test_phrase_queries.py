@@ -337,6 +337,100 @@ class TestWildcard:
         assert res == []
 
 
+class TestRegexp:
+    """Regexp clauses /re/ (extension; Lucene RegexpQuery semantics): RE2
+    pattern fully anchored (^…$) against dictionary terms; constant score
+    1.0 per doc containing ≥1 matching term; | ( ) and spaces are literal
+    regex syntax between the delimiters."""
+
+    def test_parse_shapes(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword("/qu.ck/ -/f.x/ +/c.t/ sort")
+        assert p.regexps == ["qu.ck"]
+        assert p.not_regexps == ["f.x"] and p.must_regexps == ["c.t"]
+        assert p.should == ["sort"]
+        # | ( ) and spaces are regex syntax inside the delimiters
+        p2 = parse_keyword("/b(r|l)own/ /a b/")
+        assert p2.regexps == ["b(r|l)own", "a b"]
+        # group member; a term containing a slash stays a plain term
+        p3 = parse_keyword("(/f.x/ | dog) path/term /usr")
+        assert p3.regexps == ["f.x"]
+        assert sorted(p3.should) == ["/usr", "dog", "path/term"]
+        # escaped slash inside the pattern is a literal RE2 slash escape
+        p4 = parse_keyword(r"/a\/b/")
+        assert p4.regexps == [r"a\/b"]
+
+    def test_matches_constant_score(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "/qu.ck/",
+                                         "fields": ["content"], "limit": 10},
+                             precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        assert all(r["_score"] == 1.0 for r in res)
+
+    def test_full_anchor_semantics(self, cluster):
+        # Lucene RegexpQuery fully anchors the pattern: /ow/ matches no
+        # 5-char token; /.*ow.*/ matches every doc containing 'brown'
+        res = cluster.search("db", "p", {"keyword": "/ow/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []
+        res = cluster.search("db", "p", {"keyword": "/.*ow.*/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5]
+
+    def test_alternation_and_literal_prefix_bound(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "/(fox|dog)/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2]
+        # literal prefix "qui" bounds the dictionary scan; same result
+        res = cluster.search("db", "p", {"keyword": "/qui.*/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        # a quantified first char must NOT be treated as a literal prefix
+        res = cluster.search("db", "p", {"keyword": "/j?umps/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [0]
+
+    def test_must_not_and_group(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "quick -/f.x/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [2, 3, 5, 6]
+        res = cluster.search("db", "p", {"keyword": "+/c.t/ quick",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert [r["_id"] for r in res] == [2]
+        res = cluster.search("db", "p", {"keyword": "(/f.x/ | dog)",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2]
+        res = cluster.search("db", "p", {"keyword": "+(/f.x/ | dog) quick",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2]
+
+    def test_taat_bmw_parity(self, cluster):
+        for kw in ("/qu.ck/", "/.*ow.*/ unrelated", '+/f.x/ "quick brown"',
+                   "unrelated /c.t/"):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b]
+
+    def test_no_match_and_space_literal(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "/zz+/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []
+        # a space inside /…/ is literal: no single token contains one
+        res = cluster.search("db", "p", {"keyword": "/quick brown/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []
+
+    def test_mixed_scoring_order(self, cluster):
+        # BM25 term + constant 1.0 (regexp added after scored terms)
+        mixed = {r["_id"]: r["_score"] for r in cluster.search(
+            "db", "p", {"keyword": "unrelated /qu.ck/",
+                        "fields": ["content"], "limit": 10},
+            precision="float64")[0]}
+        assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
+
+
 class TestPhrasePrefix:
     """"a b*" phrase-prefix (MultiPhraseQuery/autocomplete shape): leading
     terms followed by ANY dictionary term starting with the prefix; one
