@@ -762,6 +762,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # slashes (the parser must not treat them as operators/groups)
     q["bm25_regexp"] = lambda sf: _bm25(sf, "order /m.rge/ /s(ort|can)/", 20)
 
+    def bm25_msm(sf):
+        # minimum_should_match (Lucene setMinimumNumberShouldMatch): a hit
+        # must contain ≥2 of the four OR terms; surviving docs keep their
+        # full OR score (scoring is unchanged — only matching is gated)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort scan heap",
+                         fields=["text"], limit=20, min_should_match=2)
+        return _search_rows(c, "docs", q2)
+    q["bm25_msm"] = bm25_msm
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2241,6 +2251,22 @@ comb AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # merge sort scan heap with min_should_match=2: the OR score is computed
+    # as usual, then docs matching fewer than 2 distinct query terms are
+    # dropped (Lucene setMinimumNumberShouldMatch — matching gated, scoring
+    # unchanged)
+    sql["bm25_msm"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort", "scan", "heap"])},
+mcnt AS (
+  SELECT tf.doc_id, COUNT(DISTINCT tf.term) AS m
+  FROM tf JOIN qterms ON tf.term = qterms.term
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, ROUND(s.score, 4) AS score
+FROM scored s JOIN mcnt ON mcnt.doc_id = s.doc_id
+WHERE mcnt.m >= 2
+ORDER BY score DESC, s.doc_id LIMIT 20"""
 
     # "merge sort"~2: one tightest in-order chain per 'sort' occurrence (the
     # rightmost 'merge' strictly before it), kept when cost = q−p−1 ≤ 2, each

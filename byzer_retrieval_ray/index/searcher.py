@@ -970,6 +970,58 @@ class BucketSearcher:
                 candidates = pd if candidates is None else \
                     candidates[np.isin(candidates, pd, assume_unique=True)]
             candidates = self._drop_tombstones(candidates)
+
+        # minimum_should_match (Lucene BooleanQuery.setMinimumNumberShouldMatch):
+        # a hit must satisfy ≥ msm SHOULD clauses, each counted once when it
+        # matches in ANY searched field (duplicate clauses count separately,
+        # like duplicate BooleanQuery subclauses). Scoring is unchanged —
+        # every matched clause still contributes. msm > #clauses ⟹ no hits.
+        msm = int(getattr(q, "min_should_match", 0) or 0)
+        if msm > 1:
+            clause_docs: list[np.ndarray] = []
+
+            def _union(arrs):
+                return (np.unique(np.concatenate(arrs)) if arrs
+                        else np.empty(0, np.int64))
+
+            for t in should:
+                clause_docs.append(_union(
+                    [posts[(f, t)].docs for f in fields
+                     if stats[(f, t)][0] > 0]))
+            for ph in phrases:
+                clause_docs.append(_union(
+                    [phrase_docs[(f, ph)] for f in fields
+                     if (f, ph) in phrase_docs]))
+            for sp in pk.slop_phrases:
+                clause_docs.append(_union(
+                    [sphrase_docs[(f, sp)] for f in fields
+                     if (f, sp) in sphrase_docs]))
+            for pre in pk.prefixes:
+                clause_docs.append(_union(
+                    [prefix_docs[(f, pre)] for f in fields
+                     if (f, pre) in prefix_docs]))
+            for fz in pk.fuzzies:
+                clause_docs.append(_union(
+                    [fuzzy_docs[(f, fz)] for f in fields
+                     if (f, fz) in fuzzy_docs]))
+            for wc in pk.wildcards:
+                clause_docs.append(_union(
+                    [wild_docs[(f, wc)] for f in fields
+                     if (f, wc) in wild_docs]))
+            for rx in pk.regexps:
+                clause_docs.append(_union(
+                    [rx_docs[(f, rx)] for f in fields
+                     if (f, rx) in rx_docs]))
+            for ppx in pk.pphrases:
+                clause_docs.append(_union(
+                    [pp_docs[(f, ppx)] for f in fields
+                     if (f, ppx) in pp_docs]))
+            merged = (np.concatenate(clause_docs) if clause_docs
+                      else np.empty(0, np.int64))
+            u, cnt = np.unique(merged, return_counts=True)
+            ok_docs = self._drop_tombstones(u[cnt >= msm])
+            candidates = ok_docs if candidates is None else \
+                candidates[np.isin(candidates, ok_docs, assume_unique=True)]
         excluded = None
         ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
         ex += [phrase_docs[(f, ph)] for ph in not_phrases for f in fields

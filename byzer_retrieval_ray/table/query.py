@@ -55,6 +55,15 @@ class SearchQuery:
     # the (score desc, doc_id asc) total order are returned. Keyword-only —
     # hybrid RRF re-scores by rank, where a score cursor is meaningless.
     search_after: Optional[list] = None
+    # Lucene BooleanQuery.setMinimumNumberShouldMatch (extension — the
+    # reference's SearchQuery has no knob for it): a hit must satisfy at
+    # least this many of the keyword's SHOULD clauses (terms, phrases,
+    # prefixes, fuzzies, wildcards, regexps — each clause counts once,
+    # matched in ANY searched field; duplicate clauses count separately,
+    # exactly like duplicate BooleanQuery subclauses). 0/1 = no-op (OR
+    # queries already require one match). Keyword-only; MUST/MUST_NOT
+    # clauses are unaffected and enforced as usual.
+    min_should_match: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

@@ -431,6 +431,58 @@ class TestRegexp:
         assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
 
 
+class TestMinShouldMatch:
+    """min_should_match (Lucene BooleanQuery.setMinimumNumberShouldMatch,
+    extension): a hit must satisfy ≥ m SHOULD clauses; scoring unchanged."""
+
+    def _s(self, cluster, kw, msm, **kw2):
+        return [(r["_id"], r["_score"]) for r in cluster.search(
+            "db", "p", {"keyword": kw, "fields": ["content"], "limit": 10,
+                        "min_should_match": msm}, precision="float64",
+            **kw2)[0]]
+
+    def test_term_counting(self, cluster):
+        # DOCS: 0 quick brown fox jumps / 1 brown quick fox / 2 ... quick
+        # brown cat / 3 quick stop then brown / 6 quick quick quick
+        base = self._s(cluster, "quick fox jumps", 0)
+        two = self._s(cluster, "quick fox jumps", 2)
+        assert sorted(i for i, _ in two) == [0, 1]
+        # msm keeps the full OR score of the surviving docs
+        keep = dict(base)
+        assert all(s == keep[i] for i, s in two)
+        assert [i for i, _ in self._s(cluster, "quick fox jumps", 3)] == [0]
+        assert self._s(cluster, "quick fox jumps", 4) == []   # > #clauses
+
+    def test_clause_types_count_once_each(self, cluster):
+        # term + phrase: doc must match ≥2 of {quick, "brown fox"}
+        got = self._s(cluster, 'quick "brown fox"', 2)
+        assert [i for i, _ in got] == [0]
+        # term + prefix + wildcard are each one clause
+        got = self._s(cluster, "jumps stop? unre*", 2)
+        assert got == []    # no doc matches two of the three
+        got = self._s(cluster, "quick brow* f?x", 2)
+        assert sorted(i for i, _ in got) == [0, 1, 2, 3, 5]
+
+    def test_must_unaffected(self, cluster):
+        # MUST clauses don't count toward (or against) the should threshold
+        got = self._s(cluster, "+brown quick fox", 2)
+        assert sorted(i for i, _ in got) == [0, 1]
+        # 0/1 are no-ops (identical to the plain OR query)
+        a = self._s(cluster, "quick fox", 0)
+        b = self._s(cluster, "quick fox", 1)
+        assert a == b
+
+    def test_actor_json_roundtrip(self, cluster):
+        from byzer_retrieval_ray.table.query import SearchQuery
+        q = SearchQuery.from_dict({"database": "db", "table": "p",
+                                   "keyword": "quick fox jumps",
+                                   "fields": ["content"], "limit": 10,
+                                   "min_should_match": 2})
+        assert q.min_should_match == 2
+        q2 = SearchQuery.list_from_json(q.to_json())[0]
+        assert q2.min_should_match == 2
+
+
 class TestPhrasePrefix:
     """"a b*" phrase-prefix (MultiPhraseQuery/autocomplete shape): leading
     terms followed by ANY dictionary term starting with the prefix; one
