@@ -772,6 +772,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docs", q2)
     q["bm25_msm"] = bm25_msm
 
+    def bm25_synonyms(sf):
+        # query-time synonyms (Lucene SynonymQuery): 'sort' and its synonym
+        # 'order' score as ONE pseudo-term — tf = Σ variant freqs per doc,
+        # df = max variant df; 'merge' scores as a plain term clause
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=20,
+                         synonyms={"sort": ["order"]})
+        return _search_rows(c, "docs", q2)
+    q["bm25_synonyms"] = bm25_synonyms
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2267,6 +2278,39 @@ SELECT s.doc_id, ROUND(s.score, 4) AS score
 FROM scored s JOIN mcnt ON mcnt.doc_id = s.doc_id
 WHERE mcnt.m >= 2
 ORDER BY score DESC, s.doc_id LIMIT 20"""
+
+    # merge + SynonymQuery(sort, order): the synonym group is ONE BM25 clause
+    # with tf = tf_sort + tf_order per doc and df = max(df_sort, df_order)
+    # (the Lucene SynonymQuery/BM25 combination); 'merge' is a plain term
+    # clause added first (engine clause order)
+    sql["bm25_synonyms"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge"])},
+df_syn AS (SELECT MAX(df) AS df FROM df WHERE term IN ('sort', 'order')),
+tf_syn AS (
+  SELECT doc_id, SUM(tf) AS tf FROM tf
+  WHERE term IN ('sort', 'order') GROUP BY doc_id
+),
+syn AS (
+  SELECT ts.doc_id,
+         (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5e0)
+                              / (CAST(d.df AS DOUBLE) + 0.5e0)))
+         - (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5e0)
+                                / (CAST(d.df AS DOUBLE) + 0.5e0)))
+           / (1.0e0 + CAST(ts.tf AS DOUBLE)
+              * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                    / (CAST(s.sum_ttf AS DOUBLE)
+                                       / CAST(s.n AS DOUBLE)))))) AS score
+  FROM tf_syn ts
+  JOIN dlq ON dlq.doc_id = ts.doc_id
+  CROSS JOIN df_syn d CROSS JOIN stats s
+),
+comb AS (
+  SELECT COALESCE(m.doc_id, y.doc_id) AS doc_id,
+         COALESCE(m.score, 0.0e0) + COALESCE(y.score, 0.0e0) AS score
+  FROM scored m FULL OUTER JOIN syn y ON m.doc_id = y.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
 
     # "merge sort"~2: one tightest in-order chain per 'sort' occurrence (the
     # rightmost 'merge' strictly before it), kept when cost = q−p−1 ≤ 2, each

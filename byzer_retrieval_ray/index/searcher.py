@@ -483,6 +483,33 @@ def _const_posting(docs: np.ndarray) -> Posting:
                    np.zeros(starts.size, dtype=np.uint8))
 
 
+def _synonym_posting(plist: list["Posting"]) -> "Posting | None":
+    """Merge one field's postings for a synonym group into ONE pseudo-term
+    posting (Lucene SynonymQuery semantics): docs = union, tf = Σ variant
+    freqs per doc, norm = the doc's field-length norm (identical across
+    variants — it's a per-(doc, field) quantity, so any variant's byte is
+    THE byte). Block metadata is rebuilt so block-max WAND can prune the
+    merged clause like any term clause."""
+    live = [p for p in plist if p.df > 0]
+    if not live:
+        return None
+    if len(live) == 1:
+        return live[0]
+    docs = np.concatenate([p.docs for p in live])
+    tfs = np.concatenate([p.tfs for p in live])
+    norms = np.concatenate([p.norms for p in live])
+    u, inv = np.unique(docs, return_inverse=True)
+    tf_sum = np.zeros(u.size, np.int64)
+    np.add.at(tf_sum, inv, tfs)
+    norm_u = np.zeros(u.size, np.uint8)
+    norm_u[inv] = norms
+    B = codec.BLOCK_SIZE
+    starts = np.arange(0, u.size, B)
+    return Posting(u, tf_sum, norm_u, u[starts],
+                   np.maximum.reduceat(tf_sum, starts),
+                   np.minimum.reduceat(norm_u, starts))
+
+
 def _postings_from_table(tbl: pa.Table, codec_name: str):
     """Decode a postings-parquet slice into {(field, term): Posting} with columnar
     access — one to_pylist per scalar column and offset-sliced flat buffers for the
@@ -696,6 +723,30 @@ class BucketSearcher:
                                    + phrase_pairs + sphrase_pairs + pp_pairs))
         stats = self.stats.term_stats(fetch)
         posts = self.fetch_postings([p for p in fetch if stats[p][0] > 0])
+
+        # query-time synonyms (Lucene SynonymQuery): a plain TERM clause whose
+        # term has a {term: [alts]} entry is replaced IN PLACE by one merged
+        # pseudo-term — tf = Σ variant freqs, df = max variant df — so every
+        # downstream path (scoring, +term gating, min_should_match counting)
+        # sees the group as a single term
+        syn_map = getattr(q, "synonyms", None) or {}
+        if syn_map:
+            queried = {t for _, t in fetch}
+            for t, alts in syn_map.items():
+                if t not in queried:
+                    continue
+                variants = [t] + [a for a in alts if a != t]
+                for fld in fields:
+                    vpairs = [(fld, v) for v in variants]
+                    vstats = self.stats.term_stats(vpairs)
+                    live = [p for p in vpairs if vstats[p][0] > 0]
+                    vposts = self.fetch_postings(live)
+                    merged = _synonym_posting([vposts[p] for p in live])
+                    if merged is None:
+                        continue
+                    posts[(fld, t)] = merged
+                    stats[(fld, t)] = (max(vstats[p][0] for p in live),
+                                       sum(vstats[p][1] for p in live))
 
         def _field_scoring(fld):
             fstats = self.stats.stats["fields"][fld]

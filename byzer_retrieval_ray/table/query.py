@@ -64,6 +64,14 @@ class SearchQuery:
     # queries already require one match). Keyword-only; MUST/MUST_NOT
     # clauses are unaffected and enforced as usual.
     min_should_match: int = 0
+    # Query-time synonyms (extension — Lucene SynonymQuery, the shape a
+    # synonym-aware analyzer produces): {term: [alternatives]}. A plain
+    # TERM clause whose term has an entry scores as ONE pseudo-term over
+    # the group — tf = Σ variant freqs per doc, df = max variant df (the
+    # Lucene SynonymQuery/BM25 combination), so a doc matching only an
+    # alternative scores as if it matched the query term. Term clauses
+    # only (phrases/prefix/fuzzy/wildcard/regexp members are unaffected).
+    synonyms: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

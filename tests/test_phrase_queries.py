@@ -431,6 +431,79 @@ class TestRegexp:
         assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
 
 
+class TestSynonyms:
+    """Query-time synonyms (extension; Lucene SynonymQuery): a term clause
+    with a {term: [alts]} entry scores as ONE pseudo-term — tf = Σ variant
+    freqs per doc, df = max variant df, norm = the doc's field norm."""
+
+    def _syn_oracle(self, variants: list[str], limit: int = 10):
+        toks = {i: t.split() for i, t in DOCS}
+        n = len(DOCS)
+        dls = {i: len(tt) for i, tt in toks.items()}
+        avgdl = bm25.avg_field_length(sum(dls.values()), n, dtype=np.float64)
+        cache = bm25.norm_inverse_cache(avgdl, dtype=np.float64)
+        df = max(sum(1 for tt in toks.values() if v in tt) for v in variants)
+        w = bm25.term_weight(n, df, dtype=np.float64)
+        out = []
+        for i, tt in toks.items():
+            tf = sum(tt.count(v) for v in variants)
+            if tf:
+                nb = int(int_to_byte4_np(np.array([dls[i]]))[0])
+                s = float(bm25.score_tf_norm(
+                    np.array([tf]), np.array([nb], np.uint8), cache,
+                    np.float64(w), dtype=np.float64)[0])
+                out.append((i, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:limit]
+
+    def test_scores_match_synonym_oracle(self, cluster):
+        res = cluster.search("db", "p", {"keyword": "brown",
+                                         "fields": ["content"], "limit": 10,
+                                         "synonyms": {"brown": ["quick"]}},
+                             precision="float64")[0]
+        got = [(r["_id"], r["_score"]) for r in res]
+        want = self._syn_oracle(["brown", "quick"])
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-12)
+
+    def test_alt_only_docs_match(self, cluster):
+        # doc 6 "quick quick quick" contains no 'brown' but matches via the
+        # synonym with tf=3
+        res = cluster.search("db", "p", {"keyword": "brown",
+                                         "fields": ["content"], "limit": 10,
+                                         "synonyms": {"brown": ["quick"]}})[0]
+        assert 6 in {r["_id"] for r in res}
+
+    def test_must_and_msm_see_the_group(self, cluster):
+        # +brown with synonym quick: doc 6 (quick-only) satisfies the MUST
+        res = cluster.search("db", "p", {"keyword": "+brown fox",
+                                         "fields": ["content"], "limit": 10,
+                                         "synonyms": {"brown": ["quick"]}})[0]
+        assert 6 in {r["_id"] for r in res}
+        # msm counts the group as ONE clause
+        res = cluster.search("db", "p", {"keyword": "brown jumps",
+                                         "fields": ["content"], "limit": 10,
+                                         "min_should_match": 2,
+                                         "synonyms": {"brown": ["quick"]}})[0]
+        assert [r["_id"] for r in res] == [0]
+
+    def test_taat_bmw_parity_and_noop(self, cluster):
+        q = {"keyword": "brown fox", "fields": ["content"], "limit": 10,
+             "synonyms": {"brown": ["quick"]}}
+        a = cluster.search("db", "p", q, precision="float64", algorithm="bmw")[0]
+        b = cluster.search("db", "p", q, precision="float64", algorithm="taat")[0]
+        assert [(r["_id"], r["_score"]) for r in a] == \
+               [(r["_id"], r["_score"]) for r in b]
+        # a synonym for a term not in the query is a no-op
+        q0 = {"keyword": "fox", "fields": ["content"], "limit": 10}
+        q1 = dict(q0, synonyms={"brown": ["quick"]})
+        assert [(r["_id"], r["_score"]) for r in
+                cluster.search("db", "p", q0, precision="float64")[0]] == \
+               [(r["_id"], r["_score"]) for r in
+                cluster.search("db", "p", q1, precision="float64")[0]]
+
+
 class TestMinShouldMatch:
     """min_should_match (Lucene BooleanQuery.setMinimumNumberShouldMatch,
     extension): a hit must satisfy ≥ m SHOULD clauses; scoring unchanged."""
