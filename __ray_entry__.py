@@ -783,6 +783,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docs", q2)
     q["bm25_synonyms"] = bm25_synonyms
 
+    def bm25_explain(sf):
+        # explain() (Lucene IndexSearcher.explain shape): per-clause tf /
+        # weight / score breakdown for the top-10 docs of an OR query —
+        # every component value-checked against the closed-form BM25 SQL
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        top = c.search("db", "docs", q2, precision="float64")[0]
+        rows = []
+        for r in top:
+            ex = c.explain("db", "docs", q2, r["doc_id"],
+                           precision="float64")
+            assert ex["score"] == r["_score"]   # bit-exact with the search
+            for cl in ex["clauses"]:
+                rows.append((int(ex["doc_id"]), cl["clause"], int(cl["tf"]),
+                             float(np.round(cl["weight"], 4)),
+                             float(np.round(cl["score"], 4))))
+        rows.sort()
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "clause": pa.array([r[1] for r in rows], pa.string()),
+            "tf": pa.array([r[2] for r in rows], pa.int64()),
+            "weight": pa.array([r[3] for r in rows], pa.float64()),
+            "score": pa.array([r[4] for r in rows], pa.float64()),
+        })
+    q["bm25_explain"] = bm25_explain
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2311,6 +2338,34 @@ comb AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM comb
 ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # explain breakdown for the top-10 of 'merge sort': per-(doc, term) tf,
+    # clause weight (k1+1)·idf and per-clause BM25 score, all closed-form
+    sql["bm25_explain"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+top AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+det AS (
+  SELECT tf.doc_id, tf.term AS clause, tf.tf,
+         (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                              / (CAST(df.df AS DOUBLE) + 0.5e0))) AS w,
+         (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                              / (CAST(df.df AS DOUBLE) + 0.5e0)))
+         - (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                                / (CAST(df.df AS DOUBLE) + 0.5e0)))
+           / (1.0e0 + CAST(tf.tf AS DOUBLE)
+              * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                    / (CAST(s.sum_ttf AS DOUBLE)
+                                       / CAST(s.n AS DOUBLE)))))) AS sc
+  FROM tf
+  JOIN qterms ON tf.term = qterms.term
+  JOIN df ON df.term = tf.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT d.doc_id, d.clause, d.tf,
+       ROUND(d.w, 4) AS weight, ROUND(d.sc, 4) AS score
+FROM det d JOIN top ON top.doc_id = d.doc_id
+ORDER BY d.doc_id, d.clause"""
 
     # "merge sort"~2: one tightest in-order chain per 'sort' occurrence (the
     # rightmost 'merge' strictly before it), kept when cost = q−p−1 ≤ 2, each

@@ -659,8 +659,15 @@ class BucketSearcher:
 
     def search_keyword(self, q: SearchQuery, precision: str = "float32",
                        algorithm: str = "bmw",
-                       fuzzy_transpositions: bool = True) -> tuple[np.ndarray, np.ndarray]:
-        """Per-bucket top-limit (doc_ids, scores) for a keyword recall."""
+                       fuzzy_transpositions: bool = True,
+                       explain_doc: int | None = None):
+        """Per-bucket top-limit (doc_ids, scores) for a keyword recall.
+
+        ``explain_doc`` (Lucene ``IndexSearcher.explain`` shape): instead of
+        searching, return a per-clause score breakdown dict for that doc_id —
+        built from the SAME scorer list, weights and gating the search uses,
+        so the explained total equals the doc's search score exactly (same
+        per-clause dtype scores, same float64 accumulation order)."""
         dtype = np.float32 if precision == "float32" else np.float64
         limit = q.limit
         after = getattr(q, "search_after", None)
@@ -673,6 +680,16 @@ class BucketSearcher:
         keyword = (q.keyword or "").strip()
 
         if keyword == "*":
+            if explain_doc is not None:
+                ids = candidates if candidates is not None \
+                    else self._drop_tombstones(np.sort(self.doc_ids()))
+                hit = bool(np.isin(np.int64(explain_doc), ids))
+                return {"doc_id": int(explain_doc), "matched": hit,
+                        "score": 1.0 if hit else 0.0,
+                        "clauses": [{"field": None, "clause": "*",
+                                     "kind": "match_all", "score": 1.0}]
+                        if hit else [],
+                        "in_candidates": hit, "excluded": False}
             ids = candidates if candidates is not None \
                 else self._drop_tombstones(np.sort(self.doc_ids()))
             if after is not None:
@@ -1092,6 +1109,10 @@ class BucketSearcher:
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
+        if explain_doc is not None:
+            return self._explain_at(int(explain_doc), scorers, candidates,
+                                    excluded, dtype)
+
         if not scorers:
             if candidates is None:
                 return np.empty(0, np.int64), np.empty(0, dtype)
@@ -1292,6 +1313,42 @@ class BucketSearcher:
             return docs, np.full(docs.size, w, dtype=dtype)
         return posting.docs[s], bm25.score_tf_norm(posting.tfs[s], posting.norms[s],
                                                    cache, w, dtype=dtype)
+
+    def _explain_at(self, doc: int, scorers, candidates, excluded, dtype) -> dict:
+        """Per-clause score breakdown for one doc (Lucene Explanation shape):
+        clause entries carry the label, weight, tf/norm (BM25 clauses) and the
+        dtype per-clause score; the total is the clause scores accumulated in
+        float64 IN CLAUSE ORDER then cast — the exact arithmetic of
+        ``_search_taat``/``_search_bmw``, so explain total == search score."""
+        d = np.int64(doc)
+        in_cand = candidates is None or bool(np.isin(d, candidates))
+        is_excl = excluded is not None and bool(np.isin(d, excluded))
+        tombstoned = self._drop_tombstones(np.array([d])).size == 0
+        clauses: list[dict] = []
+        acc = np.float64(0.0)
+        for key, posting, cache, w in scorers:
+            idx = int(np.searchsorted(posting.docs, d))
+            if idx >= posting.docs.size or posting.docs[idx] != d:
+                continue
+            if cache is None:    # constant-score clause (prefix/fuzzy/…)
+                s = dtype(w)
+                entry = {"field": key[0], "clause": key[1],
+                         "kind": "constant", "weight": float(w),
+                         "score": float(s)}
+            else:
+                tf = posting.tfs[idx:idx + 1]
+                nb = posting.norms[idx:idx + 1]
+                s = bm25.score_tf_norm(tf, nb, cache, w, dtype=dtype)[0]
+                entry = {"field": key[0], "clause": key[1], "kind": "bm25",
+                         "tf": int(tf[0]), "norm_byte": int(nb[0]),
+                         "weight": float(w), "score": float(s)}
+            clauses.append(entry)
+            acc += np.float64(s)
+        matched = bool(clauses) and in_cand and not is_excl and not tombstoned
+        return {"doc_id": int(doc), "matched": matched,
+                "score": float(dtype(acc)) if matched else 0.0,
+                "clauses": clauses, "in_candidates": in_cand,
+                "excluded": is_excl or tombstoned}
 
     def _search_taat(self, scorers, candidates, limit, dtype, excluded=None,
                      zero_fill=False, after=None):

@@ -838,6 +838,38 @@ class RetrievalCluster:
                         "snippet": snip, "n_matched": m})
         return out
 
+    def explain(self, database: str, table: str, query, doc_id: int,
+                precision: str = "float32",
+                fuzzy_transpositions: bool = True) -> dict:
+        """Per-clause score breakdown for one (query, doc) — the Lucene
+        ``IndexSearcher.explain`` shape (extension; the reference exposes no
+        explain API). Returns ``{doc_id, matched, score, clauses: [{field,
+        clause, kind, tf, norm_byte, weight, score}, ...], in_candidates,
+        excluded}``. The breakdown is built from the SAME scorer list,
+        weights and MUST/MUST_NOT gating the search uses, and the total is
+        the per-clause dtype scores accumulated in float64 in clause order —
+        so ``score`` equals the doc's search score bit-for-bit. ``matched``
+        mirrors query matching only (a zero-score pure-filter hit explains
+        as unmatched, like Lucene explaining the query alone). Keyword
+        queries only; runs on in-process searchers (debug surface — actor
+        pools are not consulted)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("explain takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("explain is keyword-only")
+        d = int(doc_id)
+        for s in self._searchers(database, table):
+            if bool(np.isin(np.int64(d), s.doc_ids())):
+                return s.search_keyword(
+                    q, precision=precision,
+                    fuzzy_transpositions=fuzzy_transpositions,
+                    explain_doc=d)
+        return {"doc_id": d, "matched": False, "score": 0.0, "clauses": [],
+                "in_candidates": False, "excluded": False,
+                "note": "doc_id not present in any generation bucket"}
+
     def facet_counts(self, database: str, table: str, query, facet_field: str,
                      limit: int = 10, precision: str = "float32") -> list[dict]:
         """Facet counts of a stored field over a keyword query's ENTIRE match

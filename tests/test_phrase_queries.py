@@ -431,6 +431,71 @@ class TestRegexp:
         assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
 
 
+class TestExplain:
+    """explain() (extension; Lucene IndexSearcher.explain shape): per-clause
+    breakdown built from the same scorers the search uses — the explained
+    total equals the doc's search score bit-for-bit in both precisions."""
+
+    QUERIES = [
+        'quick brown',
+        '"quick brown" fox',
+        '+quick -unrelated brow*',
+        'qu?ck /f.x/ "quick br*"',
+        '"quick brown"~1 jumps^2',
+    ]
+
+    @pytest.mark.parametrize("precision", ["float32", "float64"])
+    def test_total_matches_search_bitexact(self, cluster, precision):
+        for kw in self.QUERIES:
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            res = cluster.search("db", "p", q, precision=precision)[0]
+            assert res, kw
+            for r in res:
+                ex = cluster.explain("db", "p", q, r["_id"],
+                                     precision=precision)
+                assert ex["matched"], (kw, r)
+                assert ex["score"] == r["_score"], (kw, r, ex)
+                # clause scores re-sum to the total (f64 accumulation)
+                assert ex["clauses"]
+
+    def test_gating_reported(self, cluster):
+        q = {"keyword": "quick -jumps", "fields": ["content"], "limit": 10}
+        ex = cluster.explain("db", "p", q, 0)   # doc 0 contains jumps
+        assert not ex["matched"] and ex["excluded"] and ex["score"] == 0.0
+        # clauses still listed so the exclusion is debuggable
+        assert any(c["clause"] == "quick" for c in ex["clauses"])
+        q = {"keyword": "+brown quick", "fields": ["content"], "limit": 10}
+        ex = cluster.explain("db", "p", q, 6)   # doc 6 has quick, no brown
+        assert not ex["matched"] and not ex["in_candidates"]
+
+    def test_bm25_clause_detail(self, cluster):
+        q = {"keyword": "quick", "fields": ["content"], "limit": 10}
+        ex = cluster.explain("db", "p", q, 6, precision="float64")
+        cl = ex["clauses"][0]
+        assert cl["kind"] == "bm25" and cl["tf"] == 3   # quick quick quick
+        assert cl["weight"] > 0 and 0 < cl["score"] <= cl["weight"]
+
+    def test_unknown_doc_and_match_all(self, cluster):
+        q = {"keyword": "quick", "fields": ["content"], "limit": 10}
+        assert not cluster.explain("db", "p", q, 10 ** 9)["matched"]
+        q = {"keyword": "*", "fields": ["content"], "limit": 10}
+        ex = cluster.explain("db", "p", q, 3)
+        assert ex["matched"] and ex["score"] == 1.0
+
+    def test_synonym_and_msm_visible(self, cluster):
+        q = {"keyword": "brown", "fields": ["content"], "limit": 10,
+             "synonyms": {"brown": ["quick"]}}
+        res = cluster.search("db", "p", q, precision="float64")[0]
+        byid = {r["_id"]: r["_score"] for r in res}
+        ex = cluster.explain("db", "p", q, 6, precision="float64")
+        assert ex["matched"] and ex["score"] == byid[6]
+        assert ex["clauses"][0]["tf"] == 3   # merged synonym tf
+        q2 = {"keyword": "quick jumps", "fields": ["content"], "limit": 10,
+              "min_should_match": 2}
+        ex2 = cluster.explain("db", "p", q2, 1)   # quick only → msm fails
+        assert not ex2["matched"] and not ex2["in_candidates"]
+
+
 class TestSynonyms:
     """Query-time synonyms (extension; Lucene SynonymQuery): a term clause
     with a {term: [alts]} entry scores as ONE pseudo-term — tf = Σ variant
