@@ -810,6 +810,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_explain"] = bm25_explain
 
+    # nested groups (the shapes flat boolean algebra can't express):
+    # merge (sort +order) — the group matches ONLY docs containing 'order';
+    # 'sort' and 'order' score inside that match set; 'merge' is free OR
+    q["bm25_group_scoped"] = lambda sf: _bm25(sf, "merge (sort +order)", 20)
+
+    # merge sort -(+scan +heap) — excluded conjunction: docs containing BOTH
+    # 'scan' and 'heap' are excluded from the merge/sort OR result
+    q["bm25_group_notconj"] = lambda sf: _bm25(sf, "merge sort -(+scan +heap)",
+                                               20)
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2366,6 +2376,51 @@ SELECT d.doc_id, d.clause, d.tf,
        ROUND(d.w, 4) AS weight, ROUND(d.sc, 4) AS score
 FROM det d JOIN top ON top.doc_id = d.doc_id
 ORDER BY d.doc_id, d.clause"""
+
+    # merge (sort +order): group matches docs containing 'order'; sort+order
+    # BM25 scores are added only there (masked members), merge everywhere
+    sql["bm25_group_scoped"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge"])},
+g_match AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'order'),
+g_scored AS (
+  SELECT tf.doc_id,
+         SUM( (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                                   / (CAST(df.df AS DOUBLE) + 0.5e0)))
+              - (2.2e0 * ln(1.0e0 + (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                                     / (CAST(df.df AS DOUBLE) + 0.5e0)))
+                / (1.0e0 + CAST(tf.tf AS DOUBLE)
+                   * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                         / (CAST(s.sum_ttf AS DOUBLE)
+                                            / CAST(s.n AS DOUBLE)))))) ) AS score
+  FROM tf
+  JOIN g_match gm ON gm.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('sort', 'order')
+  GROUP BY tf.doc_id
+),
+comb AS (
+  SELECT COALESCE(m.doc_id, g.doc_id) AS doc_id,
+         COALESCE(m.score, 0.0e0) + COALESCE(g.score, 0.0e0) AS score
+  FROM scored m FULL OUTER JOIN g_scored g ON m.doc_id = g.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # merge sort -(+scan +heap): the OR result minus docs containing BOTH
+    # scan and heap (excluded conjunction)
+    sql["bm25_group_notconj"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+excl AS (
+  SELECT a.doc_id
+  FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan') a
+  JOIN (SELECT DISTINCT doc_id FROM toks WHERE term = 'heap') b
+    ON a.doc_id = b.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY score DESC, doc_id LIMIT 20"""
 
     # "merge sort"~2: one tightest in-order chain per 'sort' occurrence (the
     # rightmost 'merge' strictly before it), kept when cost = q−p−1 ≤ 2, each

@@ -194,6 +194,11 @@ def _restore_member(m):
         return (m[0], _restore_regexp(m[1]))
     if m[0] == "fuzzy":
         return (m[0], _restore(m[1]), m[2])
+    if m[0] == "group":
+        # nested node: restore in place (idempotent — a node reachable both
+        # as a should_group and a must_group member restores once; the
+        # second pass finds no sentinels). Identity is preserved.
+        return (m[0], _restore_parsed(m[1]))
     return m
 
 
@@ -219,6 +224,8 @@ def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
         setattr(p, name, [(tuple(_restore(t) for t in tt), _restore(pre))
                           for tt, pre in getattr(p, name)])
     p.boosts = {_restore(t): b for t, b in p.boosts.items()}
+    p.should_groups = [_restore_parsed(g) for g in p.should_groups]
+    p.not_groups = [_restore_parsed(g) for g in p.not_groups]
     return p
 
 
@@ -254,6 +261,17 @@ class ParsedKeyword:
     slop_phrases: list = field(default_factory=list)   # (terms tuple, slop) pairs
     must_slop_phrases: list = field(default_factory=list)
     not_slop_phrases: list = field(default_factory=list)
+    # NESTED groups (round 4, second wave): the two shapes flat boolean
+    # algebra cannot express are kept as sub-ParsedKeyword nodes and
+    # evaluated recursively by the searcher —
+    #   should_groups: `foo (bar +baz)` — an optional group whose inner
+    #     +/- scope to the group alone: it MATCHES where its own musts/nots
+    #     say, and its scoring members score only inside that match set
+    #     (Lucene BooleanQuery-as-SHOULD-subclause semantics);
+    #   not_groups: `-(+a +b)` / `-(a -b)` — an excluded conjunction: docs
+    #     matching the sub-query are excluded from the result.
+    should_groups: list = field(default_factory=list)  # ParsedKeyword nodes
+    not_groups: list = field(default_factory=list)     # ParsedKeyword nodes
 
     # ---- flatten helpers (group splicing) ----
 
@@ -267,7 +285,7 @@ class ParsedKeyword:
         return bool(self.must_not or self.not_phrases or self.not_slop_phrases
                     or self.not_prefixes or self.not_fuzzies
                     or self.not_wildcards or self.not_regexps
-                    or self.not_pphrases)
+                    or self.not_pphrases or self.not_groups)
 
     def _should_members(self) -> list:
         """Typed members of this (pure-OR) node, canonical order."""
@@ -279,6 +297,7 @@ class ParsedKeyword:
         out += [("wildcard", t) for t in self.wildcards]
         out += [("regexp", t) for t in self.regexps]
         out += [("pprefix", tt, pre) for tt, pre in self.pphrases]
+        out += [("group", g) for g in self.should_groups]
         return out
 
     def _extend_all(self, sub: "ParsedKeyword") -> None:
@@ -288,7 +307,8 @@ class ParsedKeyword:
                      "slop_phrases", "must_slop_phrases", "not_slop_phrases",
                      "wildcards", "must_wildcards", "not_wildcards",
                      "regexps", "must_regexps", "not_regexps",
-                     "pphrases", "must_pphrases", "not_pphrases"):
+                     "pphrases", "must_pphrases", "not_pphrases",
+                     "should_groups", "not_groups"):
             getattr(self, name).extend(getattr(sub, name))
         self._merge_boosts(sub)
 
@@ -298,7 +318,8 @@ class ParsedKeyword:
 
     def _extend_should(self, sub: "ParsedKeyword") -> None:
         for name in ("should", "phrases", "slop_phrases", "prefixes",
-                     "fuzzies", "wildcards", "regexps", "pphrases"):
+                     "fuzzies", "wildcards", "regexps", "pphrases",
+                     "should_groups"):
             getattr(self, name).extend(getattr(sub, name))
         self._merge_boosts(sub)
 
@@ -307,7 +328,7 @@ class ParsedKeyword:
         searcher's group_terms path — adding them to ``should`` too would
         double-score)."""
         for name in ("phrases", "slop_phrases", "prefixes", "fuzzies",
-                     "wildcards", "regexps", "pphrases"):
+                     "wildcards", "regexps", "pphrases", "should_groups"):
             getattr(self, name).extend(getattr(sub, name))
         self._merge_boosts(sub)
 
@@ -329,6 +350,10 @@ class ParsedKeyword:
                 self.not_regexps.append(m[1])
             elif m[0] == "pprefix":
                 self.not_pphrases.append((m[1], m[2]))
+            elif m[0] == "group":
+                # -( ... (b +c) ... ): NOT of a nested group member —
+                # exclude docs the sub-query matches
+                self.not_groups.append(m[1])
 
 
 def parse_keyword(keyword: str) -> ParsedKeyword:
@@ -527,6 +552,12 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
                 p.must_regexps.append(m[1])
             elif m[0] == "pprefix":
                 p.must_pphrases.append((m[1], m[2]))
+            elif m[0] == "group":
+                # +((b +c)): the nested group is required — a 1-member
+                # must_group gates matching; the node also registers as a
+                # should_group so its members fetch and score
+                p.must_groups.append((m,))
+                p.should_groups.append(m[1])
             return
         p.must_groups.append(tuple(members))
         p._extend_should_ex_terms(sub)   # non-term members fetch + score
@@ -553,10 +584,11 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
             # -(+(a|b) c) ≡ -a -b
             p._negate_members(list(sub.must_groups[0]))
             return
-        raise ValueError(
-            "prohibited group with multiple required members or inner "
-            "exclusions is not expressible as a flat boolean query; "
-            "rewrite it (e.g. -(+a +b) has no flat equivalent)")
+        # -(+a +b) / -(a -b): excluded conjunction — not expressible flat;
+        # kept as a nested node, evaluated recursively by the searcher
+        # (docs matching the sub-query are excluded)
+        p.not_groups.append(sub)
+        return
     # SHOULD group
     if not has_must and not has_not:
         p._extend_should(sub)           # OR of OR flattens
@@ -565,7 +597,8 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
     if only_clause:
         p._extend_all(sub)              # the group IS the query
         return
-    raise ValueError(
-        "a group containing +/- operators next to sibling clauses scopes its "
-        "requirement to one alternative, which a flat boolean query cannot "
-        "express; rewrite the query (e.g. 'foo (bar +baz)')")
+    # foo (bar +baz): the inner requirement scopes to the group alone —
+    # kept as a nested node; it matches where its own musts/nots say and
+    # its scoring members score only inside that match set (Lucene
+    # BooleanQuery-as-SHOULD-subclause semantics)
+    p.should_groups.append(sub)

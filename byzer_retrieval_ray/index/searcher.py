@@ -510,6 +510,23 @@ def _synonym_posting(plist: list["Posting"]) -> "Posting | None":
                    np.minimum.reduceat(norm_u, starts))
 
 
+def _mask_posting(p: "Posting", keep_docs: np.ndarray) -> "Posting | None":
+    """Restrict a posting to ``keep_docs`` (sorted unique), rebuilding block
+    metadata — used to scope a nested group's scoring members to the group's
+    match set (Lucene scores a BooleanQuery subclause only where the
+    subquery as a whole matches)."""
+    keep = np.isin(p.docs, keep_docs, assume_unique=True)
+    docs = p.docs[keep]
+    if docs.size == 0:
+        return None
+    tfs, norms = p.tfs[keep], p.norms[keep]
+    B = codec.BLOCK_SIZE
+    starts = np.arange(0, docs.size, B)
+    return Posting(docs, tfs, norms, docs[starts],
+                   np.maximum.reduceat(tfs, starts),
+                   np.minimum.reduceat(norms, starts))
+
+
 def _postings_from_table(tbl: pa.Table, codec_name: str):
     """Decode a postings-parquet slice into {(field, term): Posting} with columnar
     access — one to_pylist per scalar column and offset-sliced flat buffers for the
@@ -942,6 +959,20 @@ class BucketSearcher:
                             ((fld, " ".join(pterms) + " " + pre + "*"),
                              _const_posting(pp.docs), None, dtype(1.0)))
 
+        # nested groups (round 4): a should_group matches where its OWN
+        # musts/nots say, and its scoring members score only inside that
+        # match set (masked postings) — appended LAST in the clause order;
+        # not_groups are excluded conjunctions handled with the other
+        # exclusions below
+        sg_docs: dict[int, np.ndarray] = {}
+        for g in pk.should_groups:
+            sg_docs[id(g)] = self._group_match_docs(g, fields,
+                                                    fuzzy_transpositions)
+        for g in pk.should_groups:
+            if sg_docs[id(g)].size:
+                scorers += self._group_scorers(g, sg_docs[id(g)], fields,
+                                               dtype, fuzzy_transpositions)
+
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
         if must or must_phrases or pk.must_slop_phrases or pk.must_prefixes \
@@ -978,6 +1009,16 @@ class BucketSearcher:
                         elif m[0] == "pprefix":
                             if (f, (m[1], m[2])) in pp_docs:
                                 docs_any.append(pp_docs[(f, (m[1], m[2]))])
+                    if not isinstance(m, str) and m[0] == "group":
+                        # group members match per-group (already OR over
+                        # fields), once — not per searched field
+                        gd = sg_docs.get(id(m[1]))
+                        if gd is None:
+                            gd = self._group_match_docs(
+                                m[1], fields, fuzzy_transpositions)
+                            sg_docs[id(m[1])] = gd
+                        if gd.size:
+                            docs_any.append(gd)
                 g_docs = (np.unique(np.concatenate(docs_any))
                           if docs_any else np.empty(0, np.int64))
                 candidates = g_docs if candidates is None else \
@@ -1084,6 +1125,8 @@ class BucketSearcher:
                 clause_docs.append(_union(
                     [pp_docs[(f, ppx)] for f in fields
                      if (f, ppx) in pp_docs]))
+            for g in pk.should_groups:
+                clause_docs.append(sg_docs[id(g)])
             merged = (np.concatenate(clause_docs) if clause_docs
                       else np.empty(0, np.int64))
             u, cnt = np.unique(merged, return_counts=True)
@@ -1106,6 +1149,11 @@ class BucketSearcher:
                if (f, rx) in rx_docs]
         ex += [pp_docs[(f, ppx)] for ppx in pk.not_pphrases for f in fields
                if (f, ppx) in pp_docs]
+        for g in pk.not_groups:
+            # -(+a +b): excluded conjunction — docs matching the sub-query
+            gd = self._group_match_docs(g, fields, fuzzy_transpositions)
+            if gd.size:
+                ex.append(gd)
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
@@ -1313,6 +1361,240 @@ class BucketSearcher:
             return docs, np.full(docs.size, w, dtype=dtype)
         return posting.docs[s], bm25.score_tf_norm(posting.tfs[s], posting.norms[s],
                                                    cache, w, dtype=dtype)
+
+    # ---------- nested-group evaluation (should_groups / not_groups) ----------
+
+    def _member_docs(self, m, fields, fuzzy_transpositions) -> np.ndarray:
+        """Sorted unique docs matching ONE typed clause member in ≥1 searched
+        field (str = term; tuples per the parser's member model; ("group", g)
+        recurses). Fetches its own postings — the BucketSearcher posting
+        cache absorbs overlap with the main clause sections."""
+        arrs: list[np.ndarray] = []
+        if isinstance(m, str):
+            pairs = [(f, m) for f in fields]
+            st = self.stats.term_stats(pairs)
+            live = [p for p in pairs if st[p][0] > 0]
+            ps = self.fetch_postings(live)
+            arrs = [ps[p].docs for p in live]
+        elif m[0] in ("phrase", "slop"):
+            terms = tuple(m[1])
+            slop = m[2] if m[0] == "slop" else 0
+            for f in fields:
+                pairs = [(f, t) for t in terms]
+                st = self.stats.term_stats(pairs)
+                if any(st[p][0] == 0 for p in pairs):
+                    continue
+                ps = self.fetch_postings(pairs)
+                pp = (self._phrase_posting(f, terms, ps) if slop == 0
+                      else self._sloppy_posting(f, terms, slop, ps))
+                if pp is not None:
+                    arrs.append(pp.docs)
+        elif m[0] in ("prefix", "fuzzy", "wildcard", "regexp"):
+            for f in fields:
+                if m[0] == "prefix":
+                    terms = self.stats.expand_prefix(f, m[1])
+                elif m[0] == "fuzzy":
+                    terms = self.stats.expand_fuzzy(f, m[1], m[2],
+                                                    fuzzy_transpositions)
+                elif m[0] == "wildcard":
+                    terms = self.stats.expand_wildcard(f, m[1])
+                else:
+                    terms = self.stats.expand_regexp(f, m[1])
+                if not terms:
+                    continue
+                tpairs = [(f, t) for t in terms]
+                tposts = self.fetch_postings(tpairs)
+                arrs += [tposts[p].docs for p in tpairs if tposts[p].df > 0]
+        elif m[0] == "pprefix":
+            pterms, pre = tuple(m[1]), m[2]
+            for f in fields:
+                pairs = [(f, t) for t in pterms]
+                st = self.stats.term_stats(pairs)
+                if any(st[p][0] == 0 for p in pairs):
+                    continue
+                exp = self.stats.expand_prefix(f, pre)
+                if not exp:
+                    continue
+                epairs = [(f, t) for t in exp]
+                eposts = self.fetch_postings(epairs)
+                merged = self._union_positions_posting(
+                    [eposts[p] for p in epairs])
+                if merged is None:
+                    continue
+                ps = dict(self.fetch_postings(pairs))
+                PSEUDO = "\x00pprefix"
+                ps[(f, PSEUDO)] = merged
+                pp = self._phrase_posting(f, pterms + (PSEUDO,), ps)
+                if pp is not None:
+                    arrs.append(pp.docs)
+        elif m[0] == "group":
+            return self._group_match_docs(m[1], fields, fuzzy_transpositions)
+        return (np.unique(np.concatenate(arrs)) if arrs
+                else np.empty(0, np.int64))
+
+    def _group_match_docs(self, sub, fields,
+                          fuzzy_transpositions) -> np.ndarray:
+        """Full recursive match-set evaluation of a nested ParsedKeyword
+        (Lucene BooleanQuery matching): with MUSTs, match = ∩ musts; else
+        match = ∪ shoulds; minus ∪ nots. must_groups are required OR-groups
+        (∪ of members, intersected in)."""
+        musts: list = list(sub.must)
+        musts += [("phrase", tt) for tt in sub.must_phrases]
+        musts += [("slop", tt, n) for tt, n in sub.must_slop_phrases]
+        musts += [("prefix", t) for t in sub.must_prefixes]
+        musts += [("fuzzy", t, n) for t, n in sub.must_fuzzies]
+        musts += [("wildcard", t) for t in sub.must_wildcards]
+        musts += [("regexp", t) for t in sub.must_regexps]
+        musts += [("pprefix", tt, pre) for tt, pre in sub.must_pphrases]
+        must_sets = [self._member_docs(m, fields, fuzzy_transpositions)
+                     for m in musts]
+        must_sets += [
+            np.unique(np.concatenate(
+                [self._member_docs(m, fields, fuzzy_transpositions)
+                 for m in grp] or [np.empty(0, np.int64)]))
+            for grp in sub.must_groups]
+        if must_sets:
+            M = must_sets[0]
+            for s in must_sets[1:]:
+                if M.size == 0:
+                    break
+                M = M[np.isin(M, s, assume_unique=True)]
+        else:
+            should_sets = [self._member_docs(m, fields, fuzzy_transpositions)
+                           for m in sub._should_members()]
+            M = (np.unique(np.concatenate(should_sets)) if should_sets
+                 else np.empty(0, np.int64))
+        nots: list = list(sub.must_not)
+        nots += [("phrase", tt) for tt in sub.not_phrases]
+        nots += [("slop", tt, n) for tt, n in sub.not_slop_phrases]
+        nots += [("prefix", t) for t in sub.not_prefixes]
+        nots += [("fuzzy", t, n) for t, n in sub.not_fuzzies]
+        nots += [("wildcard", t) for t in sub.not_wildcards]
+        nots += [("regexp", t) for t in sub.not_regexps]
+        nots += [("pprefix", tt, pre) for tt, pre in sub.not_pphrases]
+        nots += [("group", g) for g in sub.not_groups]
+        for m in nots:
+            if M.size == 0:
+                break
+            nd = self._member_docs(m, fields, fuzzy_transpositions)
+            if nd.size:
+                M = M[~np.isin(M, nd, assume_unique=True)]
+        return M
+
+    def _group_scorers(self, sub, M: np.ndarray, fields, dtype,
+                       fuzzy_transpositions) -> list:
+        """Masked scorers for a nested group's scoring members (SHOULD and
+        MUST members both score — Lucene BooleanQuery): each member's
+        posting/doc-set is restricted to the group match set ``M``. Clause
+        order inside the group mirrors the top level: terms (should, must,
+        required-group members), phrases, slops, then constant multi-term
+        clauses, then nested groups."""
+        out: list = []
+
+        def _fs(fld):
+            fstats = self.stats.stats["fields"][fld]
+            avgdl = bm25.avg_field_length(fstats["sum_ttf"],
+                                          fstats["doc_count"], dtype=dtype)
+            return bm25.norm_inverse_cache(avgdl, dtype=dtype), \
+                fstats["doc_count"]
+
+        group_terms = [m for g in sub.must_groups for m in g
+                       if isinstance(m, str)]
+        scored_terms = sub.should + sub.must + group_terms
+        mult: dict[tuple[str, str], float] = {}
+        for t in scored_terms:
+            for f in fields:
+                mult[(f, t)] = mult.get((f, t), 0) + 1
+        for t, extra in sub.boosts.items():
+            for f in fields:
+                if (f, t) in mult:
+                    mult[(f, t)] += extra
+        st = self.stats.term_stats(list(mult.keys()))
+        ps = self.fetch_postings([p for p in mult if st[p][0] > 0])
+        for key in mult:
+            df = st[key][0]
+            if df == 0:
+                continue
+            masked = _mask_posting(ps[key], M)
+            if masked is None:
+                continue
+            cache, doc_count = _fs(key[0])
+            w = bm25.term_weight(doc_count, df, boost=float(mult[key]),
+                                 dtype=dtype)
+            out.append((key, masked, cache, w))
+        for ph in list(sub.phrases) + list(sub.must_phrases):
+            for fld in fields:
+                pairs = [(fld, t) for t in ph]
+                pst = self.stats.term_stats(pairs)
+                if any(pst[p][0] == 0 for p in pairs):
+                    continue
+                pp = self._phrase_posting(fld, tuple(ph),
+                                          self.fetch_postings(pairs))
+                if pp is None:
+                    continue
+                masked = _mask_posting(pp, M)
+                if masked is None:
+                    continue
+                cache, doc_count = _fs(fld)
+                w = sum(bm25.term_weight(doc_count, pst[(fld, t)][0],
+                                         dtype=dtype) for t in ph)
+                out.append(((fld, " ".join(ph)), masked, cache, dtype(w)))
+        for sp in list(sub.slop_phrases) + list(sub.must_slop_phrases):
+            tt, n = sp
+            for fld in fields:
+                pairs = [(fld, t) for t in tt]
+                pst = self.stats.term_stats(pairs)
+                if any(pst[p][0] == 0 for p in pairs):
+                    continue
+                pp = self._sloppy_posting(fld, tuple(tt), n,
+                                          self.fetch_postings(pairs))
+                if pp is None:
+                    continue
+                masked = _mask_posting(pp, M)
+                if masked is None:
+                    continue
+                cache, doc_count = _fs(fld)
+                w = sum(bm25.term_weight(doc_count, pst[(fld, t)][0],
+                                         dtype=dtype) for t in tt)
+                out.append(((fld, " ".join(tt) + f"~{n}"), masked, cache,
+                            dtype(w)))
+        const_members: list[tuple[str, object]] = []
+        const_members += [("pre", t) for t in
+                          list(sub.prefixes) + list(sub.must_prefixes)]
+        const_members += [("fz", m) for m in
+                          list(sub.fuzzies) + list(sub.must_fuzzies)]
+        const_members += [("wc", t) for t in
+                          list(sub.wildcards) + list(sub.must_wildcards)]
+        const_members += [("rx", t) for t in
+                          list(sub.regexps) + list(sub.must_regexps)]
+        const_members += [("ppx", m) for m in
+                          list(sub.pphrases) + list(sub.must_pphrases)]
+        for kind, payload in const_members:
+            typed = {"pre": lambda: ("prefix", payload),
+                     "fz": lambda: ("fuzzy", payload[0], payload[1]),
+                     "wc": lambda: ("wildcard", payload),
+                     "rx": lambda: ("regexp", payload),
+                     "ppx": lambda: ("pprefix", payload[0], payload[1])}[kind]()
+            for fld in fields:
+                docs = self._member_docs(typed, [fld], fuzzy_transpositions)
+                docs = docs[np.isin(docs, M, assume_unique=True)]
+                if docs.size == 0:
+                    continue
+                label = {"pre": lambda: f"{payload}*",
+                         "fz": lambda: f"{payload[0]}~{payload[1]}",
+                         "wc": lambda: str(payload),
+                         "rx": lambda: f"/{payload}/",
+                         "ppx": lambda: " ".join(payload[0]) + " "
+                         + payload[1] + "*"}[kind]()
+                out.append(((fld, label), _const_posting(docs), None,
+                            dtype(1.0)))
+        for g2 in sub.should_groups:
+            M2 = self._group_match_docs(g2, fields, fuzzy_transpositions)
+            M2 = M2[np.isin(M2, M, assume_unique=True)]
+            if M2.size:
+                out += self._group_scorers(g2, M2, fields, dtype,
+                                           fuzzy_transpositions)
+        return out
 
     def _explain_at(self, doc: int, scorers, candidates, excluded, dtype) -> dict:
         """Per-clause score breakdown for one doc (Lucene Explanation shape):

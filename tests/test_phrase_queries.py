@@ -431,6 +431,102 @@ class TestRegexp:
         assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
 
 
+class TestNestedGroups:
+    """The two shapes flat boolean algebra can't express, now evaluated as
+    nested nodes: `foo (bar +baz)` (inner requirement scopes to the group;
+    members score only inside the group match set) and `-(+a +b)` (excluded
+    conjunction)."""
+
+    # DOCS: 0 quick brown fox jumps / 1 brown quick fox /
+    # 2 the quick brown dog and quick brown cat / 3 quick stop then brown /
+    # 4 totally unrelated words here / 5 prefix quick brown / 6 quick³
+
+    def _s(self, cluster, kw, **kw2):
+        return cluster.search("db", "p", {"keyword": kw,
+                                          "fields": ["content"],
+                                          "limit": 10},
+                              precision="float64", **kw2)[0]
+
+    def test_parse_shapes(self):
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword("foo (bar +baz)")
+        assert p.should == ["foo"] and len(p.should_groups) == 1
+        g = p.should_groups[0]
+        assert g.should == ["bar"] and g.must == ["baz"]
+        p = parse_keyword("-(+a +b) x")
+        assert p.should == ["x"] and len(p.not_groups) == 1
+        assert p.not_groups[0].must == ["a", "b"]
+        p = parse_keyword("-(a -b)")
+        assert p.not_groups[0].should == ["a"]
+        assert p.not_groups[0].must_not == ["b"]
+        # De Morgan over a nested member: -(y (b +c)) → -y, not_group(b +c)
+        p = parse_keyword("-(y (b +c))")
+        assert p.must_not == ["y"] and p.not_groups[0].must == ["c"]
+
+    def test_scoped_must_matching(self, cluster):
+        # (brown +fox): matches ONLY docs containing fox (0, 1); brown
+        # scores inside that set; docs 2/3/5 have brown but no fox
+        res = self._s(cluster, "jumps (brown +fox)")
+        assert [r["_id"] for r in res][0] == 0
+        assert sorted(r["_id"] for r in res) == [0, 1]
+        # group-only query via a sibling that matches nothing
+        res = self._s(cluster, "zzz (brown +fox)")
+        assert sorted(r["_id"] for r in res) == [0, 1]
+
+    def test_scoped_must_scoring(self, cluster):
+        # doc 1's score = brown + fox (both members score, masked to the
+        # group match set) — equals the flat query's score on that doc
+        flat = {r["_id"]: r["_score"] for r in self._s(cluster, "brown fox")}
+        res = {r["_id"]: r["_score"] for r in self._s(cluster,
+                                                      "zzz (brown +fox)")}
+        assert res[1] == pytest.approx(flat[1], abs=1e-12)
+        assert res[0] == pytest.approx(flat[0], abs=1e-12)
+
+    def test_excluded_conjunction(self, cluster):
+        res = self._s(cluster, "quick -(+brown +fox)")
+        assert sorted(r["_id"] for r in res) == [2, 3, 5, 6]
+        res = self._s(cluster, "quick -(brown -fox)")
+        # exclude docs with brown AND NOT fox → 2, 3, 5 out
+        assert sorted(r["_id"] for r in res) == [0, 1, 6]
+
+    def test_required_nested_group(self, cluster):
+        res = self._s(cluster, "+((brown +fox)) quick")
+        assert sorted(r["_id"] for r in res) == [0, 1]
+
+    def test_group_with_phrase_and_prefix_members(self, cluster):
+        # phrase member gates, prefix member scores constant inside the set
+        res = self._s(cluster, 'zzz (jum* +"quick brown")')
+        assert sorted(r["_id"] for r in res) == [0, 2, 5]
+        byid = {r["_id"]: r["_score"] for r in res}
+        # doc 0 has jumps → phrase-gated docs with a jum* token add 1.0
+        assert byid[0] > byid[5]
+
+    def test_taat_bmw_parity_and_msm(self, cluster):
+        for kw in ("jumps (brown +fox)", "quick -(+brown +fox)",
+                   'zzz (jum* +"quick brown")', "+((brown +fox)) quick"):
+            q = {"keyword": kw, "fields": ["content"], "limit": 10}
+            a = cluster.search("db", "p", q, precision="float64",
+                               algorithm="bmw")[0]
+            b = cluster.search("db", "p", q, precision="float64",
+                               algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b], kw
+        # a should_group counts as ONE msm clause
+        res = cluster.search("db", "p", {"keyword": "jumps (brown +fox)",
+                                         "fields": ["content"], "limit": 10,
+                                         "min_should_match": 2},
+                             precision="float64")[0]
+        assert [r["_id"] for r in res] == [0]   # jumps AND group only in 0
+
+    def test_explain_covers_groups(self, cluster):
+        q = {"keyword": "jumps (brown +fox)", "fields": ["content"],
+             "limit": 10}
+        res = cluster.search("db", "p", q, precision="float64")[0]
+        for r in res:
+            ex = cluster.explain("db", "p", q, r["_id"], precision="float64")
+            assert ex["score"] == r["_score"]
+
+
 class TestExplain:
     """explain() (extension; Lucene IndexSearcher.explain shape): per-clause
     breakdown built from the same scorers the search uses — the explained

@@ -145,14 +145,16 @@ class TestParenGroups:
         p = parse_keyword("(a* b)")             # prefix member of a bare group
         assert p.prefixes == ["a"] and p.should == ["b"]
 
-    def test_parse_rejects_non_flat_shapes(self):
+    def test_parse_non_flat_shapes(self):
         from byzer_retrieval_ray.functions.queryparser import parse_keyword
         with pytest.raises(ValueError):
-            parse_keyword("(a b")               # unbalanced
-        with pytest.raises(ValueError):
-            parse_keyword("foo (bar +baz)")     # scoped requirement w/ siblings
-        with pytest.raises(ValueError):
-            parse_keyword("-(+a +b)")           # excluded conjunction
+            parse_keyword("(a b")               # unbalanced still raises
+        # round-4 second wave: the formerly-rejected flat-inexpressible
+        # shapes become nested nodes evaluated recursively by the searcher
+        p = parse_keyword("foo (bar +baz)")     # scoped requirement
+        assert len(p.should_groups) == 1 and p.should_groups[0].must == ["baz"]
+        p = parse_keyword("-(+a +b)")           # excluded conjunction
+        assert len(p.not_groups) == 1 and p.not_groups[0].must == ["a", "b"]
 
 
 class TestEscape:
