@@ -820,6 +820,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_group_notconj"] = lambda sf: _bm25(sf, "merge sort -(+scan +heap)",
                                                20)
 
+    def match_count(sf):
+        # total-hits counts (Lucene TotalHitCountCollector): whole match set,
+        # one integer per bucket — a plain OR, a MUST/NOT combination, and a
+        # filtered query whose zero-score filter hits count like search rows
+        c = _docs_cluster(sf)
+        n_or = c.count("db", "docs", SearchQuery(
+            "db", "docs", keyword="merge sort scan", fields=["text"],
+            limit=10))
+        n_op = c.count("db", "docs", SearchQuery(
+            "db", "docs", keyword="+merge -scan sort", fields=["text"],
+            limit=10))
+        n_f = c.count("db", "docs", SearchQuery(
+            "db", "docs", keyword="merge",
+            filters={"and": [{"field": "lang", "value": "en"}]},
+            fields=["text"], limit=10))
+        return pa.table({"q": pa.array(["or", "ops", "filtered"], pa.string()),
+                         "n": pa.array([n_or, n_op, n_f], pa.int64())})
+    q["match_count"] = match_count
+
+    def bm25_field_boost(sf):
+        # per-field boosts (classic Lucene multi-field field^B): every
+        # clause scored against title is ×2; content weight unchanged
+        c = _docs2_cluster(sf)
+        qq = SearchQuery("db", "docs2", keyword="merge sort",
+                         fields=["title^2", "content"], limit=20)
+        return _search_rows(c, "docs2", qq)
+    q["bm25_field_boost"] = bm25_field_boost
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2377,6 +2405,20 @@ SELECT d.doc_id, d.clause, d.tf,
 FROM det d JOIN top ON top.doc_id = d.doc_id
 ORDER BY d.doc_id, d.clause"""
 
+    # total-hits counts: OR = docs with any query term; ops = docs with
+    # merge minus docs with scan; filtered = every lang='en' doc (zero-score
+    # filter hits qualify, BooleanQuery FILTER semantics)
+    sql["match_count"] = f"""
+WITH {_SQL_TOKS}
+SELECT 'or' AS q, COUNT(DISTINCT doc_id) AS n FROM toks
+WHERE term IN ('merge', 'sort', 'scan')
+UNION ALL
+SELECT 'ops' AS q, COUNT(*) AS n FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'
+  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'scan'))
+UNION ALL
+SELECT 'filtered' AS q, COUNT(*) AS n FROM documents WHERE lang = 'en'"""
+
     # merge (sort +order): group matches docs containing 'order'; sort+order
     # BM25 scores are added only there (masked members), merge everywhere
     sql["bm25_group_scoped"] = f"""
@@ -2569,7 +2611,10 @@ fused AS (SELECT doc_id, SUM(1.0e0 / (CAST(r AS DOUBLE) + 60.0e0)) AS score
           FROM (SELECT * FROM kwr UNION ALL SELECT * FROM ver) GROUP BY doc_id)
 SELECT doc_id, ROUND(score, 4) AS score FROM fused ORDER BY score DESC, doc_id LIMIT 10"""
 
-    sql["bm25_multi_field"] = """
+    def _sql_multi_field(title_boost: str) -> str:
+        # shared title/content split oracle; ``title_boost`` multiplies the
+        # per-row title-field term score (field^B is linear in the weight)
+        return f"""
 WITH base AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS all_toks
@@ -2595,13 +2640,14 @@ df AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY fld, term),
 qterms AS (SELECT unnest(['merge', 'sort']) AS term),
 scored AS (
   SELECT tf.doc_id,
-         SUM( (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+         SUM( (CASE WHEN tf.fld = 'title' THEN {title_boost} ELSE 1.0e0 END)
+              * ( (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
                                    / (CAST(df.df AS DOUBLE) + 0.5e0)))
               - (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
                                      / (CAST(df.df AS DOUBLE) + 0.5e0)))
                 / (1.0e0 + CAST(tf.tf AS DOUBLE)
                    * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
-                                         / (CAST(stats.sum_ttf AS DOUBLE) / CAST(stats.n AS DOUBLE)))))) ) AS score
+                                         / (CAST(stats.sum_ttf AS DOUBLE) / CAST(stats.n AS DOUBLE)))))) ) ) AS score
   FROM tf
   JOIN qterms ON tf.term = qterms.term
   JOIN df ON df.fld = tf.fld AND df.term = tf.term
@@ -2611,6 +2657,9 @@ scored AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 20"""
+
+    sql["bm25_multi_field"] = _sql_multi_field("1.0e0")
+    sql["bm25_field_boost"] = _sql_multi_field("2.0e0")
 
     sql["full_scan"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"""

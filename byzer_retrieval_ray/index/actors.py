@@ -151,6 +151,11 @@ class SegmentActorImpl:
         return [s.facet_keyword(query, facet_field, precision)
                 for s in self.searchers]
 
+    def count_keyword(self, q: dict, precision: str = "float32") -> int:
+        query = SearchQuery.from_dict(q)
+        return sum(s.count_keyword(query, precision)
+                   for s in self.searchers)
+
     def stats_keyword(self, q: dict, field: str,
                       precision: str = "float32") -> list:
         query = SearchQuery.from_dict(q)

@@ -719,7 +719,20 @@ class BucketSearcher:
         pk = parse_keyword(keyword)
         should, must, must_not = pk.should, pk.must, pk.must_not
         phrases, must_phrases, not_phrases = pk.phrases, pk.must_phrases, pk.not_phrases
-        fields = q.fields or sorted(self.gen.analyzed)
+        # per-field boosts (extension — the classic Lucene multi-field
+        # "field^B" weighting; the reference searches all fields at 1.0):
+        # "title^2" boosts every clause scored against title by ×2 — linear
+        # in the BM25 weight for scored clauses, the constant for
+        # constant-score clauses. Matching/gating is unaffected.
+        fboost: dict[str, float] = {}
+        fields = []
+        for f in (q.fields or sorted(self.gen.analyzed)):
+            if "^" in f:
+                name, _, b = f.rpartition("^")
+                fields.append(name)
+                fboost[name] = float(b)
+            else:
+                fields.append(f)
         bad = [f for f in fields if f not in self.gen.analyzed]
         if bad:
             raise ValueError(
@@ -794,7 +807,7 @@ class BucketSearcher:
             if df == 0:
                 continue
             cache, doc_count = _field_scoring(key[0])
-            w = bm25.term_weight(doc_count, df, boost=float(mult[key]), dtype=dtype)
+            w = bm25.term_weight(doc_count, df, boost=float(mult[key]) * fboost.get(key[0], 1.0), dtype=dtype)
             scorers.append((key, posts[key], cache, w))
 
         # phrase clauses (Lucene PhraseQuery over BM25: tf = phrase frequency,
@@ -812,7 +825,7 @@ class BucketSearcher:
                     cache, doc_count = _field_scoring(fld)
                     w = sum(bm25.term_weight(doc_count, stats[(fld, t)][0],
                                              dtype=dtype) for t in ph)
-                    scorers.append(((fld, " ".join(ph)), pp, cache, dtype(w)))
+                    scorers.append(((fld, " ".join(ph)), pp, cache, dtype(w * fboost.get(fld, 1.0))))
 
         # sloppy phrase clauses ("a b"~N): same Σ per-term idf weight as exact
         # phrases, tf = Lucene sloppy frequency (see _sloppy_posting); appended
@@ -832,7 +845,7 @@ class BucketSearcher:
                     w = sum(bm25.term_weight(doc_count, stats[(fld, t)][0],
                                              dtype=dtype) for t in ph)
                     scorers.append(((fld, " ".join(ph) + f"~{slop}"),
-                                    pp, cache, dtype(w)))
+                                    pp, cache, dtype(w * fboost.get(fld, 1.0))))
 
         # prefix clauses (term*): CONSTANT score 1.0 per matching doc (the Lucene
         # constant-score MultiTermQuery rewrite) — the clause's docs are the union
@@ -854,7 +867,7 @@ class BucketSearcher:
                     prefix_docs[(fld, pre)] = docs
                     if pre in pk.prefixes or pre in pk.must_prefixes:
                         scorers.append(((fld, pre + "*"),
-                                        _const_posting(docs), None, dtype(1.0)))
+                                        _const_posting(docs), None, dtype(fboost.get(fld, 1.0))))
 
         # fuzzy clauses (term~N): constant 1.0 per doc containing a dictionary
         # term within edit distance N (expansion like prefixes)
@@ -877,7 +890,7 @@ class BucketSearcher:
                     fuzzy_docs[(fld, fz)] = docs
                     if fz in pk.fuzzies or fz in pk.must_fuzzies:
                         scorers.append(((fld, f"{term}~{n_edits}"),
-                                        _const_posting(docs), None, dtype(1.0)))
+                                        _const_posting(docs), None, dtype(fboost.get(fld, 1.0))))
 
         # wildcard clauses (t?st / s*t): constant 1.0 per doc containing a
         # dictionary term matching the pattern (expansion like prefixes);
@@ -900,7 +913,7 @@ class BucketSearcher:
                     wild_docs[(fld, wc)] = docs
                     if wc in pk.wildcards or wc in pk.must_wildcards:
                         scorers.append(((fld, wc),
-                                        _const_posting(docs), None, dtype(1.0)))
+                                        _const_posting(docs), None, dtype(fboost.get(fld, 1.0))))
 
         # regexp clauses (/re/): constant 1.0 per doc containing a dictionary
         # term fully matching the RE2 pattern (expansion like wildcards);
@@ -922,7 +935,7 @@ class BucketSearcher:
                     rx_docs[(fld, rx)] = docs
                     if rx in pk.regexps or rx in pk.must_regexps:
                         scorers.append(((fld, f"/{rx}/"),
-                                        _const_posting(docs), None, dtype(1.0)))
+                                        _const_posting(docs), None, dtype(fboost.get(fld, 1.0))))
 
         # phrase-prefix clauses ("a b*"): the leading terms followed by ANY
         # dictionary term starting with the prefix — ONE union position slot
@@ -957,7 +970,7 @@ class BucketSearcher:
                     if ppx in pk.pphrases or ppx in pk.must_pphrases:
                         scorers.append(
                             ((fld, " ".join(pterms) + " " + pre + "*"),
-                             _const_posting(pp.docs), None, dtype(1.0)))
+                             _const_posting(pp.docs), None, dtype(fboost.get(fld, 1.0))))
 
         # nested groups (round 4): a should_group matches where its OWN
         # musts/nots say, and its scoring members score only inside that
@@ -971,7 +984,8 @@ class BucketSearcher:
         for g in pk.should_groups:
             if sg_docs[id(g)].size:
                 scorers += self._group_scorers(g, sg_docs[id(g)], fields,
-                                               dtype, fuzzy_transpositions)
+                                               dtype, fuzzy_transpositions,
+                                               fboost)
 
         # +term: candidates must contain the term in ≥1 searched field (OR over
         # fields, AND over must terms/phrases); -term: excluded if present anywhere
@@ -1482,7 +1496,7 @@ class BucketSearcher:
         return M
 
     def _group_scorers(self, sub, M: np.ndarray, fields, dtype,
-                       fuzzy_transpositions) -> list:
+                       fuzzy_transpositions, fboost=None) -> list:
         """Masked scorers for a nested group's scoring members (SHOULD and
         MUST members both score — Lucene BooleanQuery): each member's
         posting/doc-set is restricted to the group match set ``M``. Clause
@@ -1490,6 +1504,7 @@ class BucketSearcher:
         required-group members), phrases, slops, then constant multi-term
         clauses, then nested groups."""
         out: list = []
+        fboost = fboost or {}
 
         def _fs(fld):
             fstats = self.stats.stats["fields"][fld]
@@ -1519,8 +1534,9 @@ class BucketSearcher:
             if masked is None:
                 continue
             cache, doc_count = _fs(key[0])
-            w = bm25.term_weight(doc_count, df, boost=float(mult[key]),
-                                 dtype=dtype)
+            w = bm25.term_weight(doc_count, df,
+                                 boost=float(mult[key])
+                                 * fboost.get(key[0], 1.0), dtype=dtype)
             out.append((key, masked, cache, w))
         for ph in list(sub.phrases) + list(sub.must_phrases):
             for fld in fields:
@@ -1538,7 +1554,8 @@ class BucketSearcher:
                 cache, doc_count = _fs(fld)
                 w = sum(bm25.term_weight(doc_count, pst[(fld, t)][0],
                                          dtype=dtype) for t in ph)
-                out.append(((fld, " ".join(ph)), masked, cache, dtype(w)))
+                out.append(((fld, " ".join(ph)), masked, cache,
+                            dtype(w * fboost.get(fld, 1.0))))
         for sp in list(sub.slop_phrases) + list(sub.must_slop_phrases):
             tt, n = sp
             for fld in fields:
@@ -1557,7 +1574,7 @@ class BucketSearcher:
                 w = sum(bm25.term_weight(doc_count, pst[(fld, t)][0],
                                          dtype=dtype) for t in tt)
                 out.append(((fld, " ".join(tt) + f"~{n}"), masked, cache,
-                            dtype(w)))
+                            dtype(w * fboost.get(fld, 1.0))))
         const_members: list[tuple[str, object]] = []
         const_members += [("pre", t) for t in
                           list(sub.prefixes) + list(sub.must_prefixes)]
@@ -1587,13 +1604,13 @@ class BucketSearcher:
                          "ppx": lambda: " ".join(payload[0]) + " "
                          + payload[1] + "*"}[kind]()
                 out.append(((fld, label), _const_posting(docs), None,
-                            dtype(1.0)))
+                            dtype(fboost.get(fld, 1.0))))
         for g2 in sub.should_groups:
             M2 = self._group_match_docs(g2, fields, fuzzy_transpositions)
             M2 = M2[np.isin(M2, M, assume_unique=True)]
             if M2.size:
                 out += self._group_scorers(g2, M2, fields, dtype,
-                                           fuzzy_transpositions)
+                                           fuzzy_transpositions, fboost)
         return out
 
     def _explain_at(self, doc: int, scorers, candidates, excluded, dtype) -> dict:
@@ -1982,6 +1999,20 @@ class BucketSearcher:
         keep = pc.is_valid(vals)
         return pa.table({"value": pc.cast(vals.filter(keep), pa.string()),
                          "cnt": pc.cast(cnts.filter(keep), pa.int64())})
+
+    def count_keyword(self, q: SearchQuery,
+                      precision: str = "float32") -> int:
+        """Per-bucket total-hits count for a keyword query (the Lucene
+        ``TotalHitCountCollector`` shape): exact TAAT match-set size with an
+        unbounded limit — the bucket ships ONE integer, match ids never
+        leave the shard. Filter-only zero-score hits count (BooleanQuery
+        FILTER semantics), exactly as they appear in search results."""
+        from dataclasses import replace
+
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        return int(ids.size)
 
     def stats_keyword(self, q: SearchQuery, field: str,
                       precision: str = "float32") -> dict:

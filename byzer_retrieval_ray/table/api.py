@@ -870,6 +870,29 @@ class RetrievalCluster:
                 "in_candidates": False, "excluded": False,
                 "note": "doc_id not present in any generation bucket"}
 
+    def count(self, database: str, table: str, query,
+              precision: str = "float32") -> int:
+        """Total-hits count for a keyword query over the ENTIRE match set
+        (Lucene ``TotalHitCountCollector`` — extension; the reference only
+        returns top-k). Each bucket ships one integer; match ids never leave
+        the shard. Keyword recall only (a vector recall's 'match set' is its
+        top-k, which is ranking, not counting); filter-only zero-score hits
+        count, mirroring search results."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("count takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("count is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.count_keyword.remote(q.__dict__, precision)
+                    for a in self._actors[(database, table)]]
+            return int(sum(ray.get(futs, timeout=QUERY_TIMEOUT_SEC)))
+        return int(sum(s.count_keyword(q, precision)
+                       for s in self._searchers(database, table)))
+
     def facet_counts(self, database: str, table: str, query, facet_field: str,
                      limit: int = 10, precision: str = "float32") -> list[dict]:
         """Facet counts of a stored field over a keyword query's ENTIRE match

@@ -431,6 +431,64 @@ class TestRegexp:
         assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
 
 
+class TestFieldBoost:
+    """Per-field query-time boosts (extension; classic Lucene multi-field
+    'field^B'): ×B on every clause scored against that field — linear in the
+    BM25 weight, the constant for constant-score clauses; gating unchanged."""
+
+    @pytest.fixture(scope="class")
+    def fb_cluster(self, ray_session, tmp_path_factory):
+        loc = str(tmp_path_factory.mktemp("fboost"))
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "fb",
+            "st(field(_id,long),field(title,string,analyze),"
+            "field(body,string,analyze))", loc))
+        docs = [
+            {"_id": 0, "title": "merge sort", "body": "fast stable algorithm"},
+            {"_id": 1, "title": "hash join", "body": "merge phase inside"},
+            {"_id": 2, "title": "scan", "body": "merge merge merge"},
+        ]
+        c.build_from_local("db", "fb", docs, key_field="_id",
+                           num_doc_parts=1, num_term_parts=1)
+        return c
+
+    def _s(self, c, fields, kw="merge"):
+        return {r["_id"]: r["_score"] for r in c.search(
+            "db", "fb", {"keyword": kw, "fields": fields, "limit": 10},
+            precision="float64")[0]}
+
+    def test_boost_is_linear_and_scoped(self, fb_cluster):
+        plain = self._s(fb_cluster, ["title", "body"])
+        b1 = self._s(fb_cluster, ["title^1", "body"])
+        b2 = self._s(fb_cluster, ["title^2", "body"])
+        assert plain == b1                       # ^1 is a no-op, bit-exact
+        assert b2[2] == plain[2]                 # body-only doc unchanged
+        # doc 0 has merge only in title → exactly doubles
+        assert b2[0] == pytest.approx(2 * plain[0], abs=1e-12)
+
+    def test_constant_clauses_and_phrases(self, fb_cluster):
+        got = self._s(fb_cluster, ["title^3", "body"], "mer*")
+        assert got[0] == 3.0 and got[1] == 1.0   # title const ×3, body 1.0
+        p = self._s(fb_cluster, ["title", "body"], '"merge sort"')
+        b = self._s(fb_cluster, ["title^2", "body"], '"merge sort"')
+        assert b[0] == pytest.approx(2 * p[0], abs=1e-12)
+
+    def test_parity_and_gating(self, fb_cluster):
+        q = {"keyword": "+merge sort", "fields": ["title^2", "body"],
+             "limit": 10}
+        a = fb_cluster.search("db", "fb", q, precision="float64",
+                              algorithm="bmw")[0]
+        b = fb_cluster.search("db", "fb", q, precision="float64",
+                              algorithm="taat")[0]
+        assert [(r["_id"], r["_score"]) for r in a] == \
+               [(r["_id"], r["_score"]) for r in b]
+        # gating uses the field, not the boost: same match set as unboosted
+        q0 = dict(q, fields=["title", "body"])
+        assert {r["_id"] for r in fb_cluster.search("db", "fb", q0)[0]} == \
+               {r["_id"] for r in a}
+
+
 class TestNestedGroups:
     """The two shapes flat boolean algebra can't express, now evaluated as
     nested nodes: `foo (bar +baz)` (inner requirement scopes to the group;
