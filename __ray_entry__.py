@@ -1419,6 +1419,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
     q["lang_id"] = lang_id
 
+    def nb_classify(sf):
+        # supervised multinomial Naive-Bayes (the fastText-style classifier
+        # slot): train on (text, lang) over the whole table — the shuffle
+        # carries only distinct-(label, token) count partials — then classify
+        # every doc with the broadcast model; closed-form Lidstone a=0.5
+        import ray.data
+        from byzer_retrieval_ray.ops.nbayes import (naive_bayes_classify,
+                                                    train_naive_bayes)
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text", "lang"])
+        m = train_naive_bayes(ds, "text", "lang")
+        out = naive_bayes_classify(ds, m, "text", "doc_id").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["id"], pa.int64()),
+            "pred": pa.array(out["pred"], pa.string()),
+            "logscore": pa.array(np.round(out["logscore"], 4), pa.float64()),
+        })
+    q["nb_classify"] = nb_classify
+
     def quality(sf):
         import ray.data
         from byzer_retrieval_ray.ops.text import QualityScorer
@@ -3217,6 +3237,50 @@ SELECT doc_id, ROUND(score, 4) AS score FROM vec ORDER BY score DESC, doc_id LIM
             "es": ["el", "la", "los", "las", "y", "es", "de", "que", "en", "por", "una"],
         }[lang]))
         return f"len(list_filter(toks, x -> list_contains([{words}], lower(x))))"
+
+    # multinomial NB trained on (text, lang) and applied to the same table:
+    # per (doc, label) score = ln(docs_L/N) + Σ_token-instances
+    # ln((c(L,t)+0.5)/(tot_L+0.5·V)); argmax, ties → label asc (the engine's
+    # np.argmax over ascending labels). Summed per token INSTANCE (not
+    # tf-multiplied) to mirror the engine's float64 addition count.
+    sql["nb_classify"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+lab AS (SELECT doc_id, lang FROM documents),
+ltc AS (
+  SELECT l.lang, t.term, COUNT(*) AS c
+  FROM toks t JOIN lab l ON l.doc_id = t.doc_id
+  GROUP BY l.lang, t.term
+),
+cls AS (SELECT lang, SUM(c) AS tot FROM ltc GROUP BY lang),
+pri AS (SELECT lang, COUNT(*) AS d FROM documents GROUP BY lang),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+vv AS (SELECT COUNT(DISTINCT term) AS v FROM toks),
+tokpart AS (
+  SELECT t.doc_id, cls.lang,
+         SUM( ln(CAST(COALESCE(ltc.c, 0) AS DOUBLE) + 0.5e0)
+              - ln(CAST(cls.tot AS DOUBLE) + 0.5e0 * CAST(vv.v AS DOUBLE)) ) AS s
+  FROM toks t
+  CROSS JOIN cls CROSS JOIN vv
+  LEFT JOIN ltc ON ltc.lang = cls.lang AND ltc.term = t.term
+  GROUP BY t.doc_id, cls.lang
+),
+tot AS (
+  SELECT tp.doc_id, tp.lang,
+         ln(CAST(pri.d AS DOUBLE) / CAST(nn.n AS DOUBLE)) + tp.s AS s
+  FROM tokpart tp JOIN pri ON pri.lang = tp.lang CROSS JOIN nn
+),
+best AS (
+  SELECT doc_id, lang, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang ASC) AS rk
+  FROM tot
+)
+SELECT doc_id, lang AS pred, ROUND(s, 4) AS logscore
+FROM best WHERE rk = 1 ORDER BY doc_id"""
 
     sql["lang_id"] = f"""
 WITH base AS (
