@@ -1439,6 +1439,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["nb_classify"] = nb_classify
 
+    def percolate_docs(sf):
+        # percolator (reverse search): four saved boolean rules matched
+        # against the streaming documents table — broadcast-compiled
+        # programs, set-algebra per batch, zero shuffle
+        import ray.data
+        from byzer_retrieval_ray.ops.percolate import percolate
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        rules = {
+            "r_or": "merge quick",
+            "r_must": "+merge +sort",
+            "r_not": "merge -scan",
+            "r_phrase": '"merge sort"',
+        }
+        out = percolate(ds, rules, "text", "doc_id").to_pandas()
+        out = out.sort_values(["query", "id"]).reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["id"], pa.int64()),
+            "query": pa.array(out["query"], pa.string()),
+        })
+    q["percolate_docs"] = percolate_docs
+
     def quality(sf):
         import ray.data
         from byzer_retrieval_ray.ops.text import QualityScorer
@@ -3237,6 +3259,36 @@ SELECT doc_id, ROUND(score, 4) AS score FROM vec ORDER BY score DESC, doc_id LIM
             "es": ["el", "la", "los", "las", "y", "es", "de", "que", "en", "por", "una"],
         }[lang]))
         return f"len(list_filter(toks, x -> list_contains([{words}], lower(x))))"
+
+    # percolator rules as set algebra: OR = any term; MUST = all; NOT =
+    # absent; phrase = adjacent positions (1-based list indices, q = p+1)
+    sql["percolate_docs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+s AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort'),
+qk AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'quick'),
+sc AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'),
+p1 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = 'merge')) AS p FROM arr),
+p2 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = 'sort')) AS q FROM arr),
+ph AS (SELECT DISTINCT p1.doc_id FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.q = p1.p + 1),
+hits AS (
+  SELECT doc_id, 'r_or' AS query FROM (SELECT doc_id FROM m UNION SELECT doc_id FROM qk)
+  UNION ALL
+  SELECT m.doc_id, 'r_must' FROM m JOIN s ON s.doc_id = m.doc_id
+  UNION ALL
+  SELECT doc_id, 'r_not' FROM m WHERE doc_id NOT IN (SELECT doc_id FROM sc)
+  UNION ALL
+  SELECT doc_id, 'r_phrase' FROM ph
+)
+SELECT doc_id, query FROM hits ORDER BY query, doc_id"""
 
     # multinomial NB trained on (text, lang) and applied to the same table:
     # per (doc, label) score = ln(docs_L/N) + Σ_token-instances
