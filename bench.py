@@ -452,6 +452,30 @@ def run_bench() -> dict:
              n_iters=8, num_buckets=32).count()
     queries["pagerank_docs"] = round(time.perf_counter() - td, 3)
 
+    # round-4 second wave: NB classifier (train + broadcast scoring) and
+    # percolator (saved-rule streaming match) over the documents table
+    from byzer_retrieval_ray.ops.nbayes import (naive_bayes_classify,
+                                                train_naive_bayes)
+
+    td = time.perf_counter()
+    ds_nb = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    nbm = train_naive_bayes(ds_nb, "text", "lang")
+    queries["nb_train_docs"] = round(time.perf_counter() - td, 3)
+    td = time.perf_counter()
+    naive_bayes_classify(ds_nb, nbm, "text", "doc_id",
+                         concurrency=4).count()
+    queries["nb_classify_docs"] = round(time.perf_counter() - td, 3)
+
+    from byzer_retrieval_ray.ops.percolate import percolate
+
+    td = time.perf_counter()
+    percolate(ds, {"r_or": "merge quick", "r_must": "+merge +sort",
+                   "r_not": "merge -scan", "r_phrase": '"merge sort"'},
+              "text", "doc_id", concurrency=4).count()
+    queries["percolate_docs"] = round(time.perf_counter() - td, 3)
+
     total = time.perf_counter() - t0
     m = info["metrics"]
     result = {
