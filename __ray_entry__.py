@@ -848,6 +848,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docs2", qq)
     q["bm25_field_boost"] = bm25_field_boost
 
+    def bm25f_combined(sf):
+        # BM25F (Lucene sandbox CombinedFieldQuery): title^2 + content as
+        # ONE pseudo-field — tf = 2·tf_title + tf_content, dl = 2·dlq_title
+        # + dlq_content, avgdl = (2·sumTTF_title + sumTTF_content)/n,
+        # df = max(df_title, df_content)
+        c = _docs2_cluster(sf)
+        qq = SearchQuery("db", "docs2", keyword="merge sort",
+                         combined_fields=["title^2", "content"], limit=20)
+        return _search_rows(c, "docs2", qq)
+    q["bm25f_combined"] = bm25f_combined
+
     # parenthesized group (SimpleQueryParser precedence): required OR-group of
     # scored term clauses plus a prohibited term
     q["bm25_parens"] = lambda sf: _bm25(sf, "+(merge | sort) -scan", 20)
@@ -2702,6 +2713,73 @@ ORDER BY score DESC, doc_id LIMIT 20"""
 
     sql["bm25_multi_field"] = _sql_multi_field("1.0e0")
     sql["bm25_field_boost"] = _sql_multi_field("2.0e0")
+
+    # BM25F: one pseudo-field. tf_c = 2·tf_title + tf_content per (doc,term);
+    # dl_c = 2·dlq_title + dlq_content per doc; avgdl_c = (2·sumTTF_title +
+    # sumTTF_content)/n; df_c = max per-field df; score = the BM25 transform
+    # of (tf_c, dl_c) with weight 2.2·idf(n, df_c), summed over terms
+    sql["bm25f_combined"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS all_toks
+  FROM documents
+),
+flds AS (
+  SELECT doc_id, 'title' AS fld, list_slice(all_toks, 1, 3) AS toks FROM base
+  UNION ALL
+  SELECT doc_id, 'content' AS fld, list_slice(all_toks, 4, len(all_toks)) AS toks FROM base
+),
+toks AS (SELECT doc_id, fld, unnest(toks) AS term FROM flds),
+dls AS (SELECT doc_id, fld, len(toks) AS dl FROM flds),
+dlq AS (
+  SELECT doc_id, fld, CASE WHEN dl < 24 THEN dl
+    ELSE 24 + (CASE WHEN dl - 24 < 8 THEN dl - 24
+               ELSE ((dl - 24) >> (length(bin(dl - 24)) - 4)) << (length(bin(dl - 24)) - 4)
+               END) END AS dl_q
+  FROM dls
+),
+nstats AS (SELECT COUNT(DISTINCT doc_id) AS n FROM base),
+astats AS (
+  SELECT (SELECT SUM(CASE WHEN fld = 'title' THEN 2.0e0 ELSE 1.0e0 END * dl)
+          FROM dls) / CAST(nstats.n AS DOUBLE) AS avgdl, nstats.n AS n
+  FROM nstats
+),
+dlc AS (
+  SELECT doc_id,
+         SUM(CASE WHEN fld = 'title' THEN 2.0e0 ELSE 1.0e0 END
+             * CAST(dl_q AS DOUBLE)) AS dl
+  FROM dlq GROUP BY doc_id
+),
+tf AS (SELECT doc_id, fld, term, count(*) AS tf FROM toks GROUP BY doc_id, fld, term),
+dff AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY fld, term),
+qterms AS (SELECT unnest(['merge', 'sort']) AS term),
+dfc AS (
+  SELECT q.term, MAX(dff.df) AS df FROM qterms q
+  JOIN dff ON dff.term = q.term GROUP BY q.term
+),
+tfc AS (
+  SELECT tf.doc_id, tf.term,
+         SUM(CASE WHEN tf.fld = 'title' THEN 2.0e0 ELSE 1.0e0 END
+             * CAST(tf.tf AS DOUBLE)) AS tf
+  FROM tf JOIN qterms q ON q.term = tf.term
+  GROUP BY tf.doc_id, tf.term
+),
+scored AS (
+  SELECT tfc.doc_id,
+         SUM( (2.2e0 * ln(1.0e0 + (CAST(a.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5e0)
+                                   / (CAST(dfc.df AS DOUBLE) + 0.5e0)))
+              - (2.2e0 * ln(1.0e0 + (CAST(a.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5e0)
+                                     / (CAST(dfc.df AS DOUBLE) + 0.5e0)))
+                / (1.0e0 + tfc.tf
+                   * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * dlc.dl / a.avgdl)))) ) AS score
+  FROM tfc
+  JOIN dfc ON dfc.term = tfc.term
+  JOIN dlc ON dlc.doc_id = tfc.doc_id
+  CROSS JOIN astats a
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
 
     sql["full_scan"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"""

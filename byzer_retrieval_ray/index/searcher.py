@@ -40,7 +40,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from byzer_retrieval_ray.functions import bm25, codec, filters as F
+from byzer_retrieval_ray.functions import bm25, codec, filters as F, \
+    smallfloat
 from byzer_retrieval_ray.functions.tokenize import tokenize_query
 from byzer_retrieval_ray.index.manifest import read_json
 from byzer_retrieval_ray.schema import dsl
@@ -693,6 +694,14 @@ class BucketSearcher:
             # blocks whose post-cursor hits we need; TAAT is exact and returns
             # the identical total order (same clause-order float addition)
             algorithm = "taat"
+        if getattr(q, "combined_fields", None) and (q.keyword or "") != "*":
+            # BM25F pseudo-field scoring (CombinedFieldQuery) — separate
+            # evaluator; match-all falls through to the standard path
+            # ("*" scores 1.0 regardless of field blending)
+            if explain_doc is not None:
+                raise ValueError("explain does not support combined_fields")
+            return self._search_combined(q, precision, after=after)
+
         candidates = self.filter_candidates(q.filters)
         keyword = (q.keyword or "").strip()
 
@@ -1375,6 +1384,166 @@ class BucketSearcher:
             return docs, np.full(docs.size, w, dtype=dtype)
         return posting.docs[s], bm25.score_tf_norm(posting.tfs[s], posting.norms[s],
                                                    cache, w, dtype=dtype)
+
+    # ---------- BM25F (CombinedFieldQuery) ----------
+
+    def _field_dlq(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, quantized lengths float64) for EVERY live doc of
+        the bucket in ``field`` — one vectorized pass over the bucket's
+        docstore analyzed column (the same whitespace tokenization and
+        Lucene byte4 quantization the indexer used), cached per searcher.
+        Bucket-local by construction: the docstore slice is this bucket's."""
+        cache = getattr(self, "_dlq_cache", None)
+        if cache is None:
+            cache = self._dlq_cache = {}
+        if field in cache:
+            return cache[field]
+        t = self._docstore(["doc_id", field])
+        ids = t["doc_id"].to_numpy()
+        col = t[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        toks = pc.utf8_split_whitespace(col)
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        ok = pc.not_equal(flat, "")
+        cnt = np.bincount(
+            pc.filter(par, ok).to_numpy(zero_copy_only=False),
+            minlength=len(t)).astype(np.int64)
+        dlq = smallfloat.quantize_length_np(cnt).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        cache[field] = (ids[order], dlq[order])
+        return cache[field]
+
+    def _search_combined(self, q: SearchQuery, precision: str,
+                         after=None) -> tuple[np.ndarray, np.ndarray]:
+        """BM25F top-limit (Lucene sandbox CombinedFieldQuery semantics):
+        tf = Σ_f w_f·tf_f, dl = Σ_f w_f·quantized_len_f, avgdl =
+        Σ_f w_f·sumTotalTermFreq_f / docCount (docCount = max over fields),
+        df = max over fields. Term clauses only; scoring accumulates
+        per-term dtype scores in float64 in clause order like TAAT."""
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+
+        dtype = np.float32 if precision == "float32" else np.float64
+        fw: dict[str, float] = {}
+        for f in q.combined_fields:
+            if "^" in f:
+                name, _, b = f.rpartition("^")
+                fw[name] = float(b)
+            else:
+                fw[f] = 1.0
+        bad = [f for f in fw if f not in self.gen.analyzed]
+        if bad:
+            raise ValueError(
+                f"combined_fields {bad} are not analyzed; analyzed fields: "
+                f"{sorted(self.gen.analyzed)}")
+        pk = parse_keyword((q.keyword or "").strip())
+        unsupported = (pk.phrases or pk.must_phrases or pk.not_phrases
+                       or pk.prefixes or pk.must_prefixes or pk.not_prefixes
+                       or pk.fuzzies or pk.must_fuzzies or pk.not_fuzzies
+                       or pk.wildcards or pk.must_wildcards
+                       or pk.not_wildcards or pk.regexps or pk.must_regexps
+                       or pk.not_regexps or pk.pphrases or pk.must_pphrases
+                       or pk.not_pphrases or pk.slop_phrases
+                       or pk.must_slop_phrases or pk.not_slop_phrases
+                       or pk.must_groups or pk.should_groups or pk.not_groups)
+        if unsupported:
+            raise ValueError("combined_fields (BM25F) supports term clauses "
+                             "only (+term / -term / term^B)")
+        fields = sorted(fw)
+        # pseudo-field collection stats (CombinedFieldQuery.rewrite)
+        fstats = self.stats.stats["fields"]
+        doc_count = max(fstats[f]["doc_count"] for f in fields)
+        sum_ttf = sum(fw[f] * fstats[f]["sum_ttf"] for f in fields)
+        avgdl = dtype(sum_ttf / doc_count) if doc_count > 0 else dtype(1.0)
+        k1, b = dtype(bm25.K1), dtype(bm25.B)
+        one = dtype(1.0)
+
+        scored_terms = pk.should + pk.must
+        mult: dict[str, float] = {}
+        for t in scored_terms:
+            mult[t] = mult.get(t, 0) + 1
+        for t, extra in pk.boosts.items():
+            if t in mult:
+                mult[t] += extra
+        pairs = [(f, t) for t in mult for f in fields]
+        pairs += [(f, t) for t in pk.must_not for f in fields]
+        stats = self.stats.term_stats(pairs)
+        posts = self.fetch_postings([p for p in pairs if stats[p][0] > 0])
+
+        dlqs = {f: self._field_dlq(f) for f in fields}
+
+        def _dl_combined(docs: np.ndarray) -> np.ndarray:
+            dl = np.zeros(docs.size, dtype=np.float64)
+            for f in fields:
+                ids_f, dlq_f = dlqs[f]
+                loc = np.searchsorted(ids_f, docs)
+                ok = loc < ids_f.size
+                ok[ok] = ids_f[loc[ok]] == docs[ok]
+                dl[ok] += fw[f] * dlq_f[loc[ok]]
+            return dl
+
+        def _term_docs(t: str) -> np.ndarray:
+            arrs = [posts[(f, t)].docs for f in fields
+                    if stats[(f, t)][0] > 0]
+            return (np.unique(np.concatenate(arrs)) if arrs
+                    else np.empty(0, np.int64))
+
+        term_scores = []   # (docs, dtype scores) per scored term, clause order
+        for t in mult:
+            df_c = max((stats[(f, t)][0] for f in fields), default=0)
+            if df_c == 0:
+                continue
+            parts_docs, parts_tf = [], []
+            for f in fields:
+                if stats[(f, t)][0] == 0:
+                    continue
+                p = posts[(f, t)]
+                parts_docs.append(p.docs)
+                parts_tf.append(fw[f] * p.tfs.astype(np.float64))
+            docs = np.concatenate(parts_docs)
+            u, inv = np.unique(docs, return_inverse=True)
+            tfc = np.zeros(u.size, dtype=np.float64)
+            np.add.at(tfc, inv, np.concatenate(parts_tf))
+            dlc = _dl_combined(u)
+            norm_inv = one / (k1 * ((one - b) + b * dlc.astype(dtype) / avgdl))
+            w = bm25.term_weight(doc_count, df_c, boost=float(mult[t]),
+                                 dtype=dtype)
+            s = (w - w / (one + tfc.astype(dtype) * norm_inv)).astype(dtype)
+            term_scores.append((u, s))
+
+        candidates = self.filter_candidates(q.filters)
+        for t in pk.must:
+            td = _term_docs(t)
+            candidates = td if candidates is None else \
+                candidates[np.isin(candidates, td, assume_unique=True)]
+        excluded = None
+        ex = [_term_docs(t) for t in pk.must_not]
+        ex = [e for e in ex if e.size]
+        if ex:
+            excluded = np.unique(np.concatenate(ex))
+
+        all_docs = [d for d, _ in term_scores]
+        union = (np.unique(np.concatenate(all_docs)) if all_docs
+                 else np.empty(0, np.int64))
+        if candidates is not None:
+            union = union[np.isin(union, candidates, assume_unique=True)]
+        ts = self._ts_in_bucket
+        if ts.size and union.size:
+            union = union[~np.isin(union, ts)]
+        if excluded is not None and union.size:
+            union = union[~np.isin(union, excluded, assume_unique=True)]
+        acc = np.zeros(union.size, dtype=np.float64)
+        for docs, scores in term_scores:   # clause order = float addition order
+            idx = np.searchsorted(union, docs)
+            valid = idx < union.size
+            valid[valid] &= union[idx[valid]] == docs[valid]
+            np.add.at(acc, idx[valid], scores[valid].astype(np.float64))
+        scores = acc.astype(dtype)
+        if after is not None:
+            keep = _cursor_mask(union, scores, after)
+            union, scores = union[keep], scores[keep]
+        order = np.lexsort((union, -scores.astype(np.float64)))[:q.limit]
+        return union[order], scores[order]
 
     # ---------- nested-group evaluation (should_groups / not_groups) ----------
 

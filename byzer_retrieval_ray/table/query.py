@@ -72,6 +72,15 @@ class SearchQuery:
     # alternative scores as if it matched the query term. Term clauses
     # only (phrases/prefix/fuzzy/wildcard/regexp members are unaffected).
     synonyms: dict = field(default_factory=dict)
+    # BM25F (extension — Lucene sandbox CombinedFieldQuery): score the
+    # keyword's TERM clauses against one pseudo-field blending these fields
+    # ("name" or "name^W", W ≥ 0 float): tf = Σ_f w_f·tf_f, doc length =
+    # Σ_f w_f·quantized_len_f, avgdl = Σ_f w_f·sumTotalTermFreq_f / docCount
+    # (docCount = max over fields), df = max over fields — the published
+    # CombinedFieldQuery/BM25 blending. Term clauses only (+term/-term/^B
+    # supported; phrases/prefix/fuzzy/wildcard/regexp/groups raise). When
+    # set, ``fields`` is ignored.
+    combined_fields: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

@@ -431,27 +431,28 @@ class TestRegexp:
         assert mixed[0] == 1.0 and set(mixed) == {0, 1, 2, 3, 4, 5, 6}
 
 
+@pytest.fixture(scope="module")
+def fb_cluster(ray_session, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("fboost"))
+    c = RetrievalCluster(loc)
+    c.create_table(TableSettings(
+        "db", "fb",
+        "st(field(_id,long),field(title,string,analyze),"
+        "field(body,string,analyze))", loc))
+    docs = [
+        {"_id": 0, "title": "merge sort", "body": "fast stable algorithm"},
+        {"_id": 1, "title": "hash join", "body": "merge phase inside"},
+        {"_id": 2, "title": "scan", "body": "merge merge merge"},
+    ]
+    c.build_from_local("db", "fb", docs, key_field="_id",
+                       num_doc_parts=1, num_term_parts=1)
+    return c
+
+
 class TestFieldBoost:
     """Per-field query-time boosts (extension; classic Lucene multi-field
     'field^B'): ×B on every clause scored against that field — linear in the
     BM25 weight, the constant for constant-score clauses; gating unchanged."""
-
-    @pytest.fixture(scope="class")
-    def fb_cluster(self, ray_session, tmp_path_factory):
-        loc = str(tmp_path_factory.mktemp("fboost"))
-        c = RetrievalCluster(loc)
-        c.create_table(TableSettings(
-            "db", "fb",
-            "st(field(_id,long),field(title,string,analyze),"
-            "field(body,string,analyze))", loc))
-        docs = [
-            {"_id": 0, "title": "merge sort", "body": "fast stable algorithm"},
-            {"_id": 1, "title": "hash join", "body": "merge phase inside"},
-            {"_id": 2, "title": "scan", "body": "merge merge merge"},
-        ]
-        c.build_from_local("db", "fb", docs, key_field="_id",
-                           num_doc_parts=1, num_term_parts=1)
-        return c
 
     def _s(self, c, fields, kw="merge"):
         return {r["_id"]: r["_score"] for r in c.search(
@@ -487,6 +488,80 @@ class TestFieldBoost:
         q0 = dict(q, fields=["title", "body"])
         assert {r["_id"] for r in fb_cluster.search("db", "fb", q0)[0]} == \
                {r["_id"] for r in a}
+
+
+class TestBM25F:
+    """combined_fields (extension; Lucene sandbox CombinedFieldQuery):
+    pseudo-field BM25 — tf = Σ w_f·tf_f, dl = Σ w_f·quantized_len_f,
+    avgdl = Σ w_f·sumTTF_f / docCount, df = max over fields."""
+
+    def _oracle(self, docs, terms, weights, limit=10):
+        from byzer_retrieval_ray.functions.smallfloat import quantize_length_np
+        K1, B = 1.2, 0.75
+        names = sorted(weights)
+        n = len(docs)
+        sum_ttf = sum(weights[f] * sum(len(d[f].split()) for d in docs)
+                      for f in names)
+        avgdl = sum_ttf / n
+        ql = lambda x: float(quantize_length_np(np.array([x]))[0])
+        out: dict = {}
+        for t in terms:
+            df = max(sum(1 for d in docs if t in d[f].split()) for f in names)
+            if df == 0:
+                continue
+            w = 2.2 * np.log(1 + (n - df + 0.5) / (df + 0.5))
+            for i, d in enumerate(docs):
+                tf = sum(weights[f] * d[f].split().count(t) for f in names)
+                if tf == 0:
+                    continue
+                dl = sum(weights[f] * ql(len(d[f].split())) for f in names)
+                inv = 1.0 / (K1 * (1 - B + B * dl / avgdl))
+                out[i] = out.get(i, 0.0) + (w - w / (1 + tf * inv))
+        return sorted(out.items(), key=lambda x: (-x[1], x[0]))[:limit]
+
+    DOCS_F = [
+        {"_id": 0, "title": "merge sort", "body": "fast stable algorithm"},
+        {"_id": 1, "title": "hash join", "body": "merge phase inside"},
+        {"_id": 2, "title": "scan", "body": "merge merge merge"},
+    ]
+
+    def test_matches_bm25f_oracle(self, fb_cluster):
+        res = fb_cluster.search("db", "fb", {
+            "keyword": "merge sort",
+            "combined_fields": ["title^2", "body"], "limit": 10},
+            precision="float64")[0]
+        got = [(r["_id"], r["_score"]) for r in res]
+        want = self._oracle(self.DOCS_F, ["merge", "sort"],
+                            {"title": 2.0, "body": 1.0})
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-12)
+
+    def test_equal_weights_and_ops(self, fb_cluster):
+        res = fb_cluster.search("db", "fb", {
+            "keyword": "+merge -hash sort",
+            "combined_fields": ["title", "body"], "limit": 10},
+            precision="float64")[0]
+        ids = [r["_id"] for r in res]
+        assert 1 not in ids and set(ids) == {0, 2}
+        want = dict(self._oracle(self.DOCS_F, ["merge", "sort"],
+                                 {"title": 1.0, "body": 1.0}))
+        for r in res:
+            assert r["_score"] == pytest.approx(want[r["_id"]], abs=1e-12)
+
+    def test_unsupported_clauses_raise(self, fb_cluster):
+        for kw in ('"merge sort"', "mer*", "merge~1", "/m.rge/",
+                   "x (y +z)"):
+            with pytest.raises((ValueError, Exception)):
+                fb_cluster.search("db", "fb", {
+                    "keyword": kw,
+                    "combined_fields": ["title", "body"], "limit": 5})
+
+    def test_match_all_falls_through(self, fb_cluster):
+        res = fb_cluster.search("db", "fb", {
+            "keyword": "*", "combined_fields": ["title", "body"],
+            "limit": 10})[0]
+        assert len(res) == 3 and all(r["_score"] == 1.0 for r in res)
 
 
 class TestNestedGroups:
