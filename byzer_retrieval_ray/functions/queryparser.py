@@ -61,10 +61,15 @@ two-arg constructor), default operator OR. Supported here:
                        1.0 per doc containing ≥1 matching dictionary term
                        (constant-score MultiTermQuery rewrite, like prefix/
                        fuzzy/wildcard); ``+/re/`` / ``-/re/`` variants
-                       supported. A term that merely CONTAINS or starts with
-                       ``/`` (paths) parses as a plain term unless it both
-                       starts and ends with one — escape as ``\/`` to force
-                       a literal-slash term.
+                       supported. A ``/`` at a TOKEN START opens a regexp
+                       that runs GREEDILY to the next unescaped ``/``
+                       anywhere in the query (Lucene classic-parser
+                       behavior; the pattern may span whitespace), so
+                       ``/usr /bin`` is the regexp "usr " plus the term
+                       "bin" — escape as ``\/usr`` to query a path term.
+                       A mid-token ``/`` (``path/term``) stays literal, and
+                       a leading ``/`` with no closing slash degrades to a
+                       plain term.
     "a b"~N          → sloppy phrase (Lucene NEAR): IN-ORDER matches whose window
                        cost (span − (len−1) extra gap tokens) is ≤ N, scored with
                        the Lucene sloppy-frequency tf = Σ 1/(1+cost) over one
@@ -380,9 +385,22 @@ def _scan_clauses(s: str) -> list[tuple[str, str, object]]:
         if c == '(':
             depth, j = 1, i + 1
             while j < n and depth:
-                if s[j] == '(':
+                cj = s[j]
+                if cj == '/' and (s[j - 1].isspace() or s[j - 1] in '(|'
+                                  or (s[j - 1] in '+-'
+                                      and (j - 2 < i
+                                           or s[j - 2].isspace()
+                                           or s[j - 2] in '(|'))):
+                    # token-start /re/ inside the group: parens in the
+                    # pattern are literal regex syntax — skip the span so
+                    # they don't unbalance the depth count
+                    j2 = s.find('/', j + 1)
+                    if j2 > j + 1:
+                        j = j2 + 1
+                        continue
+                if cj == '(':
                     depth += 1
-                elif s[j] == ')':
+                elif cj == ')':
                     depth -= 1
                 j += 1
             if depth:

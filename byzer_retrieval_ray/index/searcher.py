@@ -292,9 +292,30 @@ class GenerationReader:
         # literal whose NEXT pattern char is a quantifier (a* / a? / a{ )
         # must be dropped from the prefix — the quantifier may erase it.
         _META = set(".[]{}()*+?|^$\\")
+        # a TOP-LEVEL alternation makes any leading literal run optional
+        # (/brown|quick/ must not be bounded to the 'brown' term range) —
+        # scan for an unescaped | at paren-depth 0 outside a char class
+        depth, in_class, j, top_alt = 0, False, 0, False
+        while j < len(pattern):
+            cj = pattern[j]
+            if cj == "\\":
+                j += 2
+                continue
+            if in_class:
+                in_class = cj != "]"
+            elif cj == "[":
+                in_class = True
+            elif cj == "(":
+                depth += 1
+            elif cj == ")":
+                depth = max(0, depth - 1)
+            elif cj == "|" and depth == 0:
+                top_alt = True
+                break
+            j += 1
         lit_parts: list[str] = []
         i = 0
-        while i < len(pattern):
+        while not top_alt and i < len(pattern):
             c = pattern[i]
             if c == "\\" and i + 1 < len(pattern) \
                     and not pattern[i + 1].isalnum():
@@ -781,17 +802,24 @@ class BucketSearcher:
         posts = self.fetch_postings([p for p in fetch if stats[p][0] > 0])
 
         # query-time synonyms (Lucene SynonymQuery): a plain TERM clause whose
-        # term has a {term: [alts]} entry is replaced IN PLACE by one merged
-        # pseudo-term — tf = Σ variant freqs, df = max variant df — so every
-        # downstream path (scoring, +term gating, min_should_match counting)
-        # sees the group as a single term
+        # term has a {term: [alts]} entry scores as one merged pseudo-term —
+        # tf = Σ variant freqs, df = max variant df. The merge lives in a
+        # SIDE table consulted only by TERM-clause consumers (scoring, +term
+        # gating, -term exclusion, min_should_match counting): the shared
+        # posts/stats dicts stay untouched, because a phrase/slop/pprefix
+        # clause may read the SAME (field, term) key and must see the real
+        # positional posting, not a merged one (a merged posting has no
+        # positions, and a single-variant merge would alias the alternative's
+        # positions under the query term — both corrupt phrase matching).
+        syn_posts: dict[tuple[str, str], Posting] = {}
+        syn_stats: dict[tuple[str, str], tuple[int, int]] = {}
         syn_map = getattr(q, "synonyms", None) or {}
         if syn_map:
-            queried = {t for _, t in fetch}
+            term_clauses = set(scored_terms) | set(must_not)
             for t, alts in syn_map.items():
-                if t not in queried:
+                if t not in term_clauses:
                     continue
-                variants = [t] + [a for a in alts if a != t]
+                variants = list(dict.fromkeys([t] + list(alts)))
                 for fld in fields:
                     vpairs = [(fld, v) for v in variants]
                     vstats = self.stats.term_stats(vpairs)
@@ -800,9 +828,15 @@ class BucketSearcher:
                     merged = _synonym_posting([vposts[p] for p in live])
                     if merged is None:
                         continue
-                    posts[(fld, t)] = merged
-                    stats[(fld, t)] = (max(vstats[p][0] for p in live),
-                                       sum(vstats[p][1] for p in live))
+                    syn_posts[(fld, t)] = merged
+                    syn_stats[(fld, t)] = (max(vstats[p][0] for p in live),
+                                           sum(vstats[p][1] for p in live))
+
+        def _eff(key):
+            """(df, posting) of a TERM clause — synonym-merged when mapped."""
+            if key in syn_posts:
+                return syn_stats[key][0], syn_posts[key]
+            return stats[key][0], posts.get(key)
 
         def _field_scoring(fld):
             fstats = self.stats.stats["fields"][fld]
@@ -812,12 +846,12 @@ class BucketSearcher:
 
         scorers = []
         for key in uniq_pairs:
-            df, _ = stats[key]
+            df, posting = _eff(key)
             if df == 0:
                 continue
             cache, doc_count = _field_scoring(key[0])
             w = bm25.term_weight(doc_count, df, boost=float(mult[key]) * fboost.get(key[0], 1.0), dtype=dtype)
-            scorers.append((key, posts[key], cache, w))
+            scorers.append((key, posting, cache, w))
 
         # phrase clauses (Lucene PhraseQuery over BM25: tf = phrase frequency,
         # idf = Σ per-term idf) — appended after term clauses in a fixed order
@@ -1009,8 +1043,9 @@ class BucketSearcher:
                 for m in grp:
                     for f in fields:
                         if isinstance(m, str):
-                            if stats[(f, m)][0] > 0:
-                                docs_any.append(posts[(f, m)].docs)
+                            mdf, mpost = _eff((f, m))
+                            if mdf > 0:
+                                docs_any.append(mpost.docs)
                         elif m[0] == "phrase":
                             if (f, m[1]) in phrase_docs:
                                 docs_any.append(phrase_docs[(f, m[1])])
@@ -1047,7 +1082,8 @@ class BucketSearcher:
                 candidates = g_docs if candidates is None else \
                     candidates[np.isin(candidates, g_docs, assume_unique=True)]
             for t in must:
-                docs_any = [posts[(f, t)].docs for f in fields if stats[(f, t)][0] > 0]
+                docs_any = [_eff((f, t))[1].docs for f in fields
+                            if _eff((f, t))[0] > 0]
                 term_docs = (np.unique(np.concatenate(docs_any))
                              if docs_any else np.empty(0, np.int64))
                 candidates = term_docs if candidates is None else \
@@ -1108,8 +1144,16 @@ class BucketSearcher:
         # matches in ANY searched field (duplicate clauses count separately,
         # like duplicate BooleanQuery subclauses). Scoring is unchanged —
         # every matched clause still contributes. msm > #clauses ⟹ no hits.
+        # msm == 1 is a no-op ONLY for a pure-OR query (matching already
+        # requires one SHOULD hit); with MUST clauses or filters present,
+        # SHOULD clauses are otherwise optional and msm = 1 is load-bearing
+        # (Lucene enforces it independently of the MUST side).
         msm = int(getattr(q, "min_should_match", 0) or 0)
-        if msm > 1:
+        has_must_side = bool(must or must_phrases or pk.must_slop_phrases
+                             or pk.must_prefixes or pk.must_fuzzies
+                             or pk.must_wildcards or pk.must_regexps
+                             or pk.must_pphrases or pk.must_groups)
+        if msm > 1 or (msm == 1 and (has_must_side or bool(q.filters))):
             clause_docs: list[np.ndarray] = []
 
             def _union(arrs):
@@ -1118,8 +1162,8 @@ class BucketSearcher:
 
             for t in should:
                 clause_docs.append(_union(
-                    [posts[(f, t)].docs for f in fields
-                     if stats[(f, t)][0] > 0]))
+                    [_eff((f, t))[1].docs for f in fields
+                     if _eff((f, t))[0] > 0]))
             for ph in phrases:
                 clause_docs.append(_union(
                     [phrase_docs[(f, ph)] for f in fields
@@ -1157,7 +1201,7 @@ class BucketSearcher:
             candidates = ok_docs if candidates is None else \
                 candidates[np.isin(candidates, ok_docs, assume_unique=True)]
         excluded = None
-        ex = [posts[p].docs for p in not_pairs if stats[p][0] > 0]
+        ex = [_eff(p)[1].docs for p in not_pairs if _eff(p)[0] > 0]
         ex += [phrase_docs[(f, ph)] for ph in not_phrases for f in fields
                if (f, ph) in phrase_docs]
         ex += [sphrase_docs[(f, sp)] for sp in pk.not_slop_phrases for f in fields
@@ -1449,6 +1493,10 @@ class BucketSearcher:
         if unsupported:
             raise ValueError("combined_fields (BM25F) supports term clauses "
                              "only (+term / -term / term^B)")
+        if int(getattr(q, "min_should_match", 0) or 0) > 0 \
+                or getattr(q, "synonyms", None):
+            raise ValueError("combined_fields (BM25F) does not support "
+                             "min_should_match or synonyms")
         fields = sorted(fw)
         # pseudo-field collection stats (CombinedFieldQuery.rewrite)
         fstats = self.stats.stats["fields"]
@@ -1539,6 +1587,16 @@ class BucketSearcher:
             valid[valid] &= union[idx[valid]] == docs[valid]
             np.add.at(acc, idx[valid], scores[valid].astype(np.float64))
         scores = acc.astype(dtype)
+        if candidates is not None and not pk.must:
+            # zero-score filter matches still qualify (SHOULD + FILTER
+            # BooleanQuery semantics — same zero_fill rule as _search_taat)
+            zero = candidates[~np.isin(candidates, union, assume_unique=True)]
+            if ts.size and zero.size:
+                zero = zero[~np.isin(zero, ts)]
+            if excluded is not None and zero.size:
+                zero = zero[~np.isin(zero, excluded, assume_unique=True)]
+            union = np.concatenate([union, zero])
+            scores = np.concatenate([scores, np.zeros(zero.size, dtype=dtype)])
         if after is not None:
             keep = _cursor_mask(union, scores, after)
             union, scores = union[keep], scores[keep]

@@ -20,9 +20,10 @@ ascending (mirrored in the SQL oracle's ORDER BY).
 
 * ``train_naive_bayes`` — one map_batches combiner emits per-batch PARTIAL
   (label, token, count) rows bucketed by hash(token); one small groupby
-  folds exact counts. Class totals / doc counts / vocab are tiny side
-  aggregates (≤ #labels and one int per bucket). Token streams never move —
-  the shuffle carries only distinct-(label, token) partials.
+  folds exact counts. Class doc counts are a tiny ≤ #labels-rows combiner
+  pass; class token totals and the vocab size derive from the folded
+  (label, token) counts on the driver (no extra corpus pass). Token streams
+  never move — the shuffle carries only distinct-(label, token) partials.
 * ``naive_bayes_classify`` — actor-pool map_batches stage; the model's
   sorted key arrays ship via ``ray.put`` ONCE and are fetched once per
   actor in the constructor. Per batch: Arrow tokenize, one vectorized
@@ -103,47 +104,28 @@ def train_naive_bayes(ds, text_col: str, label_col: str,
     lt_counts = rows["cnt"].to_numpy(dtype=np.int64)[order]
     lt_keys = lt_keys[order]
 
-    # class token totals + doc counts: one small Arrow groupby over
-    # per-batch partials (≤ #labels rows each — no token stream moves)
+    # per-class doc counts: one tiny combiner pass (≤ #labels rows per
+    # batch — no token stream moves)
     def class_partial(batch: pa.Table) -> pa.Table:
         col = batch[label_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        toks = pc.utf8_split_whitespace(batch[text_col])
-        n_tok = pc.list_value_length(toks).cast(pa.int64())
-        t = pa.table({"lbl": col.cast(pa.large_string()), "n": n_tok})
-        agg = t.group_by("lbl").aggregate([("n", "sum"), ("n", "count")])
+        t = pa.table({"lbl": col.cast(pa.large_string())})
+        agg = t.group_by("lbl").aggregate([("lbl", "count")])
         return pa.table({"lbl": agg["lbl"],
-                         "toks": agg["n_sum"].cast(pa.int64()),
-                         "docs": agg["n_count"].cast(pa.int64())})
+                         "docs": agg["lbl_count"].cast(pa.int64())})
 
     cls = (ds.map_batches(class_partial, batch_format="pyarrow")
              .to_pandas().groupby("lbl", as_index=False).sum()
              .sort_values("lbl"))
-    # NOTE: list_value_length counts empty-split artifacts as tokens only
-    # when the text has leading/trailing whitespace — the corpus tokenizer
-    # drops empties, so recompute exact totals from the (label, token)
-    # counts instead (Σ over tokens of class L), keeping both sides of the
-    # oracle on the SAME token definition.
+    # class token totals AND vocab both derive from the already-folded
+    # (label, token) counts — every train token appears in some row, so no
+    # extra corpus pass is needed (exact totals, same token definition as
+    # the per-(label, token) counts)
     lbls = cls["lbl"].to_numpy(dtype=object)
     key_lbl = np.array([k.split(" ", 1)[0] for k in lt_keys], dtype=object)
     class_tokens = np.array(
         [int(lt_counts[key_lbl == l].sum()) for l in lbls], dtype=np.int64)
-
-    def vocab_partial(batch: pa.Table) -> pa.Table:
-        words, _ = _tokens(batch[text_col])
-        u = np.unique(words.astype(object))
-        h = poly_hash_np(list(u), bits=32)
-        return pa.table({"tok": pa.array(u, pa.large_string()),
-                         "__b": pa.array((h % np.uint64(nb)).astype(np.int32))})
-
-    def vocab_fold(group: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array(
-            [pc.count_distinct(group["tok"]).as_py()], pa.int64())})
-
-    vocab = int(ds.map_batches(vocab_partial, batch_format="pyarrow")
-                  .groupby("__b").map_groups(vocab_fold,
-                                             batch_format="pyarrow")
-                  .to_pandas()["n"].sum())
+    vocab = int(len({k.split(" ", 1)[1] for k in lt_keys}))
 
     return NBModel(lt_keys=lt_keys, lt_counts=lt_counts,
                    labels=lbls,

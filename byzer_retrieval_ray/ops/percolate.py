@@ -104,9 +104,15 @@ class Percolator:
             starts = np.flatnonzero(np.diff(par, prepend=-1))
             pos = np.arange(par.size) - np.repeat(starts, np.diff(
                 np.append(starts, par.size)))
-            # pack (doc, pos) into one key; B bounds the position space
-            B = np.int64(1 << max(21, int(pos.max() + 8).bit_length())) \
-                if pos.size else np.int64(1 << 21)
+            # pack (doc, pos) into one key; B bounds the position space —
+            # sized by the LONGEST registered phrase (pos - j reaches
+            # -(len-1), which must not alias into the previous doc's key
+            # space; the engine's _phrase_posting sizes the same packing by
+            # max_pos + phrase_len + 1)
+            max_len = max(len(ph) for ph in self.phrases)
+            B = np.int64(1 << max(21, int(pos.max() + max_len + 2
+                                          if pos.size else max_len + 2
+                                          ).bit_length()))
             for ph in self.phrases:
                 cur = None
                 for j, t in enumerate(ph):

@@ -58,6 +58,22 @@ class TestPercolate:
             with pytest.raises(ValueError):
                 compile_queries({"q": bad})
 
+    def test_long_phrase_no_cross_doc_alias(self):
+        # REGRESSION (round-4 review): the (doc, pos) key packing must be
+        # sized by the longest registered phrase — pos - j reaches -(len-1)
+        # and must not alias into the previous doc's key space
+        import pyarrow as pa
+        ph = " ".join(f"w{i}" for i in range(12))      # 12-term phrase
+        p = Percolator({"q": f'"{ph}"'}, "text", "id")
+        long_doc = " ".join(f"x{i}" for i in range(3000))
+        batch = pa.table({
+            "id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([long_doc + " " + ph,     # contains the phrase
+                              "w5 w6 w7"], pa.string()),  # partial only
+        })
+        out = p(batch).to_pandas()
+        assert sorted(out["id"]) == [0]
+
     def test_inline_matcher_positions(self):
         # direct matcher probe: overlapping phrase occurrences, repeated
         # terms, phrase split across the doc — single-batch, no Ray

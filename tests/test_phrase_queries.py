@@ -390,6 +390,34 @@ class TestRegexp:
                                          "fields": ["content"], "limit": 10})[0]
         assert [r["_id"] for r in res] == [0]
 
+    def test_top_level_alternation_scans_all_branches(self, cluster):
+        # REGRESSION (round-4 review): /brown|quick/ must not bound the
+        # dictionary scan to the 'brown' literal prefix — the second branch
+        # has a different first letter
+        res = cluster.search("db", "p", {"keyword": "/brown|quick/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        # grouped alternation with a shared literal prefix still bounds
+        res = cluster.search("db", "p", {"keyword": "/qu(ick|een)/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5, 6]
+        # escaped | is literal (no token matches) — prefix rule unaffected
+        res = cluster.search("db", "p", {"keyword": r"/brown\|quick/",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert res == []
+
+    def test_regexp_inside_group_with_parens(self, cluster):
+        # REGRESSION (round-4 review): parens/brackets INSIDE /re/ within a
+        # ( ) group are literal regex syntax, not group delimiters
+        from byzer_retrieval_ray.functions.queryparser import parse_keyword
+        p = parse_keyword("(/[)]/ | dog)")
+        assert p.regexps == ["[)]"] and p.should == ["dog"]
+        p = parse_keyword("(/[(]/ | dog)")
+        assert p.regexps == ["[(]"] and p.should == ["dog"]
+        res = cluster.search("db", "p", {"keyword": "(/f(o|u)x/ | dog)",
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2]
+
     def test_must_not_and_group(self, cluster):
         res = cluster.search("db", "p", {"keyword": "quick -/f.x/",
                                          "fields": ["content"], "limit": 10})[0]
@@ -562,6 +590,26 @@ class TestBM25F:
             "keyword": "*", "combined_fields": ["title", "body"],
             "limit": 10})[0]
         assert len(res) == 3 and all(r["_score"] == 1.0 for r in res)
+
+    def test_msm_and_synonyms_rejected(self, fb_cluster):
+        for extra in ({"min_should_match": 2}, {"synonyms": {"merge": ["x"]}}):
+            with pytest.raises(Exception):
+                fb_cluster.search("db", "fb", dict(
+                    {"keyword": "merge sort",
+                     "combined_fields": ["title", "body"], "limit": 5},
+                    **extra))
+
+    def test_zero_fill_filter_matches(self, fb_cluster):
+        # REGRESSION (round-4 review): SHOULD + FILTER BooleanQuery
+        # semantics — a filtered combined query admits zero-score filter
+        # matches, exactly like the standard keyword path
+        q = {"keyword": "zzznotindexed",
+             "combined_fields": ["title", "body"],
+             "filters": {"and": [{"field": "_id", "min": 0, "max": 1}]},
+             "limit": 10}
+        res = fb_cluster.search("db", "fb", q, precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [0, 1]
+        assert all(r["_score"] == 0.0 for r in res)
 
 
 class TestNestedGroups:
@@ -782,6 +830,48 @@ class TestSynonyms:
                                          "synonyms": {"brown": ["quick"]}})[0]
         assert [r["_id"] for r in res] == [0]
 
+    def test_phrases_unaffected_by_synonym_on_their_terms(self, cluster):
+        # REGRESSION (round-4 review): the synonym merge must not clobber
+        # the positional posting a phrase clause reads for the same term —
+        # a merged posting has no positions (crash) and a single-variant
+        # merge would alias the alt's positions under the query term
+        # (silent false phrase matches).
+        base = cluster.search("db", "p", {"keyword": '"brown fox"',
+                                          "fields": ["content"],
+                                          "limit": 10},
+                              precision="float64")[0]
+        withsyn = cluster.search("db", "p", {"keyword": '"brown fox"',
+                                             "fields": ["content"],
+                                             "limit": 10,
+                                             "synonyms": {"brown": ["quick"]}},
+                                 precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in base] == \
+               [(r["_id"], r["_score"]) for r in withsyn]
+        # single-variant aliasing: "zebra fox" with zebra→brown must NOT
+        # match docs containing "brown fox"
+        res = cluster.search("db", "p", {"keyword": '"zebra fox"',
+                                         "fields": ["content"], "limit": 10,
+                                         "synonyms": {"zebra": ["brown"]}})[0]
+        assert res == []
+        # ...but the TERM query 'zebra' with the same synonym does match
+        res = cluster.search("db", "p", {"keyword": "zebra",
+                                         "fields": ["content"], "limit": 10,
+                                         "synonyms": {"zebra": ["brown"]}})[0]
+        assert sorted(r["_id"] for r in res) == [0, 1, 2, 3, 5]
+
+    def test_duplicate_alternatives_dedupe(self, cluster):
+        a = cluster.search("db", "p", {"keyword": "brown",
+                                       "fields": ["content"], "limit": 10,
+                                       "synonyms": {"brown": ["quick"]}},
+                           precision="float64")[0]
+        b = cluster.search("db", "p", {"keyword": "brown",
+                                       "fields": ["content"], "limit": 10,
+                                       "synonyms": {"brown": ["quick",
+                                                              "quick"]}},
+                           precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in a] == \
+               [(r["_id"], r["_score"]) for r in b]
+
     def test_taat_bmw_parity_and_noop(self, cluster):
         q = {"keyword": "brown fox", "fields": ["content"], "limit": 10,
              "synonyms": {"brown": ["quick"]}}
@@ -834,10 +924,20 @@ class TestMinShouldMatch:
         # MUST clauses don't count toward (or against) the should threshold
         got = self._s(cluster, "+brown quick fox", 2)
         assert sorted(i for i, _ in got) == [0, 1]
-        # 0/1 are no-ops (identical to the plain OR query)
+        # 0/1 are no-ops for a PURE-OR query (matching already needs one)
         a = self._s(cluster, "quick fox", 0)
         b = self._s(cluster, "quick fox", 1)
         assert a == b
+
+    def test_msm1_with_must_is_load_bearing(self, cluster):
+        # REGRESSION (round-4 review): Lucene's minShouldMatch=1 with a MUST
+        # present requires ≥1 SHOULD hit — SHOULDs are otherwise optional.
+        # '+brown jumps': without msm every brown doc matches; with msm=1
+        # only docs also containing 'jumps' survive (doc 0)
+        no_msm = self._s(cluster, "+brown jumps", 0)
+        assert sorted(i for i, _ in no_msm) == [0, 1, 2, 3, 5]
+        with_msm = self._s(cluster, "+brown jumps", 1)
+        assert [i for i, _ in with_msm] == [0]
 
     def test_actor_json_roundtrip(self, cluster):
         from byzer_retrieval_ray.table.query import SearchQuery
