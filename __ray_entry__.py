@@ -1472,6 +1472,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["percolate_docs"] = percolate_docs
 
+    def vector_mmr(sf):
+        # MMR diversified retrieval (Carbonell & Goldstein): exact top-20
+        # relevance pool, then 5 greedy picks by λ·rel − (1−λ)·max-sim-to-
+        # selected with λ=0.5; ties (obj desc, rel desc, doc_id asc)
+        c = _docsvec_cluster(sf)
+        qq = SearchQuery("db", "docsvec", vector=_query_vector(sf),
+                         vectorField="vector", limit=5)
+        out = c.mmr_search("db", "docsvec", qq, mmr_lambda=0.5, pool=20)
+        return pa.table({
+            "rk": pa.array([r["_rank"] for r in out], pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "mmr": pa.array(np.round([r["_score"] for r in out], 4),
+                            pa.float64()),
+            "rel": pa.array(np.round([r["_rel"] for r in out], 4),
+                            pa.float64()),
+        })
+    q["vector_mmr"] = vector_mmr
+
     def quality(sf):
         import ray.data
         from byzer_retrieval_ray.ops.text import QualityScorer
@@ -2643,6 +2661,52 @@ WITH vec AS (
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM vec ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # MMR: 5-step greedy unrolled — step i picks argmax over the remaining
+    # pool of 0.5·rel − 0.5·MAX sim to the already-selected, ties
+    # (m desc, rel desc, doc_id asc); step 1's objective is 0.5·rel
+    sql["vector_mmr"] = f"""
+WITH pool AS (
+  SELECT d.doc_id,
+         (1.0e0 + list_cosine_similarity(e.embedding::DOUBLE[], {_vec})) / 2.0e0 AS rel,
+         e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ORDER BY rel DESC, d.doc_id LIMIT 20
+),
+s1 AS (SELECT doc_id, rel, v, 0.5e0 * rel AS m FROM pool
+       ORDER BY rel DESC, doc_id LIMIT 1),
+c2 AS (SELECT p.doc_id, p.rel, p.v,
+              0.5e0 * p.rel - 0.5e0 * (SELECT MAX((1.0e0
+                  + list_cosine_similarity(p.v, s.v)) / 2.0e0) FROM s1 s) AS m
+       FROM pool p WHERE p.doc_id NOT IN (SELECT doc_id FROM s1)),
+s2 AS (SELECT doc_id, rel, v, m FROM c2 ORDER BY m DESC, rel DESC, doc_id LIMIT 1),
+sel2 AS (SELECT doc_id, v FROM s1 UNION ALL SELECT doc_id, v FROM s2),
+c3 AS (SELECT p.doc_id, p.rel, p.v,
+              0.5e0 * p.rel - 0.5e0 * (SELECT MAX((1.0e0
+                  + list_cosine_similarity(p.v, s.v)) / 2.0e0) FROM sel2 s) AS m
+       FROM pool p WHERE p.doc_id NOT IN (SELECT doc_id FROM sel2)),
+s3 AS (SELECT doc_id, rel, v, m FROM c3 ORDER BY m DESC, rel DESC, doc_id LIMIT 1),
+sel3 AS (SELECT doc_id, v FROM sel2 UNION ALL SELECT doc_id, v FROM s3),
+c4 AS (SELECT p.doc_id, p.rel, p.v,
+              0.5e0 * p.rel - 0.5e0 * (SELECT MAX((1.0e0
+                  + list_cosine_similarity(p.v, s.v)) / 2.0e0) FROM sel3 s) AS m
+       FROM pool p WHERE p.doc_id NOT IN (SELECT doc_id FROM sel3)),
+s4 AS (SELECT doc_id, rel, v, m FROM c4 ORDER BY m DESC, rel DESC, doc_id LIMIT 1),
+sel4 AS (SELECT doc_id, v FROM sel3 UNION ALL SELECT doc_id, v FROM s4),
+c5 AS (SELECT p.doc_id, p.rel, p.v,
+              0.5e0 * p.rel - 0.5e0 * (SELECT MAX((1.0e0
+                  + list_cosine_similarity(p.v, s.v)) / 2.0e0) FROM sel4 s) AS m
+       FROM pool p WHERE p.doc_id NOT IN (SELECT doc_id FROM sel4)),
+s5 AS (SELECT doc_id, rel, v, m FROM c5 ORDER BY m DESC, rel DESC, doc_id LIMIT 1),
+steps AS (
+  SELECT 0 AS rk, doc_id, m, rel FROM s1
+  UNION ALL SELECT 1, doc_id, m, rel FROM s2
+  UNION ALL SELECT 2, doc_id, m, rel FROM s3
+  UNION ALL SELECT 3, doc_id, m, rel FROM s4
+  UNION ALL SELECT 4, doc_id, m, rel FROM s5
+)
+SELECT rk, doc_id, ROUND(m, 4) AS mmr, ROUND(rel, 4) AS rel
+FROM steps ORDER BY rk"""
 
     sql["hybrid_rrf"] = f"""
 WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},

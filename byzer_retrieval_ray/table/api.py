@@ -893,6 +893,68 @@ class RetrievalCluster:
         return int(sum(s.count_keyword(q, precision)
                        for s in self._searchers(database, table)))
 
+    def mmr_search(self, database: str, table: str, query,
+                   mmr_lambda: float = 0.7, pool: int = 50,
+                   precision: str = "float64") -> list[dict]:
+        """Maximal-marginal-relevance diversified vector retrieval
+        (Carbonell & Goldstein 1998 — the standard RAG context-diversifier;
+        extension, the reference has no diversification). Stage 1: exact
+        brute-cosine top-``pool`` relevance candidates (the normal vector
+        search). Stage 2: greedy selection of ``query.limit`` docs by
+        ``mmr = λ·rel − (1−λ)·max_{s∈selected} sim(doc, s)`` with
+        rel = the engine's (1+cos)/2 vector score, sim the same transform
+        between DOC vectors, ties broken by doc_id ascending; the first
+        pick's objective is λ·rel (empty selected set). Returns
+        ``[{key fields…, _score: mmr objective, _rel: relevance, _rank}]``
+        in selection order. Driver-side over ``pool`` rows only — the
+        distributed work is the stage-1 search."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("mmr_search takes exactly one query")
+        q = qs[0]
+        if not q.has_vector or q.has_keyword:
+            raise ValueError("mmr_search is vector-only")
+        from dataclasses import replace
+        pool_q = replace(q, limit=int(pool))
+        rows = self.search(database, table, pool_q, precision=precision,
+                           vector_algorithm="brute")[0]
+        if not rows:
+            return []
+        vf = q.vectorField
+        if vf not in rows[0]:
+            raise KeyError(f"vector field {vf!r} is not stored in results")
+        V = np.array([r[vf] for r in rows], dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        # rel is RECOMPUTED from the same normalized matrix the similarities
+        # use, and similarity columns are taken per step with the SAME
+        # matrix-vector kernel (a full V@V.T GEMM sums in a different order
+        # than the V@q GEMV, leaving ±1e-16 noise): when the query IS a
+        # document's vector, rel_i − sim(i, that doc) is then EXACTLY zero,
+        # so mass ties break deterministically by pool order instead of by
+        # float noise. The search score only orders the pool.
+        qn = np.asarray(q.vector, dtype=np.float64)
+        qn = qn / max(float(np.linalg.norm(qn)), 1e-30)
+        rel = (1.0 + V @ qn) / 2.0
+        lam = float(mmr_lambda)
+        k = min(int(q.limit), len(rows))
+        out: list[dict] = []
+        cand = np.ones(len(rows), dtype=bool)
+        max_sim = np.zeros(len(rows), dtype=np.float64)
+        for rank in range(k):
+            obj = lam * rel - (1.0 - lam) * max_sim
+            obj_m = np.where(cand, obj, -np.inf)
+            # ties → first in pool order, i.e. (obj desc, rel desc,
+            # doc_id asc) — the SQL oracle mirrors that exact ORDER BY
+            best = int(np.argmax(obj_m))
+            cand[best] = False
+            r = dict(rows[best])
+            r["_rel"] = float(rel[best])
+            r["_score"] = float(obj[best])
+            r["_rank"] = rank
+            out.append(r)
+            max_sim = np.maximum(max_sim, (1.0 + V @ V[best]) / 2.0)
+        return out
+
     def facet_counts(self, database: str, table: str, query, facet_field: str,
                      limit: int = 10, precision: str = "float32") -> list[dict]:
         """Facet counts of a stored field over a keyword query's ENTIRE match
