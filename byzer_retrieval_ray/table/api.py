@@ -923,17 +923,27 @@ class RetrievalCluster:
         vf = q.vectorField
         if vf not in rows[0]:
             raise KeyError(f"vector field {vf!r} is not stored in results")
+        # deterministic pool order = (engine rel desc, USER key asc): the
+        # search merge tie-breaks by the INTERNAL stride doc_id, which for
+        # multi-generation / multi-part tables is not user-key order — the
+        # SQL oracle (and the documented contract) order by the user key
+        key_field = self.manifest(database, table).data.get("key_field")
+        if key_field and key_field in rows[0]:
+            rows = sorted(rows, key=lambda r: (-r["_score"], r[key_field]))
         V = np.array([r[vf] for r in rows], dtype=np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
         # rel is RECOMPUTED from the same normalized matrix the similarities
-        # use, and similarity columns are taken per step with the SAME
-        # matrix-vector kernel (a full V@V.T GEMM sums in a different order
-        # than the V@q GEMV, leaving ±1e-16 noise): when the query IS a
-        # document's vector, rel_i − sim(i, that doc) is then EXACTLY zero,
-        # so mass ties break deterministically by pool order instead of by
-        # float noise. The search score only orders the pool.
-        qn = np.asarray(q.vector, dtype=np.float64)
-        qn = qn / max(float(np.linalg.norm(qn)), 1e-30)
+        # use, with BOTH normalizations and all dot products on the same
+        # axis-1/GEMV kernels (a 1-D np.linalg.norm uses a different BLAS
+        # path that can round the norm 1 ulp differently, and a full V@V.T
+        # GEMM sums in a different order — either leaves ±1e-16 noise):
+        # when the query IS a document's vector, rel_i − sim(i, that doc)
+        # is then EXACTLY zero, so mass ties break deterministically by
+        # pool order instead of by float noise. The search score only
+        # selects and orders the pool.
+        qn = np.asarray(q.vector, dtype=np.float64)[None, :]
+        qn = (qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True),
+                              1e-30))[0]
         rel = (1.0 + V @ qn) / 2.0
         lam = float(mmr_lambda)
         k = min(int(q.limit), len(rows))

@@ -98,6 +98,29 @@ class TestMMR:
         assert [r["_id"] for r in out] == [w[0] for w in want]
         assert out[1]["_score"] == 0.0      # exact, not ±1e-16
 
+    def test_duplicate_vectors_tie_break_by_user_key(self, ray_session,
+                                                     tmp_path):
+        # REGRESSION (round-4 review): exact-duplicate embeddings across
+        # DELTA generations tie in rel bit-for-bit; the pick must follow the
+        # USER key ascending (the documented contract and the SQL oracle's
+        # ORDER BY), not the internal stride id (which sorts gen-1 docs
+        # before a later generation's)
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "m", SCHEMA, loc))
+        dup = [1.0, 0.5, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0]
+        other = [0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+        c.build_from_local("db", "m", [
+            {"_id": 5, "text": "dup a", "vec": dup},
+            {"_id": 9, "text": "other", "vec": other},
+        ], key_field="_id", num_doc_parts=2, num_term_parts=2)
+        c.build_from_local("db", "m", [
+            {"_id": 1, "text": "dup b", "vec": dup},   # same vector, lower key
+        ], key_field="_id", num_doc_parts=2, num_term_parts=2)
+        q = SearchQuery("db", "m", vector=dup, vectorField="vec", limit=3)
+        out = c.mmr_search("db", "m", q, mmr_lambda=0.5, pool=10)
+        assert out[0]["_id"] == 1     # lowest USER key among the rel tie
+
     def test_keyword_query_rejected(self, mmr_cluster):
         c, _, qv = mmr_cluster
         with pytest.raises(ValueError):

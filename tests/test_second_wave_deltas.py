@@ -83,7 +83,7 @@ class TestSecondWaveAcrossDeltas:
         # explain a doc living in the DELTA generation (doc 2, added there)
         res = delta.search("db", "t", q, precision="float64")[0]
         byid = {r["_id"]: r["_score"] for r in res}
-        assert 2 in byid   # the replacement (merge x3) matches
+        assert 2 in byid   # the delta-added doc (merge ×3) matches
         ex = delta.explain("db", "t", q, 2, precision="float64")
         assert ex["matched"] and ex["score"] == byid[2]
 
