@@ -719,9 +719,8 @@ class BucketSearcher:
             # BM25F pseudo-field scoring (CombinedFieldQuery) — separate
             # evaluator; match-all falls through to the standard path
             # ("*" scores 1.0 regardless of field blending)
-            if explain_doc is not None:
-                raise ValueError("explain does not support combined_fields")
-            return self._search_combined(q, precision, after=after)
+            return self._search_combined(q, precision, after=after,
+                                         explain_doc=explain_doc)
 
         candidates = self.filter_candidates(q.filters)
         keyword = (q.keyword or "").strip()
@@ -1459,7 +1458,7 @@ class BucketSearcher:
         return cache[field]
 
     def _search_combined(self, q: SearchQuery, precision: str,
-                         after=None) -> tuple[np.ndarray, np.ndarray]:
+                         after=None, explain_doc: int | None = None):
         """BM25F top-limit (Lucene sandbox CombinedFieldQuery semantics):
         tf = Σ_f w_f·tf_f, dl = Σ_f w_f·quantized_len_f, avgdl =
         Σ_f w_f·sumTotalTermFreq_f / docCount (docCount = max over fields),
@@ -1536,7 +1535,7 @@ class BucketSearcher:
             return (np.unique(np.concatenate(arrs)) if arrs
                     else np.empty(0, np.int64))
 
-        term_scores = []   # (docs, dtype scores) per scored term, clause order
+        term_scores = []   # (term, docs, scores, tf_c, dl_c, w), clause order
         for t in mult:
             df_c = max((stats[(f, t)][0] for f in fields), default=0)
             if df_c == 0:
@@ -1557,7 +1556,7 @@ class BucketSearcher:
             w = bm25.term_weight(doc_count, df_c, boost=float(mult[t]),
                                  dtype=dtype)
             s = (w - w / (one + tfc.astype(dtype) * norm_inv)).astype(dtype)
-            term_scores.append((u, s))
+            term_scores.append((t, u, s, tfc, dlc, w))
 
         candidates = self.filter_candidates(q.filters)
         for t in pk.must:
@@ -1570,7 +1569,36 @@ class BucketSearcher:
         if ex:
             excluded = np.unique(np.concatenate(ex))
 
-        all_docs = [d for d, _ in term_scores]
+        if explain_doc is not None:
+            # Lucene-explain shape for BM25F (same contract as _explain_at:
+            # per-clause dtype scores accumulated in float64 in clause
+            # order — the explained total equals the doc's search score)
+            d = np.int64(int(explain_doc))
+            in_cand = candidates is None or bool(np.isin(d, candidates))
+            is_excl = (excluded is not None and bool(np.isin(d, excluded))) \
+                or bool(self._ts_in_bucket.size
+                        and np.isin(d, self._ts_in_bucket))
+            label = "combined(" + ",".join(
+                f"{f}^{fw[f]:g}" if fw[f] != 1.0 else f
+                for f in fields) + ")"
+            clauses: list[dict] = []
+            acc = np.float64(0.0)
+            for t, u, s, tfc, dlc, w in term_scores:
+                idx = int(np.searchsorted(u, d))
+                if idx >= u.size or u[idx] != d:
+                    continue
+                clauses.append({"field": label, "clause": t,
+                                "kind": "bm25f", "tf": float(tfc[idx]),
+                                "dl": float(dlc[idx]), "weight": float(w),
+                                "score": float(s[idx])})
+                acc += np.float64(s[idx])
+            matched = bool(clauses) and in_cand and not is_excl
+            return {"doc_id": int(explain_doc), "matched": matched,
+                    "score": float(dtype(acc)) if matched else 0.0,
+                    "clauses": clauses, "in_candidates": in_cand,
+                    "excluded": is_excl}
+
+        all_docs = [u for _, u, _, _, _, _ in term_scores]
         union = (np.unique(np.concatenate(all_docs)) if all_docs
                  else np.empty(0, np.int64))
         if candidates is not None:
@@ -1581,7 +1609,7 @@ class BucketSearcher:
         if excluded is not None and union.size:
             union = union[~np.isin(union, excluded, assume_unique=True)]
         acc = np.zeros(union.size, dtype=np.float64)
-        for docs, scores in term_scores:   # clause order = float addition order
+        for _, docs, scores, _, _, _ in term_scores:   # clause order = float addition order
             idx = np.searchsorted(union, docs)
             valid = idx < union.size
             valid[valid] &= union[idx[valid]] == docs[valid]

@@ -591,6 +591,24 @@ class TestBM25F:
             "limit": 10})[0]
         assert len(res) == 3 and all(r["_score"] == 1.0 for r in res)
 
+    def test_explain_bm25f_bitexact(self, fb_cluster):
+        q = {"keyword": "+merge sort", "combined_fields": ["title^2", "body"],
+             "limit": 10}
+        for precision in ("float32", "float64"):
+            res = fb_cluster.search("db", "fb", q, precision=precision)[0]
+            assert res
+            for r in res:
+                ex = fb_cluster.explain("db", "fb", q, r["_id"],
+                                        precision=precision)
+                assert ex["matched"] and ex["score"] == r["_score"]
+                assert all(c["kind"] == "bm25f" for c in ex["clauses"])
+        # doc 1 fails +merge? no — doc 1 has merge in body; check a gated doc
+        ex = fb_cluster.explain("db", "fb",
+                                {"keyword": "+sort merge",
+                                 "combined_fields": ["title", "body"],
+                                 "limit": 10}, 1)
+        assert not ex["matched"] and not ex["in_candidates"]  # no 'sort'
+
     def test_msm_and_synonyms_rejected(self, fb_cluster):
         for extra in ({"min_should_match": 2}, {"synonyms": {"merge": ["x"]}}):
             with pytest.raises(Exception):
