@@ -93,13 +93,13 @@ two-arg constructor), default operator OR. Supported here:
                          -(a | "b c")       → -a -"b c"    (De Morgan)
                          -(+a b)            → -a            (group match ⟺ a)
                          (a +b) as the ONLY top-level clause → spliced wholesale
-                       The remaining shapes are NOT expressible in a flat
-                       BooleanQuery and raise with a rewrite hint:
-                         a SHOULD group containing +/- next to sibling clauses
-                         (``foo (bar +baz)``) — the requirement is scoped to
-                         one alternative; a prohibited group with more than one
-                         required member or inner exclusions (``-(+a +b)``,
-                         ``-(a -b)``) — an excluded conjunction.
+                       The two flat-inexpressible shapes are kept as NESTED
+                       nodes and evaluated recursively (round-4 second wave):
+                         foo (bar +baz)     → should_group: matches where its
+                                              own musts/nots say; members
+                                              score only inside that set
+                         -(+a +b), -(a -b)  → not_group: excluded conjunction
+                       Unbalanced parens still raise.
     term^B           → boosted term (EXTENSION — the classic Lucene
                        QueryParser boost; SimpleQueryParser has none): the
                        clause weight multiplies by B (float ≥ 0). Linear in
@@ -231,6 +231,8 @@ def _restore_parsed(p: "ParsedKeyword") -> "ParsedKeyword":
     p.boosts = {_restore(t): b for t, b in p.boosts.items()}
     p.should_groups = [_restore_parsed(g) for g in p.should_groups]
     p.not_groups = [_restore_parsed(g) for g in p.not_groups]
+    p.msm_units = [[_restore_member(m) for m in unit]
+                   for unit in p.msm_units]
     return p
 
 
@@ -277,6 +279,14 @@ class ParsedKeyword:
     #     matching the sub-query are excluded from the result.
     should_groups: list = field(default_factory=list)  # ParsedKeyword nodes
     not_groups: list = field(default_factory=list)     # ParsedKeyword nodes
+    # TOP-LEVEL SHOULD clause units for min_should_match counting (Lucene
+    # counts BooleanQuery clauses BEFORE any flattening): each unit is a
+    # list of typed members whose doc sets OR together — a plain clause is
+    # a 1-member unit, a pure-OR group `(a | b)` is ONE unit of its
+    # members, a nested group is a 1-member [("group", node)] unit.
+    # Members spliced out of REQUIRED groups (scoring-only) and all MUST /
+    # MUST_NOT clauses are NOT units.
+    msm_units: list = field(default_factory=list)
 
     # ---- flatten helpers (group splicing) ----
 
@@ -452,7 +462,10 @@ def _parse_query(s: str, top: bool) -> ParsedKeyword:
     clauses = _scan_clauses(s)
     non_empty = [cl for cl in clauses
                  if not (cl[1] == "group" and not cl[2].strip())]
-    only = top and len(non_empty) == 1
+    # Lucene's BooleanQuery.simplify() unwraps a one-clause BooleanQuery at
+    # EVERY level, so a group that is the sole clause of its level splices
+    # wholesale (top or nested alike)
+    only = len(non_empty) == 1
     for op, kind, payload in clauses:
         if kind == "group":
             if not str(payload).strip():
@@ -469,6 +482,8 @@ def _parse_query(s: str, top: bool) -> ParsedKeyword:
                 pp = (terms[:-1], terms[-1][:-1])
                 (p.must_pphrases if op == "+" else p.not_pphrases
                  if op == "-" else p.pphrases).append(pp)
+                if op == "":
+                    p.msm_units.append([("pprefix", pp[0], pp[1])])
             elif len(terms) == 1:
                 # single-term phrase == term query (Lucene; slop is
                 # irrelevant); a single quoted prefix/wildcard ("so*")
@@ -478,13 +493,19 @@ def _parse_query(s: str, top: bool) -> ParsedKeyword:
                 else:
                     (p.must if op == "+" else p.must_not if op == "-"
                      else p.should).append(terms[0])
+                    if op == "":
+                        p.msm_units.append([terms[0]])
             elif terms and slop is not None and slop > 0:
                 sp = (terms, slop)
                 (p.must_slop_phrases if op == "+" else p.not_slop_phrases
                  if op == "-" else p.slop_phrases).append(sp)
+                if op == "":
+                    p.msm_units.append([("slop", terms, slop)])
             elif terms:
                 (p.must_phrases if op == "+" else p.not_phrases if op == "-"
                  else p.phrases).append(terms)
+                if op == "":
+                    p.msm_units.append([("phrase", terms)])
         else:
             _take_token(p, str(payload))
     return p
@@ -502,6 +523,8 @@ def _take_token(p: ParsedKeyword, raw: str) -> None:
         # BEFORE wildcard/prefix/fuzzy — the pattern may contain * ? ~ ^)
         (p.must_regexps if op == "+" else p.not_regexps if op == "-"
          else p.regexps).append(tok[1:-1])
+        if op == "":
+            p.msm_units.append([("regexp", tok[1:-1])])
         return
     core = tok[:-1] if tok.endswith("*") else tok
     if len(tok) > 1 and ("?" in tok or "*" in core):
@@ -510,16 +533,22 @@ def _take_token(p: ParsedKeyword, raw: str) -> None:
         # the token is a literal pattern character here)
         (p.must_wildcards if op == "+" else p.not_wildcards if op == "-"
          else p.wildcards).append(tok)
+        if op == "":
+            p.msm_units.append([("wildcard", tok)])
         return
     if tok.endswith("*") and len(tok) > 1:
         (p.must_prefixes if op == "+" else p.not_prefixes if op == "-"
          else p.prefixes).append(tok[:-1])
+        if op == "":
+            p.msm_units.append([("prefix", tok[:-1])])
         return
     m = _FUZZY_RE.match(tok)
     if m and len(m.group(1)) > 0:
         n_edits = int(m.group(2)) if m.group(2) else 2   # bare ~ = 2 (Lucene)
         (p.must_fuzzies if op == "+" else p.not_fuzzies if op == "-"
          else p.fuzzies).append((m.group(1), n_edits))
+        if op == "":
+            p.msm_units.append([("fuzzy", m.group(1), n_edits)])
         return
     mb = _BOOST_RE.match(tok)
     if mb:
@@ -530,6 +559,8 @@ def _take_token(p: ParsedKeyword, raw: str) -> None:
             p.boosts[tok] = p.boosts.get(tok, 0.0) + (b - 1.0)
     (p.must if op == "+" else p.must_not if op == "-"
      else p.should).append(tok)
+    if op == "":
+        p.msm_units.append([tok])
 
 
 def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
@@ -608,15 +639,25 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
         p.not_groups.append(sub)
         return
     # SHOULD group
+    if only_clause:
+        # the group IS the (sub)query — Lucene's BooleanQuery.simplify()
+        # unwraps a sole clause at every level, so min_should_match applies
+        # to the group's OWN clauses, not to the one-clause wrapper
+        p._extend_all(sub)
+        p.msm_units.extend(sub.msm_units)
+        return
     if not has_must and not has_not:
         p._extend_should(sub)           # OR of OR flattens
         p.must_groups.extend(sub.must_groups)
-        return
-    if only_clause:
-        p._extend_all(sub)              # the group IS the query
+        # min_should_match counts the GROUP as one clause (Lucene counts
+        # BooleanQuery clauses before flattening): one unit of its members
+        members = sub._should_members()
+        if members:
+            p.msm_units.append(members)
         return
     # foo (bar +baz): the inner requirement scopes to the group alone —
     # kept as a nested node; it matches where its own musts/nots say and
     # its scoring members score only inside that match set (Lucene
     # BooleanQuery-as-SHOULD-subclause semantics)
     p.should_groups.append(sub)
+    p.msm_units.append([("group", sub)])

@@ -1153,46 +1153,50 @@ class BucketSearcher:
                              or pk.must_wildcards or pk.must_regexps
                              or pk.must_pphrases or pk.must_groups)
         if msm > 1 or (msm == 1 and (has_must_side or bool(q.filters))):
+            # one doc set per TOP-LEVEL SHOULD unit (pk.msm_units — Lucene
+            # counts BooleanQuery clauses BEFORE flattening, so a pure-OR
+            # group is ONE unit and members spliced out of required groups
+            # don't count at all); a unit's members OR together
             clause_docs: list[np.ndarray] = []
 
-            def _union(arrs):
-                return (np.unique(np.concatenate(arrs)) if arrs
-                        else np.empty(0, np.int64))
+            def _member_set(m) -> list[np.ndarray]:
+                if isinstance(m, str):
+                    return [_eff((f, m))[1].docs for f in fields
+                            if _eff((f, m))[0] > 0]
+                if m[0] == "phrase":
+                    return [phrase_docs[(f, m[1])] for f in fields
+                            if (f, m[1]) in phrase_docs]
+                if m[0] == "slop":
+                    key = (m[1], m[2])
+                    return [sphrase_docs[(f, key)] for f in fields
+                            if (f, key) in sphrase_docs]
+                if m[0] == "prefix":
+                    return [prefix_docs[(f, m[1])] for f in fields
+                            if (f, m[1]) in prefix_docs]
+                if m[0] == "fuzzy":
+                    key = (m[1], m[2])
+                    return [fuzzy_docs[(f, key)] for f in fields
+                            if (f, key) in fuzzy_docs]
+                if m[0] == "wildcard":
+                    return [wild_docs[(f, m[1])] for f in fields
+                            if (f, m[1]) in wild_docs]
+                if m[0] == "regexp":
+                    return [rx_docs[(f, m[1])] for f in fields
+                            if (f, m[1]) in rx_docs]
+                if m[0] == "pprefix":
+                    key = (m[1], m[2])
+                    return [pp_docs[(f, key)] for f in fields
+                            if (f, key) in pp_docs]
+                if m[0] == "group":
+                    gd = sg_docs.get(id(m[1]))
+                    return [gd] if gd is not None and gd.size else []
+                return []
 
-            for t in should:
-                clause_docs.append(_union(
-                    [_eff((f, t))[1].docs for f in fields
-                     if _eff((f, t))[0] > 0]))
-            for ph in phrases:
-                clause_docs.append(_union(
-                    [phrase_docs[(f, ph)] for f in fields
-                     if (f, ph) in phrase_docs]))
-            for sp in pk.slop_phrases:
-                clause_docs.append(_union(
-                    [sphrase_docs[(f, sp)] for f in fields
-                     if (f, sp) in sphrase_docs]))
-            for pre in pk.prefixes:
-                clause_docs.append(_union(
-                    [prefix_docs[(f, pre)] for f in fields
-                     if (f, pre) in prefix_docs]))
-            for fz in pk.fuzzies:
-                clause_docs.append(_union(
-                    [fuzzy_docs[(f, fz)] for f in fields
-                     if (f, fz) in fuzzy_docs]))
-            for wc in pk.wildcards:
-                clause_docs.append(_union(
-                    [wild_docs[(f, wc)] for f in fields
-                     if (f, wc) in wild_docs]))
-            for rx in pk.regexps:
-                clause_docs.append(_union(
-                    [rx_docs[(f, rx)] for f in fields
-                     if (f, rx) in rx_docs]))
-            for ppx in pk.pphrases:
-                clause_docs.append(_union(
-                    [pp_docs[(f, ppx)] for f in fields
-                     if (f, ppx) in pp_docs]))
-            for g in pk.should_groups:
-                clause_docs.append(sg_docs[id(g)])
+            for unit in pk.msm_units:
+                arrs = [a for m in unit for a in _member_set(m)]
+                clause_docs.append(
+                    np.unique(np.concatenate(arrs)) if arrs
+                    else np.empty(0, np.int64))
             merged = (np.concatenate(clause_docs) if clause_docs
                       else np.empty(0, np.int64))
             u, cnt = np.unique(merged, return_counts=True)
