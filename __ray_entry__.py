@@ -772,6 +772,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docs", q2)
     q["bm25_msm"] = bm25_msm
 
+    def bm25_msm_group(sf):
+        # min_should_match with a grouped alternative: Lucene counts
+        # BooleanQuery clauses BEFORE flattening, so (sort | order) is ONE
+        # should clause — a doc holding both 'sort' and 'order' but nothing
+        # else has matched 1 unit, not 2. Scoring is the plain flattened OR
+        # over all five terms (OR-of-OR flattens for scoring).
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge (sort | order) heap scan",
+                         fields=["text"], limit=20, min_should_match=2)
+        return _search_rows(c, "docs", q2)
+    q["bm25_msm_group"] = bm25_msm_group
+
     def bm25_synonyms(sf):
         # query-time synonyms (Lucene SynonymQuery): 'sort' and its synonym
         # 'order' score as ONE pseudo-term — tf = Σ variant freqs per doc,
@@ -2413,6 +2425,27 @@ mcnt AS (
 SELECT s.doc_id, ROUND(s.score, 4) AS score
 FROM scored s JOIN mcnt ON mcnt.doc_id = s.doc_id
 WHERE mcnt.m >= 2
+ORDER BY score DESC, s.doc_id LIMIT 20"""
+
+    # merge (sort | order) heap scan with min_should_match=2: scoring is the
+    # flattened OR over all five terms, but the unit count treats the group
+    # as ONE clause — a doc matches units = [merge] + [sort OR order] +
+    # [heap] + [scan], and needs >= 2 of those four
+    sql["bm25_msm_group"] = f"""
+WITH {_SQL_TOKS},
+{_sql_term_scores(["merge", "sort", "order", "heap", "scan"])},
+units AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+       + MAX(CASE WHEN term IN ('sort', 'order') THEN 1 ELSE 0 END)
+       + MAX(CASE WHEN term = 'heap' THEN 1 ELSE 0 END)
+       + MAX(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS m
+  FROM tf WHERE term IN ('merge', 'sort', 'order', 'heap', 'scan')
+  GROUP BY doc_id
+)
+SELECT s.doc_id, ROUND(s.score, 4) AS score
+FROM scored s JOIN units u ON u.doc_id = s.doc_id
+WHERE u.m >= 2
 ORDER BY score DESC, s.doc_id LIMIT 20"""
 
     # merge + SynonymQuery(sort, order): the synonym group is ONE BM25 clause
