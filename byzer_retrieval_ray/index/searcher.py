@@ -481,6 +481,54 @@ _EMPTY = Posting(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.ui
                  np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8))
 
 
+def _lucene_sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+    """One doc's sloppy frequency under Lucene's SloppyPhraseMatcher stream
+    for NON-REPEATING phrase terms (SloppyPhraseMatcher.java phraseFreq —
+    the published algorithm, reimplemented from its documented behavior).
+    ``pos_lists[j]`` holds term j's ADJUSTED positions (token position − j),
+    sorted ascending, non-empty. PhrasePositions are kept in a heap ordered
+    by (position, query offset); the minimum is repeatedly advanced, and
+    every time the advanced entry overshoots the new minimum the current
+    match — length ``end − min`` where ``end`` is the max position ever seen
+    — is scored if ≤ slop, weighted 1/(1+length) (computeSlopFactor); a
+    final match is scored when any term's positions run out. In-order exact
+    occurrences have length 0, a transposed adjacent pair has length 2."""
+    heap: list[tuple[int, int, int]] = []   # (adjusted pos, offset j, next idx)
+    end = int(pos_lists[0][0])
+    for j, pl in enumerate(pos_lists):
+        p = int(pl[0])
+        heap.append((p, j, 1))
+        if p > end:
+            end = p
+    heapq.heapify(heap)
+    freq = 0.0
+    pos, j, nxt = heapq.heappop(heap)
+    match_length = end - pos
+    next_pos = heap[0][0]
+    while True:
+        pl = pos_lists[j]
+        if nxt >= len(pl):              # this term exhausted: stream done
+            break
+        pos = int(pl[nxt])
+        nxt += 1
+        if pos > end:
+            end = pos
+        if pos > next_pos:              # done minimizing the current match
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos, j, nxt))
+            pos, j, nxt = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 def _cursor_mask(ids: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
     """Boolean mask of hits STRICTLY after the ``(score, doc_id)`` pagination
     cursor in the (score desc, doc_id asc) result order (Lucene
@@ -708,6 +756,12 @@ class BucketSearcher:
         so the explained total equals the doc's search score exactly (same
         per-clause dtype scores, same float64 accumulation order)."""
         dtype = np.float32 if precision == "float32" else np.float64
+        # per-call sloppy-phrase order mode (SearchQuery.slop_in_order);
+        # read by _sloppy_posting on every path of this call (main clauses,
+        # msm member sets, nested groups). Queries run serially per searcher
+        # (one driver loop / single-threaded actor), so a per-call attribute
+        # cannot race
+        self._slop_ordered = bool(getattr(q, "slop_in_order", True))
         limit = q.limit
         after = getattr(q, "search_after", None)
         if after is not None:
@@ -1370,7 +1424,12 @@ class BucketSearcher:
         ``_phrase_posting``; float tf flows through the same BM25 kernels
         (score_tf_norm casts). Documented divergence from Lucene's
         SloppyPhraseMatcher: transposed (out-of-order) matches don't match, and
-        repeated-term window enumeration differs."""
+        repeated-term window enumeration differs. Opt-in Lucene parity:
+        ``SearchQuery(slop_in_order=False)`` routes to
+        ``_sloppy_posting_unordered`` (the published stream algorithm,
+        non-repeating terms only)."""
+        if not getattr(self, "_slop_ordered", True):
+            return self._sloppy_posting_unordered(fld, terms, slop, posts)
         plist = [posts.get((fld, t), _EMPTY) for t in terms]
         docs = plist[0].docs
         for p in plist[1:]:
@@ -1416,6 +1475,50 @@ class BucketSearcher:
         weights = 1.0 / (1.0 + cost[kept].astype(np.float64))
         freqs = np.bincount(end[kept] // BIGP, weights=weights, minlength=docs.size)
         keep = freqs > 0
+        docs, freqs = docs[keep], freqs[keep]
+        norms = plist[0].norms[np.searchsorted(plist[0].docs, docs)]
+        B = codec.BLOCK_SIZE
+        starts = np.arange(0, docs.size, B)
+        return Posting(docs, freqs, norms, docs[starts],
+                       np.maximum.reduceat(freqs, starts),
+                       np.minimum.reduceat(norms, starts))
+
+    def _sloppy_posting_unordered(self, fld: str, terms: tuple, slop: int,
+                                  posts) -> "Posting | None":
+        """Lucene-parity sloppy posting (``SearchQuery(slop_in_order=False)``):
+        out-of-order alignments match, with tf from the SloppyPhraseMatcher
+        stream (``_lucene_sloppy_freq``) over ADJUSTED positions (pos − term
+        offset) — ``"b a"~2`` matches a doc containing ``a b`` at cost 2.
+        NON-REPEATING terms only (Lucene's repeats machinery is not
+        reproduced; repeated terms raise). Candidate docs are the same
+        all-terms intersection as the ordered path; the per-doc stream is a
+        Python loop by nature (Lucene's own matcher is a per-doc stream) and
+        runs only on that intersection."""
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                "slop_in_order=False does not support repeated terms in a "
+                f"sloppy phrase: {' '.join(terms)!r}")
+        plist = [posts.get((fld, t), _EMPTY) for t in terms]
+        docs = plist[0].docs
+        for p in plist[1:]:
+            if docs.size == 0:
+                break
+            docs = docs[np.isin(docs, p.docs, assume_unique=True)]
+        if docs.size == 0:
+            return None
+        per_term = []
+        for j, p in enumerate(plist):
+            pos_all, offs = p.positions()
+            idx = np.searchsorted(p.docs, docs)
+            per_term.append((pos_all, offs[idx], p.tfs[idx], np.int64(j)))
+        freqs = np.zeros(docs.size, np.float64)
+        for di in range(docs.size):
+            pls = [pos_all[int(st[di]):int(st[di]) + int(tf[di])] - j
+                   for pos_all, st, tf, j in per_term]
+            freqs[di] = _lucene_sloppy_freq(pls, slop)
+        keep = freqs > 0
+        if not keep.any():
+            return None
         docs, freqs = docs[keep], freqs[keep]
         norms = plist[0].norms[np.searchsorted(plist[0].docs, docs)]
         B = codec.BLOCK_SIZE

@@ -665,11 +665,14 @@ class RetrievalCluster:
 
         Sloppy-phrase caveat (documented divergence from Lucene's
         SloppyPhraseMatcher, frozen by golden test): ``"a b"~N`` matches
-        IN-ORDER alignments only — a doc containing only the transposed
-        ``b a`` does not match, where Lucene would at cost 2 per transposed
-        adjacent pair; window enumeration also differs for phrases with
-        repeated terms. Exact phrases (~0) and all other clause types are
-        Lucene-faithful."""
+        IN-ORDER alignments only BY DEFAULT — a doc containing only the
+        transposed ``b a`` does not match, where Lucene would at cost 2 per
+        transposed adjacent pair; window enumeration also differs for
+        phrases with repeated terms. ``SearchQuery(slop_in_order=False)``
+        opts into Lucene SloppyPhraseMatcher parity (out-of-order matches,
+        stream-enumerated windows) for phrases with non-repeating terms.
+        Exact phrases (~0) and all other clause types are Lucene-faithful
+        either way."""
         qs = self._as_queries(database, table, queries)
         use_actors = (database, table) in self._actors
         # multi-query fan-out (Q8): in actor mode every recall of every query is

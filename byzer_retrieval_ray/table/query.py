@@ -81,6 +81,16 @@ class SearchQuery:
     # supported; phrases/prefix/fuzzy/wildcard/regexp/groups raise). When
     # set, ``fields`` is ignored.
     combined_fields: list = field(default_factory=list)
+    # Sloppy-phrase term order (extension knob). True (default, frozen by
+    # golden test + gate oracle): ``"a b"~N`` matches IN-ORDER alignments
+    # only, one tightest match per last-term occurrence. False: Lucene
+    # SloppyPhraseMatcher parity for NON-REPEATING terms — out-of-order
+    # alignments match (a transposed adjacent pair costs 2, so ``"b a"~2``
+    # matches ``a b``), matches enumerated by the published stream
+    # algorithm with sloppy freq Σ 1/(1+matchLength); phrases with repeated
+    # terms raise (Lucene's repeats handling is not reproduced). Exact
+    # phrases (~0 or no slop) are unaffected by this knob.
+    slop_in_order: bool = True
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

@@ -265,6 +265,126 @@ class TestSloppy:
         assert scores[1] > scores[0]
 
 
+class TestUnorderedSlop:
+    """SearchQuery(slop_in_order=False): Lucene SloppyPhraseMatcher parity
+    for non-repeating terms — out-of-order alignments match (a transposed
+    adjacent pair costs 2), tf = Σ 1/(1+matchLength) over the published
+    stream enumeration. Expected tfs below are hand-derived from that
+    algorithm over the DOCS corpus."""
+
+    @staticmethod
+    def _q(kw, slop_in_order):
+        return {"keyword": kw, "fields": ["content"], "limit": 10,
+                "slop_in_order": slop_in_order}
+
+    def test_transposed_matches_at_cost_two(self, cluster):
+        # "brown quick"~2 unordered: doc 0 (quick brown …) matches at
+        # matchLength 2; default in-order mode still rejects it
+        uo = cluster.search("db", "p", self._q('"brown quick"~2', False))[0]
+        assert sorted(r["_id"] for r in uo) == [0, 1, 2, 5]
+        o = cluster.search("db", "p", self._q('"brown quick"~2', True))[0]
+        assert sorted(r["_id"] for r in o) == [1, 2]
+        # slop 1 is not enough for a transposition (cost 2); doc 2's
+        # in-order gap match is ALSO length 2 (brown@2 → quick@5), so only
+        # doc 1's exact "brown quick" survives
+        uo1 = cluster.search("db", "p", self._q('"brown quick"~1', False))[0]
+        assert sorted(r["_id"] for r in uo1) == [1]
+
+    def test_superset_of_ordered(self, cluster):
+        for kw in ('"quick brown"~0', '"quick brown"~1', '"quick brown"~2',
+                   '"quick fox"~2', '"brown fox"~3', '"quick brown fox"~4'):
+            o = {r["_id"] for r in cluster.search("db", "p",
+                                                  self._q(kw, True))[0]}
+            uo = {r["_id"] for r in cluster.search("db", "p",
+                                                   self._q(kw, False))[0]}
+            assert uo >= o, kw
+
+    def test_scores_match_stream_tfs(self, cluster):
+        # "brown quick"~2 unordered expected sloppy freqs (hand-traced):
+        # doc 0 quick@0 brown@1 → one match, length 2 → 1/3
+        # doc 1 brown@0 quick@1 → in-order for this query, length 0 → 1
+        # doc 2 quick@{1,5} brown@{2,6} → three scored matches of length
+        #       2, 2, 2... stream trace gives 1/3+1/3+1/3 = 1
+        # doc 5 quick@1 brown@2 → one match, length 2 → 1/3
+        want_tf = {0: 1.0 / 3.0, 1: 1.0, 2: 1.0, 5: 1.0 / 3.0}
+        toks = {i: t.split() for i, t in DOCS}
+        n = len(DOCS)
+        dls = {i: len(tt) for i, tt in toks.items()}
+        sum_ttf = sum(dls.values())
+        avgdl = bm25.avg_field_length(sum_ttf, n, dtype=np.float64)
+        cache = bm25.norm_inverse_cache(avgdl, dtype=np.float64)
+        df = {t: sum(1 for tt in toks.values() if t in tt)
+              for t in ("brown", "quick")}
+        w = sum(bm25.term_weight(n, df[t], dtype=np.float64)
+                for t in ("brown", "quick"))
+        res = cluster.search("db", "p", self._q('"brown quick"~2', False),
+                             precision="float64")[0]
+        got = {r["_id"]: r["_score"] for r in res}
+        assert set(got) == set(want_tf)
+        for i, tf in want_tf.items():
+            nb = int(int_to_byte4_np(np.array([dls[i]]))[0])
+            s = float(bm25.score_tf_norm(np.array([tf]),
+                                         np.array([nb], np.uint8),
+                                         cache, np.float64(w),
+                                         dtype=np.float64)[0])
+            assert got[i] == pytest.approx(s, abs=1e-12), i
+
+    def test_in_order_text_same_tf_as_ordered(self, cluster):
+        # on docs whose terms appear in query order the stream enumeration
+        # yields the same tf as the ordered tightest-chain (doc 0 exact,
+        # doc 2 twice, doc 3 gap cost 2, doc 5 exact) — scores equal; the
+        # unordered result adds doc 1 (transposed) on top
+        o = cluster.search("db", "p", self._q('"quick brown"~2', True),
+                           precision="float64")[0]
+        uo = cluster.search("db", "p", self._q('"quick brown"~2', False),
+                            precision="float64")[0]
+        os = {r["_id"]: r["_score"] for r in o}
+        uos = {r["_id"]: r["_score"] for r in uo}
+        assert set(os) == {0, 2, 3, 5}
+        assert set(uos) == {0, 1, 2, 3, 5}
+        for i in os:
+            assert uos[i] == pytest.approx(os[i], abs=1e-12), i
+
+    def test_taat_bmw_parity_unordered(self, cluster):
+        for kw in ('"brown quick"~2', '"fox quick"~3 jumps',
+                   '+"brown quick"~2 fox', '-"brown quick"~2 quick'):
+            a = cluster.search("db", "p", self._q(kw, False),
+                               precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", self._q(kw, False),
+                               precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b], kw
+
+    def test_repeated_terms_raise(self, cluster):
+        with pytest.raises(ValueError, match="repeated terms"):
+            cluster.search("db", "p", self._q('"quick quick"~2', False))
+
+    def test_flag_does_not_leak_between_queries(self, cluster):
+        # an unordered query followed by a DEFAULT query on the same
+        # searchers: the default must be in-order again (per-call attribute)
+        cluster.search("db", "p", self._q('"brown quick"~2', False))
+        res = cluster.search("db", "p", {"keyword": '"brown quick"~2',
+                                         "fields": ["content"], "limit": 10})[0]
+        assert sorted(r["_id"] for r in res) == [1, 2]
+
+    def test_actor_mode_roundtrip(self, ray_session, tmp_path_factory):
+        # the flag must survive the query-dict round-trip into serving actors
+        loc = str(tmp_path_factory.mktemp("uoslop_actors"))
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "u", SCHEMA, loc))
+        c.build_from_local("db", "u",
+                           [{"_id": i, "content": t} for i, t in DOCS],
+                           key_field="_id", num_doc_parts=2, num_term_parts=2)
+        direct = c.search("db", "u", self._q('"brown quick"~2', False),
+                          precision="float64")[0]
+        c.activate("db", "u")
+        actor = c.search("db", "u", self._q('"brown quick"~2', False),
+                         precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in actor] == \
+               [(r["_id"], r["_score"]) for r in direct]
+        assert sorted(r["_id"] for r in actor) == [0, 1, 2, 5]
+
+
 class TestWildcard:
     """Wildcard clauses (extension; Lucene WildcardQuery semantics): ? = one
     char, * = any sequence; constant score 1.0 per matching doc; a single
