@@ -575,10 +575,12 @@ def _splice(p: ParsedKeyword, sub: ParsedKeyword, op: str,
             p._extend_all(sub)
             return
         members = sub._should_members()
-        # inner exclusions promote either way: +( -c ...) requires ¬c
+        # inner exclusions promote either way: +( -c ...) requires ¬c —
+        # including nested excluded-conjunction nodes (+(-(a -b) ...)
+        # requires ¬(a ∧ ¬b) globally, since the group is required)
         for name in ("must_not", "not_phrases", "not_slop_phrases",
                      "not_prefixes", "not_fuzzies", "not_wildcards",
-                     "not_regexps", "not_pphrases"):
+                     "not_regexps", "not_pphrases", "not_groups"):
             getattr(p, name).extend(getattr(sub, name))
         if not members:
             return

@@ -34,25 +34,47 @@ def _corpus(rng, n=40):
 
 # ------------------------------------------------------------- AST model
 # node := ("term", t) | ("phrase", (t1, t2)) | ("prefix", p)
-#       | ("wild", pat) | ("re", pat) | ("group", [(op, node), ...])
+#       | ("wild", pat) | ("re", pat) | ("fuzzy", t, n)
+#       | ("slopph", (t1, t2), n) | ("pprefix", t1, pre)
+#       | ("group", [(op, node), ...])
 
 def _gen_leaf(rng):
     roll = rng.random()
     t = str(rng.choice(VOCAB))
-    if roll < 0.45:
+    if roll < 0.34:
         return ("term", t)
-    if roll < 0.60:
+    if roll < 0.46:
         return ("phrase", (t, str(rng.choice(VOCAB))))
-    if roll < 0.72:
+    if roll < 0.56:
         return ("prefix", t[: int(rng.integers(1, 4))])
-    if roll < 0.84:
+    if roll < 0.66:
         # one '?' wildcard inside the token
         pos = int(rng.integers(0, len(t)))
         return ("wild", t[:pos] + "?" + t[pos + 1:])
-    # simple regexes: alternation of two vocab words, or prefix + .*
-    if rng.random() < 0.5:
-        return ("re", f"{t}|{rng.choice(VOCAB)}")
-    return ("re", t[: int(rng.integers(1, 4))] + ".*")
+    if roll < 0.74:
+        # simple regexes: alternation of two vocab words, or prefix + .*
+        if rng.random() < 0.5:
+            return ("re", f"{t}|{rng.choice(VOCAB)}")
+        return ("re", t[: int(rng.integers(1, 4))] + ".*")
+    if roll < 0.84:
+        # fuzzy: mangle the token (delete / substitute / transpose one
+        # char) so edit distance 1-2 from some vocab word is common
+        ops = int(rng.integers(0, 3))
+        m = t
+        for _ in range(ops):
+            kind = int(rng.integers(0, 3))
+            i = int(rng.integers(0, max(1, len(m) - 1)))
+            if kind == 0 and len(m) > 2:
+                m = m[:i] + m[i + 1:]                    # delete
+            elif kind == 1:
+                m = m[:i] + "z" + m[i + 1:]              # substitute
+            elif len(m) > i + 1:
+                m = m[:i] + m[i + 1] + m[i] + m[i + 2:]  # transpose
+        return ("fuzzy", m, int(rng.integers(1, 3)))
+    if roll < 0.93:
+        return ("slopph", (t, str(rng.choice(VOCAB))),
+                int(rng.integers(0, 4)))
+    return ("pprefix", t, str(rng.choice(VOCAB))[: int(rng.integers(1, 4))])
 
 
 def _gen_children(rng, depth):
@@ -84,6 +106,12 @@ def _render(node):
         return node[1]
     if kind == "re":
         return "/" + node[1] + "/"
+    if kind == "fuzzy":
+        return f"{node[1]}~{node[2]}"
+    if kind == "slopph":
+        return '"' + " ".join(node[1]) + f'"~{node[2]}'
+    if kind == "pprefix":
+        return f'"{node[1]} {node[2]}*"'
     return "(" + " ".join(op + _render(c) for op, c in node[1]) + ")"
 
 
@@ -92,6 +120,26 @@ def _render_top(children):
 
 
 # ------------------------------------------------ independent evaluator
+
+def _osa(a: str, b: str) -> int:
+    """Optimal string alignment distance (one transposition = 1 edit) —
+    the Lucene FuzzyQuery metric, independent DP implementation."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            c = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + c)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
 
 def _ev(node, toks):
     kind = node[0]
@@ -110,6 +158,18 @@ def _ev(node, toks):
     if kind == "re":
         rx = re.compile(node[1])
         return any(rx.fullmatch(t) for t in toks)
+    if kind == "fuzzy":
+        return any(_osa(t, node[1]) <= node[2] for t in toks)
+    if kind == "slopph":
+        # default in-order sloppy semantics: positions i < j with
+        # cost (j - i - 1) <= slop
+        t1, t2 = node[1]
+        return any(toks[i] == t1 and toks[j] == t2
+                   for i in range(len(toks))
+                   for j in range(i + 1, min(len(toks), i + 2 + node[2])))
+    if kind == "pprefix":
+        return any(toks[i] == node[1] and toks[i + 1].startswith(node[2])
+                   for i in range(len(toks) - 1))
     return _ev_bool(node[1], toks, msm=0)
 
 
