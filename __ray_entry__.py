@@ -784,6 +784,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docs", q2)
     q["bm25_msm_group"] = bm25_msm_group
 
+    def bm25_collapse(sf):
+        # field collapsing (elasticsearch collapse / Lucene grouping top-1):
+        # the best-scoring hit per distinct lang over the FULL match set —
+        # a group whose best doc ranks below the plain top-k must still
+        # surface; ties break by doc_id asc
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        rows = c.collapse_search("db", "docs", q2, "lang",
+                                 precision="float64")
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r["_score"] for r in rows], np.float64), 4)),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        })
+    q["bm25_collapse"] = bm25_collapse
+
     def bm25_synonyms(sf):
         # query-time synonyms (Lucene SynonymQuery): 'sort' and its synonym
         # 'order' score as ONE pseudo-term — tf = Σ variant freqs per doc,
@@ -2447,6 +2465,19 @@ SELECT s.doc_id, ROUND(s.score, 4) AS score
 FROM scored s JOIN units u ON u.doc_id = s.doc_id
 WHERE u.m >= 2
 ORDER BY score DESC, s.doc_id LIMIT 20"""
+
+    # merge sort collapsed on lang: one best hit (score desc, doc_id asc)
+    # per distinct lang over the whole match set
+    sql["bm25_collapse"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+best AS (
+  SELECT s.doc_id, s.score, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score, lang FROM best
+WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10"""
 
     # merge + SynonymQuery(sort, order): the synonym group is ONE BM25 clause
     # with tf = tf_sort + tf_order per doc and df = max(df_sort, df_order)

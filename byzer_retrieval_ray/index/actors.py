@@ -151,6 +151,12 @@ class SegmentActorImpl:
         return [s.facet_keyword(query, facet_field, precision)
                 for s in self.searchers]
 
+    def collapse_keyword(self, q: dict, collapse_field: str,
+                         precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.collapse_keyword(query, collapse_field, precision)
+                for s in self.searchers]
+
     def count_keyword(self, q: dict, precision: str = "float32") -> int:
         query = SearchQuery.from_dict(q)
         return sum(s.count_keyword(query, precision)

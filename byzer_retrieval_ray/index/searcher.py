@@ -2362,6 +2362,54 @@ class BucketSearcher:
         return pa.table({"value": pc.cast(vals.filter(keep), pa.string()),
                          "cnt": pc.cast(cnts.filter(keep), pa.int64())})
 
+    def collapse_keyword(self, q: SearchQuery, collapse_field: str,
+                         precision: str = "float32") -> pa.Table:
+        """Per-bucket field collapsing (the elasticsearch ``collapse`` /
+        Lucene grouping top-1 shape): the best-scoring hit per distinct
+        value of a stored field, ranked by (score desc, doc_id asc).
+        Exact TAAT over the ENTIRE match set — a group's best doc may rank
+        far below the plain top-k — with ONE narrow column-pruned docstore
+        read; the bucket ships at most min(limit, distinct values) rows and
+        the master re-collapses (per-group max commutes across buckets, the
+        same scatter-gather argument as top-k: a group in the global top-L
+        is outranked by < L groups inside its best doc's bucket). Docs with
+        a null/missing value collapse into ONE null group (elasticsearch
+        semantics); keys are shipped as strings (Lucene facet-label
+        convention)."""
+        from dataclasses import replace
+
+        score_t = pa.float64() if precision == "float64" else pa.float32()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], score_t),
+                          "key": pa.array([], pa.string())})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, scores = self.search_keyword(qq, precision=precision,
+                                          algorithm="taat")
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[collapse_field])
+        if collapse_field not in tbl.column_names:
+            raise ValueError(
+                f"collapse field {collapse_field!r} is not a stored column")
+        fid = tbl["doc_id"].to_numpy()
+        order = np.argsort(fid, kind="stable")
+        pos = np.searchsorted(fid, ids, sorter=order)
+        keys = pc.cast(tbl[collapse_field].combine_chunks(), pa.string()) \
+            .take(pa.array(order[pos], pa.int64()))
+        enc = keys.dictionary_encode()
+        codes = pc.fill_null(pc.cast(enc.indices, pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False)
+        # ids/scores arrive rank-ordered (score desc, doc_id asc), so the
+        # FIRST occurrence of each code is that group's best hit
+        _, first = np.unique(codes, return_index=True)
+        first.sort()
+        first = first[: q.limit]
+        sel = pa.array(first, pa.int64())
+        return pa.table({"doc_id": pa.array(ids[first], pa.int64()),
+                         "score": pa.array(scores[first], score_t),
+                         "key": keys.take(sel)})
+
     def count_keyword(self, q: SearchQuery,
                       precision: str = "float32") -> int:
         """Per-bucket total-hits count for a keyword query (the Lucene

@@ -1007,6 +1007,57 @@ class RetrievalCluster:
         return [{"value": str(r.value), "count": int(r.cnt)}
                 for r in agg.head(limit).itertuples()]
 
+    def collapse_search(self, database: str, table: str, query,
+                        collapse_field: str,
+                        precision: str = "float32") -> list[dict]:
+        """Field-collapsed search (the elasticsearch ``collapse`` / Lucene
+        grouping top-1 shape; the reference exposes no collapse API:
+        extension): the top ``query.limit`` hits where only the
+        best-scoring doc per distinct ``collapse_field`` value survives,
+        ranked by (score desc, doc_id asc). Docs with a null/missing value
+        collapse into ONE null group; keys are returned as strings.
+        Returns ``[{"doc_id", "_score", "<collapse_field>"}, ...]``.
+
+        Scale shape: each bucket scores its full match set locally but
+        ships at most min(limit, distinct keys) rows (per-group max
+        commutes — the scatter-gather top-k argument applies per group);
+        the master fold is O(buckets × limit). Keyword recall only
+        (filters supported), like facet_counts."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("collapse_search takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("collapse_search is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.collapse_keyword.remote(q.__dict__, collapse_field,
+                                              precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.collapse_keyword(q, collapse_field, precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return []
+        import pyarrow.compute as pc_
+        t = pa.concat_tables(tbls)
+        ids = t["doc_id"].to_numpy()
+        scores = t["score"].to_numpy()
+        keys = t["key"].combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = pc_.fill_null(pc_.cast(enc.indices, pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False)
+        ranked = np.lexsort((ids, -scores))
+        _, first = np.unique(codes[ranked], return_index=True)
+        first.sort()
+        sel = ranked[first][: q.limit]
+        return [{"doc_id": int(ids[i]), "_score": float(scores[i]),
+                 collapse_field: keys[int(i)].as_py()} for i in sel]
+
     def field_stats(self, database: str, table: str, query, field: str,
                     precision: str = "float32") -> dict:
         """Numeric stats (count / min / max / sum / mean) of a stored field

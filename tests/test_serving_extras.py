@@ -431,6 +431,95 @@ class TestFacets:
             c.facet_counts("db", "v", q, "content")
 
 
+class TestCollapse:
+    """collapse_search: best-scoring hit per distinct stored-field value
+    (elasticsearch collapse / Lucene grouping top-1), verified against a
+    brute-force python collapse of the FULL ranking."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "g", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string))", loc))
+        # vary tf and doc length so scores differ inside every group
+        docs = [{"_id": i,
+                 "content": " ".join(["hit"] * (1 + i % 4)
+                                     + ["pad"] * (i % 7)),
+                 "cat": ["a", "b", "c", "d", "e"][i % 5]}
+                for i in range(80)]
+        docs[17]["cat"] = None
+        docs[42]["cat"] = None
+        c.build_from_local("db", "g", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    @staticmethod
+    def _brute(c, q, field="cat"):
+        from dataclasses import replace
+        full = c.search("db", "g", replace(q, limit=1_000_000),
+                        precision="float64")[0]
+        seen, out = set(), []
+        for r in full:                      # already (score desc, id asc)
+            k = r[field]
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append({"doc_id": r["doc_id"], "_score": r["_score"],
+                        field: k})
+        return out[: q.limit]
+
+    def test_matches_bruteforce_collapse(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                        limit=4)
+        got = c.collapse_search("db", "g", q, "cat", precision="float64")
+        assert got == self._brute(c, q)
+        assert len({r["cat"] for r in got}) == len(got)   # distinct keys
+
+    def test_null_keys_form_one_group(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                        limit=10)
+        got = c.collapse_search("db", "g", q, "cat", precision="float64")
+        # 5 real cats + exactly one null group (docs 17 and 42 collapse)
+        assert len(got) == 6
+        assert sum(1 for r in got if r["cat"] is None) == 1
+        assert got == self._brute(c, q)
+
+    def test_group_best_below_topk_is_found(self, ray_session, tmp_path):
+        # a query whose plain top-limit misses some group entirely: the
+        # collapsed result must still surface that group's best doc
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                        limit=6)
+        plain_top = {r["cat"] for r in c.search("db", "g", q,
+                                                precision="float64")[0]}
+        got = c.collapse_search("db", "g", q, "cat", precision="float64")
+        assert {r["cat"] for r in got} >= plain_top | {None} or \
+            len({r["cat"] for r in got}) == 6
+        assert got == self._brute(c, q)
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit pad", fields=["content"],
+                        limit=5)
+        inproc = c.collapse_search("db", "g", q, "cat", precision="float64")
+        c.activate("db", "g")
+        assert c.collapse_search("db", "g", q, "cat",
+                                 precision="float64") == inproc
+
+    def test_bad_inputs_rejected(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                        limit=3)
+        with pytest.raises(ValueError, match="not a stored column"):
+            c.collapse_search("db", "g", q, "nope")
+        v = SearchQuery("db", "g", vector=[1.0] * 4, vectorField="vector",
+                        limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.collapse_search("db", "g", v, "cat")
+
+
 class TestHighlight:
     """Best-passage snippets (Lucene UnifiedHighlighter shape, simplified):
     the window-token window with the most DISTINCT query terms, ties to the
