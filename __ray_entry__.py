@@ -802,6 +802,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_collapse"] = bm25_collapse
 
+    def bm25_fscore(sf):
+        # function_score / field_value_factor (elasticsearch shape): every
+        # hit rescored score × ln(1 + n_chars) — non-monotone in the BM25
+        # order, so buckets rescore their full match sets before the top-k
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=20)
+        rows = c.function_search("db", "docs", q2,
+                                 {"field": "n_chars", "modifier": "log1p",
+                                  "mode": "multiply"},
+                                 precision="float64")
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r["_score"] for r in rows], np.float64), 4)),
+        })
+    q["bm25_fscore"] = bm25_fscore
+
     def bm25_synonyms(sf):
         # query-time synonyms (Lucene SynonymQuery): 'sort' and its synonym
         # 'order' score as ONE pseudo-term — tf = Σ variant freqs per doc,
@@ -2478,6 +2496,16 @@ best AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score, lang FROM best
 WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # merge sort rescored by ln(1 + n_chars) (field_value_factor log1p,
+    # multiply mode): final order (new score desc, doc_id asc)
+    sql["bm25_fscore"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])}
+SELECT s.doc_id,
+       ROUND(s.score * ln(1.0e0 + CAST(d.n_chars AS DOUBLE)), 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.score * ln(1.0e0 + CAST(d.n_chars AS DOUBLE)) DESC, s.doc_id
+LIMIT 20"""
 
     # merge + SynonymQuery(sort, order): the synonym group is ONE BM25 clause
     # with tf = tf_sort + tf_order per doc and df = max(df_sort, df_order)

@@ -157,6 +157,15 @@ class SegmentActorImpl:
         return [s.collapse_keyword(query, collapse_field, precision)
                 for s in self.searchers]
 
+    def function_score_keyword(self, q: dict, spec: dict,
+                               precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        out = []
+        for s in self.searchers:
+            ids, scores = s.function_score_keyword(query, spec, precision)
+            out.append((np.asarray(ids), np.asarray(scores)))
+        return out
+
     def count_keyword(self, q: dict, precision: str = "float32") -> int:
         query = SearchQuery.from_dict(q)
         return sum(s.count_keyword(query, precision)

@@ -2410,6 +2410,66 @@ class BucketSearcher:
                          "score": pa.array(scores[first], score_t),
                          "key": keys.take(sel)})
 
+    def function_score_keyword(self, q: SearchQuery, spec: dict,
+                               precision: str = "float32"):
+        """Per-bucket function scoring (the elasticsearch ``function_score``
+        / ``field_value_factor`` shape; Lucene ``FunctionScoreQuery`` over a
+        ``DoubleValuesSource``): every BM25 hit is rescored as
+
+            multiply:  score × modifier(factor × field_value)
+            sum:       score + modifier(factor × field_value)
+
+        with modifier ∈ {none, log1p, sqrt, square, reciprocal} and nulls
+        replaced by ``missing`` (default 1.0) BEFORE the modifier. Rescoring
+        is non-monotone in the BM25 order, so the bucket scores its ENTIRE
+        match set (exact TAAT — block-max pruning would be unsound), reads
+        ONE narrow docstore column, re-sorts by (new score desc, doc_id asc)
+        and ships only its top ``q.limit``; the scatter-gather top-k
+        argument applies to the REscored order, so the master merge stays
+        exact. Arithmetic in float64 (log1p computed as ln(1+x), the
+        SQL-oracle expression shape), cast to the query precision at the
+        end."""
+        from dataclasses import replace
+
+        dtype = np.float32 if precision == "float32" else np.float64
+        field = spec["field"]
+        factor = float(spec.get("factor", 1.0))
+        missing = float(spec.get("missing", 1.0))
+        modifier = spec.get("modifier", "none")
+        mode = spec.get("mode", "multiply")
+        mods = {"none": lambda v: v,
+                "log1p": lambda v: np.log(1.0 + v),
+                "sqrt": np.sqrt,
+                "square": np.square,
+                "reciprocal": lambda v: 1.0 / v}
+        if modifier not in mods:
+            raise ValueError(f"unknown modifier {modifier!r} "
+                             f"(one of {sorted(mods)})")
+        if mode not in ("multiply", "sum"):
+            raise ValueError("mode must be 'multiply' or 'sum'")
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, scores = self.search_keyword(qq, precision=precision,
+                                          algorithm="taat")
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        if ids.size == 0:
+            return ids, scores.astype(dtype)
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            raise ValueError(
+                f"function-score field {field!r} is not a stored column")
+        fid = tbl["doc_id"].to_numpy()
+        order = np.argsort(fid, kind="stable")
+        pos = np.searchsorted(fid, ids, sorter=order)
+        col = tbl[field].combine_chunks().take(
+            pa.array(order[pos], pa.int64()))
+        vals = pc.cast(col, pa.float64()).fill_null(missing) \
+            .to_numpy(zero_copy_only=False)
+        boost = mods[modifier](factor * vals)
+        new = (scores.astype(np.float64) * boost if mode == "multiply"
+               else scores.astype(np.float64) + boost)
+        top = np.lexsort((ids, -new))[: q.limit]
+        return ids[top], new[top].astype(dtype)
+
     def count_keyword(self, q: SearchQuery,
                       precision: str = "float32") -> int:
         """Per-bucket total-hits count for a keyword query (the Lucene

@@ -1058,6 +1058,54 @@ class RetrievalCluster:
         return [{"doc_id": int(ids[i]), "_score": float(scores[i]),
                  collapse_field: keys[int(i)].as_py()} for i in sel]
 
+    def function_search(self, database: str, table: str, query,
+                        score_function: dict,
+                        precision: str = "float32") -> list[dict]:
+        """Function-scored search (the elasticsearch ``function_score`` /
+        ``field_value_factor`` shape; Lucene ``FunctionScoreQuery`` — the
+        reference exposes no rescoring API: extension). Every BM25 hit is
+        rescored from a stored numeric field:
+
+            score_function = {"field": "n_chars",        # required
+                              "factor": 1.0,             # scales the value
+                              "modifier": "log1p",       # none | log1p |
+                                                         # sqrt | square |
+                                                         # reciprocal
+                              "mode": "multiply",        # multiply | sum
+                              "missing": 1.0}            # null replacement
+
+        and the final ranking is (new score desc, doc_id asc). Returns the
+        same doc+``_score`` dicts as :meth:`search`.
+
+        Scale shape: rescoring is non-monotone in BM25 order, so each
+        bucket rescored its FULL match set locally (exact TAAT, one narrow
+        docstore column) but ships only its top ``limit`` — the
+        scatter-gather top-k argument applies to the rescored order.
+        Keyword recall only (filters supported)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("function_search takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("function_search is keyword-only")
+        if "field" not in score_function:
+            raise ValueError("score_function needs a 'field'")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.function_score_keyword.remote(q.__dict__,
+                                                    score_function, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.function_score_keyword(q, score_function, precision)
+                     for s in self._searchers(database, table)]
+        dtype = np.float32 if precision == "float32" else np.float64
+        ids, scores = M._merge_recall(parts, dtype)
+        ids, scores = ids[: q.limit], scores[: q.limit]
+        return self._materialize(database, table, ids, scores, False)
+
     def field_stats(self, database: str, table: str, query, field: str,
                     precision: str = "float32") -> dict:
         """Numeric stats (count / min / max / sum / mean) of a stored field

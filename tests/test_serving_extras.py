@@ -520,6 +520,101 @@ class TestCollapse:
             c.collapse_search("db", "g", v, "cat")
 
 
+class TestFunctionScore:
+    """function_search: elasticsearch field_value_factor rescoring —
+    score' = bm25 ⊗ modifier(factor × field), verified against a brute
+    python rescore of the full ranking."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "fs", "st(field(_id,long),field(content,string,analyze),"
+            "field(pop,long))", loc))
+        docs = [{"_id": i,
+                 "content": " ".join(["hit"] * (1 + i % 3)
+                                     + ["pad"] * (i % 5)),
+                 "pop": (i * 37) % 100}
+                for i in range(50)]
+        docs[13]["pop"] = None
+        c.build_from_local("db", "fs", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c, docs
+
+    @staticmethod
+    def _brute(c, q, docs, spec):
+        import numpy as np
+        from dataclasses import replace
+        full = c.search("db", "fs", replace(q, limit=1_000_000),
+                        precision="float64")[0]
+        pop = {d["_id"]: d["pop"] for d in docs}
+        mods = {"none": lambda v: v, "log1p": lambda v: np.log(1.0 + v),
+                "sqrt": np.sqrt, "square": np.square,
+                "reciprocal": lambda v: 1.0 / v}
+        out = []
+        for r in full:
+            v = pop.get(r["_id"])
+            v = spec.get("missing", 1.0) if v is None else float(v)
+            b = float(mods[spec.get("modifier", "none")](
+                spec.get("factor", 1.0) * v))
+            s = (r["_score"] * b if spec.get("mode", "multiply") == "multiply"
+                 else r["_score"] + b)
+            out.append((r["_id"], s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[: q.limit]
+
+    @pytest.mark.parametrize("spec", [
+        {"field": "pop", "modifier": "log1p", "mode": "multiply"},
+        {"field": "pop", "modifier": "sqrt", "factor": 0.5, "mode": "sum"},
+        {"field": "pop", "modifier": "square", "factor": 0.01,
+         "mode": "multiply", "missing": 3.0},
+        {"field": "pop", "mode": "sum"},
+    ])
+    def test_matches_bruteforce_rescore(self, ray_session, tmp_path, spec):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit pad", fields=["content"],
+                        limit=7)
+        got = [(r["_id"], r["_score"])
+               for r in c.function_search("db", "fs", q, spec,
+                                          precision="float64")]
+        want = self._brute(c, q, docs, spec)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), gi
+
+    def test_reorders_vs_plain_bm25(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit", fields=["content"],
+                        limit=10)
+        plain = [r["_id"] for r in c.search("db", "fs", q,
+                                            precision="float64")[0]]
+        boosted = [r["_id"] for r in c.function_search(
+            "db", "fs", q, {"field": "pop", "modifier": "log1p"},
+            precision="float64")]
+        assert plain != boosted            # the factor actually reranks
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit pad", fields=["content"],
+                        limit=6)
+        spec = {"field": "pop", "modifier": "log1p", "mode": "multiply"}
+        inproc = c.function_search("db", "fs", q, spec, precision="float64")
+        c.activate("db", "fs")
+        assert c.function_search("db", "fs", q, spec,
+                                 precision="float64") == inproc
+
+    def test_bad_inputs_rejected(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit", fields=["content"],
+                        limit=3)
+        with pytest.raises(ValueError, match="needs a 'field'"):
+            c.function_search("db", "fs", q, {"modifier": "log1p"})
+        with pytest.raises(ValueError, match="unknown modifier"):
+            c.function_search("db", "fs", q, {"field": "pop",
+                                              "modifier": "exp"})
+        with pytest.raises(ValueError, match="not a stored column"):
+            c.function_search("db", "fs", q, {"field": "nope"})
+
+
 class TestHighlight:
     """Best-passage snippets (Lucene UnifiedHighlighter shape, simplified):
     the window-token window with the most DISTINCT query terms, ties to the
