@@ -820,6 +820,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_fscore"] = bm25_fscore
 
+    def sig_terms(sf):
+        # significant_terms aggregation (elasticsearch shape, JLH heuristic):
+        # terms overrepresented in the 'merge' match set vs the corpus —
+        # fg/bg doc counts fold exactly across buckets (no shard_size cut)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge",
+                         fields=["text"], limit=10)
+        rows = c.significant_terms("db", "docs", q2, "text", limit=10)
+        return pa.table({
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "score": pa.array(np.round(
+                np.array([r["score"] for r in rows], np.float64), 4)),
+            "fg_count": pa.array([r["fg_count"] for r in rows], pa.int64()),
+            "bg_count": pa.array([r["bg_count"] for r in rows], pa.int64()),
+        })
+    q["sig_terms"] = sig_terms
+
     def bm25_synonyms(sf):
         # query-time synonyms (Lucene SynonymQuery): 'sort' and its synonym
         # 'order' score as ONE pseudo-term — tf = Σ variant freqs per doc,
@@ -2506,6 +2523,29 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.score * ln(1.0e0 + CAST(d.n_chars AS DOUBLE)) DESC, s.doc_id
 LIMIT 20"""
+
+    # significant terms of the 'merge' match set (JLH): a = fg/fgt,
+    # b = bg/n, score = (a-b)*(a/b), kept iff a > b; equal rationals with
+    # different denominators divide to the SAME double (correctly-rounded
+    # division), so the a > b boundary is exact on both sides
+    sql["sig_terms"] = f"""
+WITH {_SQL_TOKS},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+fgt AS (SELECT COUNT(*) AS c FROM m),
+fg AS (SELECT tf.term, COUNT(DISTINCT tf.doc_id) AS fg
+       FROM tf JOIN m ON m.doc_id = tf.doc_id GROUP BY tf.term),
+sig AS (
+  SELECT f.term, f.fg, df.df AS bg,
+         (CAST(f.fg AS DOUBLE) / CAST(fgt.c AS DOUBLE)
+          - CAST(df.df AS DOUBLE) / CAST(stats.n AS DOUBLE))
+         * ((CAST(f.fg AS DOUBLE) / CAST(fgt.c AS DOUBLE))
+            / (CAST(df.df AS DOUBLE) / CAST(stats.n AS DOUBLE))) AS score
+  FROM fg f JOIN df ON df.term = f.term CROSS JOIN fgt CROSS JOIN stats
+  WHERE CAST(f.fg AS DOUBLE) / CAST(fgt.c AS DOUBLE)
+        > CAST(df.df AS DOUBLE) / CAST(stats.n AS DOUBLE)
+)
+SELECT term, ROUND(score, 4) AS score, fg AS fg_count, bg AS bg_count
+FROM sig ORDER BY score DESC, term LIMIT 10"""
 
     # merge + SynonymQuery(sort, order): the synonym group is ONE BM25 clause
     # with tf = tf_sort + tf_order per doc and df = max(df_sort, df_order)

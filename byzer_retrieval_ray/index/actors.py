@@ -166,6 +166,12 @@ class SegmentActorImpl:
             out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
+    def sigterms_keyword(self, q: dict, field: str,
+                         precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.sigterms_keyword(query, field, precision)
+                for s in self.searchers]
+
     def count_keyword(self, q: dict, precision: str = "float32") -> int:
         query = SearchQuery.from_dict(q)
         return sum(s.count_keyword(query, precision)

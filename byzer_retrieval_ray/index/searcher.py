@@ -2470,6 +2470,44 @@ class BucketSearcher:
         top = np.lexsort((ids, -new))[: q.limit]
         return ids[top], new[top].astype(dtype)
 
+    def sigterms_keyword(self, q: SearchQuery, field: str,
+                         precision: str = "float32") -> tuple[pa.Table, int]:
+        """Per-bucket PARTIAL foreground term counts for significant-terms
+        aggregation (the elasticsearch ``significant_terms`` shape): for
+        every term of ``field`` appearing in the ENTIRE match set, the
+        number of matching docs containing it — plus the bucket's match
+        count. Exact TAAT, one column-pruned docstore read, whitespace
+        analysis identical to indexing (``term_frequencies``); the bucket
+        ships only (term, fg) distinct-vocabulary partials — match ids
+        never leave the shard, and the driver folds |fg vocabulary| rows.
+        No shard-level truncation (elasticsearch's ``shard_size`` cut is a
+        recall trade this engine doesn't need to make — partials are counts,
+        not docs), so the fold is exact."""
+        from dataclasses import replace
+
+        from byzer_retrieval_ray.functions.tokenize import term_frequencies
+
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "fg": pa.array([], pa.int64())})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        ids = np.asarray(ids)
+        if ids.size == 0:
+            return empty, 0
+        if field not in {f.name for f in self.gen.schema.fields}:
+            raise ValueError(
+                f"significant-terms field {field!r} is not in the schema")
+        tbl = self.fetch_analyzed(ids, field)
+        if len(tbl) == 0:
+            return empty, int(ids.size)
+        texts = pc.cast(tbl[field].combine_chunks(), pa.string())
+        tf_rows = term_frequencies(texts, tbl["doc_id"].to_numpy())
+        fg = tf_rows.group_by("term").aggregate([("doc_id", "count")])
+        return pa.table({"term": pc.cast(fg["term"], pa.string()),
+                         "fg": pc.cast(fg["doc_id_count"], pa.int64())}), \
+            int(ids.size)
+
     def count_keyword(self, q: SearchQuery,
                       precision: str = "float32") -> int:
         """Per-bucket total-hits count for a keyword query (the Lucene

@@ -1106,6 +1106,75 @@ class RetrievalCluster:
         ids, scores = ids[: q.limit], scores[: q.limit]
         return self._materialize(database, table, ids, scores, False)
 
+    def significant_terms(self, database: str, table: str, query,
+                          field: str, limit: int = 10,
+                          min_doc_count: int = 1,
+                          precision: str = "float32") -> list[dict]:
+        """Significant-terms aggregation (the elasticsearch
+        ``significant_terms`` shape with the JLH heuristic; the reference
+        exposes no aggregations: extension): terms of ``field``
+        overrepresented in a keyword query's ENTIRE match set relative to
+        the whole corpus. With fg = matching docs containing the term,
+        fgt = match count, bg = corpus docs containing it (index df, the
+        Lucene docFreq), n = corpus doc count:
+
+            a = fg/fgt,  b = bg/n,  JLH = (a − b) × (a / b),  kept iff a > b
+
+        ranked (score desc, term asc), top ``limit``; ``min_doc_count``
+        drops rare foreground terms (elasticsearch defaults to 3 — here 1,
+        exact). Returns ``[{"term", "score", "fg_count", "bg_count"}, ...]``.
+
+        Scale shape: each bucket ships (term, fg) distinct-vocabulary count
+        partials over its exact TAAT match set (no shard_size recall cut —
+        counts fold exactly, unlike elasticsearch's shard-truncated
+        candidates); the driver fold is |fg vocabulary| rows plus ONE
+        termstats probe for the background dfs. Keyword recall only."""
+        from byzer_retrieval_ray.index.searcher import StatsView
+
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("significant_terms takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("significant_terms is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.sigterms_keyword.remote(q.__dict__, field, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.sigterms_keyword(q, field, precision)
+                     for s in self._searchers(database, table)]
+        fgt = sum(p[1] for p in parts)
+        tbls = [p[0] for p in parts if len(p[0])]
+        if fgt == 0 or not tbls:
+            return []
+        df = pa.concat_tables(tbls).to_pandas()
+        agg = df.groupby("term", as_index=False)["fg"].sum()
+        agg = agg[agg["fg"] >= int(min_doc_count)]
+        if not len(agg):
+            return []
+        terms = [str(t) for t in agg["term"]]
+        m = self.manifest(database, table)
+        sv = StatsView(m.data, GenerationReader(m.data))
+        st = sv.term_stats([(field, t) for t in terms])
+        n = float(sv.stats["n_docs"])
+        out = []
+        for t, fg in zip(terms, agg["fg"].to_numpy()):
+            bg = int(st[(field, t)][0])
+            if bg == 0:       # not indexed (possible across generations)
+                continue
+            a = float(fg) / float(fgt)
+            b = float(bg) / n
+            if a <= b:
+                continue
+            out.append({"term": t, "score": (a - b) * (a / b),
+                        "fg_count": int(fg), "bg_count": bg})
+        out.sort(key=lambda r: (-r["score"], r["term"]))
+        return out[: int(limit)]
+
     def field_stats(self, database: str, table: str, query, field: str,
                     precision: str = "float32") -> dict:
         """Numeric stats (count / min / max / sum / mean) of a stored field

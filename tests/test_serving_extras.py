@@ -615,6 +615,101 @@ class TestFunctionScore:
             c.function_search("db", "fs", q, {"field": "nope"})
 
 
+class TestSignificantTerms:
+    """significant_terms: JLH-scored foreground-vs-corpus term skew over the
+    full match set, verified against a brute python fold."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "sig", "st(field(_id,long),"
+            "field(content,string,analyze))", loc))
+        docs = []
+        for i in range(90):
+            words = ["common", "filler"]
+            if i % 3 == 0:
+                words += ["hit", "signal"]       # signal rides with hit
+            if i % 9 == 0:
+                words += ["strong"]              # only ever in hit docs
+            if i % 2 == 0:
+                words += ["background"]          # uncorrelated
+            docs.append({"_id": i, "content": " ".join(words)})
+        c.build_from_local("db", "sig", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c, docs
+
+    @staticmethod
+    def _brute(docs, match_terms, limit=10, min_doc_count=1):
+        toks = {d["_id"]: set(d["content"].split()) for d in docs}
+        fg_ids = [i for i, tt in toks.items() if tt & match_terms]
+        fgt, n = len(fg_ids), len(docs)
+        vocab = set().union(*(toks[i] for i in fg_ids))
+        out = []
+        for t in vocab:
+            fg = sum(1 for i in fg_ids if t in toks[i])
+            bg = sum(1 for tt in toks.values() if t in tt)
+            if fg < min_doc_count:
+                continue
+            a, b = fg / fgt, bg / n
+            if a <= b:
+                continue
+            out.append({"term": t, "score": (a - b) * (a / b),
+                        "fg_count": fg, "bg_count": bg})
+        out.sort(key=lambda r: (-r["score"], r["term"]))
+        return out[:limit]
+
+    def test_matches_brute_fold(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "sig", keyword="hit", fields=["content"],
+                        limit=3)   # query limit must NOT bound the agg
+        got = c.significant_terms("db", "sig", q, "content")
+        want = self._brute(docs, {"hit"})
+        assert [r["term"] for r in got] == [r["term"] for r in want]
+        for g, w in zip(got, want):
+            assert g["fg_count"] == w["fg_count"]
+            assert g["bg_count"] == w["bg_count"]
+            assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+        # the engineered skew: hit/signal perfectly foreground, strong too
+        top3 = {r["term"] for r in got[:3]}
+        assert top3 == {"hit", "signal", "strong"}
+
+    def test_uncorrelated_terms_excluded(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "sig", keyword="hit", fields=["content"],
+                        limit=10)
+        got = c.significant_terms("db", "sig", q, "content", limit=50)
+        terms = {r["term"] for r in got}
+        # common/filler appear in EVERY doc: fg rate == bg rate → excluded
+        assert "common" not in terms and "filler" not in terms
+
+    def test_min_doc_count(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "sig", keyword="hit", fields=["content"],
+                        limit=10)
+        lo = c.significant_terms("db", "sig", q, "content", limit=50,
+                                 min_doc_count=1)
+        hi = c.significant_terms("db", "sig", q, "content", limit=50,
+                                 min_doc_count=11)
+        assert {r["term"] for r in hi} <= {r["term"] for r in lo}
+        assert all(r["fg_count"] >= 11 for r in hi)
+        assert hi == self._brute(docs, {"hit"}, limit=50, min_doc_count=11)
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "sig", keyword="hit background",
+                        fields=["content"], limit=5)
+        inproc = c.significant_terms("db", "sig", q, "content")
+        c.activate("db", "sig")
+        assert c.significant_terms("db", "sig", q, "content") == inproc
+
+    def test_vector_rejected(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=30)
+        q = SearchQuery("db", "v", vector=docs[1]["vector"],
+                        vectorField="vector", limit=5)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.significant_terms("db", "v", q, "content")
+
+
 class TestHighlight:
     """Best-passage snippets (Lucene UnifiedHighlighter shape, simplified):
     the window-token window with the most DISTINCT query terms, ties to the
