@@ -820,6 +820,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_fscore"] = bm25_fscore
 
+    def bm25_collapse2(sf):
+        # diversified top-k (Lucene DiversifiedTopDocsCollector / collapse
+        # with group_size=2): top 20 hits with AT MOST 2 per lang
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=20)
+        rows = c.collapse_search("db", "docs", q2, "lang",
+                                 precision="float64", group_size=2)
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r["_score"] for r in rows], np.float64), 4)),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        })
+    q["bm25_collapse2"] = bm25_collapse2
+
     def sig_terms(sf):
         # significant_terms aggregation (elasticsearch shape, JLH heuristic):
         # terms overrepresented in the 'merge' match set vs the corpus —
@@ -2523,6 +2539,19 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.score * ln(1.0e0 + CAST(d.n_chars AS DOUBLE)) DESC, s.doc_id
 LIMIT 20"""
+
+    # merge sort diversified: top 20 hits with at most 2 per lang, rank
+    # order (score desc, doc_id asc) preserved
+    sql["bm25_collapse2"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+best AS (
+  SELECT s.doc_id, s.score, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score, lang FROM best
+WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 20"""
 
     # significant terms of the 'merge' match set (JLH): a = fg/fgt,
     # b = bg/n, score = (a-b)*(a/b), kept iff a > b; equal rationals with

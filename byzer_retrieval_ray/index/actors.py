@@ -152,9 +152,11 @@ class SegmentActorImpl:
                 for s in self.searchers]
 
     def collapse_keyword(self, q: dict, collapse_field: str,
-                         precision: str = "float32") -> list:
+                         precision: str = "float32",
+                         group_size: int = 1) -> list:
         query = SearchQuery.from_dict(q)
-        return [s.collapse_keyword(query, collapse_field, precision)
+        return [s.collapse_keyword(query, collapse_field, precision,
+                                   group_size)
                 for s in self.searchers]
 
     def function_score_keyword(self, q: dict, spec: dict,

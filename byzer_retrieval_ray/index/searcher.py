@@ -529,6 +529,33 @@ def _lucene_sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
     return freq
 
 
+def _diversified_select(codes: np.ndarray, limit: int, g: int,
+                        key_budget: bool) -> np.ndarray:
+    """Indices (ascending = rank order preserved) of the diversified
+    selection over a RANK-ORDERED hit list: at most ``g`` hits per key
+    code. ``key_budget=True`` keeps the first ``limit`` DISTINCT keys'
+    surviving members (the per-bucket ship set — see
+    ``collapse_keyword``'s exactness argument); ``key_budget=False`` keeps
+    the first ``limit`` surviving ROWS (the final diversified top-k).
+    Vectorized: within-key member ranks via one stable argsort, key ranks
+    via first-occurrence order."""
+    uniq, inv = np.unique(codes, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv, minlength=uniq.size)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ranks = np.empty(inv.size, np.int64)
+    ranks[order] = np.arange(inv.size) - np.repeat(starts, counts)
+    keep = ranks < g
+    if key_budget:
+        _, first_idx = np.unique(inv, return_index=True)
+        key_rank = np.empty(uniq.size, np.int64)
+        key_rank[np.argsort(first_idx, kind="stable")] = \
+            np.arange(uniq.size)
+        keep &= key_rank[inv] < limit
+        return np.flatnonzero(keep)
+    return np.flatnonzero(keep)[:limit]
+
+
 def _cursor_mask(ids: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
     """Boolean mask of hits STRICTLY after the ``(score, doc_id)`` pagination
     cursor in the (score desc, doc_id asc) result order (Lucene
@@ -2363,19 +2390,24 @@ class BucketSearcher:
                          "cnt": pc.cast(cnts.filter(keep), pa.int64())})
 
     def collapse_keyword(self, q: SearchQuery, collapse_field: str,
-                         precision: str = "float32") -> pa.Table:
+                         precision: str = "float32",
+                         group_size: int = 1) -> pa.Table:
         """Per-bucket field collapsing (the elasticsearch ``collapse`` /
-        Lucene grouping top-1 shape): the best-scoring hit per distinct
-        value of a stored field, ranked by (score desc, doc_id asc).
-        Exact TAAT over the ENTIRE match set — a group's best doc may rank
-        far below the plain top-k — with ONE narrow column-pruned docstore
-        read; the bucket ships at most min(limit, distinct values) rows and
-        the master re-collapses (per-group max commutes across buckets, the
-        same scatter-gather argument as top-k: a group in the global top-L
-        is outranked by < L groups inside its best doc's bucket). Docs with
-        a null/missing value collapse into ONE null group (elasticsearch
-        semantics); keys are shipped as strings (Lucene facet-label
-        convention)."""
+        Lucene grouping shape; ``group_size`` > 1 is the Lucene
+        DiversifiedTopDocsCollector semantic — at most g hits per key in
+        the final ranking): the top hits per distinct value of a stored
+        field, ranked by (score desc, doc_id asc). Exact TAAT over the
+        ENTIRE match set — a group's best doc may rank far below the plain
+        top-k — with ONE narrow column-pruned docstore read. The bucket
+        ships its top ``limit`` KEYS × at most g members each (≤ limit·g
+        rows) and the master re-collapses. Exactness: a hit d in the global
+        answer has < limit globally-kept hits outranking it; every bucket
+        key with a member outranking d has a globally-KEPT member
+        outranking d (a member dropped globally implies g kept same-key
+        outrankers), so < limit keys outrank d's key inside its bucket —
+        top-limit-keys shipping suffices. Docs with a null/missing value
+        collapse into ONE null group (elasticsearch semantics); keys are
+        shipped as strings (Lucene facet-label convention)."""
         from dataclasses import replace
 
         score_t = pa.float64() if precision == "float64" else pa.float32()
@@ -2400,11 +2432,12 @@ class BucketSearcher:
         enc = keys.dictionary_encode()
         codes = pc.fill_null(pc.cast(enc.indices, pa.int64()), -1) \
             .to_numpy(zero_copy_only=False)
-        # ids/scores arrive rank-ordered (score desc, doc_id asc), so the
-        # FIRST occurrence of each code is that group's best hit
-        _, first = np.unique(codes, return_index=True)
-        first.sort()
-        first = first[: q.limit]
+        # ids/scores arrive rank-ordered (score desc, doc_id asc): keep the
+        # first g members of each key, restricted to the first `limit`
+        # distinct keys (see docstring for why that ships enough)
+        first = _diversified_select(codes, int(q.limit),
+                                    max(1, int(group_size)),
+                                    key_budget=True)
         sel = pa.array(first, pa.int64())
         return pa.table({"doc_id": pa.array(ids[first], pa.int64()),
                          "score": pa.array(scores[first], score_t),

@@ -1009,41 +1009,46 @@ class RetrievalCluster:
 
     def collapse_search(self, database: str, table: str, query,
                         collapse_field: str,
-                        precision: str = "float32") -> list[dict]:
+                        precision: str = "float32",
+                        group_size: int = 1) -> list[dict]:
         """Field-collapsed search (the elasticsearch ``collapse`` / Lucene
-        grouping top-1 shape; the reference exposes no collapse API:
-        extension): the top ``query.limit`` hits where only the
-        best-scoring doc per distinct ``collapse_field`` value survives,
-        ranked by (score desc, doc_id asc). Docs with a null/missing value
-        collapse into ONE null group; keys are returned as strings.
+        grouping shape; the reference exposes no collapse API: extension):
+        the top ``query.limit`` hits where at most ``group_size`` docs per
+        distinct ``collapse_field`` value survive (group_size=1 = classic
+        collapse, best doc per value; >1 = the Lucene
+        DiversifiedTopDocsCollector semantic), ranked by (score desc,
+        doc_id asc). Docs with a null/missing value collapse into ONE null
+        group; keys are returned as strings.
         Returns ``[{"doc_id", "_score", "<collapse_field>"}, ...]``.
 
         Scale shape: each bucket scores its full match set locally but
-        ships at most min(limit, distinct keys) rows (per-group max
-        commutes — the scatter-gather top-k argument applies per group);
-        the master fold is O(buckets × limit). Keyword recall only
-        (filters supported), like facet_counts."""
+        ships at most limit keys × group_size rows (see
+        ``collapse_keyword`` for the exactness argument); the master fold
+        is O(buckets × limit × group_size). Keyword recall only (filters
+        supported), like facet_counts."""
         qs = self._as_queries(database, table, query)
         if len(qs) != 1:
             raise ValueError("collapse_search takes exactly one query")
         q = qs[0]
         if not q.has_keyword or q.has_vector:
             raise ValueError("collapse_search is keyword-only")
+        g = max(1, int(group_size))
         use_actors = (database, table) in self._actors
         if use_actors:
             import ray
             futs = [a.collapse_keyword.remote(q.__dict__, collapse_field,
-                                              precision)
+                                              precision, g)
                     for a in self._actors[(database, table)]]
             tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
                     for t in r]
         else:
-            tbls = [s.collapse_keyword(q, collapse_field, precision)
+            tbls = [s.collapse_keyword(q, collapse_field, precision, g)
                     for s in self._searchers(database, table)]
         tbls = [t for t in tbls if len(t)]
         if not tbls:
             return []
         import pyarrow.compute as pc_
+        from byzer_retrieval_ray.index.searcher import _diversified_select
         t = pa.concat_tables(tbls)
         ids = t["doc_id"].to_numpy()
         scores = t["score"].to_numpy()
@@ -1052,9 +1057,8 @@ class RetrievalCluster:
         codes = pc_.fill_null(pc_.cast(enc.indices, pa.int64()), -1) \
             .to_numpy(zero_copy_only=False)
         ranked = np.lexsort((ids, -scores))
-        _, first = np.unique(codes[ranked], return_index=True)
-        first.sort()
-        sel = ranked[first][: q.limit]
+        sel = ranked[_diversified_select(codes[ranked], q.limit, g,
+                                         key_budget=False)]
         return [{"doc_id": int(ids[i]), "_score": float(scores[i]),
                  collapse_field: keys[int(i)].as_py()} for i in sel]
 

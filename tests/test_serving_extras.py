@@ -454,16 +454,17 @@ class TestCollapse:
         return c
 
     @staticmethod
-    def _brute(c, q, field="cat"):
+    def _brute(c, q, field="cat", g=1):
+        from collections import Counter
         from dataclasses import replace
         full = c.search("db", "g", replace(q, limit=1_000_000),
                         precision="float64")[0]
-        seen, out = set(), []
+        seen, out = Counter(), []
         for r in full:                      # already (score desc, id asc)
             k = r[field]
-            if k in seen:
+            if seen[k] >= g:
                 continue
-            seen.add(k)
+            seen[k] += 1
             out.append({"doc_id": r["doc_id"], "_score": r["_score"],
                         field: k})
         return out[: q.limit]
@@ -499,6 +500,20 @@ class TestCollapse:
             len({r["cat"] for r in got}) == 6
         assert got == self._brute(c, q)
 
+    def test_group_size_diversified_topk(self, ray_session, tmp_path):
+        # group_size > 1 (Lucene DiversifiedTopDocsCollector): limit HITS
+        # with at most g per key, rank order preserved
+        c = self._cluster(str(tmp_path))
+        for g, lim in ((2, 8), (3, 12), (2, 100)):
+            q = SearchQuery("db", "g", keyword="hit pad",
+                            fields=["content"], limit=lim)
+            got = c.collapse_search("db", "g", q, "cat",
+                                    precision="float64", group_size=g)
+            assert got == self._brute(c, q, g=g), (g, lim)
+            from collections import Counter
+            mc = Counter(r["cat"] for r in got)
+            assert max(mc.values()) <= g
+
     def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
         c = self._cluster(str(tmp_path))
         q = SearchQuery("db", "g", keyword="hit pad", fields=["content"],
@@ -507,6 +522,11 @@ class TestCollapse:
         c.activate("db", "g")
         assert c.collapse_search("db", "g", q, "cat",
                                  precision="float64") == inproc
+        q2 = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                         limit=9)
+        inproc2 = c.collapse_search("db", "g", q2, "cat",
+                                    precision="float64", group_size=2)
+        assert inproc2 == self._brute(c, q2, g=2)   # actor-mode diversified
 
     def test_bad_inputs_rejected(self, ray_session, tmp_path):
         c = self._cluster(str(tmp_path))
