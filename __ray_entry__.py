@@ -836,6 +836,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_collapse2"] = bm25_collapse2
 
+    def match_cardinality(sf):
+        # cardinality aggregation (elasticsearch shape): HLL distinct count
+        # of 'source' over the docs matching 'merge' — each bucket ships one
+        # register vector, the driver max-folds; the deterministic sketch
+        # (fmix32∘Horner31, integer register sum) is replicated in SQL
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge",
+                         fields=["text"], limit=10)
+        g = c.cardinality("db", "docs", q2, "source", p=12)
+        return pa.table({
+            "m": pa.array([g["m"]], pa.int64()),
+            "zeros": pa.array([g["zeros"]], pa.int64()),
+            "branch": pa.array([g["branch"]], pa.string()),
+            "estimate": pa.array([round(g["estimate"], 4)], pa.float64()),
+            "raw": pa.array([round(g["raw"], 4)], pa.float64()),
+        })
+    q["match_cardinality"] = match_cardinality
+
     def sig_terms(sf):
         # significant_terms aggregation (elasticsearch shape, JLH heuristic):
         # terms overrepresented in the 'merge' match set vs the corpus —
@@ -4117,6 +4135,17 @@ SELECT 'doc_tokens' AS key_kind, * FROM ({_sql_hll(_hll_doctok_keys)})
 UNION ALL
 SELECT 'tokens' AS key_kind, * FROM ({_sql_hll(_hll_tok_keys)})
 ORDER BY key_kind"""
+
+    # cardinality aggregation: HLL over the 'source' values of docs whose
+    # token list contains 'merge' (duplicates are harmless — register max
+    # is idempotent; the engine hashes the match set's values verbatim)
+    _card_keys = """keys AS (
+  SELECT d.source AS key FROM documents d
+  WHERE d.source IS NOT NULL
+    AND list_contains(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                  x -> x <> ''), 'merge')
+)"""
+    sql["match_cardinality"] = _sql_hll(_card_keys)
 
     # PageRank, 8 damped power iterations unrolled (mirrors ops/pagerank.py
     # exactly): r_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} r_t(u)/outdeg(u) + D_t/N),

@@ -174,6 +174,12 @@ class SegmentActorImpl:
         return [s.sigterms_keyword(query, field, precision)
                 for s in self.searchers]
 
+    def cardinality_keyword(self, q: dict, field: str, p: int = 12,
+                            precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.cardinality_keyword(query, field, p, precision)
+                for s in self.searchers]
+
     def count_keyword(self, q: dict, precision: str = "float32") -> int:
         query = SearchQuery.from_dict(q)
         return sum(s.count_keyword(query, precision)

@@ -2541,6 +2541,37 @@ class BucketSearcher:
                          "fg": pc.cast(fg["doc_id_count"], pa.int64())}), \
             int(ids.size)
 
+    def cardinality_keyword(self, q: SearchQuery, field: str, p: int = 12,
+                            precision: str = "float32") -> np.ndarray:
+        """Per-bucket HyperLogLog register partial for approximate distinct
+        values of a stored field over the ENTIRE keyword match set (the
+        elasticsearch ``cardinality`` aggregation shape). Exact TAAT match
+        set + ONE column-pruned stored read; the bucket ships a single
+        2^p-long register vector (8·2^p bytes, key strings never leave the
+        shard) that the master max-folds — the same zero-shuffle sketch
+        family as ``ops/hll.py``, whose deterministic fmix32∘Horner31 hash
+        and integer register sum keep the estimate SQL-replicable. Nulls
+        don't count (COUNT(DISTINCT col) semantics)."""
+        from dataclasses import replace
+
+        from byzer_retrieval_ray.ops.hll import _registers
+
+        m = 1 << p
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        ids = np.asarray(ids)
+        if ids.size == 0:
+            return np.zeros(m, dtype=np.int64)
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            raise ValueError(
+                f"cardinality field {field!r} is not a stored column")
+        keys = tbl[field].combine_chunks().drop_null()
+        if len(keys) == 0:
+            return np.zeros(m, dtype=np.int64)
+        return _registers(pc.cast(keys, pa.string()).to_pylist(), p)
+
     def count_keyword(self, q: SearchQuery,
                       precision: str = "float32") -> int:
         """Per-bucket total-hits count for a keyword query (the Lucene

@@ -1179,6 +1179,46 @@ class RetrievalCluster:
         out.sort(key=lambda r: (-r["score"], r["term"]))
         return out[: int(limit)]
 
+    def cardinality(self, database: str, table: str, query, field: str,
+                    p: int = 12, precision: str = "float32") -> dict:
+        """Approximate distinct count of a stored field over a keyword
+        query's ENTIRE match set (the elasticsearch ``cardinality``
+        aggregation; the reference exposes no aggregations: extension) —
+        HyperLogLog with the repo's deterministic, SQL-replicable sketch
+        (``ops/hll.py``: fmix32∘Horner31 hash, integer register sum,
+        linear-counting small-range branch). Returns
+        ``{"estimate", "raw", "zeros", "m", "branch"}``; relative error
+        ~1.04/√(2^p). Nulls don't count.
+
+        Scale shape: each bucket ships ONE 2^p-long register vector over
+        its exact TAAT match set — key strings never leave the shard; the
+        driver max-folds 8·2^p bytes per bucket. Keyword recall only."""
+        from byzer_retrieval_ray.ops.hll import _estimate, merge_registers
+
+        if not 4 <= int(p) <= 20:
+            raise ValueError("need 4 <= p <= 20")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("cardinality takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("cardinality is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.cardinality_keyword.remote(q.__dict__, field, int(p),
+                                                 precision)
+                    for a in self._actors[(database, table)]]
+            parts = [r for rr in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for r in rr]
+        else:
+            parts = [s.cardinality_keyword(q, field, int(p), precision)
+                     for s in self._searchers(database, table)]
+        regs = np.zeros(1 << int(p), dtype=np.int64)
+        for r in parts:
+            regs = merge_registers(regs, np.asarray(r, dtype=np.int64))
+        return _estimate(regs, int(p))
+
     def field_stats(self, database: str, table: str, query, field: str,
                     precision: str = "float32") -> dict:
         """Numeric stats (count / min / max / sum / mean) of a stored field

@@ -730,6 +730,65 @@ class TestSignificantTerms:
             c.significant_terms("db", "v", q, "content")
 
 
+class TestCardinality:
+    """cardinality: HLL distinct-count of a stored field over the full
+    match set — the fold across buckets must equal ONE sketch built from
+    the brute-force matched key set (registers merge associatively)."""
+
+    def _cluster(self, loc, n=70):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "cd", "st(field(_id,long),field(content,string,analyze),"
+            "field(site,string))", loc))
+        docs = [{"_id": i, "content": "hit" if i % 2 == 0 else "miss",
+                 "site": None if i % 17 == 0 else f"site-{i % 23}"}
+                for i in range(n)]
+        c.build_from_local("db", "cd", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c, docs
+
+    @staticmethod
+    def _brute(c, docs, p=12):
+        from byzer_retrieval_ray.ops.hll import _estimate, _registers
+        site = {d["_id"]: d["site"] for d in docs}
+        hits = c.search("db", "cd", {"keyword": "hit",
+                                     "fields": ["content"],
+                                     "limit": 10_000})[0]
+        keys = [site[r["_id"]] for r in hits if site[r["_id"]] is not None]
+        return _estimate(_registers(keys, p), p)
+
+    def test_fold_equals_single_sketch(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "cd", keyword="hit", fields=["content"],
+                        limit=3)     # query limit must not bound the agg
+        got = c.cardinality("db", "cd", q, "site")
+        want = self._brute(c, docs)
+        assert got == want
+        # 35 matching docs, sites (i%23 over even non-null i) → small-range
+        # branch, estimate within HLL error of the true distinct count
+        true = len({d["site"] for d in docs
+                    if d["_id"] % 2 == 0 and d["site"] is not None})
+        assert got["branch"] == "linear"
+        assert abs(got["estimate"] - true) / true < 0.15
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "cd", keyword="hit", fields=["content"],
+                        limit=5)
+        inproc = c.cardinality("db", "cd", q, "site", p=10)
+        c.activate("db", "cd")
+        assert c.cardinality("db", "cd", q, "site", p=10) == inproc
+
+    def test_bad_inputs(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path), n=20)
+        q = SearchQuery("db", "cd", keyword="hit", fields=["content"],
+                        limit=5)
+        with pytest.raises(ValueError, match="4 <= p <= 20"):
+            c.cardinality("db", "cd", q, "site", p=2)
+        with pytest.raises(ValueError, match="not a stored column"):
+            c.cardinality("db", "cd", q, "nope")
+
+
 class TestHighlight:
     """Best-passage snippets (Lucene UnifiedHighlighter shape, simplified):
     the window-token window with the most DISTINCT query terms, ties to the
