@@ -169,6 +169,24 @@ def run_bench() -> dict:
     queries["bm25_queries_total"] = round(float(lat_arr.sum()), 3)
     queries["bm25_p50"] = round(float(np.percentile(lat_arr, 50)), 4)
     queries["bm25_p99"] = round(float(np.percentile(lat_arr, 99)), 4)
+
+    # ---- match-set aggregations (full-TAAT endpoints over one mid-freq
+    # query; each bucket ships bounded partials — counts/registers/top keys)
+    q_agg = SearchQuery("web", "pages", keyword=qs[0], fields=["text"],
+                        limit=10)
+    tq = time.perf_counter()
+    cluster.collapse_search("web", "pages", q_agg, "lang")
+    queries["agg_collapse"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.function_search("web", "pages", q_agg,
+                            {"field": "warc_ts", "modifier": "log1p"})
+    queries["agg_fscore"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.significant_terms("web", "pages", q_agg, "text", limit=10)
+    queries["agg_sigterms"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.cardinality("web", "pages", q_agg, "lang")
+    queries["agg_cardinality"] = round(time.perf_counter() - tq, 3)
     cluster.deactivate("web", "pages")
 
     # ---- vector build + ANN-persistence serving ----

@@ -2495,6 +2495,10 @@ class BucketSearcher:
         pos = np.searchsorted(fid, ids, sorter=order)
         col = tbl[field].combine_chunks().take(
             pa.array(order[pos], pa.int64()))
+        if pa.types.is_temporal(col.type):
+            # dates/timestamps factor by their epoch integer (Lucene
+            # LongField doc-values semantics)
+            col = col.cast(pa.int64())
         vals = pc.cast(col, pa.float64()).fill_null(missing) \
             .to_numpy(zero_copy_only=False)
         boost = mods[modifier](factor * vals)
