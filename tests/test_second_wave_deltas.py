@@ -87,6 +87,47 @@ class TestSecondWaveAcrossDeltas:
         ex = delta.explain("db", "t", q, 2, precision="float64")
         assert ex["matched"] and ex["score"] == byid[2]
 
+    def test_aggregations_match_fresh_build(self, ray_session,
+                                            tmp_path_factory):
+        # round-4-late endpoints (collapse / function_score /
+        # significant_terms / cardinality) across a PURE-ADD delta: every
+        # aggregation must equal the fresh single-generation build
+        schema = ("st(field(_id,long),field(body,string,analyze),"
+                  "field(cat,string),field(pop,long))")
+        base = [{"_id": i, "body": "hit " + ("extra" if i % 4 == 0 else "x"),
+                 "cat": ["a", "b", "c"][i % 3], "pop": (i * 13) % 50}
+                for i in range(30)]
+        delta = [{"_id": 30 + i, "body": "hit deep",
+                  "cat": ["c", "d"][i % 2], "pop": 7 + i}
+                 for i in range(12)]
+
+        def mk(loc, steps):
+            c = RetrievalCluster(loc)
+            c.create_table(TableSettings("db", "t", schema, loc))
+            for docs in steps:
+                c.build_from_local("db", "t", docs, key_field="_id",
+                                   num_doc_parts=2, num_term_parts=2)
+            return c
+
+        d = mk(str(tmp_path_factory.mktemp("agg_delta")), [base, delta])
+        f = mk(str(tmp_path_factory.mktemp("agg_fresh")), [base + delta])
+        q = {"keyword": "hit", "fields": ["body"], "limit": 8}
+        assert d.collapse_search("db", "t", q, "cat", precision="float64") \
+            == f.collapse_search("db", "t", q, "cat", precision="float64")
+        assert d.collapse_search("db", "t", q, "cat", precision="float64",
+                                 group_size=2) \
+            == f.collapse_search("db", "t", q, "cat", precision="float64",
+                                 group_size=2)
+        spec = {"field": "pop", "modifier": "log1p"}
+        a = d.function_search("db", "t", q, spec, precision="float64")
+        b = f.function_search("db", "t", q, spec, precision="float64")
+        assert [(r["_id"], r["_score"]) for r in a] == \
+               [(r["_id"], r["_score"]) for r in b]
+        assert d.significant_terms("db", "t", q, "body") == \
+            f.significant_terms("db", "t", q, "body")
+        assert d.cardinality("db", "t", q, "cat", p=10) == \
+            f.cardinality("db", "t", q, "cat", p=10)
+
     def test_replacement_tombstones_invisible_everywhere(
             self, ray_session, tmp_path):
         # upsert REPLACING a doc: its old body must not match via any new
