@@ -169,9 +169,11 @@ class SegmentActorImpl:
         return out
 
     def sigterms_keyword(self, q: dict, field: str,
-                         precision: str = "float32") -> list:
+                         precision: str = "float32",
+                         shard_min_doc_count: int = 0) -> list:
         query = SearchQuery.from_dict(q)
-        return [s.sigterms_keyword(query, field, precision)
+        return [s.sigterms_keyword(query, field, precision,
+                                   shard_min_doc_count)
                 for s in self.searchers]
 
     def cardinality_keyword(self, q: dict, field: str, p: int = 12,

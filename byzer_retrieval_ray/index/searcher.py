@@ -2508,7 +2508,8 @@ class BucketSearcher:
         return ids[top], new[top].astype(dtype)
 
     def sigterms_keyword(self, q: SearchQuery, field: str,
-                         precision: str = "float32") -> tuple[pa.Table, int]:
+                         precision: str = "float32",
+                         shard_min_doc_count: int = 0) -> tuple[pa.Table, int]:
         """Per-bucket PARTIAL foreground term counts for significant-terms
         aggregation (the elasticsearch ``significant_terms`` shape): for
         every term of ``field`` appearing in the ENTIRE match set, the
@@ -2541,9 +2542,17 @@ class BucketSearcher:
         texts = pc.cast(tbl[field].combine_chunks(), pa.string())
         tf_rows = term_frequencies(texts, tbl["doc_id"].to_numpy())
         fg = tf_rows.group_by("term").aggregate([("doc_id", "count")])
-        return pa.table({"term": pc.cast(fg["term"], pa.string()),
-                         "fg": pc.cast(fg["doc_id_count"], pa.int64())}), \
-            int(ids.size)
+        out = pa.table({"term": pc.cast(fg["term"], pa.string()),
+                        "fg": pc.cast(fg["doc_id_count"], pa.int64())})
+        if shard_min_doc_count > 0:
+            # elasticsearch's shard_min_doc_count: drop shard-rare terms
+            # BEFORE shipping — a memory/recall trade for broad queries at
+            # scale (a term below the cut in EVERY bucket can't reach the
+            # global min_doc_count anyway unless split across buckets;
+            # default 0 keeps the fold exact)
+            out = out.filter(pc.greater_equal(out["fg"],
+                                              int(shard_min_doc_count)))
+        return out, int(ids.size)
 
     def cardinality_keyword(self, q: SearchQuery, field: str, p: int = 12,
                             precision: str = "float32") -> np.ndarray:

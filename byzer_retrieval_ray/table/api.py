@@ -1113,6 +1113,7 @@ class RetrievalCluster:
     def significant_terms(self, database: str, table: str, query,
                           field: str, limit: int = 10,
                           min_doc_count: int = 1,
+                          shard_min_doc_count: int = 0,
                           precision: str = "float32") -> list[dict]:
         """Significant-terms aggregation (the elasticsearch
         ``significant_terms`` shape with the JLH heuristic; the reference
@@ -1126,7 +1127,13 @@ class RetrievalCluster:
 
         ranked (score desc, term asc), top ``limit``; ``min_doc_count``
         drops rare foreground terms (elasticsearch defaults to 3 — here 1,
-        exact). Returns ``[{"term", "score", "fg_count", "bg_count"}, ...]``.
+        exact). ``shard_min_doc_count`` > 0 additionally drops shard-rare
+        terms BEFORE they ship (the elasticsearch knob of the same name) —
+        a memory/recall trade for broad queries whose foreground vocabulary
+        would swamp the driver fold: a term can then be under-counted only
+        if its occurrences are split below the cut across buckets; 0
+        (default) keeps the fold exact.
+        Returns ``[{"term", "score", "fg_count", "bg_count"}, ...]``.
 
         Scale shape: each bucket ships (term, fg) distinct-vocabulary count
         partials over its exact TAAT match set (no shard_size recall cut —
@@ -1144,12 +1151,14 @@ class RetrievalCluster:
         use_actors = (database, table) in self._actors
         if use_actors:
             import ray
-            futs = [a.sigterms_keyword.remote(q.__dict__, field, precision)
+            futs = [a.sigterms_keyword.remote(q.__dict__, field, precision,
+                                              int(shard_min_doc_count))
                     for a in self._actors[(database, table)]]
             parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
                      for p in r]
         else:
-            parts = [s.sigterms_keyword(q, field, precision)
+            parts = [s.sigterms_keyword(q, field, precision,
+                                        int(shard_min_doc_count))
                      for s in self._searchers(database, table)]
         fgt = sum(p[1] for p in parts)
         tbls = [p[0] for p in parts if len(p[0])]

@@ -714,6 +714,22 @@ class TestSignificantTerms:
         assert all(r["fg_count"] >= 11 for r in hi)
         assert hi == self._brute(docs, {"hit"}, limit=50, min_doc_count=11)
 
+    def test_shard_min_doc_count_prunes_before_ship(self, ray_session,
+                                                    tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "sig", keyword="hit", fields=["content"],
+                        limit=10)
+        full = c.significant_terms("db", "sig", q, "content", limit=50)
+        cut = c.significant_terms("db", "sig", q, "content", limit=50,
+                                  shard_min_doc_count=2)
+        assert {r["term"] for r in cut} <= {r["term"] for r in full}
+        # hit/signal appear ~10× per bucket — far above the cut, so their
+        # rows (including exact fg counts) survive unchanged
+        byterm = {r["term"]: r for r in cut}
+        fullby = {r["term"]: r for r in full}
+        for t in ("hit", "signal"):
+            assert byterm[t] == fullby[t]
+
     def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
         c, docs = self._cluster(str(tmp_path))
         q = SearchQuery("db", "sig", keyword="hit background",
@@ -721,6 +737,10 @@ class TestSignificantTerms:
         inproc = c.significant_terms("db", "sig", q, "content")
         c.activate("db", "sig")
         assert c.significant_terms("db", "sig", q, "content") == inproc
+        assert c.significant_terms("db", "sig", q, "content",
+                                   shard_min_doc_count=2) == \
+            c.significant_terms("db", "sig", q, "content",
+                                shard_min_doc_count=2)
 
     def test_vector_rejected(self, ray_session, tmp_path):
         c, docs = _vec_cluster(str(tmp_path), n=30)
