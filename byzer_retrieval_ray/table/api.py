@@ -1148,6 +1148,13 @@ class RetrievalCluster:
         q = qs[0]
         if not q.has_keyword or q.has_vector:
             raise ValueError("significant_terms is keyword-only")
+        m0 = self.manifest(database, table)
+        if field not in GenerationReader(m0.data).analyzed:
+            # background dfs come from the index term dictionary — a
+            # non-analyzed field has none and would yield a silently
+            # empty result
+            raise ValueError(
+                f"significant_terms field {field!r} must be analyzed")
         use_actors = (database, table) in self._actors
         if use_actors:
             import ray

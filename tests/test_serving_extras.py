@@ -749,6 +749,13 @@ class TestSignificantTerms:
         with pytest.raises(ValueError, match="keyword-only"):
             c.significant_terms("db", "v", q, "content")
 
+    def test_non_analyzed_field_rejected(self, ray_session, tmp_path):
+        c, docs = _vec_cluster(str(tmp_path), n=30)
+        q = SearchQuery("db", "v", keyword="doc", fields=["content"],
+                        limit=5)
+        with pytest.raises(ValueError, match="must be analyzed"):
+            c.significant_terms("db", "v", q, "_id")
+
 
 class TestCardinality:
     """cardinality: HLL distinct-count of a stored field over the full
