@@ -854,6 +854,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_cardinality"] = match_cardinality
 
+    def date_histogram(sf):
+        # date_histogram aggregation (elasticsearch fixed_interval shape):
+        # one-day buckets of ts over the filtered 'click' match set —
+        # bucket key = floor(epoch_us / 86_400_000_000) · interval; each
+        # serving bucket ships only (bucket, count) pairs
+        c = _events_cluster(sf)
+        q2 = SearchQuery("db", "events", keyword="*",
+                         filters={"and": [{"field": "event_type",
+                                           "value": "click"}]},
+                         fields=[], limit=10)
+        out = c.date_histogram("db", "events", q2, "ts",
+                               interval=86_400_000_000,
+                               precision="float64")
+        return pa.table({
+            "bucket_us": pa.array([o["bucket"] for o in out], pa.int64()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["date_histogram"] = date_histogram
+
+    def terms_stats_agg(sf):
+        # terms bucket agg + metric sub-agg (elasticsearch terms + avg/sum
+        # shape): per-lang doc count and n_chars sum/avg over the whole
+        # 'merge sort' match set — each serving bucket ships per-key
+        # (cnt, mcnt, msum) partials, the driver folds exactly
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.terms_stats("db", "docs", q2, "lang", "n_chars", limit=10,
+                            precision="float64")
+        return pa.table({
+            "lang": pa.array([o["key"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+            "sum_n": pa.array([int(o["metric_sum"]) for o in out],
+                              pa.int64()),
+            "avg_n": pa.array([float(np.round(o["metric_avg"], 4))
+                               for o in out], pa.float64()),
+        })
+    q["terms_stats_agg"] = terms_stats_agg
+
     def sig_terms(sf):
         # significant_terms aggregation (elasticsearch shape, JLH heuristic):
         # terms overrepresented in the 'merge' match set vs the corpus —
@@ -1147,6 +1186,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dist": pa.array(dists, pa.int64()),
         })
     q["spell_suggest"] = spell_suggest
+
+    def complete_suggest(sf):
+        # prefix completion over the index term dictionary (Lucene
+        # suggest-prefix / completion-suggester shape): terms starting with
+        # each prefix, ranked by (df desc, term asc); 'so' exercises a
+        # multi-term slice, 'mer' an exact-term-plus-longer slice
+        c = _docs_cluster(sf)
+        qs, terms, dfs = [], [], []
+        for prefix in ["so", "mer", "pa"]:
+            for h in c.complete("db", "docs", "text", prefix, limit=5):
+                qs.append(prefix)
+                terms.append(h["term"])
+                dfs.append(h["df"])
+        return pa.table({
+            "prefix": pa.array(qs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+        })
+    q["complete_suggest"] = complete_suggest
 
     def collection_stats(sf):
         c = _docs_cluster(sf)
@@ -2259,6 +2317,33 @@ SELECT doc_id, ROUND(score, 4) AS score,
        m AS n_matched
 FROM best WHERE rn = 1 ORDER BY score DESC, doc_id""")
 
+    # date_histogram: one-day fixed-interval buckets of ts over the filtered
+    # click match set; DuckDB `//` truncates where the engine floors —
+    # identical for the positive epochs here (engine handles pre-epoch
+    # values with true floor division)
+    sql["date_histogram"] = """
+SELECT CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY bucket_us"""
+
+    # terms agg + metric sub-agg: per-lang doc count and n_chars sum/avg
+    # over the merge-OR-sort match set (null langs excluded, SQL COUNT(col)
+    # metric semantics)
+    sql["terms_stats_agg"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_n,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars), 4) AS avg_n
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang ORDER BY cnt DESC, lang LIMIT 10"""
+
     # facet counts over the full OR match set of 'merge sort', by lang
     sql["bm25_facets"] = """
 WITH toks AS (
@@ -3060,6 +3145,25 @@ ranked AS (
 )
 SELECT query, term, df, dist FROM ranked WHERE rn <= 5
 ORDER BY query, dist, df DESC, term"""
+
+    # prefix completion: dictionary slice per prefix ranked by (df desc,
+    # term asc), top 5 per prefix (df = distinct-doc count, Lucene docFreq)
+    sql["complete_suggest"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+qs AS (SELECT unnest(['so', 'mer', 'pa']) AS prefix),
+ranked AS (
+  SELECT qs.prefix, d.term, d.df,
+         row_number() OVER (PARTITION BY qs.prefix
+                            ORDER BY d.df DESC, d.term) AS rn
+  FROM dict d JOIN qs ON starts_with(d.term, qs.prefix)
+)
+SELECT prefix, term, CAST(df AS BIGINT) AS df FROM ranked WHERE rn <= 5
+ORDER BY prefix, df DESC, term"""
 
     sql["collection_stats"] = """
 SELECT count(*) AS n_docs,

@@ -187,6 +187,13 @@ def run_bench() -> dict:
     tq = time.perf_counter()
     cluster.cardinality("web", "pages", q_agg, "lang")
     queries["agg_cardinality"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.date_histogram("web", "pages", q_agg, "warc_ts",
+                           interval=86_400_000_000)
+    queries["agg_date_histogram"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.terms_stats("web", "pages", q_agg, "lang", "warc_ts")
+    queries["agg_terms_stats"] = round(time.perf_counter() - tq, 3)
     cluster.deactivate("web", "pages")
 
     # ---- vector build + ANN-persistence serving ----

@@ -193,6 +193,22 @@ class SegmentActorImpl:
         return [s.stats_keyword(query, field, precision)
                 for s in self.searchers]
 
+    def histogram_keyword(self, q: dict, field: str, interval: int,
+                          offset: int = 0,
+                          precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.histogram_keyword(query, field, interval, offset,
+                                    precision)
+                for s in self.searchers]
+
+    def terms_metric_keyword(self, q: dict, key_field: str,
+                             metric_field: str,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.terms_metric_keyword(query, key_field, metric_field,
+                                       precision)
+                for s in self.searchers]
+
     def range_facets_keyword(self, q: dict, field: str, edges: list,
                              precision: str = "float32") -> list:
         query = SearchQuery.from_dict(q)

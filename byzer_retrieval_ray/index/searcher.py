@@ -2654,6 +2654,104 @@ class BucketSearcher:
         ok = (binned >= 0) & (binned < nbins) & (vals < e[-1])
         return np.bincount(binned[ok], minlength=nbins).astype(np.int64)
 
+    def histogram_keyword(self, q: SearchQuery, field: str, interval: int,
+                          offset: int = 0,
+                          precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL fixed-interval histogram of a stored
+        timestamp/integer field over the ENTIRE keyword match set (the
+        elasticsearch ``date_histogram`` fixed_interval / ``histogram``
+        shape). Bucket key = floor((v - offset) / interval) · interval +
+        offset in the column's integer domain (timestamps are bucketed as
+        epoch microseconds — the Arrow storage value of timestamp[us]);
+        floor division, so pre-epoch values land in the right bucket. Same
+        scale discipline as facet/stats/range_facets: exact unbounded TAAT,
+        ONE narrow column-pruned docstore read, and the bucket ships only
+        (bucket, cnt) pairs — at most |distinct buckets| rows, independent
+        of match count. Nulls don't count."""
+        from dataclasses import replace
+
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return empty
+        col = tbl[field].combine_chunks().drop_null()
+        if len(col) == 0:
+            return empty
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        elif not (pa.types.is_integer(col.type)):
+            raise ValueError(
+                f"histogram field {field!r} must be a timestamp or integer "
+                f"stored column, got {col.type}")
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        step = np.int64(interval)
+        keys = (vals - np.int64(offset)) // step * step + np.int64(offset)
+        uniq, cnts = np.unique(keys, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    def terms_metric_keyword(self, q: SearchQuery, key_field: str,
+                             metric_field: str,
+                             precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL terms aggregation with a numeric metric
+        sub-aggregation (the elasticsearch ``terms`` bucket + ``avg``/
+        ``sum`` sub-agg shape): per distinct value of ``key_field`` over
+        the ENTIRE keyword match set, (doc count, non-null metric count,
+        metric sum). Exact unbounded TAAT + ONE two-column docstore read;
+        the bucket ships |distinct keys| (key, cnt, mcnt, msum) rows —
+        match ids never leave the shard; the master fold is keys-sized.
+        Metric sums accumulate in float64 (exact for integer columns while
+        |sum| < 2^53 — every intermediate integer addition below that bound
+        is representable, so the fold is order-independent and matches the
+        SQL oracle's CAST(SUM(..) AS DOUBLE)). Docs with a null key
+        don't count (elasticsearch terms-agg missing-value semantics, same
+        as facet_keyword); null metric values count the doc but not the
+        metric (SQL COUNT(col)/SUM(col) semantics)."""
+        from dataclasses import replace
+
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "mcnt": pa.array([], pa.int64()),
+                          "msum": pa.array([], pa.float64())})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[key_field, metric_field])
+        if key_field not in tbl.column_names:
+            return empty
+        if metric_field not in tbl.column_names:
+            raise ValueError(
+                f"metric field {metric_field!r} is not a stored column")
+        keys = pc.cast(tbl[key_field].combine_chunks(), pa.string())
+        metric = tbl[metric_field].combine_chunks()
+        if pa.types.is_timestamp(metric.type):
+            # timestamps aggregate as epoch microseconds (the elasticsearch
+            # avg-on-date convention; same domain as histogram_keyword)
+            metric = pc.cast(pc.cast(metric, pa.timestamp("us")), pa.int64())
+        grp = pa.table({
+            "key": keys,
+            "metric": pc.cast(metric, pa.float64()),
+        }).filter(pc.is_valid(keys))
+        if len(grp) == 0:
+            return empty
+        agg = grp.group_by("key").aggregate([
+            ("key", "count"), ("metric", "count"), ("metric", "sum")])
+        return pa.table({
+            "key": agg["key"],
+            "cnt": pc.cast(agg["key_count"], pa.int64()),
+            "mcnt": pc.cast(agg["metric_count"], pa.int64()),
+            "msum": pc.fill_null(pc.cast(agg["metric_sum"], pa.float64()),
+                                 0.0),
+        })
+
     def sort_keyword(self, q: SearchQuery, field: str, ascending: bool,
                      precision: str = "float32") -> pa.Table:
         """Per-bucket PARTIAL top-limit of the keyword match set ordered by a

@@ -1274,6 +1274,121 @@ class RetrievalCluster:
                 "max": max(p["max"] for p in parts), "sum": vsum,
                 "mean": float(vsum) / cnt}
 
+    def date_histogram(self, database: str, table: str, query, field: str,
+                       interval: int, offset: int = 0,
+                       min_doc_count: int = 1,
+                       precision: str = "float32") -> list[dict]:
+        """Fixed-interval histogram of a stored timestamp/integer field over
+        a keyword query's ENTIRE match set (the elasticsearch
+        ``date_histogram`` fixed_interval / ``histogram`` aggregation shape;
+        the reference exposes no aggregation API: extension). Bucket key =
+        floor((v - offset) / interval) · interval + offset, computed on the
+        column's integer domain — timestamps bucket as epoch MICROseconds
+        (timestamp[us] storage), so ``interval=86_400_000_000`` is one UTC
+        day. Returns ``[{"bucket", "count"}, ...]`` in ascending bucket
+        order; with ``min_doc_count=0`` the gaps between the first and last
+        non-empty bucket are zero-filled (elasticsearch gap-fill semantics;
+        the default 1 returns only non-empty buckets). Nulls don't count.
+
+        Scale shape: each bucket ships only its (bucket, count) pairs —
+        match ids never leave the shard; the driver fold is
+        O(buckets × distinct bins). Keyword recall only (filters supported),
+        like facet_counts."""
+        if int(interval) <= 0:
+            raise ValueError("interval must be a positive integer")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("date_histogram takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("date_histogram is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.histogram_keyword.remote(q.__dict__, field,
+                                               int(interval), int(offset),
+                                               precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.histogram_keyword(q, field, int(interval),
+                                         int(offset), precision)
+                     for s in self._searchers(database, table)]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return []
+        t = pa.concat_tables(parts)
+        agg = t.group_by("bucket").aggregate([("cnt", "sum")]) \
+            .sort_by("bucket")
+        buckets = agg["bucket"].to_numpy()
+        counts = agg["cnt_sum"].to_numpy()
+        if int(min_doc_count) <= 0 and buckets.size:
+            step = np.int64(interval)
+            full = np.arange(buckets[0], buckets[-1] + step, step,
+                             dtype=np.int64)
+            filled = np.zeros(full.size, np.int64)
+            filled[(buckets - buckets[0]) // step] = counts
+            buckets, counts = full, filled
+        return [{"bucket": int(b), "count": int(c)}
+                for b, c in zip(buckets, counts)]
+
+    def terms_stats(self, database: str, table: str, query, key_field: str,
+                    metric_field: str, limit: int = 10,
+                    precision: str = "float32") -> list[dict]:
+        """Terms aggregation with a numeric metric sub-aggregation over a
+        keyword query's ENTIRE match set (the elasticsearch ``terms`` bucket
+        agg + ``value_count``/``sum``/``avg`` sub-agg shape; the reference
+        exposes no aggregation API: extension). Per distinct ``key_field``
+        value: ``count`` (docs in the bucket), ``metric_count`` (docs with a
+        non-null metric), ``metric_sum`` and ``metric_avg`` (sum/count in
+        float64, None when metric_count is 0). Ranked by (count desc, key
+        asc), top ``limit``. Docs with a null key don't count (elasticsearch
+        missing-value semantics).
+
+        Scale shape: each bucket ships |distinct keys| narrow partial rows —
+        match ids never leave the shard; the driver fold is keys-sized.
+        Unlike elasticsearch's default shard_size cut this fold is EXACT
+        (every shard ships all its keys — the high-cardinality trade is
+        documented in facet_counts). Keyword recall only (filters
+        supported)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("terms_stats takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("terms_stats is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.terms_metric_keyword.remote(q.__dict__, key_field,
+                                                  metric_field, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.terms_metric_keyword(q, key_field, metric_field,
+                                            precision)
+                     for s in self._searchers(database, table)]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return []
+        t = pa.concat_tables(parts)
+        df = t.to_pandas()
+        agg = df.groupby("key", as_index=False).agg(
+            cnt=("cnt", "sum"), mcnt=("mcnt", "sum"), msum=("msum", "sum"))
+        agg = agg.sort_values(["cnt", "key"], ascending=[False, True],
+                              kind="mergesort").head(limit)
+        out = []
+        for r in agg.itertuples():
+            mcnt = int(r.mcnt)
+            out.append({"key": str(r.key), "count": int(r.cnt),
+                        "metric_count": mcnt,
+                        "metric_sum": float(r.msum),
+                        "metric_avg": (float(r.msum) / mcnt) if mcnt
+                        else None})
+        return out
+
     def snapshot(self, database: str, table: str, dest_location: str) -> str:
         """Consistent table backup (the Lucene SnapshotDeletionPolicy /
         backup shape): copies every ACTIVE generation directory (build
@@ -1590,6 +1705,58 @@ class RetrievalCluster:
             .sort_values(["dist", "df", "term"],
                          ascending=[True, False, True], kind="mergesort")
         return [{"term": str(r.term), "df": int(r.df), "dist": int(r.dist)}
+                for r in agg.head(limit).itertuples()]
+
+    def complete(self, database: str, table: str, field: str, prefix: str,
+                 limit: int = 5) -> list[dict]:
+        """Prefix completion (the Lucene ``suggest`` prefix-lookup /
+        elasticsearch completion-suggester shape, df-weighted — the
+        reference exposes no suggest API: extension): dictionary terms of
+        ``field`` starting with ``prefix`` (a term equal to the prefix
+        included), ranked by (df desc, term asc), top ``limit``. Each hit is
+        ``{"term", "df"}``. df sums across active generations and is
+        build-time df — deletes don't decrement it until compaction,
+        exactly like Lucene's docFreq (same convention as ``suggest``).
+
+        Scale shape: ONE column-pruned distributed scan of the term
+        dictionary (termstats parquet parts); every batch ships only its
+        prefix-matching (term, df) rows to a tiny driver fold. The fold is
+        |matching terms|-sized — bounded for realistic prefixes; a
+        one-character prefix over a web-scale dictionary ships that
+        dictionary slice (cap it client-side with a longer prefix)."""
+        import ray.data
+
+        if not prefix:
+            raise ValueError("prefix must be a non-empty string")
+        man = self.manifest(database, table)
+        paths = []
+        for g in man.active_generations():
+            info = man.data["generations"][str(g)]
+            for e in info.get("postings", {}).values():
+                p = e.get("termstats_path")
+                if p and os.path.exists(p):
+                    paths.append(p)
+        if not paths:
+            return []
+        pre, fld = str(prefix), str(field)
+
+        def cands(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            sub = batch.filter(pc.equal(batch["field"], fld))
+            sub = sub.filter(pc.starts_with(
+                pc.cast(sub["term"], pa.string()), pre))
+            return pa.table({
+                "term": pc.cast(sub["term"], pa.string()),
+                "df": pc.cast(sub["df"], pa.int64())})
+
+        out = ray.data.read_parquet(paths, columns=["field", "term", "df"]) \
+            .map_batches(cands, batch_format="pyarrow").to_pandas()
+        if not len(out):
+            return []
+        agg = out.groupby("term", as_index=False).agg(df=("df", "sum")) \
+            .sort_values(["df", "term"], ascending=[False, True],
+                         kind="mergesort")
+        return [{"term": str(r.term), "df": int(r.df)}
                 for r in agg.head(limit).itertuples()]
 
     def _attach_from(self, doc_tbls: list, ids, scores) -> list[dict]:

@@ -142,3 +142,42 @@ class TestSuggest:
 
     def test_unknown_field_empty(self, cluster):
         assert cluster.suggest("db", "j", "nosuch", "shred") == []
+
+
+class TestComplete:
+    def test_prefix_ranking(self, cluster):
+        # corpus terms: json/doc/shared (df 60 each) + the numerals 0..59
+        hits = cluster.complete("db", "j", "content", "j")
+        assert hits == [{"term": "json", "df": 60}]
+        # "5" matches 5,50..59 (df 1 each) -> (df desc, term asc), top 5
+        hits = cluster.complete("db", "j", "content", "5", limit=5)
+        assert [h["term"] for h in hits] == ["5", "50", "51", "52", "53"]
+        assert all(h["df"] == 1 for h in hits)
+
+    def test_exact_term_included(self, cluster):
+        assert cluster.complete("db", "j", "content", "shared") == \
+               [{"term": "shared", "df": 60}]
+
+    def test_bad_inputs(self, cluster):
+        assert cluster.complete("db", "j", "nosuch", "sh") == []
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="non-empty"):
+            cluster.complete("db", "j", "content", "")
+
+    def test_df_sums_across_delta_generations(self, ray_session, tmp_path):
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "cg", "st(field(_id,long),field(content,string,analyze))",
+            loc))
+        c.build_from_local("db", "cg", [
+            {"_id": i, "content": "alpha common"} for i in range(10)],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        # delta generation: 5 new docs share the 'common' term
+        c.build_from_local("db", "cg", [
+            {"_id": 100 + i, "content": "beta common"} for i in range(5)],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        hits = c.complete("db", "cg", "content", "com")
+        assert hits == [{"term": "common", "df": 15}]
+        assert c.complete("db", "cg", "content", "al") == \
+               [{"term": "alpha", "df": 10}]

@@ -1139,3 +1139,188 @@ class TestSortByFieldAndSnapshot:
         ids = {x["doc_id"] for x in r3.search("db", "sb", q,
                                               precision="float64")[0]}
         assert 0 not in ids and 2 not in ids
+
+
+class TestDateHistogram:
+    """Fixed-interval histogram over the ENTIRE match set (elasticsearch
+    date_histogram fixed_interval shape): per-bucket (bucket, cnt) partials,
+    floor-division bucket keys, optional gap fill."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "h", "st(field(_id,long),field(content,string,analyze),"
+            "field(t,long))", loc))
+        # t spans negatives so truncation-vs-floor bugs show: -25..34 step 1
+        docs = [{"_id": i, "content": "hit " + ("extra " if i % 5 == 0 else ""),
+                 "t": i - 25}
+                for i in range(60)]
+        docs[3]["t"] = None          # null must not count
+        c.build_from_local("db", "h", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_floor_buckets_whole_match_set(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "h", keyword="hit", fields=["content"], limit=2)
+        out = c.date_histogram("db", "h", q, "t", interval=10)
+        # floor semantics: t=-25..-21 -> bucket -30; -20..-11 -> -20; ...
+        # 59 non-null values (t=-22 nulled)
+        import collections
+        exp = collections.Counter(
+            ((i - 25) // 10) * 10 for i in range(60) if i != 3)
+        assert out == [{"bucket": b, "count": n}
+                       for b, n in sorted(exp.items())]
+        assert out[0]["bucket"] == -30          # true floor, not truncation
+        assert sum(o["count"] for o in out) == 59
+
+    def test_offset_and_gap_fill(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "h", keyword="extra", fields=["content"],
+                        limit=1)
+        # matches _id % 5 == 0 -> t = -25,-20,...,30 (12 values, all non-null
+        # except none), interval 50: buckets -50 and 0
+        out = c.date_histogram("db", "h", q, "t", interval=50)
+        assert out == [{"bucket": -50, "count": 5}, {"bucket": 0, "count": 7}]
+        # offset shifts the grid: floor((v-25)/50)*50+25
+        out2 = c.date_histogram("db", "h", q, "t", interval=50, offset=25)
+        assert sum(o["count"] for o in out2) == 12
+        assert all((o["bucket"] - 25) % 50 == 0 for o in out2)
+        # min_doc_count=0 zero-fills interior gaps
+        out3 = c.date_histogram("db", "h", q, "t", interval=7,
+                                min_doc_count=0)
+        bks = [o["bucket"] for o in out3]
+        assert bks == list(range(bks[0], bks[-1] + 7, 7))
+        assert sum(o["count"] for o in out3) == 12
+
+    def test_timestamp_column_buckets_as_epoch_us(self, ray_session,
+                                                  tmp_path):
+        import pyarrow as pa
+        import ray.data
+        day = 86_400_000_000
+        base = 1_700_000_000_000_000        # 2023-11-14T22:13:20Z in us
+        t = pa.table({
+            "_id": pa.array(range(30), pa.int64()),
+            "content": pa.array(["hit"] * 30),
+            "ts": pa.array([base + i * (day // 3) for i in range(30)],
+                           pa.timestamp("us")),
+        })
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "ht", "st(field(_id,long),field(content,string,analyze),"
+            "field(ts,date,sort))", loc))
+        c.build_from_parquet("db", "ht", ray.data.from_arrow(t),
+                             key_field="_id", num_doc_parts=2,
+                             num_term_parts=2)
+        q = SearchQuery("db", "ht", keyword="hit", fields=["content"],
+                        limit=3)
+        out = c.date_histogram("db", "ht", q, "ts", interval=day)
+        import collections
+        exp = collections.Counter(
+            ((base + i * (day // 3)) // day) * day for i in range(30))
+        assert out == [{"bucket": b, "count": n}
+                       for b, n in sorted(exp.items())]
+
+    def test_actor_parity_and_bad_inputs(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "h", keyword="hit", fields=["content"], limit=2)
+        inproc = c.date_histogram("db", "h", q, "t", interval=10)
+        c.activate("db", "h")
+        assert c.date_histogram("db", "h", q, "t", interval=10) == inproc
+        with pytest.raises(ValueError, match="positive"):
+            c.date_histogram("db", "h", q, "t", interval=0)
+        qa = SearchQuery("db", "h", keyword="zzz_absent",
+                         fields=["content"], limit=5)
+        assert c.date_histogram("db", "h", qa, "t", interval=10) == []
+        c2, docs = _vec_cluster(str(tmp_path) + "/v", n=20)
+        qv = SearchQuery("db", "v", vector=docs[0]["vector"],
+                         vectorField="vector", limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c2.date_histogram("db", "v", qv, "_id", interval=10)
+
+
+class TestTermsStats:
+    """Terms bucket agg + numeric metric sub-agg (elasticsearch terms +
+    sum/avg shape): per-key (cnt, mcnt, msum) partials, exact driver fold."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "ts", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string),field(n,long))", loc))
+        docs = [{"_id": i, "content": "hit " + ("extra " if i % 5 == 0 else ""),
+                 "cat": ["a", "b", "c"][i % 3], "n": i * 10}
+                for i in range(60)]
+        docs[59]["cat"] = None       # null key: doc doesn't count at all
+        docs[7]["n"] = None          # null metric: doc counts, metric doesn't
+        c.build_from_local("db", "ts", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_exact_fold_and_null_semantics(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "ts", keyword="hit", fields=["content"],
+                        limit=2)
+        out = c.terms_stats("db", "ts", q, "cat", "n")
+        exp = {}
+        for i in range(60):
+            if i == 59:
+                continue             # nulled key
+            k = ["a", "b", "c"][i % 3]
+            e = exp.setdefault(k, {"count": 0, "mcnt": 0, "msum": 0})
+            e["count"] += 1
+            if i != 7:
+                e["mcnt"] += 1
+                e["msum"] += i * 10
+        want = sorted(exp.items(), key=lambda kv: (-kv[1]["count"], kv[0]))
+        assert out == [{"key": k, "count": v["count"],
+                        "metric_count": v["mcnt"],
+                        "metric_sum": float(v["msum"]),
+                        "metric_avg": v["msum"] / v["mcnt"]}
+                       for k, v in want]
+
+    def test_limit_rank_and_actor_parity(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "ts", keyword="extra", fields=["content"],
+                        limit=1)
+        inproc = c.terms_stats("db", "ts", q, "cat", "n", limit=2)
+        assert len(inproc) == 2
+        # rank: (count desc, key asc) — a,b,c all have 4 matches -> a,b
+        assert [o["key"] for o in inproc] == ["a", "b"]
+        c.activate("db", "ts")
+        assert c.terms_stats("db", "ts", q, "cat", "n", limit=2) == inproc
+
+    def test_all_null_metric_group(self, ray_session, tmp_path):
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "tn", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string),field(n,long))", loc))
+        docs = [{"_id": i, "content": "hit", "cat": "x" if i < 3 else "y",
+                 "n": None if i < 3 else i} for i in range(6)]
+        c.build_from_local("db", "tn", docs, key_field="_id",
+                           num_doc_parts=2, num_term_parts=2)
+        q = SearchQuery("db", "tn", keyword="hit", fields=["content"],
+                        limit=1)
+        out = c.terms_stats("db", "tn", q, "cat", "n")
+        x = [o for o in out if o["key"] == "x"][0]
+        assert x == {"key": "x", "count": 3, "metric_count": 0,
+                     "metric_sum": 0.0, "metric_avg": None}
+        y = [o for o in out if o["key"] == "y"][0]
+        assert y["metric_count"] == 3 and y["metric_sum"] == 12.0
+
+    def test_bad_inputs(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        qa = SearchQuery("db", "ts", keyword="zzz_absent",
+                         fields=["content"], limit=5)
+        assert c.terms_stats("db", "ts", qa, "cat", "n") == []
+        q = SearchQuery("db", "ts", keyword="hit", fields=["content"],
+                        limit=2)
+        with pytest.raises(ValueError, match="not a stored column"):
+            c.terms_stats("db", "ts", q, "cat", "nope")
+        c2, docs = _vec_cluster(str(tmp_path) + "/v", n=20)
+        qv = SearchQuery("db", "v", vector=docs[0]["vector"],
+                         vectorField="vector", limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c2.terms_stats("db", "v", qv, "content", "_id")
