@@ -1206,6 +1206,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["complete_suggest"] = complete_suggest
 
+    def phrase_suggest(sf):
+        # whole-query did-you-mean (elasticsearch phrase-suggester shape):
+        # per-token dictionary candidates (levenshtein <= 2, top-3 by dist/
+        # df/term), every candidate sequence scored with a Stupid-Backoff
+        # bigram LM — bigram counts served from positional postings, the
+        # SQL oracle recomputes them from adjacent token pairs; scores
+        # compared as ln of the float64 left-to-right product
+        c = _docs_cluster(sf)
+        out = c.phrase_suggest("db", "docs", "text", "dat scon join",
+                               max_edits=2, max_candidates=3, limit=8,
+                               transpositions=False)
+        return pa.table({
+            "text": pa.array([o["text"] for o in out], pa.string()),
+            "score": pa.array([float(np.round(o["score"], 4)) for o in out],
+                              pa.float64()),
+        })
+    q["phrase_suggest"] = phrase_suggest
+
     def collection_stats(sf):
         c = _docs_cluster(sf)
         s = c.manifest("db", "docs").current_gen_info()["stats"]
@@ -3164,6 +3182,54 @@ ranked AS (
 )
 SELECT prefix, term, CAST(df AS BIGINT) AS df FROM ranked WHERE rn <= 5
 ORDER BY prefix, df DESC, term"""
+
+    # phrase suggester: per-token levenshtein candidates (top-3 by dist asc,
+    # df desc, term asc), sequences scored with Stupid Backoff —
+    # P(w0)·Π step_i, step = bigram/ttf_prev or 0.4·ttf/total — in the same
+    # left-to-right float64 order as the engine, compared as ROUND(ln(s), 4)
+    sql["phrase_suggest"] = """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '') AS t FROM documents),
+toksd AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df,
+                CAST(count(*) AS BIGINT) AS ttf
+         FROM toksd GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toksd),
+c0 AS (SELECT term, ttf FROM (
+        SELECT term, ttf, row_number() OVER (
+          ORDER BY levenshtein(term, 'dat'), df DESC, term) AS rn
+        FROM dict WHERE levenshtein(term, 'dat') <= 2) WHERE rn <= 3),
+c1 AS (SELECT term, ttf FROM (
+        SELECT term, ttf, row_number() OVER (
+          ORDER BY levenshtein(term, 'scon'), df DESC, term) AS rn
+        FROM dict WHERE levenshtein(term, 'scon') <= 2) WHERE rn <= 3),
+c2 AS (SELECT term, ttf FROM (
+        SELECT term, ttf, row_number() OVER (
+          ORDER BY levenshtein(term, 'join'), df DESC, term) AS rn
+        FROM dict WHERE levenshtein(term, 'join') <= 2) WHERE rn <= 3),
+bi AS (SELECT unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS g
+       FROM arr),
+bcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY g),
+seqs AS (
+  SELECT c0.term || ' ' || c1.term || ' ' || c2.term AS text,
+         (CAST(c0.ttf AS DOUBLE) / tot.t)
+         * (CASE WHEN COALESCE(b01.c, 0) > 0
+                 THEN CAST(b01.c AS DOUBLE) / c0.ttf
+                 ELSE 0.4e0 * (CAST(c1.ttf AS DOUBLE) / tot.t) END)
+         * (CASE WHEN COALESCE(b12.c, 0) > 0
+                 THEN CAST(b12.c AS DOUBLE) / c1.ttf
+                 ELSE 0.4e0 * (CAST(c2.ttf AS DOUBLE) / tot.t) END) AS s
+  FROM c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN tot
+  LEFT JOIN bcnt b01 ON b01.g = c0.term || ' ' || c1.term
+  LEFT JOIN bcnt b12 ON b12.g = c1.term || ' ' || c2.term
+)
+SELECT text, ROUND(ln(s), 4) AS score
+FROM seqs ORDER BY s DESC, text LIMIT 8"""
 
     sql["collection_stats"] = """
 SELECT count(*) AS n_docs,

@@ -194,6 +194,15 @@ def run_bench() -> dict:
     tq = time.perf_counter()
     cluster.terms_stats("web", "pages", q_agg, "lang", "warc_ts")
     queries["agg_terms_stats"] = round(time.perf_counter() - tq, 3)
+    # suggest family: dictionary scan (spell/complete) + positional-postings
+    # bigram LM (phrase) — misspell the bench query's first token
+    tq = time.perf_counter()
+    cluster.phrase_suggest("web", "pages", "text", qs[0] + "x",
+                           max_edits=1, max_candidates=3)
+    queries["suggest_phrase"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.complete("web", "pages", "text", qs[0][:3])
+    queries["suggest_complete"] = round(time.perf_counter() - tq, 3)
     cluster.deactivate("web", "pages")
 
     # ---- vector build + ANN-persistence serving ----

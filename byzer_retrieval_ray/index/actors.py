@@ -193,6 +193,10 @@ class SegmentActorImpl:
         return [s.stats_keyword(query, field, precision)
                 for s in self.searchers]
 
+    def phrase_pair_counts(self, pairs: list, field: str) -> np.ndarray:
+        return np.sum([s.phrase_pair_counts(pairs, field)
+                       for s in self.searchers], axis=0)
+
     def histogram_keyword(self, q: dict, field: str, interval: int,
                           offset: int = 0,
                           precision: str = "float32") -> list:

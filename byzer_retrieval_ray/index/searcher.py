@@ -2654,6 +2654,28 @@ class BucketSearcher:
         ok = (binned >= 0) & (binned < nbins) & (vals < e[-1])
         return np.bincount(binned[ok], minlength=nbins).astype(np.int64)
 
+    def phrase_pair_counts(self, pairs: list, field: str) -> np.ndarray:
+        """Per-bucket corpus counts of exact adjacent occurrences for each
+        ``(a, b)`` term pair in ``field`` — the bigram statistics a phrase
+        suggester's language model needs, served straight from positional
+        postings (the same ExactPhraseMatcher adjacency `_phrase_posting`
+        uses for phrase queries; no corpus scan). Occurrences in tombstoned
+        docs don't count; the master sums counts across buckets and
+        generations. Ships ONE int64 per pair."""
+        terms = sorted({t for p in pairs for t in p})
+        posts = self.fetch_postings([(field, t) for t in terms])
+        out = np.zeros(len(pairs), np.int64)
+        ts = self._ts_in_bucket
+        for i, (a, b) in enumerate(pairs):
+            pp = self._phrase_posting(field, (str(a), str(b)), posts)
+            if pp is None:
+                continue
+            freqs = pp.tfs
+            if ts.size:
+                freqs = freqs[~np.isin(pp.docs, ts)]
+            out[i] = int(freqs.sum())
+        return out
+
     def histogram_keyword(self, q: SearchQuery, field: str, interval: int,
                           offset: int = 0,
                           precision: str = "float32") -> pa.Table:

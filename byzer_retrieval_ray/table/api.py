@@ -1759,6 +1759,171 @@ class RetrievalCluster:
         return [{"term": str(r.term), "df": int(r.df)}
                 for r in agg.head(limit).itertuples()]
 
+    def phrase_suggest(self, database: str, table: str, field: str,
+                       text: str, max_edits: int = 1,
+                       max_candidates: int = 3, limit: int = 5,
+                       transpositions: bool = True,
+                       backoff: float = 0.4) -> list[dict]:
+        """Whole-query did-you-mean (the elasticsearch ``phrase`` suggester
+        shape, simplified — the reference exposes no suggest API:
+        extension). Each whitespace token of ``text`` generates dictionary
+        candidates within ``max_edits`` (the token itself at distance 0 when
+        it's in the dictionary), capped per token at ``max_candidates`` by
+        (distance asc, df desc, term asc); every candidate sequence is
+        scored with a Stupid-Backoff bigram language model over the corpus
+        token stream:
+
+            score = P(c_1) · Π_i S(c_i | c_{i-1}),
+            P(w)        = ttf(w) / total_tokens,
+            S(b | a)    = bigram(a, b) / ttf(a)      if bigram(a, b) > 0
+                          else ``backoff`` · P(b),
+
+        (Brants et al. 2007 — the stupid-backoff scorer elasticsearch
+        defaults to). Returned ``{"text", "score"}`` rows are ranked by
+        (score desc, text asc), top ``limit``; ``score`` is ln of the
+        product (products underflow display precision fast), computed
+        left-to-right in float64. A token with NO candidate within
+        ``max_edits`` yields [] (nothing to suggest). Unigram/df statistics
+        are build-time sums across active generations (Lucene docFreq
+        convention — deletes don't decrement until compaction, same as
+        ``suggest``); bigram counts COUNT live docs only (they come from
+        positional postings with tombstones applied), a divergence that
+        vanishes at compaction.
+
+        Scale shape: (1) ONE column-pruned distributed scan of the term
+        dictionary ships per-token candidate (term, df, ttf, dist) rows —
+        the same vectorized length-band prefilter as ``suggest``; (2) ONE
+        ``phrase_pair_counts`` round ships (tokens-1)·max_candidates² int64
+        bigram counts per serving bucket, each an ExactPhraseMatcher
+        positional intersection served from the postings cache — no corpus
+        scan; (3) the driver enumerates at most max_candidates^tokens
+        sequences (capped at 4096 — raise ``max_candidates`` consciously).
+        Requires a positional index (the default; build_index
+        positions=False opts out and phrase counting raises there)."""
+        import itertools
+
+        import ray.data
+
+        from byzer_retrieval_ray.functions.fuzzy import (edit_distances,
+                                                         fuzzy_candidates)
+
+        tokens = [t for t in str(text).split() if t]
+        if not tokens:
+            raise ValueError("text must contain at least one token")
+        man = self.manifest(database, table)
+        paths = []
+        total_tokens = 0
+        for g in man.active_generations():
+            info = man.data["generations"][str(g)]
+            fstats = info.get("stats", {}).get("fields", {}).get(field)
+            if fstats:
+                total_tokens += int(fstats["sum_ttf"])
+            for e in info.get("postings", {}).values():
+                p = e.get("termstats_path")
+                if p and os.path.exists(p):
+                    paths.append(p)
+        if not paths or total_tokens == 0:
+            return []
+        ne, fld = int(max_edits), str(field)
+        toks = list(tokens)
+
+        def cands(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            empty = pa.table({"tok": pa.array([], pa.int64()),
+                              "term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64()),
+                              "ttf": pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.int64())})
+            sub = batch.filter(pc.equal(batch["field"], fld))
+            terms = sub["term"].to_pylist()
+            if not terms:
+                return empty
+            lens = np.array([len(t) for t in terms], dtype=np.int64)
+            cols = {k: [] for k in ("tok", "term", "df", "ttf", "dist")}
+            for ti, tok in enumerate(toks):
+                idx = fuzzy_candidates(tok, terms, lens, ne)
+                if idx.size == 0:
+                    continue
+                cand = [terms[i] for i in idx]
+                d = edit_distances(tok, cand, ne, transpositions)
+                keep = d <= ne                       # distance 0 included
+                kidx = idx[keep]
+                cols["tok"].extend([ti] * int(kidx.size))
+                cols["term"].extend(terms[i] for i in kidx)
+                cols["df"].extend(
+                    sub["df"].take(pa.array(kidx)).to_pylist())
+                cols["ttf"].extend(
+                    sub["ttf"].take(pa.array(kidx)).to_pylist())
+                cols["dist"].extend(int(x) for x in d[keep])
+            return pa.table({
+                "tok": pa.array(cols["tok"], pa.int64()),
+                "term": pa.array(cols["term"], pa.string()),
+                "df": pa.array(cols["df"], pa.int64()),
+                "ttf": pa.array(cols["ttf"], pa.int64()),
+                "dist": pa.array(cols["dist"], pa.int64())})
+
+        raw = ray.data.read_parquet(
+            paths, columns=["field", "term", "df", "ttf"]) \
+            .map_batches(cands, batch_format="pyarrow").to_pandas()
+        if not len(raw):
+            return []
+        # fold duplicate terms across generations: df/ttf sum, dist is
+        # identical everywhere (a pure string function of (tok, term))
+        agg = raw.groupby(["tok", "term"], as_index=False).agg(
+            df=("df", "sum"), ttf=("ttf", "sum"), dist=("dist", "min"))
+        per_tok: list[list[tuple[str, int]]] = []
+        for ti in range(len(toks)):
+            g = agg[agg["tok"] == ti].sort_values(
+                ["dist", "df", "term"], ascending=[True, False, True],
+                kind="mergesort").head(int(max_candidates))
+            if not len(g):
+                return []
+            per_tok.append([(str(r.term), int(r.ttf))
+                            for r in g.itertuples()])
+        n_seq = 1
+        for c in per_tok:
+            n_seq *= len(c)
+        if n_seq > 4096:
+            raise ValueError(
+                f"{n_seq} candidate sequences exceed the 4096 cap — lower "
+                "max_candidates or shorten the text")
+        ttf = {t: f for c in per_tok for (t, f) in c}
+        pairs = sorted({(a, b)
+                        for i in range(len(per_tok) - 1)
+                        for a, _ in per_tok[i] for b, _ in per_tok[i + 1]})
+        bigram = {}
+        if pairs:
+            plist = [list(p) for p in pairs]
+            use_actors = (database, table) in self._actors
+            if use_actors:
+                import ray
+                futs = [a.phrase_pair_counts.remote(plist, fld)
+                        for a in self._actors[(database, table)]]
+                counts = np.sum(ray.get(futs, timeout=QUERY_TIMEOUT_SEC),
+                                axis=0)
+            else:
+                counts = np.sum([s.phrase_pair_counts(plist, fld)
+                                 for s in self._searchers(database, table)],
+                                axis=0)
+            bigram = {p: int(c) for p, c in zip(pairs, counts)}
+        out = []
+        tot = float(total_tokens)
+        bo = float(backoff)
+        for seq in itertools.product(*per_tok):
+            words = [w for w, _ in seq]
+            s = ttf[words[0]] / tot
+            for i in range(1, len(words)):
+                bg = bigram.get((words[i - 1], words[i]), 0)
+                if bg > 0:
+                    s = s * (bg / ttf[words[i - 1]])
+                else:
+                    s = s * (bo * (ttf[words[i]] / tot))
+            out.append((" ".join(words), s))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        import math
+        return [{"text": t, "score": float(math.log(s))}
+                for t, s in out[:int(limit)]]
+
     def _attach_from(self, doc_tbls: list, ids, scores) -> list[dict]:
         if len(ids) == 0 or not doc_tbls:
             return []

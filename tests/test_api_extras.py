@@ -181,3 +181,75 @@ class TestComplete:
         assert hits == [{"term": "common", "df": 15}]
         assert c.complete("db", "cg", "content", "al") == \
                [{"term": "alpha", "df": 10}]
+
+
+class TestPhraseSuggest:
+    """Whole-query did-you-mean: per-token dictionary candidates + Stupid-
+    Backoff bigram LM served from positional postings."""
+
+    def test_correction_and_handscore(self, cluster):
+        # corpus: 60 docs "json doc {i} shared" -> ttf(json)=60, total=240,
+        # bigram("json","doc")=60
+        import math
+        out = cluster.phrase_suggest("db", "j", "content", "jsno doc",
+                                     max_edits=1)
+        assert out[0]["text"] == "json doc"
+        assert out[0]["score"] == math.log((60 / 240) * (60 / 60))
+
+    def test_backoff_when_bigram_absent(self, cluster):
+        import math
+        # "shared json" never occurs adjacently -> backoff step
+        out = cluster.phrase_suggest("db", "j", "content", "shared json",
+                                     max_edits=0)
+        assert out == [{"text": "shared json",
+                        "score": math.log((60 / 240) * (0.4 * (60 / 240)))}]
+
+    def test_no_candidate_token_yields_empty(self, cluster):
+        assert cluster.phrase_suggest("db", "j", "content",
+                                      "json zzzzzzzzzz", max_edits=1) == []
+
+    def test_sequence_cap_and_empty_text(self, cluster):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="at least one token"):
+            cluster.phrase_suggest("db", "j", "content", "   ")
+        # 7 numeral tokens x up to 10+ candidates each blows the 4096 cap
+        with _pytest.raises(ValueError, match="4096"):
+            cluster.phrase_suggest("db", "j", "content",
+                                   "1 1 1 1 1 1 1", max_edits=1,
+                                   max_candidates=4)
+
+    def test_deletes_remove_bigrams_but_not_ttf(self, ray_session, tmp_path):
+        import math
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "pb", "st(field(_id,long),field(content,string,analyze))",
+            loc))
+        docs = [{"_id": i, "content": "x y"} for i in range(4)] + \
+               [{"_id": 10 + i, "content": "x z"} for i in range(4)]
+        c.build_from_local("db", "pb", docs, key_field="_id",
+                           num_doc_parts=2, num_term_parts=2)
+        # before: bigram(x,y)=4 == bigram(x,z); "x y" wins ties alphabetically
+        out = c.phrase_suggest("db", "pb", "content", "x y", max_edits=1,
+                               max_candidates=3)
+        assert out[0]["text"] == "x y"
+        # delete every "x y" doc: the bigram vanishes (live-doc counts) but
+        # ttf stays build-time (Lucene docFreq convention) -> backoff path
+        c.delete_by_ids("db", "pb", [0, 1, 2, 3])
+        out2 = c.phrase_suggest("db", "pb", "content", "x y", max_edits=1,
+                                max_candidates=3)
+        assert out2[0]["text"] == "x z"
+        total, ttf_x, ttf_y = 16, 8, 4
+        xy = [o for o in out2 if o["text"] == "x y"][0]
+        assert xy["score"] == math.log(
+            (ttf_x / total) * (0.4 * (ttf_y / total)))
+
+    def test_actor_parity(self, cluster):
+        inproc = cluster.phrase_suggest("db", "j", "content", "jsno doc",
+                                        max_edits=1)
+        cluster.activate("db", "j")
+        try:
+            assert cluster.phrase_suggest("db", "j", "content", "jsno doc",
+                                          max_edits=1) == inproc
+        finally:
+            cluster.deactivate("db", "j")
