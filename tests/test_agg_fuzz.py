@@ -1,0 +1,145 @@
+"""Aggregation-endpoint fuzzer: random query ASTs (the generator and the
+independent Lucene-BooleanQuery evaluator from test_query_fuzz) define a
+reference MATCH SET; every match-set aggregation endpoint — facet_counts,
+field_stats, range_facets, date_histogram, terms_stats, count, cardinality,
+search_by_field — is then compared against a brute-force fold computed
+directly from the corpus rows restricted to that match set. No production
+aggregation code is shared with the oracle folds (cardinality compares
+against the ops/hll sketch applied to the exact key list, which is the
+endpoint's documented estimator). This pins the whole chain
+query → TAAT match set → docstore read → partial → driver fold."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from byzer_retrieval_ray import RetrievalCluster, TableSettings
+from tests.test_query_fuzz import (VOCAB, _ev_bool, _gen_children,
+                                   _render_top, _unwrap_top)
+
+SCHEMA = ("st(field(_id,long),field(body,string,analyze),"
+          "field(cat,string),field(n,long),field(t,long))")
+
+CATS = ["a", "b", "c", "d", "e"]
+
+
+def _corpus(rng, n=48):
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(0, 14))
+        rows.append({
+            "_id": i,
+            "body": " ".join(rng.choice(VOCAB, k)) if k else "",
+            "cat": None if rng.random() < 0.12 else str(rng.choice(CATS)),
+            "n": None if rng.random() < 0.12 else int(rng.integers(-50, 200)),
+            # negatives exercise floor-vs-truncation histogram bucketing
+            "t": int(rng.integers(-1000, 1000)),
+        })
+    return rows
+
+
+@pytest.fixture(scope="module")
+def agg_cluster(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(424243)
+    rows = _corpus(rng)
+    loc = str(tmp_path_factory.mktemp("aggfuzz"))
+    c = RetrievalCluster(loc)
+    c.create_table(TableSettings("db", "g", SCHEMA, loc))
+    c.build_from_local("db", "g", rows, key_field="_id",
+                       num_doc_parts=3, num_term_parts=2)
+    toks = {r["_id"]: r["body"].split() for r in rows}
+    return c, rows, toks
+
+
+def _match_set(toks, children, msm):
+    eff = _unwrap_top(children)
+    return {i for i, tt in toks.items() if _ev_bool(eff, tt, msm=msm)}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 59, 131, 313, 677, 1201, 2803])
+def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
+    c, rows, toks = agg_cluster
+    by_id = {r["_id"]: r for r in rows}
+    rng = np.random.default_rng(seed)
+    n_nonempty = 0
+    for _ in range(10):
+        children = _gen_children(rng, 0)
+        kw = _render_top(children)
+        msm = int(rng.integers(0, 2))
+        want = _match_set(toks, children, msm)
+        q = {"keyword": kw, "fields": ["body"], "limit": 3,
+             "min_should_match": msm}
+        sub = [by_id[i] for i in sorted(want)]
+        if sub:
+            n_nonempty += 1
+
+        # ---- count (TotalHitCountCollector)
+        assert c.count("db", "g", q) == len(want), kw
+
+        # ---- facet_counts: (count desc, value asc), nulls out
+        cnt = collections.Counter(r["cat"] for r in sub
+                                  if r["cat"] is not None)
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = c.facet_counts("db", "g", q, "cat", limit=10)
+        assert got == [{"value": v, "count": n} for v, n in exp], kw
+
+        # ---- field_stats over n (nulls out, integer-exact)
+        vals = [r["n"] for r in sub if r["n"] is not None]
+        st = c.field_stats("db", "g", q, "n")
+        if vals:
+            assert st == {"count": len(vals), "min": min(vals),
+                          "max": max(vals), "sum": sum(vals),
+                          "mean": sum(vals) / len(vals)}, kw
+        else:
+            assert st["count"] == 0 and st["sum"] is None, kw
+
+        # ---- range_facets: half-open bins over n
+        edges = [-50, 0, 50, 100, 200]
+        got_rf = c.range_facets("db", "g", q, "n", edges=edges)
+        for (lo, hi), o in zip(zip(edges, edges[1:]), got_rf):
+            assert o["lo"] == lo and o["hi"] == hi
+            assert o["count"] == sum(1 for v in vals if lo <= v < hi), kw
+
+        # ---- date_histogram over t (negatives -> floor semantics)
+        interval = int(rng.integers(7, 300))
+        hist = collections.Counter((r["t"] // interval) * interval
+                                   for r in sub)
+        got_h = c.date_histogram("db", "g", q, "t", interval=interval)
+        assert got_h == [{"bucket": b, "count": n}
+                         for b, n in sorted(hist.items())], (kw, interval)
+
+        # ---- terms_stats: per-cat folds of n
+        folds = {}
+        for r in sub:
+            if r["cat"] is None:
+                continue
+            f = folds.setdefault(r["cat"], [0, 0, 0])
+            f[0] += 1
+            if r["n"] is not None:
+                f[1] += 1
+                f[2] += r["n"]
+        exp_ts = sorted(folds.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        got_ts = c.terms_stats("db", "g", q, "cat", "n", limit=10)
+        assert got_ts == [
+            {"key": k, "count": f[0], "metric_count": f[1],
+             "metric_sum": float(f[2]),
+             "metric_avg": (f[2] / f[1]) if f[1] else None}
+            for k, f in exp_ts], kw
+
+        # ---- cardinality: register-exact vs the sketch on the key list
+        from byzer_retrieval_ray.ops.hll import _estimate, _registers
+        keys = [r["cat"] for r in sub if r["cat"] is not None]
+        regs = _registers(keys, 12) if keys else np.zeros(1 << 12, np.int64)
+        exp_card = _estimate(regs, 12)
+        got_card = c.cardinality("db", "g", q, "cat", p=12)
+        assert got_card == exp_card, kw
+
+        # ---- search_by_field: whole-match-set order by (n desc, _id asc),
+        # nulls excluded, top query.limit
+        order = sorted(((r["n"], r["_id"]) for r in sub
+                        if r["n"] is not None),
+                       key=lambda t: (-t[0], t[1]))[:3]
+        got_s = c.search_by_field("db", "g", q, "n", ascending=False)
+        assert [(o["n"], o["doc_id"]) for o in got_s] == order, kw
+    assert n_nonempty >= 5        # the generator must not degenerate
