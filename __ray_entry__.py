@@ -37,6 +37,8 @@ DOCSVEC_SCHEMA = ("st(field(doc_id,long),field(text,string,analyze),"
                   "field(lang,string),field(vector,array(float)))")
 DOCS2_SCHEMA = ("st(field(doc_id,long),field(title,string,analyze),"
                 "field(content,string,analyze),field(lang,string))")
+DOCSTAGS_SCHEMA = ("st(field(doc_id,long),field(text,string,analyze),"
+                   "field(lang,string),field(tags,array(string)))")
 
 P_DOC = 4      # doc partitions / serving buckets (doc_id % 4 for long keys)
 P_TERM = 4     # term-range partitions
@@ -126,6 +128,33 @@ def _docsvec_cluster(sf_dir: str) -> RetrievalCluster:
         joined = d.append_column("vector", e["embedding"])
         return ray.data.from_arrow(joined)
     return _get_cluster(sf_dir, "docsvec", DOCSVEC_SCHEMA, "doc_id", make_source)
+
+
+def _docstags_cluster(sf_dir: str) -> RetrievalCluster:
+    """documents plus a derived array(string) tags column — the multi-valued
+    keyword-field extension (elasticsearch array fields): tags = [lang,
+    's:'+source], plus 'decade' when doc_id % 10 == 0, plus a DUPLICATE lang
+    when doc_id % 7 == 0 (facets must count a doc once per DISTINCT value)."""
+    def make_source():
+        import ray.data
+        d = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "lang", "source"])
+        tags = []
+        for did, lang, src in zip(d["doc_id"].to_pylist(),
+                                  d["lang"].to_pylist(),
+                                  d["source"].to_pylist()):
+            t = [lang, f"s:{src}"]
+            if did % 10 == 0:
+                t.append("decade")
+            if did % 7 == 0:
+                t.append(lang)
+            tags.append(t)
+        t = pa.table({"doc_id": d["doc_id"], "text": d["text"],
+                      "lang": d["lang"],
+                      "tags": pa.array(tags, pa.list_(pa.string()))})
+        return ray.data.from_arrow(t)
+    return _get_cluster(sf_dir, "docstags", DOCSTAGS_SCHEMA, "doc_id",
+                        make_source)
 
 
 def _docs2_cluster(sf_dir: str) -> RetrievalCluster:
@@ -1026,6 +1055,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          {"field": "source", "value": "src1"}]}]})
     q["bm25_filter_range"] = lambda sf: _bm25(
         sf, "the", 50, {"and": [{"field": "n_chars", "min": 100, "max": 300}]})
+
+    # --- multi-valued (array(string)) keyword fields: ANY-element filter
+    # match + per-doc-DISTINCT facet counting (elasticsearch array-field
+    # semantics; the reference parses array(T) but indexes only
+    # array(float) — extension) ---
+    def tags_filter(sf):
+        c = _docstags_cluster(sf)
+        q2 = SearchQuery("db", "docstags", keyword="merge sort",
+                         fields=["text"], limit=1000,
+                         filters={"and": [{"field": "tags",
+                                           "value": "decade"}]})
+        return _search_rows(c, "docstags", q2)
+    q["tags_filter"] = tags_filter
+
+    def tags_facet(sf):
+        c = _docstags_cluster(sf)
+        q2 = SearchQuery("db", "docstags", keyword="merge",
+                         fields=["text"], limit=10)
+        out = c.facet_counts("db", "docstags", q2, "tags", limit=10,
+                             precision="float64")
+        return pa.table({
+            "tag": pa.array([o["value"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["tags_facet"] = tags_facet
 
     # --- unscored filter op with sorts (Q4) over documents and events ---
     def filter_sort_docs(sf):
@@ -2479,6 +2533,30 @@ FROM documents d JOIN m ON m.doc_id = d.doc_id"""
         "SELECT doc_id FROM documents WHERE lang = 'en' AND (source = 'src0' OR source = 'src1')")
     sql["bm25_filter_range"] = _sql_bm25(
         ["the"], 50, "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300")
+
+    # array(string) tags: filter matches when ANY element matches; the tags
+    # column is derived from documents exactly as _docstags_cluster builds it
+    _SQL_TAGS = """
+SELECT doc_id, [lang, 's:' || source]
+       || (CASE WHEN doc_id % 10 = 0 THEN ['decade'] ELSE [] END)
+       || (CASE WHEN doc_id % 7 = 0 THEN [lang] ELSE [] END) AS tags
+FROM documents"""
+    sql["tags_filter"] = _sql_bm25(
+        ["merge", "sort"], 1000,
+        f"SELECT doc_id FROM ({_SQL_TAGS}) WHERE list_contains(tags, 'decade')")
+
+    # facet over a multi-valued field: a doc counts once per DISTINCT element
+    sql["tags_facet"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge')),
+tagged AS (SELECT doc_id, unnest(tags) AS tag FROM ({_SQL_TAGS}))
+SELECT t.tag AS tag, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS cnt
+FROM tagged t JOIN m ON m.doc_id = t.doc_id
+GROUP BY t.tag ORDER BY cnt DESC, tag LIMIT 10"""
 
     sql["bm25_phrase"] = f"""
 WITH {_SQL_TOKS},

@@ -72,9 +72,41 @@ def to_expression(tree: dict, analyzed: set[str] | None = None):
     return go(tree)
 
 
+def _list_any_mask(col: pa.ChunkedArray, node: dict) -> pa.Array:
+    """ANY-element semantics for a list-typed column (the elasticsearch
+    array-field convention: a filter matches a doc when any element
+    matches). Vectorized: flatten once, compare elements, scatter hits back
+    to parent rows via list_parent_indices. Null lists and null elements
+    never match."""
+    import numpy as np
+
+    arr = col.combine_chunks()
+    values = arr.flatten()
+    parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    if "value" in node:
+        hit = pc.equal(values, pa.scalar(node["value"]).cast(values.type))
+    else:
+        hit = None
+        if node.get("min") is not None:
+            hit = pc.greater_equal(values,
+                                   pa.scalar(node["min"]).cast(values.type))
+        if node.get("max") is not None:
+            h2 = pc.less_equal(values,
+                               pa.scalar(node["max"]).cast(values.type))
+            hit = h2 if hit is None else pc.and_(hit, h2)
+        if hit is None:
+            raise ValueError(f"empty range filter on {node['field']!r}")
+    hit = pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+    mask = np.zeros(len(col), dtype=bool)
+    mask[parents[hit]] = True
+    return pa.array(mask)
+
+
 def _leaf_mask(table: pa.Table, node: dict, analyzed: set[str]) -> pa.ChunkedArray:
     f = node["field"]
     col = table[f]
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        return _list_any_mask(col, node)
     if "value" in node:
         v = node["value"]
         if f in analyzed:

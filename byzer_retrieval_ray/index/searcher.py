@@ -2383,7 +2383,22 @@ class BucketSearcher:
         tbl = self.fetch_docs(ids, columns=[facet_field])
         if facet_field not in tbl.column_names:
             return empty
-        vc = pc.value_counts(tbl[facet_field].combine_chunks())
+        col = tbl[facet_field].combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            # multi-valued (array) field: a doc counts ONCE per DISTINCT
+            # element it carries (the elasticsearch terms-agg doc_count
+            # convention for array fields); vectorized flatten + distinct
+            # (parent, value) pairs + per-value count
+            flat = pc.cast(col.flatten(), pa.string())
+            pairs = pa.table({
+                "parent": pc.list_parent_indices(col),
+                "value": flat,
+            }).filter(pc.is_valid(flat))
+            uniq = pairs.group_by(["parent", "value"]).aggregate([])
+            agg = uniq.group_by("value").aggregate([("parent", "count")])
+            return pa.table({"value": agg["value"],
+                             "cnt": pc.cast(agg["parent_count"], pa.int64())})
+        vc = pc.value_counts(col)
         vals, cnts = vc.field("values"), vc.field("counts")
         keep = pc.is_valid(vals)
         return pa.table({"value": pc.cast(vals.filter(keep), pa.string()),
@@ -2424,6 +2439,11 @@ class BucketSearcher:
         if collapse_field not in tbl.column_names:
             raise ValueError(
                 f"collapse field {collapse_field!r} is not a stored column")
+        if pa.types.is_list(tbl[collapse_field].type) or \
+                pa.types.is_large_list(tbl[collapse_field].type):
+            raise ValueError(
+                f"collapse field {collapse_field!r} is list-typed — a doc "
+                "can only collapse into one group")
         fid = tbl["doc_id"].to_numpy()
         order = np.argsort(fid, kind="stable")
         pos = np.searchsorted(fid, ids, sorter=order)
@@ -2580,7 +2600,11 @@ class BucketSearcher:
         if field not in tbl.column_names:
             raise ValueError(
                 f"cardinality field {field!r} is not a stored column")
-        keys = tbl[field].combine_chunks().drop_null()
+        keys = tbl[field].combine_chunks()
+        if pa.types.is_list(keys.type) or pa.types.is_large_list(keys.type):
+            # multi-valued (array) field: distinct count over the elements
+            keys = keys.flatten()
+        keys = keys.drop_null()
         if len(keys) == 0:
             return np.zeros(m, dtype=np.int64)
         return _registers(pc.cast(keys, pa.string()).to_pylist(), p)
@@ -2752,7 +2776,12 @@ class BucketSearcher:
         if metric_field not in tbl.column_names:
             raise ValueError(
                 f"metric field {metric_field!r} is not a stored column")
-        keys = pc.cast(tbl[key_field].combine_chunks(), pa.string())
+        raw_keys = tbl[key_field].combine_chunks()
+        if pa.types.is_list(raw_keys.type) or pa.types.is_large_list(raw_keys.type):
+            raise ValueError(
+                f"terms_stats key {key_field!r} is list-typed — use "
+                "facet_counts for multi-valued fields")
+        keys = pc.cast(raw_keys, pa.string())
         metric = tbl[metric_field].combine_chunks()
         if pa.types.is_timestamp(metric.type):
             # timestamps aggregate as epoch microseconds (the elasticsearch

@@ -12,7 +12,12 @@ Grammar (SimpleSchemaParser.java:24-93):
 Of these, the reference actually *indexes* only string/int/long/double/float and
 array(float); everything else parses but is rejected at indexing time
 (SchemaUtils.java:32-117). We mirror that: `indexable` marks what the engine supports;
-`parse_schema` accepts the full grammar.
+`parse_schema` accepts the full grammar. EXTENSION beyond the reference:
+array(string)/array(long) columns are supported as multi-valued keyword fields
+(the elasticsearch array-field convention) — stored in the docstore, filters
+match when ANY element matches (functions/filters._list_any_mask), facets count
+a doc once per DISTINCT element, cardinality counts distinct elements; they are
+not BM25-indexed and single-group endpoints (collapse, terms_stats) reject them.
 
 Per-field options land in Arrow field metadata so they survive round-trips:
   analyze → tokenized full-text (indexed, not stored in the searchable sense)

@@ -117,3 +117,121 @@ class TestFilterTree:
         # analyzed leaves are not expressible
         assert filters.to_expression({"and": [{"field": "text", "value": "x"}]},
                                      analyzed={"text"}) is None
+
+
+class TestArrayStringFields:
+    """Multi-valued keyword fields (array(string)/array(long) extension —
+    the reference parses array(T) but indexes only array(float)): filters
+    match on ANY element, facets count a doc once per DISTINCT element,
+    cardinality counts distinct elements; single-group endpoints reject."""
+
+    def _cluster(self, loc):
+        from byzer_retrieval_ray import RetrievalCluster, TableSettings
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "a", "st(field(_id,long),field(content,string,analyze),"
+            "field(tags,array(string)),field(ns,array(long)))", loc))
+        docs = [{"_id": i, "content": "hit",
+                 "tags": (["red", "blue"] if i % 2 else ["green", "green"]),
+                 "ns": [i, i + 100]}
+                for i in range(20)]
+        docs[5]["tags"] = None          # null list never matches / counts
+        docs[6]["tags"] = []
+        import pyarrow as pa
+        import ray.data
+        t = pa.table({
+            "_id": pa.array([d["_id"] for d in docs], pa.int64()),
+            "content": pa.array([d["content"] for d in docs]),
+            "tags": pa.array([d["tags"] for d in docs],
+                             pa.list_(pa.string())),
+            "ns": pa.array([d["ns"] for d in docs], pa.list_(pa.int64())),
+        })
+        c.build_from_parquet("db", "a", ray.data.from_arrow(t),
+                             key_field="_id", num_doc_parts=3,
+                             num_term_parts=2)
+        return c
+
+    def test_any_element_value_filter(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = {"keyword": "hit", "fields": ["content"], "limit": 100,
+             "filters": {"and": [{"field": "tags", "value": "red"}]}}
+        got = sorted(r["_id"] for r in c.search("db", "a", q)[0])
+        assert got == [i for i in range(20) if i % 2 and i != 5]
+        # null and empty lists match nothing
+        q2 = {"keyword": "hit", "fields": ["content"], "limit": 100,
+              "filters": {"and": [{"field": "tags", "value": "green"}]}}
+        got2 = sorted(r["_id"] for r in c.search("db", "a", q2)[0])
+        assert got2 == [i for i in range(20) if i % 2 == 0 and i not in (5, 6)]
+
+    def test_any_element_range_filter(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        # ns = [i, i+100]: min=102,max=104 hits i in {102..104} via i+100
+        q = {"keyword": "hit", "fields": ["content"], "limit": 100,
+             "filters": {"and": [{"field": "ns", "min": 102, "max": 104}]}}
+        got = sorted(r["_id"] for r in c.search("db", "a", q)[0])
+        assert got == [2, 3, 4]
+
+    def test_or_tree_mixing_list_and_scalar(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = {"keyword": "hit", "fields": ["content"], "limit": 100,
+             "filters": {"or": [{"field": "tags", "value": "red"},
+                                {"field": "_id", "value": 6}]}}
+        got = sorted(r["_id"] for r in c.search("db", "a", q)[0])
+        assert got == sorted([i for i in range(20) if i % 2 and i != 5] + [6])
+
+    def test_facet_counts_per_doc_distinct(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = {"keyword": "hit", "fields": ["content"], "limit": 1}
+        out = c.facet_counts("db", "a", q, "tags")
+        # green docs carry ["green","green"] but count ONCE each: evens
+        # minus the emptied 6 -> 9; red/blue on odds minus the nulled 5 ->
+        # 9 each; ties rank (count desc, value asc)
+        assert out == [{"value": "blue", "count": 9},
+                       {"value": "green", "count": 9},
+                       {"value": "red", "count": 9}]
+
+    def test_cardinality_counts_distinct_elements(self, ray_session,
+                                                  tmp_path):
+        import numpy as np
+        from byzer_retrieval_ray.ops.hll import _estimate, _registers
+        c = self._cluster(str(tmp_path))
+        q = {"keyword": "hit", "fields": ["content"], "limit": 1}
+        got = c.cardinality("db", "a", q, "tags", p=12)
+        # element-level multiset: every non-null element occurrence feeds
+        # the sketch (registers are max-folded, duplicates are free)
+        keys = []
+        for i in range(20):
+            if i == 5 or i == 6:
+                continue
+            keys += (["red", "blue"] if i % 2 else ["green", "green"])
+        assert got == _estimate(_registers(keys, 12), 12)
+        assert round(got["estimate"]) == 3
+
+    def test_single_group_endpoints_reject_lists(self, ray_session,
+                                                 tmp_path):
+        import pytest as _pytest
+        c = self._cluster(str(tmp_path))
+        q = {"keyword": "hit", "fields": ["content"], "limit": 5}
+        with _pytest.raises(ValueError, match="list-typed"):
+            c.collapse_search("db", "a", q, "tags")
+        with _pytest.raises(ValueError, match="list-typed"):
+            c.terms_stats("db", "a", q, "tags", "_id")
+
+    def test_delete_by_filter_on_list(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        c.delete_by_filter("db", "a", {"tags": "green"})
+        q = {"keyword": "hit", "fields": ["content"], "limit": 100}
+        got = sorted(r["_id"] for r in c.search("db", "a", q)[0])
+        # greens (evens except the emptied 6) deleted; odds + 6 remain
+        assert got == sorted([i for i in range(20) if i % 2] + [6])
+
+    def test_actor_parity(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = {"keyword": "hit", "fields": ["content"], "limit": 100,
+             "filters": {"and": [{"field": "tags", "value": "red"}]}}
+        inproc = [(r["_id"], r["_score"]) for r in c.search("db", "a", q)[0]]
+        fac = c.facet_counts("db", "a", q, "tags")
+        c.activate("db", "a")
+        assert [(r["_id"], r["_score"])
+                for r in c.search("db", "a", q)[0]] == inproc
+        assert c.facet_counts("db", "a", q, "tags") == fac
