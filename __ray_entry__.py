@@ -922,6 +922,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["terms_stats_agg"] = terms_stats_agg
 
+    def match_percentiles(sf):
+        # EXACT percentiles over the whole 'merge sort' match set
+        # (elasticsearch percentiles shape but exact, not t-digest):
+        # distributed selection — per round each bucket ships only
+        # (n_candidates+1) counts per open quantile, values never leave the
+        # shard until the final <=collect_limit pull; tiny knobs force
+        # several narrowing rounds at sf0.01
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.percentiles("db", "docs", q2, "n_chars",
+                            [0.25, 0.5, 0.75, 0.95], n_candidates=8,
+                            collect_limit=16, max_rounds=40,
+                            precision="float64")
+        return pa.table({
+            "q": pa.array([o["q"] for o in out], pa.float64()),
+            "value": pa.array([o["value"] for o in out], pa.float64()),
+        })
+    q["match_percentiles"] = match_percentiles
+
     def sig_terms(sf):
         # significant_terms aggregation (elasticsearch shape, JLH heuristic):
         # terms overrepresented in the 'merge' match set vs the corpus —
@@ -2415,6 +2435,27 @@ SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS cnt,
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 WHERE d.lang IS NOT NULL
 GROUP BY d.lang ORDER BY cnt DESC, lang LIMIT 10"""
+
+    # exact match-set percentiles: q -> the floor(q·(n-1))-th (0-based)
+    # smallest n_chars over the merge-OR-sort match set (lower discrete
+    # quantile, row_number() = rank + 1)
+    sql["match_percentiles"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+vals AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+         FROM documents d JOIN m ON m.doc_id = d.doc_id
+         WHERE d.n_chars IS NOT NULL),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals),
+n AS (SELECT count(*) AS c FROM vals),
+qs AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS q)
+SELECT qs.q AS q, r.v AS value
+FROM qs CROSS JOIN n
+JOIN ranked r ON r.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT) + 1
+ORDER BY q"""
 
     # facet counts over the full OR match set of 'merge sort', by lang
     sql["bm25_facets"] = """

@@ -194,6 +194,10 @@ def run_bench() -> dict:
     tq = time.perf_counter()
     cluster.terms_stats("web", "pages", q_agg, "lang", "warc_ts")
     queries["agg_terms_stats"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.percentiles("web", "pages", q_agg, "warc_ts",
+                        [0.25, 0.5, 0.95])
+    queries["agg_percentiles"] = round(time.perf_counter() - tq, 3)
     # suggest family: dictionary scan (spell/complete) + positional-postings
     # bigram LM (phrase) — misspell the bench query's first token
     tq = time.perf_counter()

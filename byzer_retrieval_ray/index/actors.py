@@ -219,6 +219,18 @@ class SegmentActorImpl:
         return [s.range_facets_keyword(query, field, edges, precision)
                 for s in self.searchers]
 
+    def range_counts_keyword(self, q: dict, field: str, brackets: list,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.range_counts_keyword(query, field, brackets, precision)
+                for s in self.searchers]
+
+    def range_values_keyword(self, q: dict, field: str, ranges: list,
+                             cap: int, precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.range_values_keyword(query, field, ranges, cap, precision)
+                for s in self.searchers]
+
     def sort_keyword(self, q: dict, field: str, ascending: bool,
                      precision: str = "float32") -> list:
         query = SearchQuery.from_dict(q)

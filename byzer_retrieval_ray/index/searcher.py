@@ -2645,6 +2645,10 @@ class BucketSearcher:
         if field not in tbl.column_names:
             return empty
         col = tbl[field]
+        if pa.types.is_timestamp(col.type):
+            # timestamps aggregate as epoch microseconds (the elasticsearch
+            # stats-on-date convention; same domain as histogram_keyword)
+            col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
         cnt = len(col) - col.null_count
         if cnt == 0:
             return empty
@@ -2802,6 +2806,67 @@ class BucketSearcher:
             "msum": pc.fill_null(pc.cast(agg["metric_sum"], pa.float64()),
                                  0.0),
         })
+
+    def _matchset_values(self, q: SearchQuery, field: str,
+                         precision: str) -> np.ndarray:
+        """float64 values of ``field`` over the ENTIRE keyword match set
+        (nulls dropped; timestamps as epoch microseconds) — the shared
+        read for the percentile probes."""
+        from dataclasses import replace
+
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return np.empty(0, np.float64)
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return np.empty(0, np.float64)
+        col = tbl[field].combine_chunks().drop_null()
+        if len(col) == 0:
+            return np.empty(0, np.float64)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return v[~np.isnan(v)]
+
+    def range_counts_keyword(self, q: SearchQuery, field: str,
+                             brackets: list,
+                             precision: str = "float32") -> list:
+        """Per-bucket PARTIAL histograms for the distributed-selection
+        rounds of ``percentiles`` (ops/quantiles semantics: per bracket
+        (lo, hi, edges), values filtered to [lo, hi]; bucket i is
+        (edges[i-1], edges[i]], bucket 0 is [lo, edges[0]] — searchsorted
+        side='left'). ONE exact TAAT + ONE narrow docstore read serves
+        EVERY bracket in the round; the bucket ships len(edges)+1 int64
+        counts per bracket, values never leave the shard."""
+        vals = self._matchset_values(q, field, precision)
+        out = []
+        for lo, hi, edges in brackets:
+            e = np.asarray(edges, np.float64)
+            v = vals[(vals >= lo) & (vals <= hi)]
+            out.append(np.bincount(np.searchsorted(e, v, side="left"),
+                                   minlength=e.size + 1).astype(np.int64))
+        return out
+
+    def range_values_keyword(self, q: SearchQuery, field: str,
+                             ranges: list, cap: int,
+                             precision: str = "float32") -> list:
+        """The final value pull of the percentile selection: per (lo, hi)
+        range, the match-set values inside [lo, hi]. The narrowing rounds
+        guarantee each surviving bracket holds ≤ collect_limit values
+        GLOBALLY; ``cap`` enforces that bound per bucket (a violation is a
+        driver bug, not data skew)."""
+        vals = self._matchset_values(q, field, precision)
+        out = []
+        for lo, hi in ranges:
+            v = vals[(vals >= lo) & (vals <= hi)]
+            if v.size > cap:
+                raise RuntimeError(
+                    f"percentile bracket [{lo}, {hi}] holds {v.size} values "
+                    f"in one bucket — exceeds the narrowing bound {cap}")
+            out.append(v)
+        return out
 
     def sort_keyword(self, q: SearchQuery, field: str, ascending: bool,
                      precision: str = "float32") -> pa.Table:

@@ -1389,6 +1389,150 @@ class RetrievalCluster:
                         else None})
         return out
 
+    def percentiles(self, database: str, table: str, query, field: str,
+                    qs: list[float], n_candidates: int = 256,
+                    collect_limit: int = 4096, max_rounds: int = 8,
+                    precision: str = "float32") -> list[dict]:
+        """EXACT percentiles of a stored numeric/timestamp field over a
+        keyword query's ENTIRE match set (the elasticsearch ``percentiles``
+        aggregation shape — but exact where elasticsearch serves a t-digest
+        approximation). Each q maps to the 0-based rank floor(q · (n-1)) of
+        the sorted values (the "lower" discrete quantile — ops/quantiles
+        semantics; mirror row_number() = rank+1 in SQL). Nulls don't count;
+        timestamps select in the epoch-microsecond domain; values compare
+        as float64 (int64 magnitudes above 2^53 lose ulps). Returns
+        ``[{"q", "value"}, ...]`` in input order; NaN values when the match
+        set is empty.
+
+        Algorithm (distributed selection, the ops/quantiles narrowing): per
+        round ONE searcher call per bucket answers EVERY open quantile's
+        (lo, hi, edges) bracket from a single exact TAAT + one narrow
+        docstore read, shipping (n_candidates+1) int64 counts per bracket —
+        values never leave the shard; the driver folds counts and narrows
+        each bracket to the bucket containing its rank. When a bracket's
+        population is ≤ ``collect_limit`` the surviving values are pulled
+        once (bounded payload) and the exact rank statistic is read off.
+        Rounds: log_{n_candidates}(n / collect_limit) — two rounds bracket
+        10^9 matches at the defaults. Each round re-runs the bucket TAAT
+        (same re-scan discipline as ops/quantiles' per-round dataset pass);
+        keyword recall only (filters supported)."""
+        qs_in = [float(x) for x in qs]
+        if not qs_in or any(not 0.0 <= x <= 1.0 for x in qs_in):
+            raise ValueError("qs must be fractions in [0, 1]")
+        queries = self._as_queries(database, table, query)
+        if len(queries) != 1:
+            raise ValueError("percentiles takes exactly one query")
+        q = queries[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("percentiles is keyword-only")
+        use_actors = (database, table) in self._actors
+
+        def fold_counts(brackets: list) -> list[np.ndarray]:
+            if use_actors:
+                import ray
+                futs = [a.range_counts_keyword.remote(q.__dict__, field,
+                                                      brackets, precision)
+                        for a in self._actors[(database, table)]]
+                parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                         for p in r]
+            else:
+                parts = [s.range_counts_keyword(q, field, brackets,
+                                                precision)
+                         for s in self._searchers(database, table)]
+            return [np.sum([p[i] for p in parts], axis=0)
+                    for i in range(len(brackets))]
+
+        def pull_values(ranges: list) -> list[np.ndarray]:
+            if use_actors:
+                import ray
+                futs = [a.range_values_keyword.remote(
+                            q.__dict__, field, ranges, int(collect_limit),
+                            precision)
+                        for a in self._actors[(database, table)]]
+                parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                         for p in r]
+            else:
+                parts = [s.range_values_keyword(q, field, ranges,
+                                                int(collect_limit), precision)
+                         for s in self._searchers(database, table)]
+            return [np.concatenate([p[i] for p in parts])
+                    for i in range(len(ranges))]
+
+        st = self.field_stats(database, table, query, field,
+                              precision=precision)
+        n = int(st["count"])
+        if n == 0:
+            return [{"q": x, "value": float("nan")} for x in qs_in]
+        glo, ghi = float(st["min"]), float(st["max"])
+
+        # round 1 is shared: one histogram over the global bracket
+        nc = int(n_candidates)
+        g_edges = np.linspace(glo, ghi, nc + 1)[1:-1]
+        (g_counts,) = fold_counts([(glo, ghi, g_edges.tolist())])
+
+        # state per quantile: (rank, lo, hi, before, counts, edges, done_val)
+        states = []
+        for x in qs_in:
+            states.append({"rank": int(np.floor(x * (n - 1))), "lo": glo,
+                           "hi": ghi, "before": 0, "c": g_counts,
+                           "e": g_edges, "val": None})
+
+        for _ in range(int(max_rounds)):
+            requests, open_idx = [], []
+            for i, s in enumerate(states):
+                if s["val"] is not None:
+                    continue
+                pop = int(s["c"].sum())
+                if pop <= int(collect_limit) or s["lo"] == s["hi"]:
+                    continue
+                cum = np.cumsum(s["c"])
+                idx = int(np.searchsorted(cum, s["rank"] - s["before"] + 1))
+                lo_i = s["lo"] if idx == 0 else float(s["e"][idx - 1])
+                hi_i = float(s["e"][idx]) if idx < s["e"].size else s["hi"]
+                s["before"] += int(cum[idx - 1]) if idx > 0 else 0
+                new_lo = float(np.nextafter(lo_i, hi_i)) if idx > 0 else lo_i
+                new_hi = hi_i
+                if (new_lo, new_hi) == (s["lo"], s["hi"]):
+                    # no progress (float-collapsed edges put the whole
+                    # bracket in bucket 0, only possible at idx == 0 so
+                    # `before` did not advance): probe the single edge lo —
+                    # bucket 0 becomes exactly the v == lo count, so the
+                    # next round either resolves to lo or advances lo one
+                    # distinct float; converges for any tie pattern
+                    s["e"] = np.asarray([s["lo"]], np.float64)
+                    requests.append((s["lo"], s["hi"], s["e"].tolist()))
+                    open_idx.append(i)
+                    continue
+                s["lo"], s["hi"] = new_lo, new_hi
+                if s["lo"] >= s["hi"]:
+                    s["lo"] = s["hi"]               # single-value bucket
+                    s["val"] = float(s["hi"])
+                    continue
+                s["e"] = np.linspace(s["lo"], s["hi"], nc + 1)[1:-1]
+                requests.append((s["lo"], s["hi"], s["e"].tolist()))
+                open_idx.append(i)
+            if not requests:
+                break
+            for i, c in zip(open_idx, fold_counts(requests)):
+                states[i]["c"] = c
+
+        pulls, pull_idx = [], []
+        for i, s in enumerate(states):
+            if s["val"] is not None:
+                continue
+            if s["lo"] == s["hi"]:
+                s["val"] = float(s["lo"])           # massive-tie shortcut
+                continue
+            pulls.append((s["lo"], s["hi"]))
+            pull_idx.append(i)
+        if pulls:
+            for i, vals in zip(pull_idx, pull_values(pulls)):
+                s = states[i]
+                vals.sort()
+                s["val"] = float(vals[s["rank"] - s["before"]])
+        return [{"q": x, "value": s["val"]}
+                for x, s in zip(qs_in, states)]
+
     def snapshot(self, database: str, table: str, dest_location: str) -> str:
         """Consistent table backup (the Lucene SnapshotDeletionPolicy /
         backup shape): copies every ACTIVE generation directory (build

@@ -135,6 +135,17 @@ def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
         got_card = c.cardinality("db", "g", q, "cat", p=12)
         assert got_card == exp_card, kw
 
+        # ---- percentiles: exact lower discrete quantile of n, tiny knobs
+        # force multi-round narrowing
+        if vals:
+            qs_p = [0.0, float(rng.random()), 1.0]
+            got_p = c.percentiles("db", "g", q, "n", qs_p, n_candidates=4,
+                                  collect_limit=8, max_rounds=60)
+            sv = sorted(vals)
+            assert [o["value"] for o in got_p] == \
+                   [float(sv[int(np.floor(x * (len(sv) - 1)))])
+                    for x in qs_p], kw
+
         # ---- search_by_field: whole-match-set order by (n desc, _id asc),
         # nulls excluded, top query.limit
         order = sorted(((r["n"], r["_id"]) for r in sub

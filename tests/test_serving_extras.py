@@ -1324,3 +1324,70 @@ class TestTermsStats:
                          vectorField="vector", limit=3)
         with pytest.raises(ValueError, match="keyword-only"):
             c2.terms_stats("db", "v", qv, "content", "_id")
+
+
+class TestPercentiles:
+    """EXACT match-set percentiles via distributed selection (the
+    ops/quantiles narrowing run through the searchers): per-round bounded
+    count partials, one <=collect_limit value pull at the end."""
+
+    def _cluster(self, loc, vals):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "p", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc))
+        docs = [{"_id": i, "content": "hit" if i % 3 else "miss",
+                 "n": int(v)} for i, v in enumerate(vals)]
+        c.build_from_local("db", "p", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    @staticmethod
+    def _brute(vals, qs):
+        s = np.sort(np.asarray(vals, np.float64))
+        return [float(s[int(np.floor(x * (len(s) - 1)))]) for x in qs]
+
+    def test_exact_with_forced_narrowing(self, ray_session, tmp_path):
+        rng = np.random.default_rng(11)
+        vals = rng.integers(-500, 5000, 900)
+        c = self._cluster(str(tmp_path), vals)
+        q = {"keyword": "hit", "fields": ["content"], "limit": 1}
+        sub = [int(v) for i, v in enumerate(vals) if i % 3]
+        qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        got = c.percentiles("db", "p", q, "n", qs, n_candidates=8,
+                            collect_limit=16, max_rounds=40)
+        assert [o["value"] for o in got] == self._brute(sub, qs)
+        assert [o["q"] for o in got] == qs
+
+    def test_tie_endgame_and_all_identical(self, ray_session, tmp_path):
+        vals = np.concatenate([np.full(600, 7), np.arange(90)])
+        c = self._cluster(str(tmp_path), vals)
+        q = {"keyword": "hit", "fields": ["content"], "limit": 1}
+        sub = [int(v) for i, v in enumerate(vals) if i % 3]
+        qs = [0.05, 0.5, 0.95]
+        got = c.percentiles("db", "p", q, "n", qs, n_candidates=4,
+                            collect_limit=8, max_rounds=60)
+        assert [o["value"] for o in got] == self._brute(sub, qs)
+
+    def test_empty_and_bad_inputs(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path), range(30))
+        qa = {"keyword": "zzz_absent", "fields": ["content"], "limit": 1}
+        out = c.percentiles("db", "p", qa, "n", [0.5])
+        assert len(out) == 1 and np.isnan(out[0]["value"])
+        q = {"keyword": "hit", "fields": ["content"], "limit": 1}
+        with pytest.raises(ValueError, match="fractions"):
+            c.percentiles("db", "p", q, "n", [1.5])
+        with pytest.raises(ValueError, match="fractions"):
+            c.percentiles("db", "p", q, "n", [])
+
+    def test_actor_parity(self, ray_session, tmp_path):
+        rng = np.random.default_rng(13)
+        vals = rng.integers(0, 1000, 300)
+        c = self._cluster(str(tmp_path), vals)
+        q = {"keyword": "hit", "fields": ["content"], "limit": 1}
+        qs = [0.25, 0.5, 0.75]
+        inproc = c.percentiles("db", "p", q, "n", qs, n_candidates=8,
+                               collect_limit=16, max_rounds=40)
+        c.activate("db", "p")
+        assert c.percentiles("db", "p", q, "n", qs, n_candidates=8,
+                             collect_limit=16, max_rounds=40) == inproc
