@@ -50,9 +50,19 @@ class TestScanTable:
         df = ds.to_pandas()
         assert sorted(df["_id"]) == list(range(60))
         assert "__norm_content" not in df.columns
-        # scan drops tombstoned docs
-        cluster.delete_by_ids("db", "j", [5, 6])
-        df = cluster.scan_table("db", "j").to_pandas()
+
+    def test_scan_drops_tombstones(self, ray_session, tmp_path):
+        # own table: deleting on the shared module cluster would skew the
+        # live-doc bigram counts TestPhraseSuggest pins
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "sc", SCHEMA, loc))
+        c.build_from_local("db", "sc", [
+            {"_id": i, "content": f"json doc {i} shared", "tag": f"t{i % 3}"}
+            for i in range(60)], key_field="_id",
+            num_doc_parts=2, num_term_parts=2)
+        c.delete_by_ids("db", "sc", [5, 6])
+        df = c.scan_table("db", "sc").to_pandas()
         assert 5 not in set(df["_id"]) and len(df) == 58
 
 
