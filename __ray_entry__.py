@@ -645,6 +645,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_field_stats"] = bm25_field_stats
 
+    def match_extended_stats(sf):
+        # extended_stats (ES shape): field_stats plus Σv², population
+        # variance = Σv²/n − mean² (naive float64, clamped at 0) and std —
+        # one 5-value partial per bucket, match ids never leave the shard
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        st = c.extended_stats("db", "docs", q2, "n_chars",
+                              precision="float64")
+        return pa.table({
+            "cnt": pa.array([st["count"]], pa.int64()),
+            "vmin": pa.array([st["min"]], pa.int64()),
+            "vmax": pa.array([st["max"]], pa.int64()),
+            "vsum": pa.array([st["sum"]], pa.int64()),
+            "mean": pa.array([float(np.round(st["mean"], 4))], pa.float64()),
+            "sumsq": pa.array([float(np.round(st["sum_of_squares"], 4))],
+                              pa.float64()),
+            "var_pop": pa.array([float(np.round(st["variance"], 4))],
+                                pa.float64()),
+            "stddev": pa.array([float(np.round(st["std_deviation"], 4))],
+                               pa.float64()),
+        })
+    q["match_extended_stats"] = match_extended_stats
+
     def bm25_range_facets(sf):
         # histogram facet (half-open bins) of n_chars over the whole match
         # set — Lucene LongRangeFacetCounts shape; each bucket ships one
@@ -848,6 +872,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 np.array([r["_score"] for r in rows], np.float64), 4)),
         })
     q["bm25_fscore"] = bm25_fscore
+
+    def bm25_decay(sf):
+        # function_score gauss decay (elasticsearch recency/distance shape):
+        # every hit rescored score × exp(ln(0.5)·((max(0,|n_chars−200|−20))/100)²)
+        # — non-monotone, so buckets rescore their full match sets
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=20)
+        rows = c.function_search("db", "docs", q2,
+                                 {"decay_function": "gauss",
+                                  "field": "n_chars", "origin": 200.0,
+                                  "scale": 100.0, "offset": 20.0,
+                                  "mode": "multiply"},
+                                 precision="float64")
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r["_score"] for r in rows], np.float64), 4)),
+        })
+    q["bm25_decay"] = bm25_decay
 
     def bm25_collapse2(sf):
         # diversified top-k (Lucene DiversifiedTopDocsCollector / collapse
@@ -2563,6 +2607,35 @@ SELECT COUNT(d.n_chars) AS cnt,
        CAST(SUM(d.n_chars) AS BIGINT) AS vsum,
        ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars), 4) AS mean
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+
+    # extended_stats over the same whole match set: Σv² / population
+    # variance / std in the engine's exact float64 shape (mean = sum/n,
+    # var = GREATEST(0, Σv²/n − mean·mean))
+    sql["match_extended_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+agg AS (
+  SELECT COUNT(d.n_chars) AS cnt,
+         CAST(MIN(d.n_chars) AS BIGINT) AS vmin,
+         CAST(MAX(d.n_chars) AS BIGINT) AS vmax,
+         CAST(SUM(d.n_chars) AS BIGINT) AS vsum,
+         SUM(CAST(d.n_chars AS DOUBLE) * CAST(d.n_chars AS DOUBLE)) AS sumsq
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+)
+SELECT cnt, vmin, vmax, vsum,
+       ROUND(CAST(vsum AS DOUBLE) / cnt, 4) AS mean,
+       ROUND(sumsq, 4) AS sumsq,
+       ROUND(GREATEST(0e0, sumsq / cnt
+             - (CAST(vsum AS DOUBLE) / cnt) * (CAST(vsum AS DOUBLE) / cnt)),
+             4) AS var_pop,
+       ROUND(SQRT(GREATEST(0e0, sumsq / cnt
+             - (CAST(vsum AS DOUBLE) / cnt) * (CAST(vsum AS DOUBLE) / cnt))),
+             4) AS stddev
+FROM agg"""
     sql["bm25_absent_term"] = _sql_bm25(["zzz_not_a_term"], 10)
     sql["match_all"] = ("SELECT doc_id, 1.0e0 AS score FROM documents "
                         "ORDER BY doc_id LIMIT 50")
@@ -2779,6 +2852,30 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.score * ln(1.0e0 + CAST(d.n_chars AS DOUBLE)) DESC, s.doc_id
 LIMIT 20"""
+
+    # merge sort rescored by a gauss decay on n_chars (origin 200, scale 100,
+    # offset 20, decay 0.5): boost = exp(ln(0.5)·r²) with
+    # r = max(0, |v−200|−20)/100 — the engine's float64 op sequence verbatim;
+    # null n_chars would decay to 1.0 (CASE mirror)
+    sql["bm25_decay"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+resc AS (
+  SELECT s.doc_id,
+         s.score * CASE WHEN d.n_chars IS NULL THEN 1.0e0 ELSE
+           EXP(LN(0.5e0)
+               * ((GREATEST(0e0, ABS(CAST(d.n_chars AS DOUBLE) - 200.0e0)
+                                 - 20.0e0) / 100.0e0)
+                  * (GREATEST(0e0, ABS(CAST(d.n_chars AS DOUBLE) - 200.0e0)
+                                   - 20.0e0) / 100.0e0)))
+         END AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT doc_id, score AS raw FROM resc
+  ORDER BY raw DESC, doc_id LIMIT 20
+)
+SELECT doc_id, ROUND(raw, 4) AS score FROM ranked
+ORDER BY raw DESC, doc_id"""
 
     # merge sort diversified: top 20 hits with at most 2 per lang, rank
     # order (score desc, doc_id asc) preserved

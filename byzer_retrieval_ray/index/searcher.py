@@ -2481,7 +2481,21 @@ class BucketSearcher:
         argument applies to the REscored order, so the master merge stays
         exact. Arithmetic in float64 (log1p computed as ln(1+x), the
         SQL-oracle expression shape), cast to the query precision at the
-        end."""
+        end.
+
+        A spec with ``decay_function`` instead of ``modifier`` selects the
+        elasticsearch decay shape (gauss | exp | linear) on a numeric or
+        timestamp field:
+
+            d      = max(0, |v − origin| − offset)
+            gauss  = exp(ln(decay) · (d/scale)²)
+            exp    = exp(ln(decay) · d/scale)
+            linear = max(0, 1 − (1−decay) · d/scale)
+
+        (algebraically identical to the published σ/λ/s forms but written so
+        the float64 op sequence is SQL-replicable verbatim). Docs missing
+        the field get function value 1.0 — the documented elasticsearch
+        behavior for decay functions."""
         from dataclasses import replace
 
         dtype = np.float32 if precision == "float32" else np.float64
@@ -2489,13 +2503,28 @@ class BucketSearcher:
         factor = float(spec.get("factor", 1.0))
         missing = float(spec.get("missing", 1.0))
         modifier = spec.get("modifier", "none")
+        decay_fn = spec.get("decay_function")
         mode = spec.get("mode", "multiply")
         mods = {"none": lambda v: v,
                 "log1p": lambda v: np.log(1.0 + v),
                 "sqrt": np.sqrt,
                 "square": np.square,
                 "reciprocal": lambda v: 1.0 / v}
-        if modifier not in mods:
+        if decay_fn is not None:
+            if decay_fn not in ("gauss", "exp", "linear"):
+                raise ValueError(f"unknown decay_function {decay_fn!r} "
+                                 "(one of ['exp', 'gauss', 'linear'])")
+            if "origin" not in spec or "scale" not in spec:
+                raise ValueError("decay spec needs 'origin' and 'scale'")
+            d_origin = float(spec["origin"])
+            d_scale = float(spec["scale"])
+            d_offset = float(spec.get("offset", 0.0))
+            d_decay = float(spec.get("decay", 0.5))
+            if d_scale <= 0:
+                raise ValueError("decay 'scale' must be > 0")
+            if not (0.0 < d_decay < 1.0):
+                raise ValueError("'decay' must be in (0, 1)")
+        elif modifier not in mods:
             raise ValueError(f"unknown modifier {modifier!r} "
                              f"(one of {sorted(mods)})")
         if mode not in ("multiply", "sum"):
@@ -2519,9 +2548,26 @@ class BucketSearcher:
             # dates/timestamps factor by their epoch integer (Lucene
             # LongField doc-values semantics)
             col = col.cast(pa.int64())
-        vals = pc.cast(col, pa.float64()).fill_null(missing) \
-            .to_numpy(zero_copy_only=False)
-        boost = mods[modifier](factor * vals)
+        if decay_fn is not None:
+            # nulls decay to 1.0 (documented ES behavior), applied AFTER the
+            # kernel so `missing` never shifts a real value's distance
+            raw = pc.cast(col, pa.float64())
+            isnull = np.asarray(pc.is_null(raw).to_numpy(
+                zero_copy_only=False))
+            vals = raw.fill_null(d_origin).to_numpy(zero_copy_only=False)
+            d = np.maximum(0.0, np.abs(vals - d_origin) - d_offset)
+            r = d / d_scale
+            if decay_fn == "gauss":
+                boost = np.exp(np.log(d_decay) * (r * r))
+            elif decay_fn == "exp":
+                boost = np.exp(np.log(d_decay) * r)
+            else:
+                boost = np.maximum(0.0, 1.0 - (1.0 - d_decay) * r)
+            boost[isnull] = 1.0
+        else:
+            vals = pc.cast(col, pa.float64()).fill_null(missing) \
+                .to_numpy(zero_copy_only=False)
+            boost = mods[modifier](factor * vals)
         new = (scores.astype(np.float64) * boost if mode == "multiply"
                else scores.astype(np.float64) + boost)
         top = np.lexsort((ids, -new))[: q.limit]
@@ -2635,7 +2681,8 @@ class BucketSearcher:
         Arrow sum kernel widens to int64), so the driver fold is exact."""
         from dataclasses import replace
 
-        empty = {"cnt": 0, "min": None, "max": None, "sum": None}
+        empty = {"cnt": 0, "min": None, "max": None, "sum": None,
+                 "sumsq": 0.0}
         qq = replace(q, limit=int(1 << 62), search_after=None)
         ids, _ = self.search_keyword(qq, precision=precision,
                                      algorithm="taat")
@@ -2653,8 +2700,15 @@ class BucketSearcher:
         if cnt == 0:
             return empty
         mm = pc.min_max(col)
+        # extended_stats partial: Σv² in float64 (the documented ES
+        # extended_stats arithmetic — naive sum-of-squares, not Welford);
+        # Arrow's float64 sum kernel matches SQL SUM(v*v) to within the
+        # gate's ROUND(.,4)
+        fv = pc.cast(col, pa.float64())
+        sumsq = pc.sum(pc.multiply(fv, fv)).as_py() or 0.0
         return {"cnt": int(cnt), "min": mm["min"].as_py(),
-                "max": mm["max"].as_py(), "sum": pc.sum(col).as_py()}
+                "max": mm["max"].as_py(), "sum": pc.sum(col).as_py(),
+                "sumsq": float(sumsq)}
 
     def range_facets_keyword(self, q: SearchQuery, field: str,
                              edges: list, precision: str = "float32") -> np.ndarray:

@@ -1081,6 +1081,20 @@ class RetrievalCluster:
         and the final ranking is (new score desc, doc_id asc). Returns the
         same doc+``_score`` dicts as :meth:`search`.
 
+        Passing ``decay_function`` instead of ``modifier`` selects the
+        elasticsearch decay shape (recency/distance scoring)::
+
+            score_function = {"decay_function": "gauss",  # exp | linear
+                              "field": "warc_ts",         # numeric/timestamp
+                              "origin": 1.7e15,           # epoch µs for ts
+                              "scale": 8.64e10,           # distance at decay
+                              "offset": 0.0,              # flat zone
+                              "decay": 0.5,               # value at scale
+                              "mode": "multiply"}
+
+        Docs missing the field get function value 1.0 (the documented ES
+        decay behavior); timestamps measure distance in epoch microseconds.
+
         Scale shape: rescoring is non-monotone in BM25 order, so each
         bucket rescored its FULL match set locally (exact TAAT, one narrow
         docstore column) but ships only its top ``limit`` — the
@@ -1273,6 +1287,52 @@ class RetrievalCluster:
         return {"count": cnt, "min": min(p["min"] for p in parts),
                 "max": max(p["max"] for p in parts), "sum": vsum,
                 "mean": float(vsum) / cnt}
+
+    def extended_stats(self, database: str, table: str, query, field: str,
+                       precision: str = "float32") -> dict:
+        """:meth:`field_stats` plus second-moment statistics (the
+        elasticsearch ``extended_stats`` aggregation shape; extension —
+        the reference exposes no aggregation API): ``sum_of_squares``,
+        population ``variance`` = Σv²/n − mean² (the documented ES naive
+        float64 formula, clamped at 0 against rounding) and
+        ``std_deviation`` = √variance.
+
+        Scale shape identical to field_stats: each bucket ships ONE
+        (count, min, max, sum, sumsq) partial; the driver fold is
+        O(buckets). Keyword recall only (filters supported)."""
+        import math
+
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("extended_stats takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("extended_stats is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.stats_keyword.remote(q.__dict__, field, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.stats_keyword(q, field, precision)
+                     for s in self._searchers(database, table)]
+        parts = [p for p in parts if p["cnt"]]
+        cnt = sum(p["cnt"] for p in parts)
+        if cnt == 0:
+            return {"count": 0, "min": None, "max": None, "sum": None,
+                    "mean": None, "sum_of_squares": None, "variance": None,
+                    "std_deviation": None}
+        vsum = sum(p["sum"] for p in parts)
+        sumsq = math.fsum(p["sumsq"] for p in parts)
+        mean = float(vsum) / cnt
+        variance = max(0.0, sumsq / cnt - mean * mean)
+        return {"count": cnt, "min": min(p["min"] for p in parts),
+                "max": max(p["max"] for p in parts), "sum": vsum,
+                "mean": mean, "sum_of_squares": sumsq,
+                "variance": variance,
+                "std_deviation": math.sqrt(variance)}
 
     def date_histogram(self, database: str, table: str, query, field: str,
                        interval: int, offset: int = 0,

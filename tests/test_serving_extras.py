@@ -635,6 +635,122 @@ class TestFunctionScore:
             c.function_search("db", "fs", q, {"field": "nope"})
 
 
+class TestDecayScore:
+    """function_search decay functions (elasticsearch gauss/exp/linear
+    shape): score' = bm25 × decay(|v − origin| adjusted by offset/scale),
+    nulls decaying to 1.0 — verified against a brute python rescore."""
+
+    _cluster = TestFunctionScore._cluster
+
+    @staticmethod
+    def _brute(c, q, docs, spec):
+        import numpy as np
+        from dataclasses import replace
+        full = c.search("db", "fs", replace(q, limit=1_000_000),
+                        precision="float64")[0]
+        pop = {d["_id"]: d["pop"] for d in docs}
+        o, s = float(spec["origin"]), float(spec["scale"])
+        off = float(spec.get("offset", 0.0))
+        dec = float(spec.get("decay", 0.5))
+        out = []
+        for r in full:
+            v = pop.get(r["_id"])
+            if v is None:
+                b = 1.0
+            else:
+                d = max(0.0, abs(float(v) - o) - off)
+                rr = d / s
+                if spec["decay_function"] == "gauss":
+                    b = float(np.exp(np.log(dec) * (rr * rr)))
+                elif spec["decay_function"] == "exp":
+                    b = float(np.exp(np.log(dec) * rr))
+                else:
+                    b = max(0.0, 1.0 - (1.0 - dec) * rr)
+            s2 = (r["_score"] * b
+                  if spec.get("mode", "multiply") == "multiply"
+                  else r["_score"] + b)
+            out.append((r["_id"], s2))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[: q.limit]
+
+    @pytest.mark.parametrize("spec", [
+        {"decay_function": "gauss", "field": "pop", "origin": 50,
+         "scale": 25},
+        {"decay_function": "exp", "field": "pop", "origin": 0, "scale": 40,
+         "decay": 0.3},
+        {"decay_function": "linear", "field": "pop", "origin": 80,
+         "scale": 30, "offset": 10, "mode": "sum"},
+    ])
+    def test_matches_bruteforce_rescore(self, ray_session, tmp_path, spec):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit pad", fields=["content"],
+                        limit=8)
+        got = [(r["_id"], r["_score"])
+               for r in c.function_search("db", "fs", q, spec,
+                                          precision="float64")]
+        want = self._brute(c, q, docs, spec)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), gi
+
+    def test_null_field_decays_to_one(self, ray_session, tmp_path):
+        # doc 13 has pop=None: its decayed score must equal its plain BM25
+        c, docs = self._cluster(str(tmp_path))
+        from dataclasses import replace
+        q = SearchQuery("db", "fs", keyword="hit", fields=["content"],
+                        limit=50)
+        plain = {r["_id"]: r["_score"]
+                 for r in c.search("db", "fs", replace(q, limit=1_000_000),
+                                   precision="float64")[0]}
+        spec = {"decay_function": "gauss", "field": "pop", "origin": 50,
+                "scale": 10}
+        rows = c.function_search("db", "fs", q, spec, precision="float64")
+        r13 = [r for r in rows if r["_id"] == 13]
+        assert r13 and r13[0]["_score"] == plain[13]
+
+    def test_linear_floors_at_zero(self, ray_session, tmp_path):
+        # tiny scale: every value except origin decays to exactly 0.0
+        c, docs = self._cluster(str(tmp_path))
+        spec = {"decay_function": "linear", "field": "pop", "origin": 1,
+                "scale": 0.5, "decay": 0.5}
+        q = SearchQuery("db", "fs", keyword="hit", fields=["content"],
+                        limit=50)
+        rows = c.function_search("db", "fs", q, spec, precision="float64")
+        zeroed = [r for r in rows if r["pop"] not in (None, 1)]
+        assert zeroed and all(r["_score"] == 0.0 for r in zeroed)
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit pad", fields=["content"],
+                        limit=6)
+        spec = {"decay_function": "exp", "field": "pop", "origin": 30,
+                "scale": 20}
+        inproc = c.function_search("db", "fs", q, spec, precision="float64")
+        c.activate("db", "fs")
+        assert c.function_search("db", "fs", q, spec,
+                                 precision="float64") == inproc
+
+    def test_bad_specs_rejected(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "fs", keyword="hit", fields=["content"],
+                        limit=3)
+        with pytest.raises(ValueError, match="unknown decay_function"):
+            c.function_search("db", "fs", q, {"decay_function": "log",
+                                              "field": "pop", "origin": 0,
+                                              "scale": 1})
+        with pytest.raises(ValueError, match="'origin' and 'scale'"):
+            c.function_search("db", "fs", q, {"decay_function": "gauss",
+                                              "field": "pop"})
+        with pytest.raises(ValueError, match="must be > 0"):
+            c.function_search("db", "fs", q, {"decay_function": "gauss",
+                                              "field": "pop", "origin": 0,
+                                              "scale": 0})
+        with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+            c.function_search("db", "fs", q, {"decay_function": "gauss",
+                                              "field": "pop", "origin": 0,
+                                              "scale": 1, "decay": 1.0})
+
+
 class TestSignificantTerms:
     """significant_terms: JLH-scored foreground-vs-corpus term skew over the
     full match set, verified against a brute python fold."""
@@ -945,6 +1061,57 @@ class TestFieldStats:
                          vectorField="vector", limit=3)
         with pytest.raises(ValueError, match="keyword-only"):
             c2.field_stats("db", "v", qv, "_id")
+
+
+class TestExtendedStats:
+    """extended_stats: field_stats plus Σv², population variance and std
+    (the ES naive float64 formula), folded from per-bucket partials."""
+
+    _cluster = TestFieldStats._cluster
+
+    def test_moments_match_numpy(self, ray_session, tmp_path):
+        import math
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "s", keyword="hit", fields=["content"], limit=2)
+        st = c.extended_stats("db", "s", q, "n")
+        vals = np.array([i * 10 for i in range(60) if i != 7], np.float64)
+        assert st["count"] == 59 and st["min"] == 0 and st["max"] == 590
+        assert st["sum"] == int(vals.sum())
+        assert st["sum_of_squares"] == pytest.approx(
+            float((vals * vals).sum()), rel=1e-12)
+        want_var = float((vals * vals).sum()) / 59 - (vals.sum() / 59) ** 2
+        assert st["variance"] == pytest.approx(want_var, rel=1e-9)
+        assert st["std_deviation"] == pytest.approx(math.sqrt(want_var),
+                                                    rel=1e-9)
+
+    def test_actor_parity_and_empty(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "s", keyword="extra", fields=["content"],
+                        limit=1)
+        inproc = c.extended_stats("db", "s", q, "n")
+        c.activate("db", "s")
+        try:
+            assert c.extended_stats("db", "s", q, "n") == inproc
+        finally:
+            c.deactivate("db", "s")
+        q0 = SearchQuery("db", "s", keyword="zzz_absent", fields=["content"],
+                         limit=5)
+        st = c.extended_stats("db", "s", q0, "n")
+        assert st["count"] == 0 and st["variance"] is None
+
+    def test_constant_column_zero_variance(self, ray_session, tmp_path):
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "k", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc))
+        c.build_from_local("db", "k", [
+            {"_id": i, "content": "hit", "n": 7} for i in range(20)],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        q = SearchQuery("db", "k", keyword="hit", fields=["content"], limit=1)
+        st = c.extended_stats("db", "k", q, "n")
+        # the max(0, ·) clamp: naive Σv²/n − mean² may round a hair negative
+        assert st["variance"] == 0.0 and st["std_deviation"] == 0.0
 
 
 class TestExportMatches:
