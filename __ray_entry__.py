@@ -194,6 +194,33 @@ def _get_cluster(sf_dir: str, table: str, schema: str, key: str, source_fn) -> R
     return c
 
 
+def _docs_fed_cluster(sf_dir: str) -> RetrievalCluster:
+    """ONE cluster holding the documents corpus PARTITIONED into two tables
+    by doc_id parity — the federated multi_search gate scores them with
+    blended global stats, which must equal single-corpus BM25 exactly."""
+    cache_key = (sf_dir, "__fed__")
+    if cache_key in _CLUSTERS:
+        return _CLUSTERS[cache_key]
+    tag = hashlib.md5(f"{sf_dir}:fed:v7".encode()).hexdigest()[:10]
+    loc = f"/tmp/byzer_ray_gate/{tag}"
+    c = RetrievalCluster(loc)
+    for table, parity in (("docsa", 0), ("docsb", 1)):
+        try:
+            built = c.manifest("db", table).data["generation"] > 0
+        except KeyError:
+            built = False
+        if not built:
+            c.create_table(TableSettings("db", table, DOCS_SCHEMA, loc))
+            half = os.path.join(loc, f"src_{table}.parquet")
+            t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+            t = t.filter(pa.array(t["doc_id"].to_numpy() % 2 == parity))
+            pq.write_table(t, half)
+            c.build_from_parquet("db", table, half, key_field="doc_id",
+                                 num_doc_parts=P_DOC, num_term_parts=P_TERM)
+    _CLUSTERS[cache_key] = c
+    return c
+
+
 def _search_rows(cluster: RetrievalCluster, table: str, q: SearchQuery) -> pa.Table:
     res = cluster.search("db", table, q, precision="float64", algorithm="bmw")[0]
     return pa.table({
@@ -892,6 +919,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 np.array([r["_score"] for r in rows], np.float64), 4)),
         })
     q["bm25_decay"] = bm25_decay
+
+    def multi_table_search(sf):
+        # federated dfs_query_then_fetch: the corpus split into two tables
+        # by doc_id parity, scored with BLENDED global stats — must equal
+        # single-corpus BM25 exactly (ids AND scores); oracle = the plain
+        # full-table BM25 SQL
+        c = _docs_fed_cluster(sf)
+        q2 = SearchQuery("db", "docsa", keyword="merge sort scan",
+                         fields=["text"], limit=20)
+        rows = c.multi_search("db", ["docsa", "docsb"], q2,
+                              precision="float64", algorithm="bmw")
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r["_score"] for r in rows], np.float64), 4)),
+        })
+    q["multi_table_search"] = multi_table_search
 
     def bm25_collapse2(sf):
         # diversified top-k (Lucene DiversifiedTopDocsCollector / collapse
@@ -2637,6 +2681,8 @@ SELECT cnt, vmin, vmax, vsum,
              4) AS stddev
 FROM agg"""
     sql["bm25_absent_term"] = _sql_bm25(["zzz_not_a_term"], 10)
+    # federated split-corpus scoring must equal the single-corpus total order
+    sql["multi_table_search"] = _sql_bm25(["merge", "sort", "scan"], 20)
     sql["match_all"] = ("SELECT doc_id, 1.0e0 AS score FROM documents "
                         "ORDER BY doc_id LIMIT 50")
 

@@ -449,6 +449,64 @@ class StatsView:
         return sorted(terms)[:limit]
 
 
+class FederatedStatsView:
+    """Cross-TABLE collection statistics for federated search (the
+    elasticsearch ``dfs_query_then_fetch`` shape: one distributed-idf stats
+    pass before scoring). N, per-field (sum_ttf, doc_count) and per-term
+    (df, ttf) are summed over every member table's :class:`StatsView`; term
+    expansions (prefix/fuzzy/wildcard/regexp) are set unions. Because a
+    doc's quantized length norm is split-invariant, scoring a corpus
+    PARTITIONED across tables under this view is byte-identical to scoring
+    the union corpus as one table — the property the federated gate oracle
+    checks. Duck-types StatsView, so every bucket-searcher scoring path
+    (BM25 weights, avgdl, BMW bounds, expansions) works unchanged."""
+
+    def __init__(self, views: list):
+        self.views = list(views)
+        n_docs = sum(v.stats["n_docs"] for v in self.views)
+        fields: dict[str, dict] = {}
+        for v in self.views:
+            for fld, fs in v.stats["fields"].items():
+                acc = fields.setdefault(fld, {"sum_ttf": 0, "doc_count": 0})
+                acc["sum_ttf"] += fs["sum_ttf"]
+                acc["doc_count"] += fs["doc_count"]
+        self.stats = {"n_docs": n_docs, "fields": fields}
+
+    def term_stats(self, pairs: list[tuple[str, str]]) \
+            -> dict[tuple[str, str], tuple[int, int]]:
+        out = {p: (0, 0) for p in pairs}
+        for v in self.views:
+            for p, (df, ttf) in v.term_stats(pairs).items():
+                a, b = out[p]
+                out[p] = (a + df, b + ttf)
+        return out
+
+    def expand_prefix(self, field, prefix, limit=1024):
+        terms: set[str] = set()
+        for v in self.views:
+            terms.update(v.expand_prefix(field, prefix, limit))
+        return sorted(terms)[:limit]
+
+    def expand_fuzzy(self, field, term, n, transpositions=True, limit=1024):
+        terms: set[str] = set()
+        for v in self.views:
+            terms.update(v.expand_fuzzy(field, term, n, transpositions,
+                                        limit))
+        return sorted(terms)[:limit]
+
+    def expand_wildcard(self, field, pattern, limit=1024):
+        terms: set[str] = set()
+        for v in self.views:
+            terms.update(v.expand_wildcard(field, pattern, limit))
+        return sorted(terms)[:limit]
+
+    def expand_regexp(self, field, pattern, limit=1024):
+        terms: set[str] = set()
+        for v in self.views:
+            terms.update(v.expand_regexp(field, pattern, limit))
+        return sorted(terms)[:limit]
+
+
 class Posting:
     __slots__ = ("docs", "tfs", "norms", "blk_first", "blk_max_tf", "blk_min_norm",
                  "df", "pos_blob", "_pos")

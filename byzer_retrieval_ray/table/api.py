@@ -57,6 +57,7 @@ class RetrievalCluster:
         self.name = name
         self._manifests: dict[tuple[str, str], Manifest] = {}
         self._local_searchers: dict[tuple[str, str], list[BucketSearcher]] = {}
+        self._fed_searchers: dict[tuple[str, tuple], list] = {}
         self._actors: dict[tuple[str, str], list] = {}
         os.makedirs(location, exist_ok=True)
 
@@ -633,6 +634,10 @@ class RetrievalCluster:
 
     def _invalidate(self, database: str, table: str) -> None:
         self._local_searchers.pop((database, table), None)
+        # federated caches fold this table's stats — drop any that include it
+        for fk in [k for k in self._fed_searchers
+                   if k[0] == database and table in k[1]]:
+            self._fed_searchers.pop(fk, None)
         key = (database, table)
         if key in self._actors:
             import ray
@@ -731,6 +736,85 @@ class RetrievalCluster:
             else:
                 out.append(self._materialize(database, table, ids, scores, False))
         return out
+
+    def multi_search(self, database: str, tables: list, query,
+                     precision: str = "float32",
+                     algorithm: str = "bmw") -> list[dict]:
+        """Federated keyword search across several tables of one database
+        with BLENDED global statistics (the elasticsearch multi-index /
+        ``dfs_query_then_fetch`` shape; extension — the reference searches
+        one table, `RetrievalMaster.java:322`).
+
+        One stats pass folds every member table's (N, per-field sum_ttf /
+        doc_count, per-term df/ttf) into a
+        :class:`~byzer_retrieval_ray.index.searcher.FederatedStatsView`
+        (distributed idf); each table's buckets then score with that view —
+        block-max WAND stays sound because term weights are per-query
+        constants — and the master merges to the global top-k by
+        (score desc, doc_id asc, table-position asc). Because per-doc
+        quantized length norms are split-invariant, scoring a corpus
+        PARTITIONED across member tables is byte-identical to scoring it as
+        one table. Returns doc dicts with ``_table`` provenance added.
+
+        Scale shape: the stats fold ships O(tables × query terms) integers;
+        each bucket ships only its top ``limit``; docstore fetches touch the
+        winners only. Keyword recall only (filters supported)."""
+        from byzer_retrieval_ray.index.searcher import (FederatedStatsView,
+                                                        StatsView)
+
+        if isinstance(tables, str) or not tables:
+            raise ValueError("multi_search takes a non-empty LIST of tables")
+        if len(set(tables)) != len(tables):
+            raise ValueError("multi_search tables must be distinct")
+        qs = self._as_queries(database, tables[0], query)
+        if len(qs) != 1:
+            raise ValueError("multi_search takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("multi_search is keyword-only")
+        key = (database, tuple(tables))
+        per_table = self._fed_searchers.get(key)
+        if per_table is None:
+            ms = [self.manifest(database, t) for t in tables]
+            fed = FederatedStatsView(
+                [StatsView(m.data, GenerationReader(m.data)) for m in ms])
+            per_table = []
+            for m in ms:
+                # fresh searcher instances: the injected federated stats
+                # must never leak into the per-table serving cache
+                ss = [BucketSearcher(m.data, b, gen=g)
+                      for g, b in self._gen_buckets(m)]
+                for s in ss:
+                    s.stats = fed
+                per_table.append(ss)
+            self._fed_searchers[key] = per_table
+        parts_ids, parts_scores, parts_t = [], [], []
+        for ti, ss in enumerate(per_table):
+            for s in ss:
+                ids, scores = s.search_keyword(q, precision=precision,
+                                               algorithm=algorithm)
+                parts_ids.append(np.asarray(ids))
+                parts_scores.append(np.asarray(scores))
+                parts_t.append(np.full(len(ids), ti, np.int64))
+        dtype = np.float32 if precision == "float32" else np.float64
+        if not parts_ids:
+            return []
+        ids = np.concatenate(parts_ids)
+        scores = np.concatenate(parts_scores).astype(dtype)
+        tarr = np.concatenate(parts_t)
+        order = np.lexsort((tarr, ids, -scores.astype(np.float64)))[: q.limit]
+        ids, scores, tarr = ids[order], scores[order], tarr[order]
+        out: list = [None] * ids.size
+        for ti, tname in enumerate(tables):
+            mask = tarr == ti
+            if not mask.any():
+                continue
+            docs = self._materialize(database, tname, ids[mask],
+                                     scores[mask], False)
+            for slot, d in zip(np.flatnonzero(mask), docs):
+                d["_table"] = tname
+                out[int(slot)] = d
+        return [d for d in out if d is not None]
 
     def more_like_this(self, database: str, table: str, like_text: str,
                        field: str = "text", limit: int = 10,
