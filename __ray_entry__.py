@@ -2198,6 +2198,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "count": pa.array(out["count"], pa.int64())})
     q["top_bigrams"] = top_bigrams
 
+    # --- BPE tokenizer-vocabulary training (rows-only: the merge chosen at
+    # round k depends on the counts AFTER rounds 1..k-1 — an iterative,
+    # data-dependent loop SQL can't express; tests/test_bpe.py pins the
+    # exact merge sequence against an independent naive Sennrich trainer) ---
+    def bpe_merges(sf):
+        import ray.data
+        from byzer_retrieval_ray.ops.bpe import train_bpe
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["text"])
+        return train_bpe(ds, "text", num_merges=30, min_frequency=2)
+    q["bpe_merges"] = bpe_merges
+
     # --- gap-based sessionization over the event stream ---
     def events_sessions(sf):
         import ray.data
