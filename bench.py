@@ -198,6 +198,14 @@ def run_bench() -> dict:
     cluster.percentiles("web", "pages", q_agg, "warc_ts",
                         [0.25, 0.5, 0.95])
     queries["agg_percentiles"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.extended_stats("web", "pages", q_agg, "warc_ts")
+    queries["agg_extended_stats"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.function_search("web", "pages", q_agg,
+                            {"decay_function": "gauss", "field": "warc_ts",
+                             "origin": 1.6e15, "scale": 8.64e10})
+    queries["agg_decay"] = round(time.perf_counter() - tq, 3)
     # suggest family: dictionary scan (spell/complete) + positional-postings
     # bigram LM (phrase) — misspell the bench query's first token
     tq = time.perf_counter()
@@ -357,6 +365,13 @@ def run_bench() -> dict:
                                columns=["doc_id", "text"])
     pack_sequences(ds, "text", "doc_id", seq_len=512, num_buckets=16).count()
     queries["pack_sequences_docs"] = round(time.perf_counter() - td, 3)
+
+    from byzer_retrieval_ray.ops.bpe import train_bpe
+    td = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["text"])
+    train_bpe(ds, "text", num_merges=50, min_frequency=2)
+    queries["bpe_train_docs"] = round(time.perf_counter() - td, 3)
 
     td = time.perf_counter()
     import pyarrow.compute as pc_
