@@ -953,6 +953,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_collapse2"] = bm25_collapse2
 
+    def bm25_top_hits(sf):
+        # terms + top_hits sub-aggregation (elasticsearch two-phase shape):
+        # top 3 langs by match count over the FULL 'merge sort' match set
+        # (count desc, lang asc), then per lang its top 2 hits
+        # (score desc, doc_id asc) — flattened to one row per hit
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.top_hits("db", "docs", q2, "lang", num_keys=3, per_key=2,
+                         precision="float64")
+        rows = [(b["key"], b["count"], h["doc_id"], h["_score"])
+                for b in out for h in b["hits"]]
+        return pa.table({
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "cnt": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r[3] for r in rows], np.float64), 4)),
+        })
+    q["bm25_top_hits"] = bm25_top_hits
+
     def match_cardinality(sf):
         # cardinality aggregation (elasticsearch shape): HLL distinct count
         # of 'source' over the docs matching 'merge' — each bucket ships one
@@ -2900,6 +2921,30 @@ best AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score, lang FROM best
 WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # terms + top_hits: top 3 langs of the 'merge sort' match set by match
+    # count (count desc, lang asc), then per lang the top 2 hits
+    # (score desc, doc_id asc); null langs belong to no bucket
+    sql["bm25_top_hits"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+j AS (
+  SELECT s.doc_id, s.score, d.lang
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IS NOT NULL
+),
+keys AS (
+  SELECT lang, COUNT(*) AS cnt FROM j GROUP BY lang
+  ORDER BY cnt DESC, lang LIMIT 3
+),
+ranked AS (
+  SELECT j.lang, k.cnt, j.doc_id, j.score,
+         ROW_NUMBER() OVER (PARTITION BY j.lang
+                            ORDER BY j.score DESC, j.doc_id) AS rn
+  FROM j JOIN keys k ON k.lang = j.lang
+)
+SELECT lang, cnt, doc_id, ROUND(score, 4) AS score
+FROM ranked WHERE rn <= 2
+ORDER BY cnt DESC, lang, rn"""
 
     # merge sort rescored by ln(1 + n_chars) (field_value_factor log1p,
     # multiply mode): final order (new score desc, doc_id asc)

@@ -206,6 +206,9 @@ def run_bench() -> dict:
                             {"decay_function": "gauss", "field": "warc_ts",
                              "origin": 1.6e15, "scale": 8.64e10})
     queries["agg_decay"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.top_hits("web", "pages", q_agg, "lang", num_keys=5, per_key=3)
+    queries["agg_top_hits"] = round(time.perf_counter() - tq, 3)
     # suggest family: dictionary scan (spell/complete) + positional-postings
     # bigram LM (phrase) — misspell the bench query's first token
     tq = time.perf_counter()

@@ -193,6 +193,12 @@ class SegmentActorImpl:
         return [s.stats_keyword(query, field, precision)
                 for s in self.searchers]
 
+    def tophits_keyword(self, q: dict, key_field: str, keys: list,
+                        per_key: int, precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.tophits_keyword(query, key_field, keys, per_key, precision)
+                for s in self.searchers]
+
     def phrase_pair_counts(self, pairs: list, field: str) -> np.ndarray:
         return np.sum([s.phrase_pair_counts(pairs, field)
                        for s in self.searchers], axis=0)

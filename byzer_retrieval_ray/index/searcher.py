@@ -2521,6 +2521,60 @@ class BucketSearcher:
                          "score": pa.array(scores[first], score_t),
                          "key": keys.take(sel)})
 
+    def tophits_keyword(self, q: SearchQuery, key_field: str, keys: list,
+                        per_key: int, precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL per-key top hits — phase 2 of the two-phase
+        elasticsearch ``terms`` + ``top_hits`` sub-aggregation (phase 1 =
+        facet_keyword picking the bucket keys by match count): for each
+        REQUESTED key, this bucket's top ``per_key`` hits by
+        (score desc, doc_id asc) over the ENTIRE match set. Ships at most
+        len(keys)·per_key (key, doc_id, score) rows; the master fold re-takes
+        per_key per key, which is exact — a hit below a bucket's own top
+        per_key for its key can never enter the global top per_key.
+        Multi-valued (list) key fields are rejected: a hit would land in
+        several buckets, which is grouping, not collapsing."""
+        from dataclasses import replace
+
+        score_t = pa.float32() if precision == "float32" else pa.float64()
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], score_t)})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, scores = self.search_keyword(qq, precision=precision,
+                                          algorithm="taat")
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[key_field])
+        if key_field not in tbl.column_names:
+            return empty
+        col = tbl[key_field].combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            raise ValueError(
+                f"top_hits key field {key_field!r} is list-typed — a hit "
+                "can only belong to one bucket")
+        fid = tbl["doc_id"].to_numpy()
+        order = np.argsort(fid, kind="stable")
+        pos = np.searchsorted(fid, ids, sorter=order)
+        kcol = pc.cast(col, pa.string()).take(pa.array(order[pos], pa.int64()))
+        codes = pc.fill_null(pc.cast(
+            pc.index_in(kcol, pa.array([str(k) for k in keys], pa.string())),
+            pa.int64()), -1).to_numpy(zero_copy_only=False)
+        m = codes >= 0
+        if not m.any():
+            return empty
+        c, i, s = codes[m], ids[m], scores[m]
+        o = np.lexsort((i, -s.astype(np.float64), c))
+        c, i, s = c[o], i[o], s[o]
+        new_grp = np.r_[True, c[1:] != c[:-1]]
+        starts = np.flatnonzero(new_grp)
+        rank = np.arange(c.size) - starts[np.cumsum(new_grp) - 1]
+        keep = rank < int(per_key)
+        kk = np.asarray([str(k) for k in keys], object)[c[keep]]
+        return pa.table({"key": pa.array(kk, pa.string()),
+                         "doc_id": pa.array(i[keep], pa.int64()),
+                         "score": pa.array(s[keep], score_t)})
+
     def function_score_keyword(self, q: SearchQuery, spec: dict,
                                precision: str = "float32"):
         """Per-bucket function scoring (the elasticsearch ``function_score``

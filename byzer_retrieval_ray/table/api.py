@@ -1091,6 +1091,65 @@ class RetrievalCluster:
         return [{"value": str(r.value), "count": int(r.cnt)}
                 for r in agg.head(limit).itertuples()]
 
+    def top_hits(self, database: str, table: str, query, key_field: str,
+                 num_keys: int = 10, per_key: int = 3,
+                 precision: str = "float32") -> list[dict]:
+        """``terms`` + ``top_hits`` sub-aggregation (the elasticsearch
+        two-phase shape; the reference exposes no aggregation API:
+        extension): over a keyword query's ENTIRE match set, pick the top
+        ``num_keys`` values of a stored field by match count
+        (count desc, value asc — the terms-agg order), then for EACH of
+        those keys return its top ``per_key`` hits by (score desc,
+        doc_id asc). Returns
+        ``[{"key", "count", "hits": [{"doc_id", "_score"}, ...]}, ...]``
+        in key-bucket order. Keys are strings (facet-label convention);
+        docs with a null/missing key field belong to no bucket;
+        multi-valued key fields are rejected (a hit would land in several
+        buckets — that's grouping, not top-hits).
+
+        Scale shape — two scatter/gather rounds, like elasticsearch's
+        terms phase + fetch phase: phase 1 ships only (value, count)
+        partials per bucket (facet_counts); phase 2 ships at most
+        num_keys × per_key (key, doc_id, score) rows per bucket. Match
+        ids never leave the shard in phase 1; the phase-2 fold is exact
+        (a hit below a bucket's own per-key top per_key can never enter
+        the global per-key top per_key). Keyword recall only (filters
+        supported), like facet_counts."""
+        buckets = self.facet_counts(database, table, query, key_field,
+                                    limit=num_keys, precision=precision)
+        if not buckets:
+            return []
+        key_vals = [b["value"] for b in buckets]
+        q = self._as_queries(database, table, query)[0]
+        per_key = max(1, int(per_key))
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.tophits_keyword.remote(q.__dict__, key_field,
+                                             key_vals, per_key, precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.tophits_keyword(q, key_field, key_vals, per_key,
+                                      precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        hits_by_key: dict[str, list] = {k: [] for k in key_vals}
+        if tbls:
+            t = pa.concat_tables(tbls)
+            ids = t["doc_id"].to_numpy()
+            scores = t["score"].to_numpy()
+            kcol = t["key"].to_pylist()
+            order = np.lexsort((ids, -scores.astype(np.float64)))
+            for i in order:
+                lst = hits_by_key.get(kcol[int(i)])
+                if lst is not None and len(lst) < per_key:
+                    lst.append({"doc_id": int(ids[i]),
+                                "_score": float(scores[i])})
+        return [{"key": b["value"], "count": b["count"],
+                 "hits": hits_by_key[b["value"]]} for b in buckets]
+
     def collapse_search(self, database: str, table: str, query,
                         collapse_field: str,
                         precision: str = "float32",

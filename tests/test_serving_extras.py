@@ -540,6 +540,99 @@ class TestCollapse:
             c.collapse_search("db", "g", v, "cat")
 
 
+class TestTopHits:
+    """top_hits: elasticsearch terms + top_hits two-phase aggregation —
+    top num_keys field values by match count (count desc, value asc),
+    then per key its top per_key hits (score desc, doc_id asc) — verified
+    against a brute-force fold of the FULL ranking."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "g", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string))", loc))
+        docs = [{"_id": i,
+                 "content": " ".join(["hit"] * (1 + i % 4)
+                                     + ["pad"] * (i % 7)),
+                 "cat": ["a", "b", "c", "d", "e"][i % 5]}
+                for i in range(80)]
+        docs[17]["cat"] = None
+        docs[42]["cat"] = None
+        c.build_from_local("db", "g", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    @staticmethod
+    def _brute(c, q, field="cat", num_keys=10, per_key=3):
+        from collections import Counter
+        from dataclasses import replace
+        full = c.search("db", "g", replace(q, limit=1_000_000),
+                        precision="float64")[0]
+        cnt = Counter(r[field] for r in full if r[field] is not None)
+        keys = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:num_keys]
+        return [{"key": k, "count": n,
+                 "hits": [{"doc_id": r["doc_id"], "_score": r["_score"]}
+                          for r in full if r[field] == k][:per_key]}
+                for k, n in keys]
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        for nk, pk in ((3, 2), (5, 1), (2, 4), (10, 100)):
+            q = SearchQuery("db", "g", keyword="hit pad",
+                            fields=["content"], limit=3)
+            got = c.top_hits("db", "g", q, "cat", num_keys=nk, per_key=pk,
+                             precision="float64")
+            assert got == self._brute(c, q, num_keys=nk, per_key=pk), (nk, pk)
+
+    def test_query_limit_does_not_bound(self, ray_session, tmp_path):
+        # the QUERY's limit=1 must not bound either phase: counts cover the
+        # whole match set and per-key hits may rank far below the top-1
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                        limit=1)
+        got = c.top_hits("db", "g", q, "cat", num_keys=5, per_key=2,
+                         precision="float64")
+        assert got == self._brute(c, q, num_keys=5, per_key=2)
+        # every doc matches 'hit'; 78 non-null-cat matches split a..e
+        assert sum(b["count"] for b in got) == 78
+        assert all(len(b["hits"]) == 2 for b in got)
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit pad", fields=["content"],
+                        limit=3)
+        inproc = c.top_hits("db", "g", q, "cat", num_keys=4, per_key=2,
+                            precision="float64")
+        assert inproc == self._brute(c, q, num_keys=4, per_key=2)
+        c.activate("db", "g")
+        assert c.top_hits("db", "g", q, "cat", num_keys=4, per_key=2,
+                          precision="float64") == inproc
+
+    def test_bad_inputs_rejected(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "g", keyword="hit", fields=["content"],
+                        limit=3)
+        v = SearchQuery("db", "g", vector=[1.0] * 4, vectorField="vector",
+                        limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.top_hits("db", "g", v, "cat")
+        # multi-valued key fields are rejected in phase 2 (a hit would land
+        # in several buckets)
+        c2 = RetrievalCluster(str(tmp_path) + "_mv")
+        c2.create_table(TableSettings(
+            "db", "m", "st(field(_id,long),field(content,string,analyze),"
+            "field(tags,array(string)))", str(tmp_path) + "_mv"))
+        c2.build_from_local(
+            "db", "m",
+            [{"_id": i, "content": "hit", "tags": ["x", "y"]}
+             for i in range(10)],
+            key_field="_id", num_doc_parts=2, num_term_parts=1)
+        qm = SearchQuery("db", "m", keyword="hit", fields=["content"],
+                         limit=3)
+        with pytest.raises(ValueError, match="list-typed"):
+            c2.top_hits("db", "m", qm, "tags")
+
+
 class TestFunctionScore:
     """function_search: elasticsearch field_value_factor rescoring —
     score' = bm25 ⊗ modifier(factor × field), verified against a brute
