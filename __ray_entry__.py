@@ -1320,6 +1320,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docs2", qq)
     q["bm25_multi_field"] = bm25_multi_field
 
+    def bm25_dismax(sf):
+        # dis_max / multi_match best_fields (Lucene DisjunctionMaxQuery):
+        # per term, per-field scores combine as max + 0.3·(sum − max)
+        # instead of the BooleanQuery sum; per-term results still add up
+        c = _docs2_cluster(sf)
+        qq = SearchQuery("db", "docs2", keyword="merge sort",
+                         fields=["title", "content"], limit=20,
+                         dis_max_tie_breaker=0.3)
+        return _search_rows(c, "docs2", qq)
+    q["bm25_dismax"] = bm25_dismax
+
     # --- full scan export (S5/S6: iterateAllDocs / Arrow batch export) ---
     def full_scan(sf):
         c = _docs_cluster(sf)
@@ -3378,6 +3389,57 @@ ORDER BY score DESC, doc_id LIMIT 20"""
 
     sql["bm25_multi_field"] = _sql_multi_field("1.0e0")
     sql["bm25_field_boost"] = _sql_multi_field("2.0e0")
+
+    # dis_max over title/content with tie_breaker 0.3: per (doc, term) the
+    # per-field scores fold as MAX + 0.3·(SUM − MAX) (Lucene
+    # DisjunctionMaxQuery), then terms add; same title/content split and
+    # per-field BM25 expression as the multi-field oracle
+    sql["bm25_dismax"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS all_toks
+  FROM documents
+),
+flds AS (
+  SELECT doc_id, 'title' AS fld, list_slice(all_toks, 1, 3) AS toks FROM base
+  UNION ALL
+  SELECT doc_id, 'content' AS fld, list_slice(all_toks, 4, len(all_toks)) AS toks FROM base
+),
+toks AS (SELECT doc_id, fld, unnest(toks) AS term FROM flds),
+dls AS (SELECT doc_id, fld, len(toks) AS dl FROM flds),
+stats AS (SELECT fld, count(*) AS n, sum(dl) AS sum_ttf FROM dls GROUP BY fld),
+dlq AS (
+  SELECT doc_id, fld, CASE WHEN dl < 24 THEN dl
+    ELSE 24 + (CASE WHEN dl - 24 < 8 THEN dl - 24
+               ELSE ((dl - 24) >> (length(bin(dl - 24)) - 4)) << (length(bin(dl - 24)) - 4)
+               END) END AS dl_q
+  FROM dls
+),
+tf AS (SELECT doc_id, fld, term, count(*) AS tf FROM toks GROUP BY doc_id, fld, term),
+df AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY fld, term),
+qterms AS (SELECT unnest(['merge', 'sort']) AS term),
+ps AS (
+  SELECT tf.doc_id, tf.term,
+         ( (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                              / (CAST(df.df AS DOUBLE) + 0.5e0)))
+         - (2.2e0 * ln(1.0e0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5e0)
+                                / (CAST(df.df AS DOUBLE) + 0.5e0)))
+           / (1.0e0 + CAST(tf.tf AS DOUBLE)
+              * (1.0e0 / (1.2e0 * (0.25e0 + 0.75e0 * CAST(dlq.dl_q AS DOUBLE)
+                                    / (CAST(stats.sum_ttf AS DOUBLE) / CAST(stats.n AS DOUBLE)))))) ) AS s
+  FROM tf
+  JOIN qterms ON tf.term = qterms.term
+  JOIN df ON df.fld = tf.fld AND df.term = tf.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id AND dlq.fld = tf.fld
+  JOIN stats ON stats.fld = tf.fld
+),
+dm AS (
+  SELECT doc_id, term, MAX(s) + 0.3e0 * (SUM(s) - MAX(s)) AS s
+  FROM ps GROUP BY doc_id, term
+),
+scored AS (SELECT doc_id, SUM(s) AS score FROM dm GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
 
     # BM25F: one pseudo-field. tf_c = 2·tf_title + tf_content per (doc,term);
     # dl_c = 2·dlq_title + dlq_content per doc; avgdl_c = (2·sumTTF_title +

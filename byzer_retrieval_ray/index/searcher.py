@@ -854,6 +854,23 @@ class BucketSearcher:
             # blocks whose post-cursor hits we need; TAAT is exact and returns
             # the identical total order (same clause-order float addition)
             algorithm = "taat"
+        # dis_max (Lucene DisjunctionMaxQuery across fields): per-clause
+        # max + tb·(sum − max) field combination. Scoring-only — matching
+        # and gating are untouched; forces TAAT (BMW's block bounds assume
+        # the sum combination when accumulating exact range scores)
+        dismax_tb = getattr(q, "dis_max_tie_breaker", None)
+        if dismax_tb is not None:
+            dismax_tb = float(dismax_tb)
+            if not 0.0 <= dismax_tb <= 1.0:
+                raise ValueError(
+                    f"dis_max_tie_breaker must be in [0, 1], got {dismax_tb}")
+            if getattr(q, "combined_fields", None):
+                raise ValueError(
+                    "dis_max_tie_breaker is incompatible with combined_fields"
+                    " (BM25F already blends fields into one pseudo-field)")
+            if explain_doc is not None:
+                raise ValueError("explain() does not support dis_max queries")
+            algorithm = "taat"
         if getattr(q, "combined_fields", None) and (q.keyword or "") != "*":
             # BM25F pseudo-field scoring (CombinedFieldQuery) — separate
             # evaluator; match-all falls through to the standard path
@@ -1393,7 +1410,7 @@ class BucketSearcher:
                            and not pk.must_fuzzies and not pk.must_wildcards
                            and not pk.must_regexps and not pk.must_pphrases
                            and not pk.must_groups),
-                after=after)
+                after=after, dismax_tb=dismax_tb)
         return ids, scores
 
     def _phrase_posting(self, fld: str, terms: tuple, posts) -> "Posting | None":
@@ -2097,12 +2114,18 @@ class BucketSearcher:
                 "excluded": is_excl or tombstoned}
 
     def _search_taat(self, scorers, candidates, limit, dtype, excluded=None,
-                     zero_fill=False, after=None):
+                     zero_fill=False, after=None, dismax_tb=None):
         """Vectorized term-at-a-time; exact; supports filter candidates, +/- term
         constraints and tombstones. ``zero_fill`` adds zero-score filter matches
         (SHOULD + FILTER BooleanQuery semantics). ``after`` is the
         (score, doc_id) pagination cursor — only hits strictly after it in
-        the (score desc, doc_id asc) total order survive."""
+        the (score desc, doc_id asc) total order survive. ``dismax_tb`` (a
+        float in [0, 1]) switches the per-clause field combination from sum
+        to Lucene DisjunctionMaxQuery: a clause's per-field scorers are
+        emitted as one CONSECUTIVE run sharing the clause label (key[1] —
+        every scorer-building section iterates fields in the inner loop),
+        and each run folds to max + tb·(sum − max) per doc before joining
+        the clause-order float64 addition."""
         all_docs = []
         for _, posting, cache, w in scorers:
             all_docs.append(posting.docs)
@@ -2116,12 +2139,36 @@ class BucketSearcher:
         if excluded is not None and union.size:
             union = union[~np.isin(union, excluded, assume_unique=True)]
         acc = np.zeros(union.size, dtype=np.float64)
-        for _, posting, cache, w in scorers:   # clause order = float addition order
-            docs, scores = self._term_scores(posting, cache, w, dtype)
-            idx = np.searchsorted(union, docs)
-            valid = (idx < union.size)
-            valid[valid] &= union[idx[valid]] == docs[valid]
-            np.add.at(acc, idx[valid], scores[valid].astype(np.float64))
+        if dismax_tb is None:
+            for _, posting, cache, w in scorers:   # clause order = float addition order
+                docs, scores = self._term_scores(posting, cache, w, dtype)
+                idx = np.searchsorted(union, docs)
+                valid = (idx < union.size)
+                valid[valid] &= union[idx[valid]] == docs[valid]
+                np.add.at(acc, idx[valid], scores[valid].astype(np.float64))
+        else:
+            tb, i = float(dismax_tb), 0
+            while i < len(scorers):
+                j = i
+                while j < len(scorers) \
+                        and scorers[j][0][1] == scorers[i][0][1]:
+                    j += 1
+                gsum = np.zeros(union.size, dtype=np.float64)
+                gmax = np.zeros(union.size, dtype=np.float64)
+                for k in range(i, j):       # field order = float addition order
+                    _, posting, cache, w = scorers[k]
+                    docs, sc = self._term_scores(posting, cache, w, dtype)
+                    idx = np.searchsorted(union, docs)
+                    valid = (idx < union.size)
+                    valid[valid] &= union[idx[valid]] == docs[valid]
+                    arr = np.zeros(union.size, dtype=np.float64)
+                    arr[idx[valid]] = sc[valid].astype(np.float64)
+                    gsum += arr
+                    np.maximum(gmax, arr, out=gmax)
+                # BM25/constant clause scores are > 0, so the zero init is
+                # "clause absent" and contributes nothing for non-matches
+                acc += gmax + tb * (gsum - gmax)
+                i = j
         scores = acc.astype(dtype)
         if candidates is not None and zero_fill:
             # zero-score filter matches still qualify (SHOULD + FILTER semantics)

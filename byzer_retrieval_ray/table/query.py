@@ -81,6 +81,19 @@ class SearchQuery:
     # supported; phrases/prefix/fuzzy/wildcard/regexp/groups raise). When
     # set, ``fields`` is ignored.
     combined_fields: list = field(default_factory=list)
+    # Lucene DisjunctionMaxQuery across fields (the elasticsearch dis_max /
+    # multi_match type=best_fields shape — extension; the reference sums
+    # per-field scores like a BooleanQuery). When set (0.0 ≤ tb ≤ 1.0),
+    # each CLAUSE's per-field scores combine as
+    # max + tie_breaker · (sum − max) instead of the default sum over
+    # fields; per-clause results still add up in clause order. Matching,
+    # gating (+/-/msm/filters) and the match set are unchanged — only
+    # scoring differs, so tb=1.0 reproduces the sum path (up to one ulp)
+    # and a single-field query is unaffected. Keyword recall only; forces
+    # the exact TAAT path (BMW's per-clause block bounds assume sum
+    # combination); incompatible with combined_fields (BM25F already
+    # blends fields into one pseudo-field) and explain().
+    dis_max_tie_breaker: Optional[float] = None
     # Sloppy-phrase term order (extension knob). True (default, frozen by
     # golden test + gate oracle): ``"a b"~N`` matches IN-ORDER alignments
     # only, one tightest match per last-term occurrence. False: Lucene

@@ -540,6 +540,119 @@ class TestCollapse:
             c.collapse_search("db", "g", v, "cat")
 
 
+class TestDisMax:
+    """dis_max_tie_breaker (Lucene DisjunctionMaxQuery across fields): each
+    clause's per-field scores fold as max + tb·(sum − max); verified against
+    an explain()-based brute fold (explain lists the sum-path scorers in
+    clause order, consecutive per-field runs per clause — the exact grouping
+    the engine's TAAT dis_max path uses)."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "d", "st(field(_id,long),field(title,string,analyze),"
+            "field(body,string,analyze))", loc))
+        docs = [{"_id": i,
+                 "title": " ".join(["alpha"] * (1 + i % 2)
+                                   + ["beta"] * (i % 3)),
+                 "body": " ".join(["alpha"] * (i % 4)
+                                  + ["gamma"] * (1 + i % 5)
+                                  + ["beta"] * (i % 2))}
+                for i in range(90)]
+        c.build_from_local("db", "d", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def _brute(self, c, q, tb):
+        from dataclasses import replace
+        full = c.search("db", "d", replace(q, limit=1_000_000),
+                        precision="float64")[0]
+        out = []
+        for r in full:
+            ex = c.explain("db", "d", replace(q, dis_max_tie_breaker=None),
+                           r["doc_id"], precision="float64")
+            total, i, cl = 0.0, 0, ex["clauses"]
+            while i < len(cl):
+                j = i
+                while j < len(cl) and cl[j]["clause"] == cl[i]["clause"]:
+                    j += 1
+                gsum, gmax = 0.0, 0.0
+                for k in range(i, j):
+                    gsum += cl[k]["score"]
+                    gmax = max(gmax, cl[k]["score"])
+                total += gmax + tb * (gsum - gmax)
+                i = j
+            out.append({"doc_id": r["doc_id"], "_score": total})
+        out.sort(key=lambda r: (-r["_score"], r["doc_id"]))
+        return out[: q.limit]
+
+    def test_matches_explain_fold(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        for tb in (0.0, 0.3, 1.0):
+            from dataclasses import replace
+            q = SearchQuery("db", "d", keyword="alpha beta gamma",
+                            fields=["title", "body"], limit=8)
+            got = c.search("db", "d", replace(q, dis_max_tie_breaker=tb),
+                           precision="float64")[0]
+            want = self._brute(c, q, tb)
+            assert [r["doc_id"] for r in got] == \
+                [r["doc_id"] for r in want], tb
+            for g, w in zip(got, want):
+                assert g["_score"] == w["_score"], (tb, g, w)
+
+    def test_single_field_unchanged(self, ray_session, tmp_path):
+        # one field: max == sum per clause, so any tb reproduces the plain
+        # ranking exactly (scores included)
+        c = self._cluster(str(tmp_path))
+        from dataclasses import replace
+        q = SearchQuery("db", "d", keyword="alpha gamma", fields=["body"],
+                        limit=10)
+        plain = c.search("db", "d", q, precision="float64")[0]
+        for tb in (0.0, 0.5):
+            assert c.search("db", "d", replace(q, dis_max_tie_breaker=tb),
+                            precision="float64")[0] == plain
+
+    def test_gating_unaffected(self, ray_session, tmp_path):
+        # +must / -not and phrases gate identically under dis_max — only
+        # scores change; the match SET is the sum path's
+        c = self._cluster(str(tmp_path))
+        from dataclasses import replace
+        q = SearchQuery("db", "d", keyword='alpha +beta -"gamma gamma"',
+                        fields=["title", "body"], limit=1_000_000)
+        sum_ids = {r["doc_id"] for r in c.search("db", "d", q,
+                                                 precision="float64")[0]}
+        dm_ids = {r["doc_id"]
+                  for r in c.search("db", "d",
+                                    replace(q, dis_max_tie_breaker=0.2),
+                                    precision="float64")[0]}
+        assert sum_ids == dm_ids and sum_ids
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "d", keyword="alpha beta gamma",
+                        fields=["title", "body"], limit=8,
+                        dis_max_tie_breaker=0.4)
+        inproc = c.search("db", "d", q, precision="float64")[0]
+        c.activate("db", "d")
+        assert c.search("db", "d", q, precision="float64")[0] == inproc
+
+    def test_bad_inputs_rejected(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "d", keyword="alpha", fields=["title"],
+                        limit=3, dis_max_tie_breaker=1.5)
+        with pytest.raises(ValueError, match="must be in"):
+            c.search("db", "d", q)
+        q2 = SearchQuery("db", "d", keyword="alpha", limit=3,
+                         combined_fields=["title", "body"],
+                         dis_max_tie_breaker=0.3)
+        with pytest.raises(ValueError, match="incompatible"):
+            c.search("db", "d", q2)
+        q3 = SearchQuery("db", "d", keyword="alpha", fields=["title"],
+                         limit=3, dis_max_tie_breaker=0.3)
+        with pytest.raises(ValueError, match="does not support dis_max"):
+            c.explain("db", "d", q3, 0)
+
+
 class TestTopHits:
     """top_hits: elasticsearch terms + top_hits two-phase aggregation —
     top num_keys field values by match count (count desc, value asc),
