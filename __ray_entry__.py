@@ -900,6 +900,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_fscore"] = bm25_fscore
 
+    def bm25_boosting(sf):
+        # boosting query (elasticsearch boosting shape): 'merge sort' hits
+        # that also contain 'scan' are demoted score × 0.5 — soft demotion,
+        # not exclusion; the ranking re-sorts over the FULL match set
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=20)
+        rows = c.boosting_search("db", "docs", q2, "scan",
+                                 negative_boost=0.5, precision="float64")
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array(np.round(
+                np.array([r["_score"] for r in rows], np.float64), 4)),
+        })
+    q["bm25_boosting"] = bm25_boosting
+
     def bm25_decay(sf):
         # function_score gauss decay (elasticsearch recency/distance shape):
         # every hit rescored score × exp(ln(0.5)·((max(0,|n_chars−200|−20))/100)²)
@@ -2966,6 +2982,20 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.score * ln(1.0e0 + CAST(d.n_chars AS DOUBLE)) DESC, s.doc_id
 LIMIT 20"""
+
+    # boosting: 'merge sort' scored as usual, then docs containing 'scan'
+    # demoted × 0.5; final order (demoted score desc, doc_id asc)
+    sql["bm25_boosting"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'scan'),
+demoted AS (
+  SELECT s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.5e0
+              ELSE s.score END AS score
+  FROM scored s LEFT JOIN neg n ON n.doc_id = s.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM demoted
+ORDER BY score DESC, doc_id LIMIT 20"""
 
     # merge sort rescored by a gauss decay on n_chars (origin 200, scale 100,
     # offset 20, decay 0.5): boost = exp(ln(0.5)·r²) with

@@ -209,6 +209,10 @@ def run_bench() -> dict:
     tq = time.perf_counter()
     cluster.top_hits("web", "pages", q_agg, "lang", num_keys=5, per_key=3)
     queries["agg_top_hits"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.boosting_search("web", "pages", q_agg, qs[1] if len(qs) > 1
+                            else qs[0], negative_boost=0.5)
+    queries["agg_boosting"] = round(time.perf_counter() - tq, 3)
     # suggest family: dictionary scan (spell/complete) + positional-postings
     # bigram LM (phrase) — misspell the bench query's first token
     tq = time.perf_counter()

@@ -168,6 +168,17 @@ class SegmentActorImpl:
             out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
+    def boosting_keyword(self, q: dict, negative_keyword: str,
+                         negative_boost: float,
+                         precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        out = []
+        for s in self.searchers:
+            ids, scores = s.boosting_keyword(query, negative_keyword,
+                                             negative_boost, precision)
+            out.append((np.asarray(ids), np.asarray(scores)))
+        return out
+
     def sigterms_keyword(self, q: dict, field: str,
                          precision: str = "float32",
                          shard_min_doc_count: int = 0) -> list:

@@ -2732,6 +2732,49 @@ class BucketSearcher:
         top = np.lexsort((ids, -new))[: q.limit]
         return ids[top], new[top].astype(dtype)
 
+    def boosting_keyword(self, q: SearchQuery, negative_keyword: str,
+                         negative_boost: float,
+                         precision: str = "float32"):
+        """Per-bucket elasticsearch ``boosting`` query (Lucene's
+        FunctionScoreQuery#boostByQuery demotion shape): every positive hit
+        whose doc ALSO matches ``negative_keyword`` is demoted to
+        score × negative_boost (0 ≤ β ≤ 1); other hits keep their score.
+        The negative recall reuses the FULL query machinery (terms,
+        phrases, prefix/fuzzy/wildcard/regexp, groups, msm) over the same
+        searched fields, matching only — its scores are ignored and it
+        never narrows the match set (demotion ≠ exclusion). Demotion is
+        non-monotone in the BM25 order, so the bucket demotes its ENTIRE
+        match set (exact TAAT), re-sorts by (new score desc, doc_id asc)
+        and ships only its top ``q.limit`` — the scatter-gather top-k
+        argument applies to the demoted order, so the master merge stays
+        exact. Arithmetic: float64 score × β, cast to the query
+        precision."""
+        from dataclasses import replace
+
+        dtype = np.float32 if precision == "float32" else np.float64
+        beta = float(negative_boost)
+        if not 0.0 <= beta <= 1.0:
+            raise ValueError(
+                f"negative_boost must be in [0, 1], got {beta}")
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, scores = self.search_keyword(qq, precision=precision,
+                                          algorithm="taat")
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        if ids.size == 0:
+            return ids, scores.astype(dtype)
+        nq = replace(q, keyword=negative_keyword, filters={},
+                     limit=int(1 << 62), search_after=None,
+                     min_should_match=0)
+        nids, _ = self.search_keyword(nq, precision=precision,
+                                      algorithm="taat")
+        new = scores.astype(np.float64)
+        nids = np.asarray(nids)
+        if nids.size:
+            hit = np.isin(ids, nids)
+            new[hit] = new[hit] * beta
+        top = np.lexsort((ids, -new))[: q.limit]
+        return ids[top], new[top].astype(dtype)
+
     def sigterms_keyword(self, q: SearchQuery, field: str,
                          precision: str = "float32",
                          shard_min_doc_count: int = 0) -> tuple[pa.Table, int]:

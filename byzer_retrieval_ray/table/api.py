@@ -1267,6 +1267,48 @@ class RetrievalCluster:
         ids, scores = ids[: q.limit], scores[: q.limit]
         return self._materialize(database, table, ids, scores, False)
 
+    def boosting_search(self, database: str, table: str, query,
+                        negative_keyword: str, negative_boost: float = 0.5,
+                        precision: str = "float32") -> list[dict]:
+        """Boosting query (the elasticsearch ``boosting`` shape — positive
+        query + negative query + ``negative_boost``; the reference exposes
+        no rescoring API: extension). Hits of the positive ``query`` that
+        ALSO match ``negative_keyword`` (same searched fields, full query
+        syntax) are demoted to score × ``negative_boost`` (0 ≤ β ≤ 1);
+        other hits keep their BM25 score. Demotion is soft — unlike
+        ``-term`` exclusion the demoted docs stay in the result, ranked
+        lower. Final ranking (new score desc, doc_id asc); returns the
+        same doc+``_score`` dicts as :meth:`search`.
+
+        Scale shape: demotion is non-monotone in BM25 order, so each
+        bucket demotes its FULL match set locally (two exact TAAT passes,
+        no docstore read) but ships only its top ``limit`` — the
+        scatter-gather top-k argument applies to the demoted order.
+        Keyword recall only (filters supported; the negative query is
+        matching-only and never narrows the match set)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("boosting_search takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("boosting_search is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.boosting_keyword.remote(q.__dict__, negative_keyword,
+                                              negative_boost, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.boosting_keyword(q, negative_keyword, negative_boost,
+                                        precision)
+                     for s in self._searchers(database, table)]
+        dtype = np.float32 if precision == "float32" else np.float64
+        ids, scores = M._merge_recall(parts, dtype)
+        ids, scores = ids[: q.limit], scores[: q.limit]
+        return self._materialize(database, table, ids, scores, False)
+
     def significant_terms(self, database: str, table: str, query,
                           field: str, limit: int = 10,
                           min_doc_count: int = 1,

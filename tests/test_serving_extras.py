@@ -540,6 +540,102 @@ class TestCollapse:
             c.collapse_search("db", "g", v, "cat")
 
 
+class TestBoosting:
+    """boosting_search (elasticsearch boosting query): positive hits also
+    matching the negative query are demoted score × β — soft demotion over
+    the FULL match set, verified against a brute fold of two plain
+    searches."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "b", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string))", loc))
+        docs = [{"_id": i,
+                 "content": " ".join(["hit"] * (1 + i % 4)
+                                     + ["bad"] * (i % 3)
+                                     + ["ugly", "worse"] * (i % 2)),
+                 "cat": ["a", "b"][i % 2]}
+                for i in range(70)]
+        c.build_from_local("db", "b", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def _brute(self, c, q, neg_kw, beta):
+        from dataclasses import replace
+        full = c.search("db", "b", replace(q, limit=1_000_000),
+                        precision="float64")[0]
+        neg = {r["doc_id"] for r in
+               c.search("db", "b",
+                        replace(q, keyword=neg_kw, filters={},
+                                limit=1_000_000),
+                        precision="float64")[0]}
+        out = [{"doc_id": r["doc_id"],
+                "_score": r["_score"] * beta if r["doc_id"] in neg
+                else r["_score"]}
+               for r in full]
+        out.sort(key=lambda r: (-r["_score"], r["doc_id"]))
+        return [(r["doc_id"], r["_score"]) for r in out[: q.limit]]
+
+    def test_matches_brute_demotion(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "b", keyword="hit bad", fields=["content"],
+                        limit=10)
+        for neg, beta in (("bad", 0.5), ('"ugly worse"', 0.25),
+                          ("bad | ugly", 0.0), ("absentterm", 0.7)):
+            got = c.boosting_search("db", "b", q, neg, negative_boost=beta,
+                                    precision="float64")
+            assert [(r["doc_id"], r["_score"]) for r in got] == \
+                self._brute(c, q, neg, beta), (neg, beta)
+
+    def test_demotion_is_not_exclusion(self, ray_session, tmp_path):
+        # β=0 zeroes demoted docs but keeps them rankable; the match SET
+        # equals the plain query's
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "b", keyword="hit", fields=["content"],
+                        limit=1_000_000)
+        plain = {r["doc_id"] for r in c.search("db", "b", q,
+                                               precision="float64")[0]}
+        got = c.boosting_search("db", "b", q, "bad", negative_boost=0.0,
+                                precision="float64")
+        assert {r["doc_id"] for r in got} == plain
+
+    def test_filters_apply_to_positive_only(self, ray_session, tmp_path):
+        # the positive query's filter narrows the match set; the negative
+        # query never does (demotion ≠ exclusion) — every result must pass
+        # the filter, demoted or not
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "b", keyword="hit", fields=["content"],
+                        filters={"and": [{"field": "cat", "value": "a"}]},
+                        limit=1_000_000)
+        got = c.boosting_search("db", "b", q, "bad", negative_boost=0.5,
+                                precision="float64")
+        assert got and all(r["cat"] == "a" for r in got)
+        assert [(r["doc_id"], r["_score"]) for r in got] == \
+            self._brute(c, q, "bad", 0.5)
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "b", keyword="hit bad", fields=["content"],
+                        limit=7)
+        inproc = c.boosting_search("db", "b", q, "ugly",
+                                   negative_boost=0.3, precision="float64")
+        c.activate("db", "b")
+        assert c.boosting_search("db", "b", q, "ugly", negative_boost=0.3,
+                                 precision="float64") == inproc
+
+    def test_bad_inputs_rejected(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "b", keyword="hit", fields=["content"],
+                        limit=3)
+        with pytest.raises(ValueError, match="negative_boost"):
+            c.boosting_search("db", "b", q, "bad", negative_boost=1.5)
+        v = SearchQuery("db", "b", vector=[1.0] * 4, vectorField="vector",
+                        limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.boosting_search("db", "b", v, "bad")
+
+
 class TestDisMax:
     """dis_max_tie_breaker (Lucene DisjunctionMaxQuery across fields): each
     clause's per-field scores fold as max + tb·(sum − max); verified against
