@@ -696,6 +696,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_extended_stats"] = match_extended_stats
 
+    def match_matrix_stats(sf):
+        # matrix_stats (ES shape, population moments): joint float64
+        # moment partials per bucket over row-complete (doc_id, n_chars)
+        # docs of the 'merge sort' match set; mean/var/cov/corr folded on
+        # the driver with the documented SQL-replicable op order
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        st = c.matrix_stats("db", "docs", q2, ["doc_id", "n_chars"],
+                            precision="float64")
+        fx, fy = st["fields"]["doc_id"], st["fields"]["n_chars"]
+        r4 = lambda v: float(np.round(v, 4))
+        return pa.table({
+            "cnt": pa.array([st["doc_count"]], pa.int64()),
+            "mean_x": pa.array([r4(fx["mean"])], pa.float64()),
+            "var_x": pa.array([r4(fx["variance"])], pa.float64()),
+            "mean_y": pa.array([r4(fy["mean"])], pa.float64()),
+            "var_y": pa.array([r4(fy["variance"])], pa.float64()),
+            "cov": pa.array([r4(st["covariance"]["doc_id"]["n_chars"])],
+                            pa.float64()),
+            "corr": pa.array([r4(st["correlation"]["doc_id"]["n_chars"])],
+                             pa.float64()),
+        })
+    q["match_matrix_stats"] = match_matrix_stats
+
+    def match_weighted_avg(sf):
+        # weighted_avg (ES shape): n_chars weighted by doc_id over the
+        # whole match set; one 3-value partial per bucket
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        st = c.weighted_avg("db", "docs", q2, "n_chars", "doc_id",
+                            precision="float64")
+        return pa.table({
+            "cnt": pa.array([st["count"]], pa.int64()),
+            "wavg": pa.array([float(np.round(st["weighted_avg"], 4))],
+                             pa.float64()),
+        })
+    q["match_weighted_avg"] = match_weighted_avg
+
+    def rare_sources(sf):
+        # rare_terms (ES shape but EXACT): sources appearing in at most 22
+        # docs of the match set, (count asc, value asc)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.rare_terms("db", "docs", q2, "source", max_doc_count=22,
+                           limit=10, precision="float64")
+        return pa.table({
+            "source": pa.array([o["value"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["rare_sources"] = rare_sources
+
     def bm25_range_facets(sf):
         # histogram facet (half-open bins) of n_chars over the whole match
         # set — Lucene LongRangeFacetCounts shape; each bucket ships one
@@ -2678,6 +2732,69 @@ WITH toks AS (
 SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
 FROM toks WHERE doc_id IN (0, 1, 2, 3, 4)
 GROUP BY doc_id, term ORDER BY doc_id, term"""
+
+    # matrix_stats over (doc_id, n_chars) of the match set: population
+    # moments in the engine's float64 op order — mean = Σv/n,
+    # var = GREATEST(0, Σv²/n − mean·mean), cov = Σxy/n − meanx·meany,
+    # corr = cov/SQRT(varx·vary); row-complete docs only (doc_id never
+    # null, n_chars NOT NULL filter)
+    sql["match_matrix_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+j AS (
+  SELECT CAST(d.doc_id AS DOUBLE) AS x, CAST(d.n_chars AS DOUBLE) AS y
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+  WHERE d.n_chars IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS cnt,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM j
+)
+SELECT cnt,
+       ROUND(sx / n, 4) AS mean_x,
+       ROUND(GREATEST(0e0, sxx / n - (sx / n) * (sx / n)), 4) AS var_x,
+       ROUND(sy / n, 4) AS mean_y,
+       ROUND(GREATEST(0e0, syy / n - (sy / n) * (sy / n)), 4) AS var_y,
+       ROUND(sxy / n - (sx / n) * (sy / n), 4) AS cov,
+       ROUND((sxy / n - (sx / n) * (sy / n))
+             / SQRT(GREATEST(0e0, sxx / n - (sx / n) * (sx / n))
+                    * GREATEST(0e0, syy / n - (sy / n) * (sy / n))), 4) AS corr
+FROM s"""
+
+    # weighted_avg: Σ(n_chars·doc_id)/Σ(doc_id) over the match set, both
+    # fields non-null
+    sql["match_weighted_avg"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT COUNT(*) AS cnt,
+       ROUND(SUM(CAST(d.n_chars AS DOUBLE) * CAST(d.doc_id AS DOUBLE))
+             / SUM(CAST(d.doc_id AS DOUBLE)), 4) AS wavg
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.n_chars IS NOT NULL"""
+
+    # rare_terms: sources with match-set count <= 22, (count asc, value asc)
+    sql["rare_sources"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.source, COUNT(*) AS cnt
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.source IS NOT NULL
+GROUP BY d.source HAVING COUNT(*) <= 22
+ORDER BY cnt ASC, d.source ASC LIMIT 10"""
 
     # histogram facet: half-open bins [lo, hi) of n_chars over the match set
     sql["bm25_range_facets"] = """

@@ -213,6 +213,9 @@ def run_bench() -> dict:
     cluster.boosting_search("web", "pages", q_agg, qs[1] if len(qs) > 1
                             else qs[0], negative_boost=0.5)
     queries["agg_boosting"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.rare_terms("web", "pages", q_agg, "lang", max_doc_count=5)
+    queries["agg_rare_terms"] = round(time.perf_counter() - tq, 3)
     # suggest family: dictionary scan (spell/complete) + positional-postings
     # bigram LM (phrase) — misspell the bench query's first token
     tq = time.perf_counter()

@@ -168,6 +168,20 @@ class SegmentActorImpl:
             out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
+    def matrix_stats_keyword(self, q: dict, fields: list,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.matrix_stats_keyword(query, fields, precision)
+                for s in self.searchers]
+
+    def weighted_avg_keyword(self, q: dict, value_field: str,
+                             weight_field: str,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.weighted_avg_keyword(query, value_field, weight_field,
+                                       precision)
+                for s in self.searchers]
+
     def boosting_keyword(self, q: dict, negative_keyword: str,
                          negative_boost: float,
                          precision: str = "float32") -> list:

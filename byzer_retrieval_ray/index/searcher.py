@@ -2622,6 +2622,77 @@ class BucketSearcher:
                          "doc_id": pa.array(i[keep], pa.int64()),
                          "score": pa.array(s[keep], score_t)})
 
+    def matrix_stats_keyword(self, q: SearchQuery, fields: list,
+                             precision: str = "float32") -> dict:
+        """Per-bucket PARTIAL joint-moment sums for the ``matrix_stats``
+        aggregation over the ENTIRE keyword match set: over ROW-COMPLETE
+        docs (every requested field non-null — the elasticsearch
+        matrix_stats missing-doc exclusion), ships n, per-field Σv and the
+        upper-triangle Σ(v_i·v_j) (diagonal = Σv²) — one
+        k + k·(k+1)/2 + 1 value partial per bucket, float64, match ids
+        never leave the shard. Timestamps aggregate as epoch micros."""
+        from dataclasses import replace
+
+        k = len(fields)
+        empty = {"n": 0, "sums": [0.0] * k,
+                 "prods": [0.0] * (k * (k + 1) // 2)}
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=list(fields))
+        cols = []
+        for f in fields:
+            if f not in tbl.column_names:
+                return empty
+            col = tbl[f]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+            cols.append(pc.cast(col, pa.float64()))
+        ok = None
+        for col in cols:
+            v = pc.is_valid(col)
+            ok = v if ok is None else pc.and_(ok, v)
+        vals = [col.filter(ok).to_numpy(zero_copy_only=False)
+                for col in cols]
+        n = int(vals[0].size)
+        if n == 0:
+            return empty
+        sums = [float(np.sum(v)) for v in vals]
+        prods = [float(np.sum(vals[i] * vals[j]))
+                 for i in range(k) for j in range(i, k)]
+        return {"n": n, "sums": sums, "prods": prods}
+
+    def weighted_avg_keyword(self, q: SearchQuery, value_field: str,
+                             weight_field: str,
+                             precision: str = "float32") -> dict:
+        """Per-bucket PARTIAL for the elasticsearch ``weighted_avg``
+        aggregation over the ENTIRE match set: Σ(value·weight) and Σweight
+        over docs where BOTH fields are non-null (the ES skip-missing
+        default) — one 3-value float64 partial per bucket."""
+        from dataclasses import replace
+
+        empty = {"n": 0, "vw": 0.0, "w": 0.0}
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[value_field, weight_field])
+        if value_field not in tbl.column_names \
+                or weight_field not in tbl.column_names:
+            return empty
+        v = pc.cast(tbl[value_field], pa.float64())
+        w = pc.cast(tbl[weight_field], pa.float64())
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(w))
+        va = v.filter(ok).to_numpy(zero_copy_only=False)
+        wa = w.filter(ok).to_numpy(zero_copy_only=False)
+        if va.size == 0:
+            return empty
+        return {"n": int(va.size), "vw": float(np.sum(va * wa)),
+                "w": float(np.sum(wa))}
+
     def function_score_keyword(self, q: SearchQuery, spec: dict,
                                precision: str = "float32"):
         """Per-bucket function scoring (the elasticsearch ``function_score``

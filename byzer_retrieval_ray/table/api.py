@@ -1519,6 +1519,165 @@ class RetrievalCluster:
                 "variance": variance,
                 "std_deviation": math.sqrt(variance)}
 
+    def matrix_stats(self, database: str, table: str, query, fields: list,
+                     precision: str = "float32") -> dict:
+        """Multi-field joint statistics over a keyword query's ENTIRE match
+        set (the elasticsearch ``matrix_stats`` aggregation shape; the
+        reference exposes no aggregation API: extension). Over ROW-COMPLETE
+        docs (every requested field non-null — the ES missing-doc
+        exclusion), returns::
+
+            {"doc_count": n,
+             "fields": {f: {"mean", "variance"}},          # population
+             "covariance":  {f1: {f2: cov}},               # symmetric
+             "correlation": {f1: {f2: corr}}}              # Pearson
+
+        with the documented naive-float64 arithmetic (SQL-replicable op
+        order, like extended_stats): mean = Σv/n, var = Σv²/n − mean²
+        (clamped at 0), cov = Σ(v_i·v_j)/n − mean_i·mean_j,
+        corr = cov/√(var_i·var_j) (None when either variance is 0).
+        POPULATION moments — a documented divergence from elasticsearch's
+        sample (n−1) estimators; timestamps aggregate as epoch micros.
+
+        Scale shape: each bucket ships ONE k + k·(k+1)/2 + 1 value partial
+        (joint moment sums) — match ids never leave the shard; the driver
+        fold is O(buckets · k²)."""
+        import math
+
+        fields = list(fields)
+        if len(fields) < 2:
+            raise ValueError("matrix_stats needs at least two fields")
+        if len(set(fields)) != len(fields):
+            raise ValueError("matrix_stats fields must be distinct")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("matrix_stats takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("matrix_stats is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.matrix_stats_keyword.remote(q.__dict__, fields,
+                                                  precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.matrix_stats_keyword(q, fields, precision)
+                     for s in self._searchers(database, table)]
+        k = len(fields)
+        n = sum(p["n"] for p in parts)
+        if n == 0:
+            return {"doc_count": 0, "fields": {}, "covariance": {},
+                    "correlation": {}}
+        sums = np.sum([p["sums"] for p in parts], axis=0)
+        prods = np.sum([p["prods"] for p in parts], axis=0)
+        means = [float(sums[i]) / n for i in range(k)]
+        # upper-triangle index of (i, j), i <= j
+        tri = {}
+        t = 0
+        for i in range(k):
+            for j in range(i, k):
+                tri[(i, j)] = t
+                t += 1
+        var = [max(0.0, float(prods[tri[(i, i)]]) / n - means[i] * means[i])
+               for i in range(k)]
+        cov: dict[str, dict[str, float]] = {f: {} for f in fields}
+        corr: dict[str, dict] = {f: {} for f in fields}
+        for i in range(k):
+            for j in range(i, k):
+                c = (var[i] if i == j
+                     else float(prods[tri[(i, j)]]) / n - means[i] * means[j])
+                cov[fields[i]][fields[j]] = c
+                cov[fields[j]][fields[i]] = c
+                r = (c / math.sqrt(var[i] * var[j])
+                     if var[i] > 0.0 and var[j] > 0.0 else None)
+                corr[fields[i]][fields[j]] = r
+                corr[fields[j]][fields[i]] = r
+        return {"doc_count": int(n),
+                "fields": {f: {"mean": means[i], "variance": var[i]}
+                           for i, f in enumerate(fields)},
+                "covariance": cov, "correlation": corr}
+
+    def weighted_avg(self, database: str, table: str, query,
+                     value_field: str, weight_field: str,
+                     precision: str = "float32") -> dict:
+        """Weighted average of a stored numeric field over a keyword
+        query's ENTIRE match set (the elasticsearch ``weighted_avg``
+        aggregation shape; extension). Docs where either field is null are
+        skipped (the ES default). Returns ``{"count", "weighted_avg"}``
+        (None when Σweight is 0) with float64 Σ(v·w)/Σw arithmetic.
+
+        Scale shape: ONE 3-value partial per bucket; match ids never leave
+        the shard."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("weighted_avg takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("weighted_avg is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.weighted_avg_keyword.remote(q.__dict__, value_field,
+                                                  weight_field, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.weighted_avg_keyword(q, value_field, weight_field,
+                                            precision)
+                     for s in self._searchers(database, table)]
+        n = sum(p["n"] for p in parts)
+        vw = float(np.sum([p["vw"] for p in parts]))
+        w = float(np.sum([p["w"] for p in parts]))
+        return {"count": int(n),
+                "weighted_avg": (vw / w) if w != 0.0 else None}
+
+    def rare_terms(self, database: str, table: str, query, field: str,
+                   max_doc_count: int = 1, limit: int = 10,
+                   precision: str = "float32") -> list[dict]:
+        """Rare-terms aggregation (the elasticsearch ``rare_terms`` shape;
+        extension): values of a stored field appearing in at most
+        ``max_doc_count`` docs of a keyword query's ENTIRE match set,
+        ranked by (count asc, value asc), top ``limit``. EXACT — unlike
+        elasticsearch's CuckooFilter approximation, the per-bucket
+        (value, count) partials fold precisely (a value rare in one shard
+        but common globally is correctly dropped); the high-cardinality
+        exchange trade is the one documented in facet_counts. Nulls don't
+        count; multi-valued fields count once per distinct element.
+
+        Returns ``[{"value", "count"}, ...]``."""
+        if int(max_doc_count) < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("rare_terms takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("rare_terms is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.facet_keyword.remote(q.__dict__, field, precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.facet_keyword(q, field, precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return []
+        df = pa.concat_tables(tbls).to_pandas()
+        agg = df.groupby("value", as_index=False)["cnt"].sum()
+        agg = agg[agg["cnt"] <= int(max_doc_count)] \
+            .sort_values(["cnt", "value"], ascending=[True, True],
+                         kind="mergesort")
+        return [{"value": str(r.value), "count": int(r.cnt)}
+                for r in agg.head(limit).itertuples()]
+
     def date_histogram(self, database: str, table: str, query, field: str,
                        interval: int, offset: int = 0,
                        min_doc_count: int = 1,

@@ -2,7 +2,8 @@
 independent Lucene-BooleanQuery evaluator from test_query_fuzz) define a
 reference MATCH SET; every match-set aggregation endpoint — facet_counts,
 field_stats, range_facets, date_histogram, terms_stats, count, cardinality,
-search_by_field — is then compared against a brute-force fold computed
+search_by_field, rare_terms, weighted_avg, matrix_stats, top_hits — is
+then compared against a brute-force fold computed
 directly from the corpus rows restricted to that match set. No production
 aggregation code is shared with the oracle folds (cardinality compares
 against the ops/hll sketch applied to the exact key list, which is the
@@ -153,4 +154,60 @@ def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
                        key=lambda t: (-t[0], t[1]))[:3]
         got_s = c.search_by_field("db", "g", q, "n", ascending=False)
         assert [(o["n"], o["doc_id"]) for o in got_s] == order, kw
+
+        # ---- rare_terms: EXACT (count asc, value asc), <= max_doc_count
+        mdc = int(rng.integers(1, 6))
+        exp_rare = sorted(((v, n) for v, n in cnt.items() if n <= mdc),
+                          key=lambda kv: (kv[1], kv[0]))[:10]
+        got_rare = c.rare_terms("db", "g", q, "cat", max_doc_count=mdc,
+                                limit=10)
+        assert got_rare == [{"value": v, "count": n}
+                            for v, n in exp_rare], (kw, mdc)
+
+        # ---- weighted_avg of n weighted by t (skip-missing on either)
+        wa = c.weighted_avg("db", "g", q, "n", "t", precision="float64")
+        pairs = [(float(r["n"]), float(r["t"])) for r in sub
+                 if r["n"] is not None]
+        assert wa["count"] == len(pairs), kw
+        wsum = sum(w for _, w in pairs)
+        if pairs and wsum != 0.0:
+            exp_wa = sum(v * w for v, w in pairs) / wsum
+            assert wa["weighted_avg"] == pytest.approx(exp_wa,
+                                                       rel=1e-12), kw
+
+        # ---- matrix_stats over (n, t): row-complete population moments
+        ms = c.matrix_stats("db", "g", q, ["n", "t"], precision="float64")
+        assert ms["doc_count"] == len(pairs), kw
+        if pairs:
+            xs = np.array([p[0] for p in pairs])
+            ys = np.array([p[1] for p in pairs])
+            n_ = float(len(pairs))
+            mx, my = xs.sum() / n_, ys.sum() / n_
+            vx = max(0.0, (xs * xs).sum() / n_ - mx * mx)
+            vy = max(0.0, (ys * ys).sum() / n_ - my * my)
+            cv = (xs * ys).sum() / n_ - mx * my
+            assert ms["fields"]["n"]["mean"] == pytest.approx(mx, rel=1e-12)
+            assert ms["fields"]["n"]["variance"] == \
+                pytest.approx(vx, rel=1e-9, abs=1e-9)
+            assert ms["fields"]["t"]["variance"] == \
+                pytest.approx(vy, rel=1e-9, abs=1e-9)
+            assert ms["covariance"]["n"]["t"] == \
+                pytest.approx(cv, rel=1e-9, abs=1e-9), kw
+            if vx > 0.0 and vy > 0.0:
+                assert ms["correlation"]["n"]["t"] == \
+                    pytest.approx(cv / np.sqrt(vx * vy), rel=1e-9, abs=1e-9)
+
+        # ---- top_hits: two-phase terms+top_hits fold vs the one-shot full
+        # ranking (key buckets by count desc/value asc, per-key hits by
+        # score desc/id asc)
+        got_th = c.top_hits("db", "g", q, "cat", num_keys=3, per_key=2,
+                            precision="float64")
+        full = c.search("db", "g", dict(q, limit=1_000_000),
+                        precision="float64")[0]
+        keys_exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp_th = [{"key": k, "count": n,
+                   "hits": [{"doc_id": r["doc_id"], "_score": r["_score"]}
+                            for r in full if r["cat"] == k][:2]}
+                  for k, n in keys_exp]
+        assert got_th == exp_th, kw
     assert n_nonempty >= 5        # the generator must not degenerate

@@ -540,6 +540,58 @@ class TestCollapse:
             c.collapse_search("db", "g", v, "cat")
 
 
+class TestMatrixWeightedRare:
+    """Actor-mode parity + input validation for matrix_stats /
+    weighted_avg / rare_terms (brute-fold correctness is pinned by the
+    aggregation fuzzer, tests/test_agg_fuzz.py)."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "m", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string),field(x,long),field(y,double))", loc))
+        docs = [{"_id": i, "content": "hit " + ("rare " if i < 3 else ""),
+                 "cat": f"c{i % 9}",
+                 "x": None if i % 11 == 0 else i * 3 - 40,
+                 "y": float(i % 13) * 1.5 - 4.0}
+                for i in range(66)]
+        c.build_from_local("db", "m", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c
+
+    def test_actor_mode_matches_inproc(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "m", keyword="hit", fields=["content"],
+                        limit=3)
+        ms = c.matrix_stats("db", "m", q, ["x", "y"], precision="float64")
+        wa = c.weighted_avg("db", "m", q, "x", "y", precision="float64")
+        rt = c.rare_terms("db", "m", q, "cat", max_doc_count=8, limit=10)
+        assert ms["doc_count"] == 60          # 66 minus 6 null-x docs
+        assert rt and all(o["count"] <= 8 for o in rt)
+        c.activate("db", "m")
+        assert c.matrix_stats("db", "m", q, ["x", "y"],
+                              precision="float64") == ms
+        assert c.weighted_avg("db", "m", q, "x", "y",
+                              precision="float64") == wa
+        assert c.rare_terms("db", "m", q, "cat", max_doc_count=8,
+                            limit=10) == rt
+
+    def test_bad_inputs_rejected(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "m", keyword="hit", fields=["content"],
+                        limit=3)
+        with pytest.raises(ValueError, match="at least two"):
+            c.matrix_stats("db", "m", q, ["x"])
+        with pytest.raises(ValueError, match="distinct"):
+            c.matrix_stats("db", "m", q, ["x", "x"])
+        with pytest.raises(ValueError, match="max_doc_count"):
+            c.rare_terms("db", "m", q, "cat", max_doc_count=0)
+        v = SearchQuery("db", "m", vector=[1.0] * 4, vectorField="vector",
+                        limit=3)
+        with pytest.raises(ValueError, match="keyword-only"):
+            c.weighted_avg("db", "m", v, "x", "y")
+
+
 class TestBoosting:
     """boosting_search (elasticsearch boosting query): positive hits also
     matching the negative query are demoted score × β — soft demotion over
