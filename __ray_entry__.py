@@ -696,6 +696,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_extended_stats"] = match_extended_stats
 
+    def match_filters_agg(sf):
+        # filters aggregation (ES shape): independent named-filter bucket
+        # counts over the whole 'merge sort' match set + an _other_ bucket;
+        # a doc may count in several buckets
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.filters_agg("db", "docs", q2, {
+            "english": {"and": [{"field": "lang", "value": "en"}]},
+            "long": {"and": [{"field": "n_chars", "min": 200}]},
+            "not_en_short": {"not": {"or": [
+                {"field": "lang", "value": "en"},
+                {"field": "n_chars", "min": 200}]}},
+        }, other_bucket=True, precision="float64")
+        return pa.table({
+            "key": pa.array([o["key"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["match_filters_agg"] = match_filters_agg
+
     def match_matrix_stats(sf):
         # matrix_stats (ES shape, population moments): joint float64
         # moment partials per bucket over row-complete (doc_id, n_chars)
@@ -1254,6 +1274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          {"field": "source", "value": "src1"}]}]})
     q["bm25_filter_range"] = lambda sf: _bm25(
         sf, "the", 50, {"and": [{"field": "n_chars", "min": 100, "max": 300}]})
+    # not / exists extension leaves (SQL three-valued semantics)
+    q["bm25_filter_not"] = lambda sf: _bm25(
+        sf, "merge", 1000,
+        {"and": [{"not": {"or": [{"field": "lang", "value": "en"},
+                                 {"field": "n_chars", "min": 300}]}},
+                 {"field": "source", "exists": True}]})
 
     # --- multi-valued (array(string)) keyword fields: ANY-element filter
     # match + per-doc-DISTINCT facet counting (elasticsearch array-field
@@ -2733,6 +2759,32 @@ SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
 FROM toks WHERE doc_id IN (0, 1, 2, 3, 4)
 GROUP BY doc_id, term ORDER BY doc_id, term"""
 
+    # filters aggregation: independent named-bucket counts over the match
+    # set; _other_ = matches in NONE of the named buckets (0 here by
+    # construction — not_en_short is the complement of english ∪ long —
+    # which pins the other-bucket fold exactly); each per-filter membership
+    # is null-collapsed independently (COALESCE mirrors the engine's
+    # per-mask fill_null(False))
+    sql["match_filters_agg"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+j AS (SELECT d.* FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT 'english' AS key, COUNT(*) AS cnt FROM j WHERE lang = 'en'
+UNION ALL
+SELECT 'long', COUNT(*) FROM j WHERE n_chars >= 200
+UNION ALL
+SELECT 'not_en_short', COUNT(*) FROM j
+WHERE NOT (lang = 'en' OR n_chars >= 200)
+UNION ALL
+SELECT '_other_', COUNT(*) FROM j
+WHERE NOT COALESCE(lang = 'en', FALSE)
+  AND NOT COALESCE(n_chars >= 200, FALSE)
+  AND NOT COALESCE(NOT (lang = 'en' OR n_chars >= 200), FALSE)"""
+
     # matrix_stats over (doc_id, n_chars) of the match set: population
     # moments in the engine's float64 op order — mean = Σv/n,
     # var = GREATEST(0, Σv²/n − mean·mean), cov = Σxy/n − meanx·meany,
@@ -2870,6 +2922,12 @@ FROM agg"""
         "SELECT doc_id FROM documents WHERE lang = 'en' AND (source = 'src0' OR source = 'src1')")
     sql["bm25_filter_range"] = _sql_bm25(
         ["the"], 50, "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300")
+    # not/exists: plain SQL NOT(...) IS the engine's documented Kleene
+    # semantics (null stays unknown through NOT and drops at WHERE)
+    sql["bm25_filter_not"] = _sql_bm25(
+        ["merge"], 1000,
+        "SELECT doc_id FROM documents "
+        "WHERE NOT (lang = 'en' OR n_chars >= 300) AND source IS NOT NULL")
 
     # array(string) tags: filter matches when ANY element matches; the tags
     # column is derived from documents exactly as _docstags_cluster builds it

@@ -216,6 +216,12 @@ def run_bench() -> dict:
     tq = time.perf_counter()
     cluster.rare_terms("web", "pages", q_agg, "lang", max_doc_count=5)
     queries["agg_rare_terms"] = round(time.perf_counter() - tq, 3)
+    tq = time.perf_counter()
+    cluster.filters_agg("web", "pages", q_agg,
+                        {"en": {"and": [{"field": "lang", "value": "en"}]},
+                         "recent": {"field": "warc_ts", "exists": True}},
+                        other_bucket=True)
+    queries["agg_filters"] = round(time.perf_counter() - tq, 3)
     # suggest family: dictionary scan (spell/complete) + positional-postings
     # bigram LM (phrase) — misspell the bench query's first token
     tq = time.perf_counter()

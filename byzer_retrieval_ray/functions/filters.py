@@ -6,6 +6,17 @@ SHOULD, leaves are ``{"field": f, "value": v}`` (exact match, or — for ``analy
 fields — parsed-query match, i.e. OR over the whitespace tokens of ``v``) or
 ``{"field": f, "min": a, "max": b}`` (inclusive range, either bound optional).
 
+Extensions beyond the reference DSL (the reference's Utils.buildFilter has
+neither): ``{"not": <subtree>}`` negates a subtree with SQL three-valued
+logic — the Kleene mask is inverted BEFORE the top-level null→False fill,
+so a null leaf stays null through ``not`` and still drops at the top
+(matching SQL ``NOT(...)``; this deliberately DIVERGES from Lucene
+must_not, which would include null docs — combine with ``exists`` to get
+that). ``{"field": f, "exists": true}`` matches docs whose field is
+non-null (for list columns: non-null with at least one non-null element,
+the elasticsearch ``exists`` array convention); ``"exists": false``
+negates with the same null-free mask on both sides.
+
 Here the same tree compiles to two targets:
   * ``to_expression``: a ``pyarrow.dataset`` expression for parquet predicate pushdown
     (only when no analyzed-field leaf is present);
@@ -27,6 +38,9 @@ def _is_leaf(node: dict) -> bool:
 
 def _leaf_expression(node: dict, analyzed: set[str]):
     f = node["field"]
+    if "exists" in node:
+        e = pads.field(f).is_valid()
+        return e if node["exists"] else ~e
     if f in analyzed:
         return None  # token-match not expressible as a dataset expression
     if "value" in node:
@@ -67,6 +81,9 @@ def to_expression(tree: dict, analyzed: set[str] | None = None):
             for p in parts[1:]:
                 out = out | p
             return out
+        if "not" in node:
+            inner = go(node["not"])
+            return None if inner is None else ~inner
         raise ValueError(f"bad filter node: {node!r}")
 
     return go(tree)
@@ -105,6 +122,21 @@ def _list_any_mask(col: pa.ChunkedArray, node: dict) -> pa.Array:
 def _leaf_mask(table: pa.Table, node: dict, analyzed: set[str]) -> pa.ChunkedArray:
     f = node["field"]
     col = table[f]
+    if "exists" in node:
+        # null-free mask by construction, so Kleene and/or/not stay exact
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            import numpy as np
+            arr = col.combine_chunks()
+            parents = pc.list_parent_indices(arr) \
+                .to_numpy(zero_copy_only=False)
+            elem_ok = pc.fill_null(pc.is_valid(arr.flatten()), False) \
+                .to_numpy(zero_copy_only=False)
+            m = np.zeros(len(col), dtype=bool)
+            m[parents[elem_ok]] = True
+            mask = pa.array(m)
+        else:
+            mask = pc.is_valid(col)
+        return mask if node["exists"] else pc.invert(mask)
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
         return _list_any_mask(col, node)
     if "value" in node:
@@ -161,6 +193,10 @@ def evaluate(table: pa.Table, tree: dict, analyzed: set[str] | None = None) -> p
             for p in parts[1:]:
                 out = pc.or_kleene(out, p)
             return out
+        if "not" in node:
+            # Kleene NOT: null stays null and falls to False at the top —
+            # SQL three-valued semantics (see module docstring)
+            return pc.invert(go(node["not"]))
         raise ValueError(f"bad filter node: {node!r}")
 
     mask = go(tree)

@@ -168,6 +168,13 @@ class SegmentActorImpl:
             out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
+    def filters_agg_keyword(self, q: dict, named: dict,
+                            other_bucket: bool = False,
+                            precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.filters_agg_keyword(query, named, other_bucket, precision)
+                for s in self.searchers]
+
     def matrix_stats_keyword(self, q: dict, fields: list,
                              precision: str = "float32") -> list:
         query = SearchQuery.from_dict(q)

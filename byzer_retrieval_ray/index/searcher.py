@@ -2622,6 +2622,39 @@ class BucketSearcher:
                          "doc_id": pa.array(i[keep], pa.int64()),
                          "score": pa.array(s[keep], score_t)})
 
+    def filters_agg_keyword(self, q: SearchQuery, named: dict,
+                            other_bucket: bool = False,
+                            precision: str = "float32") -> dict:
+        """Per-bucket PARTIAL counts for the elasticsearch ``filters``
+        aggregation: for each named filter tree, how many docs of the
+        ENTIRE keyword match set also satisfy that filter (buckets are
+        independent — a doc may count in several, unlike ``terms``).
+        ``other_bucket`` adds an ``_other_`` count for match-set docs
+        satisfying NONE of the named filters. Ships len(named)(+1) ints
+        per bucket — match ids never leave the shard."""
+        from dataclasses import replace
+
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        ids = np.sort(np.asarray(ids))
+        out: dict[str, int] = {}
+        in_any = np.zeros(ids.size, dtype=bool) if other_bucket else None
+        for name, tree in named.items():
+            cand = self.filter_candidates(tree)
+            if cand is None:          # empty tree = match-all filter
+                out[name] = int(ids.size)
+                if other_bucket:
+                    in_any[:] = True
+                continue
+            hit = np.isin(ids, cand, assume_unique=True)
+            out[name] = int(np.count_nonzero(hit))
+            if other_bucket:
+                in_any |= hit
+        if other_bucket:
+            out["_other_"] = int(ids.size - np.count_nonzero(in_any))
+        return out
+
     def matrix_stats_keyword(self, q: SearchQuery, fields: list,
                              precision: str = "float32") -> dict:
         """Per-bucket PARTIAL joint-moment sums for the ``matrix_stats``
@@ -3284,6 +3317,8 @@ def _filter_fields(tree: dict) -> set[str]:
         for k in ("and", "or"):
             for c in node.get(k, []):
                 go(c)
+        if "not" in node:
+            go(node["not"])
 
     if tree:
         go(tree)

@@ -1519,6 +1519,46 @@ class RetrievalCluster:
                 "variance": variance,
                 "std_deviation": math.sqrt(variance)}
 
+    def filters_agg(self, database: str, table: str, query, filters: dict,
+                    other_bucket: bool = False,
+                    precision: str = "float32") -> list[dict]:
+        """Named-filter buckets over a keyword query's ENTIRE match set
+        (the elasticsearch ``filters`` aggregation shape; extension): for
+        each ``{name: filter_tree}`` entry, the count of match-set docs
+        also satisfying that tree (trees use the full filter DSL incl. the
+        not/exists extensions). Buckets are INDEPENDENT — a doc may count
+        in several (unlike ``terms``); ``other_bucket=True`` appends an
+        ``_other_`` bucket counting match-set docs satisfying none.
+        Returns ``[{"key", "count"}, ...]`` in the given filter order.
+
+        Scale shape: each bucket ships len(filters)(+1) integers — match
+        ids never leave the shard; the driver fold is O(buckets × F).
+        Keyword recall only (query filters supported and compose: the
+        query's own filter gates the match set first)."""
+        if not filters:
+            raise ValueError("filters_agg needs at least one named filter")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("filters_agg takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("filters_agg is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.filters_agg_keyword.remote(q.__dict__, filters,
+                                                 other_bucket, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.filters_agg_keyword(q, filters, other_bucket,
+                                           precision)
+                     for s in self._searchers(database, table)]
+        keys = list(filters) + (["_other_"] if other_bucket else [])
+        return [{"key": k, "count": sum(p.get(k, 0) for p in parts)}
+                for k in keys]
+
     def matrix_stats(self, database: str, table: str, query, fields: list,
                      precision: str = "float32") -> dict:
         """Multi-field joint statistics over a keyword query's ENTIRE match

@@ -197,6 +197,28 @@ def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
                 assert ms["correlation"]["n"]["t"] == \
                     pytest.approx(cv / np.sqrt(vx * vy), rel=1e-9, abs=1e-9)
 
+        # ---- filters_agg: independent named buckets (+ _other_), incl.
+        # the not/exists extension leaves
+        thr = int(rng.integers(-50, 200))
+        named = {"a_cat": {"and": [{"field": "cat", "value": "a"}]},
+                 "big": {"and": [{"field": "n", "min": thr}]},
+                 "no_n": {"field": "n", "exists": False}}
+
+        def _in_b(r, name):
+            if name == "a_cat":
+                return r["cat"] == "a"
+            if name == "big":
+                return r["n"] is not None and r["n"] >= thr
+            return r["n"] is None
+
+        got_f = c.filters_agg("db", "g", q, named, other_bucket=True)
+        exp_f = [{"key": k, "count": sum(1 for r in sub if _in_b(r, k))}
+                 for k in named]
+        exp_f.append({"key": "_other_",
+                      "count": sum(1 for r in sub
+                                   if not any(_in_b(r, k) for k in named))})
+        assert got_f == exp_f, (kw, thr)
+
         # ---- top_hits: two-phase terms+top_hits fold vs the one-shot full
         # ranking (key buckets by count desc/value asc, per-key hits by
         # score desc/id asc)

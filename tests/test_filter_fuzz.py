@@ -1,10 +1,13 @@
-"""Filter-tree match-set fuzzer: random and/or trees with exact / range /
-analyzed-token leaves (the reference's Utils.buildFilter grammar) run through
-the real engine as match-all + filters, while an independent Python evaluator
-computes the same mask row-by-row. Exercises the filter compiler → Arrow
-kernels → candidate gating end-to-end, including nulls (never match), both
-serving algorithms, and keyword+filter composition (filters gate matching,
-the keyword only scores — Lucene BooleanQuery SHOULD + FILTER semantics)."""
+"""Filter-tree match-set fuzzer: random and/or/not trees with exact / range /
+analyzed-token / exists leaves (the reference's Utils.buildFilter grammar
+plus the repo's not/exists extensions) run through the real engine as
+match-all + filters, while an independent THREE-VALUED Python evaluator
+computes the same mask row-by-row (Kleene logic: a null leaf stays unknown
+through not/and/or and falls to False at the top — the engine's documented
+SQL semantics). Exercises the filter compiler → Arrow kernels → candidate
+gating end-to-end, including nulls, both serving algorithms, and
+keyword+filter composition (filters gate matching, the keyword only scores —
+Lucene BooleanQuery SHOULD + FILTER semantics)."""
 
 import numpy as np
 import pytest
@@ -52,31 +55,42 @@ def _gen_leaf(rng):
         lo, hi = sorted([str(rng.choice(["blue", "green", "red"])),
                          str(rng.choice(["blue", "green", "red"]))])
         return {"field": "tag", "min": lo, "max": hi}
+    if roll < 0.85:
+        return {"field": str(rng.choice(["tag", "num"])),
+                "exists": bool(rng.random() < 0.7)}
     # analyzed leaf: OR over the whitespace tokens of the value
     k = int(rng.integers(1, 3))
     return {"field": "body", "value": " ".join(rng.choice(WORDS, k))}
 
 
 def _gen_tree(rng, depth=0):
-    if depth >= 2 or rng.random() < 0.35:
+    if depth >= 2 or rng.random() < 0.30:
         return _gen_leaf(rng)
-    op = "and" if rng.random() < 0.5 else "or"
+    roll = rng.random()
+    if roll < 0.2:
+        return {"not": _gen_tree(rng, depth + 1)}
+    op = "and" if roll < 0.6 else "or"
     return {op: [_gen_tree(rng, depth + 1)
                  for _ in range(int(rng.integers(1, 4)))]}
 
 
 # ------------------------------------------------ independent evaluator
+# THREE-VALUED (Kleene): leaves on null values return None; and/or/not
+# propagate unknowns; the top level treats None as False — the engine's
+# documented SQL semantics for the not/exists extensions.
 
 def _ev_leaf(node, row):
     f = node["field"]
     v = row[f]
+    if "exists" in node:
+        return (v is not None) == bool(node["exists"])   # never unknown
     if f == "body":
         toks = set(v.split())
         return any(t in toks for t in str(node["value"]).split())
-    if "value" in node:
-        return v is not None and v == node["value"]
     if v is None:
-        return False
+        return None
+    if "value" in node:
+        return v == node["value"]
     ok = True
     if node.get("min") is not None:
         ok &= v >= node["min"]
@@ -85,12 +99,25 @@ def _ev_leaf(node, row):
     return ok
 
 
-def _ev(tree, row):
+def _ev3(tree, row):
     if "field" in tree:
         return _ev_leaf(tree, row)
+    if "not" in tree:
+        r = _ev3(tree["not"], row)
+        return None if r is None else not r
     if "and" in tree:
-        return all(_ev(c, row) for c in tree["and"])
-    return any(_ev(c, row) for c in tree["or"])
+        parts = [_ev3(c, row) for c in tree["and"]]
+        if any(p is False for p in parts):
+            return False
+        return None if any(p is None for p in parts) else True
+    parts = [_ev3(c, row) for c in tree["or"]]
+    if any(p is True for p in parts):
+        return True
+    return None if any(p is None for p in parts) else False
+
+
+def _ev(tree, row):
+    return _ev3(tree, row) is True
 
 
 # ------------------------------------------------------------------ test

@@ -568,6 +568,10 @@ class TestMatrixWeightedRare:
         rt = c.rare_terms("db", "m", q, "cat", max_doc_count=8, limit=10)
         assert ms["doc_count"] == 60          # 66 minus 6 null-x docs
         assert rt and all(o["count"] <= 8 for o in rt)
+        named = {"nox": {"field": "x", "exists": False},
+                 "neg": {"not": {"field": "y", "min": 0.0}}}
+        fa = c.filters_agg("db", "m", q, named, other_bucket=True)
+        assert [o["key"] for o in fa] == ["nox", "neg", "_other_"]
         c.activate("db", "m")
         assert c.matrix_stats("db", "m", q, ["x", "y"],
                               precision="float64") == ms
@@ -575,6 +579,7 @@ class TestMatrixWeightedRare:
                               precision="float64") == wa
         assert c.rare_terms("db", "m", q, "cat", max_doc_count=8,
                             limit=10) == rt
+        assert c.filters_agg("db", "m", q, named, other_bucket=True) == fa
 
     def test_bad_inputs_rejected(self, ray_session, tmp_path):
         c = self._cluster(str(tmp_path))
