@@ -696,6 +696,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_extended_stats"] = match_extended_stats
 
+    def match_composite(sf):
+        # composite aggregation (ES shape, single terms source): two pages
+        # of 8 source buckets in ascending key order, page 2 resumed from
+        # page 1's after_key — per bucket each shard ships <= size rows,
+        # never its full vocabulary
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        p1 = c.composite_agg("db", "docs", q2, "source", size=8,
+                             precision="float64")
+        p2 = c.composite_agg("db", "docs", q2, "source", size=8,
+                             after=p1["after_key"], precision="float64")
+        rows = [(1, b["key"], b["count"]) for b in p1["buckets"]] + \
+               [(2, b["key"], b["count"]) for b in p2["buckets"]]
+        return pa.table({
+            "page": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "cnt": pa.array([r[2] for r in rows], pa.int64()),
+        })
+    q["match_composite"] = match_composite
+
     def match_filters_agg(sf):
         # filters aggregation (ES shape): independent named-filter bucket
         # counts over the whole 'merge sort' match set + an _other_ bucket;
@@ -2758,6 +2779,27 @@ WITH toks AS (
 SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
 FROM toks WHERE doc_id IN (0, 1, 2, 3, 4)
 GROUP BY doc_id, term ORDER BY doc_id, term"""
+
+    # composite: sources of the match set in ascending key order; two pages
+    # of 8 = ranks 1..16 with page = ceil(rank/8) (the after-key cursor is
+    # "strictly greater than page 1's last key", which in ascending order
+    # is exactly ranks 9..16)
+    sql["match_composite"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+g AS (
+  SELECT d.source, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY d.source) AS rn
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+  WHERE d.source IS NOT NULL
+  GROUP BY d.source
+)
+SELECT CAST((rn + 7) // 8 AS BIGINT) AS page, source, cnt
+FROM g WHERE rn <= 16 ORDER BY rn"""
 
     # filters aggregation: independent named-bucket counts over the match
     # set; _other_ = matches in NONE of the named buckets (0 here by

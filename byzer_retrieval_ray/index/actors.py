@@ -168,6 +168,12 @@ class SegmentActorImpl:
             out.append((np.asarray(ids), np.asarray(scores)))
         return out
 
+    def composite_keyword(self, q: dict, field: str, size: int,
+                          after=None, precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.composite_keyword(query, field, size, after, precision)
+                for s in self.searchers]
+
     def filters_agg_keyword(self, q: dict, named: dict,
                             other_bucket: bool = False,
                             precision: str = "float32") -> list:

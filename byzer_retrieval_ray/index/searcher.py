@@ -2622,6 +2622,26 @@ class BucketSearcher:
                          "doc_id": pa.array(i[keep], pa.int64()),
                          "score": pa.array(s[keep], score_t)})
 
+    def composite_keyword(self, q: SearchQuery, field: str, size: int,
+                          after: str | None = None,
+                          precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL page for the elasticsearch ``composite``
+        aggregation (single terms source, ascending key order, after-key
+        pagination): the bucket's FIRST ``size`` distinct values of
+        ``field`` strictly AFTER the cursor, with their match-set counts.
+        Exact despite the prune: a value in the global first-``size`` page
+        has < size distinct values before it in EVERY bucket where it
+        appears, so each such bucket ships it with its full local count —
+        the fold sums complete counts. Ships ≤ size (value, count) rows
+        per bucket regardless of field cardinality (the composite agg's
+        point at scale — unlike facet_counts' full-vocabulary partial)."""
+        t = self.facet_keyword(q, field, precision)
+        if len(t) == 0:
+            return t
+        if after is not None:
+            t = t.filter(pc.greater(t["value"], pa.scalar(str(after))))
+        return t.sort_by("value").slice(0, int(size))
+
     def filters_agg_keyword(self, q: SearchQuery, named: dict,
                             other_bucket: bool = False,
                             precision: str = "float32") -> dict:

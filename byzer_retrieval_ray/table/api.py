@@ -1519,6 +1519,58 @@ class RetrievalCluster:
                 "variance": variance,
                 "std_deviation": math.sqrt(variance)}
 
+    def composite_agg(self, database: str, table: str, query, field: str,
+                      size: int = 10, after: str | None = None,
+                      precision: str = "float32") -> dict:
+        """Paginated terms buckets over a keyword query's ENTIRE match set
+        (the elasticsearch ``composite`` aggregation shape, single terms
+        source; extension): buckets in ASCENDING key order, ``size`` per
+        page, resumable with ``after`` (the previous page's ``after_key``).
+        Returns ``{"buckets": [{"key", "count"}, ...], "after_key"}`` —
+        ``after_key`` is None once the key space is exhausted (fewer than
+        ``size`` buckets came back). Keys are strings (facet-label
+        convention); nulls don't count; multi-valued fields count once per
+        distinct element.
+
+        Scale shape — THE high-cardinality terms answer: unlike
+        facet_counts' full-vocabulary partial, each bucket ships at most
+        ``size`` (value, count) rows per page (its first ``size`` keys
+        after the cursor — exactness argued in ``composite_keyword``), so
+        paging a billion-key field costs O(buckets × size) per page.
+        Keyword recall only (filters supported)."""
+        if int(size) < 1:
+            raise ValueError("size must be >= 1")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("composite_agg takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("composite_agg is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.composite_keyword.remote(q.__dict__, field, int(size),
+                                               after, precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.composite_keyword(q, field, int(size), after,
+                                        precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return {"buckets": [], "after_key": None}
+        df = pa.concat_tables(tbls).to_pandas()
+        agg = df.groupby("value", as_index=False)["cnt"].sum() \
+            .sort_values("value", kind="mergesort").head(int(size))
+        buckets = [{"key": str(r.value), "count": int(r.cnt)}
+                   for r in agg.itertuples()]
+        exhausted = len(buckets) < int(size)
+        return {"buckets": buckets,
+                "after_key": None if (exhausted or not buckets)
+                else buckets[-1]["key"]}
+
     def filters_agg(self, database: str, table: str, query, filters: dict,
                     other_bucket: bool = False,
                     precision: str = "float32") -> list[dict]:

@@ -219,6 +219,19 @@ def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
                                    if not any(_in_b(r, k) for k in named))})
         assert got_f == exp_f, (kw, thr)
 
+        # ---- composite_agg: size-2 pages walk the full ascending key
+        # space exactly; after_key goes None at exhaustion
+        pages, after = [], None
+        for _ in range(10):
+            pg = c.composite_agg("db", "g", q, "cat", size=2, after=after)
+            pages.extend(pg["buckets"])
+            after = pg["after_key"]
+            if after is None:
+                break
+        assert after is None
+        assert pages == [{"key": k, "count": n}
+                         for k, n in sorted(cnt.items())], kw
+
         # ---- top_hits: two-phase terms+top_hits fold vs the one-shot full
         # ranking (key buckets by count desc/value asc, per-key hits by
         # score desc/id asc)

@@ -572,6 +572,12 @@ class TestMatrixWeightedRare:
                  "neg": {"not": {"field": "y", "min": 0.0}}}
         fa = c.filters_agg("db", "m", q, named, other_bucket=True)
         assert [o["key"] for o in fa] == ["nox", "neg", "_other_"]
+        comp = c.composite_agg("db", "m", q, "cat", size=4)
+        comp2 = c.composite_agg("db", "m", q, "cat", size=4,
+                                after=comp["after_key"])
+        assert [b["key"] for b in comp["buckets"]] == \
+            ["c0", "c1", "c2", "c3"]
+        assert comp2["buckets"][0]["key"] == "c4"
         c.activate("db", "m")
         assert c.matrix_stats("db", "m", q, ["x", "y"],
                               precision="float64") == ms
@@ -580,6 +586,7 @@ class TestMatrixWeightedRare:
         assert c.rare_terms("db", "m", q, "cat", max_doc_count=8,
                             limit=10) == rt
         assert c.filters_agg("db", "m", q, named, other_bucket=True) == fa
+        assert c.composite_agg("db", "m", q, "cat", size=4) == comp
 
     def test_bad_inputs_rejected(self, ray_session, tmp_path):
         c = self._cluster(str(tmp_path))
