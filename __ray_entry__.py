@@ -737,6 +737,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_filters_agg"] = match_filters_agg
 
+    def match_adjacency(sf):
+        # adjacency_matrix (ES shape): named-filter singles + pairwise
+        # intersection counts over the 'merge sort' match set; zero-count
+        # buckets dropped (ES semantics); per shard only F + F(F-1)/2 ints
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.adjacency_matrix("db", "docs", q2, {
+            "en": {"and": [{"field": "lang", "value": "en"}]},
+            "long": {"and": [{"field": "n_chars", "min": 200}]},
+            "zh": {"and": [{"field": "lang", "value": "zh"}]},
+        }, precision="float64")
+        return pa.table({
+            "key": pa.array([o["key"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["match_adjacency"] = match_adjacency
+
+    def match_top_metrics(sf):
+        # top_metrics (ES shape): the 5 longest docs of the 'merge sort'
+        # match set by n_chars (ties doc_id asc) — each shard ships only
+        # its own top 5 rows, the driver re-sorts
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.top_metrics("db", "docs", q2, "n_chars", [],
+                            ascending=False, size=5, precision="float64")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "n_chars": pa.array([int(o["sort_value"]) for o in out],
+                                pa.int64()),
+        })
+    q["match_top_metrics"] = match_top_metrics
+
+    def match_string_stats(sf):
+        # string_stats (ES shape) over the ANALYZED text field of the
+        # 'merge sort' match set: char-length stats + Shannon entropy of
+        # the character distribution — each shard ships one histogram
+        # bounded by alphabet size, never the text
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        st = c.string_stats("db", "docs", q2, "text", precision="float64")
+        return pa.table({
+            "cnt": pa.array([st["count"]], pa.int64()),
+            "min_len": pa.array([st["min_length"]], pa.int64()),
+            "max_len": pa.array([st["max_length"]], pa.int64()),
+            "avg_len": pa.array([float(np.round(st["avg_length"], 4))],
+                                pa.float64()),
+            "entropy": pa.array([float(np.round(st["entropy"], 4))],
+                                pa.float64()),
+        })
+    q["match_string_stats"] = match_string_stats
+
     def match_matrix_stats(sf):
         # matrix_stats (ES shape, population moments): joint float64
         # moment partials per bucket over row-complete (doc_id, n_chars)
@@ -2826,6 +2880,65 @@ SELECT '_other_', COUNT(*) FROM j
 WHERE NOT COALESCE(lang = 'en', FALSE)
   AND NOT COALESCE(n_chars >= 200, FALSE)
   AND NOT COALESCE(NOT (lang = 'en' OR n_chars >= 200), FALSE)"""
+
+    # adjacency_matrix: named singles + pairwise intersections over the
+    # match set, zero-count buckets dropped (en&zh is empty by
+    # construction, which pins the drop rule)
+    sql["match_adjacency"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+j AS (SELECT d.* FROM documents d JOIN m ON m.doc_id = d.doc_id),
+b AS (
+  SELECT 'en' AS key, COUNT(*) AS cnt FROM j WHERE lang = 'en'
+  UNION ALL SELECT 'long', COUNT(*) FROM j WHERE n_chars >= 200
+  UNION ALL SELECT 'zh', COUNT(*) FROM j WHERE lang = 'zh'
+  UNION ALL SELECT 'en&long', COUNT(*) FROM j
+            WHERE lang = 'en' AND n_chars >= 200
+  UNION ALL SELECT 'en&zh', COUNT(*) FROM j
+            WHERE lang = 'en' AND lang = 'zh'
+  UNION ALL SELECT 'long&zh', COUNT(*) FROM j
+            WHERE n_chars >= 200 AND lang = 'zh'
+)
+SELECT key, cnt FROM b WHERE cnt > 0"""
+
+    # top_metrics: the 5 longest match-set docs by n_chars, ties doc_id asc
+    sql["match_top_metrics"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.n_chars IS NOT NULL
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 5"""
+
+    # string_stats over the analyzed text of the match set: char-length
+    # stats + log2 Shannon entropy of the character distribution (DuckDB's
+    # entropy() over per-character rows IS -Σ p·log2 p)
+    sql["match_string_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+j AS (SELECT d.text FROM documents d JOIN m ON m.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL),
+lens AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(MIN(length(text)) AS BIGINT) AS min_len,
+                CAST(MAX(length(text)) AS BIGINT) AS max_len,
+                ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_len
+         FROM j),
+chars AS (SELECT unnest(regexp_extract_all(text, '[\\s\\S]')) AS c FROM j)
+SELECT lens.cnt, lens.min_len, lens.max_len, lens.avg_len,
+       (SELECT ROUND(entropy(c), 4) FROM chars) AS entropy
+FROM lens"""
 
     # matrix_stats over (doc_id, n_chars) of the match set: population
     # moments in the engine's float64 op order — mean = Σv/n,

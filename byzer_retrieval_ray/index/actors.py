@@ -181,6 +181,27 @@ class SegmentActorImpl:
         return [s.filters_agg_keyword(query, named, other_bucket, precision)
                 for s in self.searchers]
 
+    def adjacency_keyword(self, q: dict, named: dict,
+                          separator: str = "&",
+                          precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.adjacency_keyword(query, named, separator, precision)
+                for s in self.searchers]
+
+    def top_metrics_keyword(self, q: dict, sort_field: str,
+                            metric_fields: list, ascending: bool,
+                            size: int, precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.top_metrics_keyword(query, sort_field, metric_fields,
+                                      ascending, size, precision)
+                for s in self.searchers]
+
+    def string_stats_keyword(self, q: dict, field: str,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.string_stats_keyword(query, field, precision)
+                for s in self.searchers]
+
     def matrix_stats_keyword(self, q: dict, fields: list,
                              precision: str = "float32") -> list:
         query = SearchQuery.from_dict(q)

@@ -2746,6 +2746,135 @@ class BucketSearcher:
         return {"n": int(va.size), "vw": float(np.sum(va * wa)),
                 "w": float(np.sum(wa))}
 
+    def adjacency_keyword(self, q: SearchQuery, named: dict,
+                          separator: str = "&",
+                          precision: str = "float32") -> dict:
+        """Per-bucket PARTIAL counts for the elasticsearch
+        ``adjacency_matrix`` aggregation: for each named filter tree the
+        count of match-set docs satisfying it, AND for each unordered pair
+        ``a{sep}b`` (names in given order, i < j) the count satisfying
+        BOTH. Ships F + F·(F−1)/2 integers per bucket — match ids never
+        leave the shard. Empty buckets are the driver's concern (ES drops
+        them after the global fold, not per shard)."""
+        from dataclasses import replace
+
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        ids = np.sort(np.asarray(ids))
+        names = list(named)
+        masks = []
+        for name in names:
+            cand = self.filter_candidates(named[name])
+            if cand is None:          # empty tree = match-all filter
+                masks.append(np.ones(ids.size, dtype=bool))
+            else:
+                masks.append(np.isin(ids, cand, assume_unique=True))
+        out: dict[str, int] = {}
+        for i, name in enumerate(names):
+            out[name] = int(np.count_nonzero(masks[i]))
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                out[f"{names[i]}{separator}{names[j]}"] = \
+                    int(np.count_nonzero(masks[i] & masks[j]))
+        return out
+
+    def top_metrics_keyword(self, q: SearchQuery, sort_field: str,
+                            metric_fields: list, ascending: bool,
+                            size: int,
+                            precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL for the elasticsearch ``top_metrics``
+        aggregation: the metric field values of the bucket's top ``size``
+        match-set docs ordered by a stored numeric/timestamp sort field
+        (ties broken doc_id asc — the repo's deterministic convention; ES
+        leaves sort ties unspecified). Exact unbounded TAAT + ONE narrow
+        docstore read; the bucket ships ≤ size rows of
+        (doc_id, sort value, metrics…); the master re-sorts and re-takes
+        ``size``, which is exact — a row below a bucket's own top ``size``
+        can never enter the global top. Docs with a null SORT value are
+        excluded (the sort_keyword convention: Lucene sorts missing last,
+        so they can never reach the top anyway for finite data); null
+        metric values ship as nulls (ES top_metrics returns null)."""
+        from dataclasses import replace
+
+        fields = [f for f in metric_fields if f != sort_field]
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "sort_value": pa.array([], pa.float64()),
+                          **{f: pa.array([], pa.float64()) for f in fields}})
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        tbl = self.fetch_docs(ids, columns=[sort_field] + fields)
+        if sort_field not in tbl.column_names:
+            return empty
+        scol = tbl[sort_field]
+        if pa.types.is_timestamp(scol.type):
+            scol = pc.cast(pc.cast(scol, pa.timestamp("us")), pa.int64())
+        valid = pc.is_valid(scol)
+        tbl = tbl.filter(valid)
+        if len(tbl) == 0:
+            return empty
+        svals = pc.cast(scol.filter(valid), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        dids = tbl["doc_id"].to_numpy()
+        order = np.lexsort((dids, svals if ascending else -svals))[:int(size)]
+        cols = {"doc_id": pa.array(dids[order], pa.int64()),
+                "sort_value": pa.array(svals[order], pa.float64())}
+        sel = pa.array(order, pa.int64())
+        for f in fields:
+            if f in tbl.column_names:
+                mcol = tbl[f]
+                if pa.types.is_timestamp(mcol.type):
+                    mcol = pc.cast(pc.cast(mcol, pa.timestamp("us")),
+                                   pa.int64())
+                cols[f] = pc.cast(mcol.combine_chunks(), pa.float64()) \
+                    .take(sel)
+            else:
+                cols[f] = pa.nulls(len(order), pa.float64())
+        return pa.table(cols)
+
+    def string_stats_keyword(self, q: SearchQuery, field: str,
+                             precision: str = "float32") -> dict:
+        """Per-bucket PARTIAL for the elasticsearch ``string_stats``
+        aggregation over the ENTIRE match set: over non-null values of a
+        string field (stored OR analyzed — analyzed columns are read via
+        the docstore like highlight does), ships (count, Σ char length,
+        min/max length, {codepoint: count}) — lengths in CHARACTERS
+        (utf8_length), the char distribution for the driver's Shannon
+        entropy. The alphabet is bounded (≤ distinct codepoints), so the
+        partial is tiny regardless of match count; match ids and values
+        never leave the shard."""
+        from dataclasses import replace
+
+        empty = {"cnt": 0, "sum_len": 0, "min_len": None, "max_len": None,
+                 "chars": {}}
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        if field in self.gen.analyzed:
+            tbl = self.fetch_analyzed(np.asarray(ids), field)
+        else:
+            tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return empty
+        col = tbl[field].combine_chunks().drop_null()
+        if len(col) == 0:
+            return empty
+        col = pc.cast(col, pa.string())
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        # vectorized codepoint histogram: one utf-32 decode of the
+        # concatenated values, then np.unique — C-speed, no Python loop
+        blob = "".join(col.to_pylist())
+        cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        uniq, cnts = np.unique(cps, return_counts=True)
+        return {"cnt": int(len(col)), "sum_len": int(lens.sum()),
+                "min_len": int(lens.min()), "max_len": int(lens.max()),
+                "chars": {int(u): int(c) for u, c in zip(uniq, cnts)}}
+
     def function_score_keyword(self, q: SearchQuery, spec: dict,
                                precision: str = "float32"):
         """Per-bucket function scoring (the elasticsearch ``function_score``

@@ -1611,6 +1611,166 @@ class RetrievalCluster:
         return [{"key": k, "count": sum(p.get(k, 0) for p in parts)}
                 for k in keys]
 
+    def adjacency_matrix(self, database: str, table: str, query,
+                         filters: dict, separator: str = "&",
+                         precision: str = "float32") -> list[dict]:
+        """Intersection counts of named filters over a keyword query's
+        ENTIRE match set (the elasticsearch ``adjacency_matrix``
+        aggregation shape; extension — the reference exposes no
+        aggregation API): one bucket per named filter plus one per
+        unordered pair ``a{sep}b`` (names in given order) counting docs
+        satisfying BOTH. Zero-count buckets are dropped (ES semantics).
+        Returns ``[{"key", "count"}, ...]`` — singles in filter order,
+        then pairs in combination order.
+
+        Scale shape: each bucket ships F + F·(F−1)/2 integers — match ids
+        never leave the shard; the driver fold is O(buckets × F²). ES caps
+        F at 100 for the same quadratic reason; so do we. Keyword recall
+        only (query filters compose: they gate the match set first)."""
+        if not filters:
+            raise ValueError("adjacency_matrix needs at least one filter")
+        if len(filters) > 100:
+            raise ValueError("adjacency_matrix caps at 100 filters "
+                             "(the elasticsearch limit — buckets grow "
+                             "quadratically)")
+        if separator and any(separator in k for k in filters):
+            raise ValueError(
+                f"filter names must not contain the separator {separator!r}")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("adjacency_matrix takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("adjacency_matrix is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.adjacency_keyword.remote(q.__dict__, filters,
+                                               separator, precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.adjacency_keyword(q, filters, separator, precision)
+                     for s in self._searchers(database, table)]
+        names = list(filters)
+        keys = names + [f"{names[i]}{separator}{names[j]}"
+                        for i in range(len(names))
+                        for j in range(i + 1, len(names))]
+        out = [{"key": k, "count": sum(p.get(k, 0) for p in parts)}
+               for k in keys]
+        return [o for o in out if o["count"] > 0]
+
+    def top_metrics(self, database: str, table: str, query,
+                    sort_field: str, metric_fields: list,
+                    ascending: bool = False, size: int = 1,
+                    precision: str = "float32") -> list[dict]:
+        """Metric values at the extreme of a sort field over a keyword
+        query's ENTIRE match set (the elasticsearch ``top_metrics``
+        aggregation shape; extension): the ``metric_fields`` values of the
+        top ``size`` match-set docs ordered by ``sort_field``
+        (asc/desc, ties doc_id asc — deterministic where ES is not).
+        Returns ``[{"doc_id", "sort_value", <metric>: …}, ...]`` in rank
+        order; metric values are float64 (timestamps as epoch micros),
+        null where the doc misses the field. Docs with a null sort value
+        never rank (they sort past any finite top).
+
+        Scale shape: each bucket ships ≤ size narrow rows — the match set
+        never leaves the shard; the driver re-sort is O(buckets × size).
+        Keyword recall only (filters supported)."""
+        if int(size) < 1:
+            raise ValueError("size must be >= 1")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("top_metrics takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("top_metrics is keyword-only")
+        metric_fields = list(metric_fields)
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.top_metrics_keyword.remote(q.__dict__, sort_field,
+                                                 metric_fields,
+                                                 bool(ascending), int(size),
+                                                 precision)
+                    for a in self._actors[(database, table)]]
+            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                    for t in r]
+        else:
+            tbls = [s.top_metrics_keyword(q, sort_field, metric_fields,
+                                          bool(ascending), int(size),
+                                          precision)
+                    for s in self._searchers(database, table)]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return []
+        t = pa.concat_tables(tbls)
+        sv = t["sort_value"].to_numpy(zero_copy_only=False)
+        dids = t["doc_id"].to_numpy()
+        order = np.lexsort((dids, sv if ascending else -sv))[:int(size)]
+        fields = [f for f in metric_fields if f != sort_field]
+        out = []
+        for i in order:
+            row = {"doc_id": int(dids[i]), "sort_value": float(sv[i])}
+            for f in fields:
+                v = t[f][int(i)].as_py()
+                row[f] = None if v is None else float(v)
+            out.append(row)
+        return out
+
+    def string_stats(self, database: str, table: str, query, field: str,
+                     precision: str = "float32") -> dict:
+        """String statistics of a stored OR analyzed string field over a
+        keyword query's ENTIRE match set (the elasticsearch
+        ``string_stats`` aggregation shape; extension): ``count`` (docs
+        with a non-null value), ``min_length`` / ``max_length`` /
+        ``avg_length`` in CHARACTERS, and ``entropy`` — the Shannon
+        entropy (log2) of the character distribution across all matched
+        values (the ES show_distribution source domain).
+
+        Scale shape: each bucket ships one (count, Σlen, min, max) tuple
+        plus a codepoint histogram bounded by alphabet size — values never
+        leave the shard; the driver folds histograms and computes entropy
+        once. Keyword recall only (filters supported)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("string_stats takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("string_stats is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.string_stats_keyword.remote(q.__dict__, field,
+                                                  precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.string_stats_keyword(q, field, precision)
+                     for s in self._searchers(database, table)]
+        parts = [p for p in parts if p["cnt"]]
+        cnt = sum(p["cnt"] for p in parts)
+        if cnt == 0:
+            return {"count": 0, "min_length": None, "max_length": None,
+                    "avg_length": None, "entropy": 0.0}
+        sum_len = sum(p["sum_len"] for p in parts)
+        chars: dict[int, int] = {}
+        for p in parts:
+            for cp, c in p["chars"].items():
+                chars[cp] = chars.get(cp, 0) + c
+        total = float(sum(chars.values()))
+        entropy = 0.0
+        if total > 0:
+            ps = np.asarray(list(chars.values()), np.float64) / total
+            entropy = float(-np.sum(ps * np.log2(ps)))
+        return {"count": cnt,
+                "min_length": min(p["min_len"] for p in parts),
+                "max_length": max(p["max_len"] for p in parts),
+                "avg_length": float(sum_len) / cnt,
+                "entropy": entropy}
+
     def matrix_stats(self, database: str, table: str, query, fields: list,
                      precision: str = "float32") -> dict:
         """Multi-field joint statistics over a keyword query's ENTIRE match

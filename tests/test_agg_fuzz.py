@@ -245,4 +245,53 @@ def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
                             for r in full if r["cat"] == k][:2]}
                   for k, n in keys_exp]
         assert got_th == exp_th, kw
+
+        # ---- adjacency_matrix: singles + pairwise intersections, zero
+        # buckets dropped, keys in filter-then-combination order
+        got_adj = c.adjacency_matrix("db", "g", q, named)
+        names = list(named)
+        exp_adj = []
+        for k in names:
+            n_k = sum(1 for r in sub if _in_b(r, k))
+            if n_k:
+                exp_adj.append({"key": k, "count": n_k})
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                n_ij = sum(1 for r in sub
+                           if _in_b(r, names[i]) and _in_b(r, names[j]))
+                if n_ij:
+                    exp_adj.append({"key": f"{names[i]}&{names[j]}",
+                                    "count": n_ij})
+        exp_adj = sorted(exp_adj, key=lambda o: o["key"])
+        assert sorted(got_adj, key=lambda o: o["key"]) == exp_adj, (kw, thr)
+
+        # ---- top_metrics: metrics of the top-3 docs by (n desc, _id asc),
+        # null sort values excluded, null metrics ship as None
+        got_tm = c.top_metrics("db", "g", q, "n", ["t"], ascending=False,
+                               size=3, precision="float64")
+        exp_rows = sorted((r for r in sub if r["n"] is not None),
+                          key=lambda r: (-r["n"], r["_id"]))[:3]
+        assert [(o["doc_id"], o["sort_value"], o["t"]) for o in got_tm] == \
+               [(r["_id"], float(r["n"]),
+                 None if r["t"] is None else float(r["t"]))
+                for r in exp_rows], kw
+
+        # ---- string_stats over cat (stored; nulls out): length stats +
+        # log2 entropy of the char distribution
+        ss = c.string_stats("db", "g", q, "cat", precision="float64")
+        svals = [r["cat"] for r in sub if r["cat"] is not None]
+        assert ss["count"] == len(svals), kw
+        if svals:
+            lens = [len(s) for s in svals]
+            assert ss["min_length"] == min(lens)
+            assert ss["max_length"] == max(lens)
+            assert ss["avg_length"] == pytest.approx(
+                sum(lens) / len(lens), rel=1e-12)
+            ch = collections.Counter("".join(svals))
+            tot = sum(ch.values())
+            exp_e = -sum((v / tot) * np.log2(v / tot) for v in ch.values())
+            assert ss["entropy"] == pytest.approx(exp_e, rel=1e-9,
+                                                  abs=1e-12), kw
+        else:
+            assert ss["entropy"] == 0.0 and ss["min_length"] is None
     assert n_nonempty >= 5        # the generator must not degenerate
