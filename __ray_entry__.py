@@ -791,6 +791,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_string_stats"] = match_string_stats
 
+    def match_mad(sf):
+        # median_absolute_deviation (ES shape, but EXACT): two distributed
+        # selections — the second in the |v − median| domain applied per
+        # shard (center=), values never leave the shard; tiny knobs force
+        # multi-round narrowing
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        st = c.median_absolute_deviation("db", "docs", q2, "n_chars",
+                                         n_candidates=8, collect_limit=16,
+                                         max_rounds=60, precision="float64")
+        return pa.table({
+            "median": pa.array([float(np.round(st["median"], 4))],
+                               pa.float64()),
+            "mad": pa.array([float(np.round(st["mad"], 4))], pa.float64()),
+        })
+    q["match_mad"] = match_mad
+
+    def match_pipeline(sf):
+        # pipeline aggregations (ES coordinating-node reduce shape) over a
+        # gap-filled n_chars histogram of the match set: derivative (first
+        # bucket null), cumulative_sum, trailing moving average window 3
+        from byzer_retrieval_ray.ops.pipeline_agg import (
+            cumulative_sum, derivative, moving_avg)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        b = c.date_histogram("db", "docs", q2, "n_chars", interval=25,
+                             min_doc_count=0, precision="float64")
+        b = moving_avg(cumulative_sum(derivative(b)), window=3)
+        return pa.table({
+            "bucket": pa.array([o["bucket"] for o in b], pa.int64()),
+            "cnt": pa.array([o["count"] for o in b], pa.int64()),
+            "deriv": pa.array([o["derivative"] for o in b], pa.float64()),
+            "cum": pa.array([o["cumulative_sum"] for o in b], pa.float64()),
+            "mavg": pa.array([float(np.round(o["moving_avg"], 4))
+                              for o in b], pa.float64()),
+        })
+    q["match_pipeline"] = match_pipeline
+
     def match_matrix_stats(sf):
         # matrix_stats (ES shape, population moments): joint float64
         # moment partials per bucket over row-complete (doc_id, n_chars)
@@ -2939,6 +2979,55 @@ chars AS (SELECT unnest(regexp_extract_all(text, '[\\s\\S]')) AS c FROM j)
 SELECT lens.cnt, lens.min_len, lens.max_len, lens.avg_len,
        (SELECT ROUND(entropy(c), 4) FROM chars) AS entropy
 FROM lens"""
+
+    # median_absolute_deviation: the engine's "lower" discrete quantile at
+    # rank floor(0.5(n-1)) for BOTH medians (row_number = rank+1)
+    sql["match_mad"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+v AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+      FROM documents d JOIN m ON m.doc_id = d.doc_id
+      WHERE d.n_chars IS NOT NULL),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n FROM v),
+med AS (SELECT v AS mv FROM r
+        WHERE rn = 1 + CAST(FLOOR(0.5e0 * (n - 1)) AS BIGINT)),
+a AS (SELECT ABS(v.v - med.mv) AS av FROM v CROSS JOIN med),
+r2 AS (SELECT av, ROW_NUMBER() OVER (ORDER BY av) AS rn,
+              COUNT(*) OVER () AS n FROM a)
+SELECT ROUND((SELECT mv FROM med), 4) AS median,
+       ROUND((SELECT av FROM r2
+              WHERE rn = 1 + CAST(FLOOR(0.5e0 * (n - 1)) AS BIGINT)), 4) AS mad"""
+
+    # pipeline aggs over the gap-filled histogram: SQL window functions
+    # mirror the coordinating-node reduce (derivative = lag diff, null
+    # first; cumulative sum; trailing 3-window average over what exists)
+    sql["match_pipeline"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+g AS (SELECT (d.n_chars // 25) * 25 AS bucket, COUNT(*) AS c
+      FROM documents d JOIN m ON m.doc_id = d.doc_id
+      WHERE d.n_chars IS NOT NULL GROUP BY 1),
+rng AS (SELECT unnest(generate_series((SELECT MIN(bucket) FROM g),
+                                      (SELECT MAX(bucket) FROM g),
+                                      25)) AS bucket),
+f AS (SELECT rng.bucket, COALESCE(g.c, 0) AS c
+      FROM rng LEFT JOIN g ON g.bucket = rng.bucket)
+SELECT bucket, CAST(c AS BIGINT) AS cnt,
+       CAST(c - LAG(c) OVER (ORDER BY bucket) AS DOUBLE) AS deriv,
+       CAST(SUM(c) OVER (ORDER BY bucket) AS DOUBLE) AS cum,
+       ROUND(AVG(CAST(c AS DOUBLE)) OVER
+             (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS mavg
+FROM f ORDER BY bucket"""
 
     # matrix_stats over (doc_id, n_chars) of the match set: population
     # moments in the engine's float64 op order — mean = Σv/n,

@@ -285,15 +285,19 @@ class SegmentActorImpl:
                 for s in self.searchers]
 
     def range_counts_keyword(self, q: dict, field: str, brackets: list,
-                             precision: str = "float32") -> list:
+                             precision: str = "float32",
+                             center: float | None = None) -> list:
         query = SearchQuery.from_dict(q)
-        return [s.range_counts_keyword(query, field, brackets, precision)
+        return [s.range_counts_keyword(query, field, brackets, precision,
+                                       center)
                 for s in self.searchers]
 
     def range_values_keyword(self, q: dict, field: str, ranges: list,
-                             cap: int, precision: str = "float32") -> list:
+                             cap: int, precision: str = "float32",
+                             center: float | None = None) -> list:
         query = SearchQuery.from_dict(q)
-        return [s.range_values_keyword(query, field, ranges, cap, precision)
+        return [s.range_values_keyword(query, field, ranges, cap, precision,
+                                       center)
                 for s in self.searchers]
 
     def sort_keyword(self, q: dict, field: str, ascending: bool,

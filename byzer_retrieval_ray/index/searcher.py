@@ -3341,15 +3341,21 @@ class BucketSearcher:
 
     def range_counts_keyword(self, q: SearchQuery, field: str,
                              brackets: list,
-                             precision: str = "float32") -> list:
+                             precision: str = "float32",
+                             center: float | None = None) -> list:
         """Per-bucket PARTIAL histograms for the distributed-selection
         rounds of ``percentiles`` (ops/quantiles semantics: per bracket
         (lo, hi, edges), values filtered to [lo, hi]; bucket i is
         (edges[i-1], edges[i]], bucket 0 is [lo, edges[0]] — searchsorted
         side='left'). ONE exact TAAT + ONE narrow docstore read serves
         EVERY bracket in the round; the bucket ships len(edges)+1 int64
-        counts per bracket, values never leave the shard."""
+        counts per bracket, values never leave the shard. With ``center``
+        set the selection domain is |v − center| (the
+        median_absolute_deviation transform — float64, exact for the
+        integer fields the docstore carries)."""
         vals = self._matchset_values(q, field, precision)
+        if center is not None:
+            vals = np.abs(vals - float(center))
         out = []
         for lo, hi, edges in brackets:
             e = np.asarray(edges, np.float64)
@@ -3360,13 +3366,17 @@ class BucketSearcher:
 
     def range_values_keyword(self, q: SearchQuery, field: str,
                              ranges: list, cap: int,
-                             precision: str = "float32") -> list:
+                             precision: str = "float32",
+                             center: float | None = None) -> list:
         """The final value pull of the percentile selection: per (lo, hi)
         range, the match-set values inside [lo, hi]. The narrowing rounds
         guarantee each surviving bracket holds ≤ collect_limit values
         GLOBALLY; ``cap`` enforces that bound per bucket (a violation is a
-        driver bug, not data skew)."""
+        driver bug, not data skew). ``center`` selects the |v − center|
+        domain (see range_counts_keyword)."""
         vals = self._matchset_values(q, field, precision)
+        if center is not None:
+            vals = np.abs(vals - float(center))
         out = []
         for lo, hi in ranges:
             v = vals[(vals >= lo) & (vals <= hi)]

@@ -2048,7 +2048,8 @@ class RetrievalCluster:
     def percentiles(self, database: str, table: str, query, field: str,
                     qs: list[float], n_candidates: int = 256,
                     collect_limit: int = 4096, max_rounds: int = 8,
-                    precision: str = "float32") -> list[dict]:
+                    precision: str = "float32",
+                    _center: float | None = None) -> list[dict]:
         """EXACT percentiles of a stored numeric/timestamp field over a
         keyword query's ENTIRE match set (the elasticsearch ``percentiles``
         aggregation shape — but exact where elasticsearch serves a t-digest
@@ -2087,13 +2088,14 @@ class RetrievalCluster:
             if use_actors:
                 import ray
                 futs = [a.range_counts_keyword.remote(q.__dict__, field,
-                                                      brackets, precision)
+                                                      brackets, precision,
+                                                      _center)
                         for a in self._actors[(database, table)]]
                 parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
                          for p in r]
             else:
                 parts = [s.range_counts_keyword(q, field, brackets,
-                                                precision)
+                                                precision, _center)
                          for s in self._searchers(database, table)]
             return [np.sum([p[i] for p in parts], axis=0)
                     for i in range(len(brackets))]
@@ -2103,13 +2105,14 @@ class RetrievalCluster:
                 import ray
                 futs = [a.range_values_keyword.remote(
                             q.__dict__, field, ranges, int(collect_limit),
-                            precision)
+                            precision, _center)
                         for a in self._actors[(database, table)]]
                 parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
                          for p in r]
             else:
                 parts = [s.range_values_keyword(q, field, ranges,
-                                                int(collect_limit), precision)
+                                                int(collect_limit), precision,
+                                                _center)
                          for s in self._searchers(database, table)]
             return [np.concatenate([p[i] for p in parts])
                     for i in range(len(ranges))]
@@ -2120,6 +2123,13 @@ class RetrievalCluster:
         if n == 0:
             return [{"q": x, "value": float("nan")} for x in qs_in]
         glo, ghi = float(st["min"]), float(st["max"])
+        if _center is not None:
+            # selection runs in the |v − center| domain: its global bracket
+            # is derivable from the raw min/max without another pass
+            c = float(_center)
+            lo_d = 0.0 if glo <= c <= ghi else min(abs(glo - c),
+                                                   abs(ghi - c))
+            glo, ghi = lo_d, max(abs(glo - c), abs(ghi - c))
 
         # round 1 is shared: one histogram over the global bracket
         nc = int(n_candidates)
@@ -2188,6 +2198,38 @@ class RetrievalCluster:
                 s["val"] = float(vals[s["rank"] - s["before"]])
         return [{"q": x, "value": s["val"]}
                 for x, s in zip(qs_in, states)]
+
+    def median_absolute_deviation(self, database: str, table: str, query,
+                                  field: str, n_candidates: int = 256,
+                                  collect_limit: int = 4096,
+                                  max_rounds: int = 8,
+                                  precision: str = "float32") -> dict:
+        """EXACT median absolute deviation of a stored numeric/timestamp
+        field over a keyword query's ENTIRE match set (the elasticsearch
+        ``median_absolute_deviation`` aggregation shape — but exact where
+        elasticsearch serves a t-digest approximation):
+        MAD = median(|v − median(v)|), both medians the "lower" discrete
+        quantile at rank floor(0.5·(n−1)) (the ``percentiles`` semantics —
+        mirror row_number() in SQL). Returns ``{"median", "mad"}``; NaNs
+        when the match set is empty.
+
+        Scale shape: two distributed-selection runs (``percentiles``) —
+        the second selects in the |v − median| domain, which the searcher
+        kernels apply per bucket (``center=``), so values still never
+        leave the shard and each round ships only histogram counts."""
+        med = self.percentiles(database, table, query, field, [0.5],
+                               n_candidates=n_candidates,
+                               collect_limit=collect_limit,
+                               max_rounds=max_rounds,
+                               precision=precision)[0]["value"]
+        if med != med:                                  # NaN: empty match set
+            return {"median": med, "mad": med}
+        mad = self.percentiles(database, table, query, field, [0.5],
+                               n_candidates=n_candidates,
+                               collect_limit=collect_limit,
+                               max_rounds=max_rounds,
+                               precision=precision, _center=med)[0]["value"]
+        return {"median": med, "mad": mad}
 
     def snapshot(self, database: str, table: str, dest_location: str) -> str:
         """Consistent table backup (the Lucene SnapshotDeletionPolicy /

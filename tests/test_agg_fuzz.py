@@ -246,6 +246,18 @@ def test_random_query_aggregations_match_bruteforce(agg_cluster, seed):
                   for k, n in keys_exp]
         assert got_th == exp_th, kw
 
+        # ---- median_absolute_deviation: exact lower-quantile medians in
+        # the raw then |v - median| domains, tiny knobs force narrowing
+        if vals:
+            got_mad = c.median_absolute_deviation(
+                "db", "g", q, "n", n_candidates=4, collect_limit=8,
+                max_rounds=60)
+            sv = sorted(vals)
+            exp_med = float(sv[(len(sv) - 1) // 2])
+            devs = sorted(abs(v - exp_med) for v in vals)
+            assert got_mad == {"median": exp_med,
+                               "mad": float(devs[(len(devs) - 1) // 2])}, kw
+
         # ---- adjacency_matrix: singles + pairwise intersections, zero
         # buckets dropped, keys in filter-then-combination order
         got_adj = c.adjacency_matrix("db", "g", q, named)
