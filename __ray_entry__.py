@@ -1523,6 +1523,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docsvec", qq)
     q["hybrid_rrf"] = hybrid_rrf
 
+    def hybrid_linear(sf):
+        # linear retriever (ES 8.x shape): weighted min-max-normalized
+        # fusion over each recall's global top-window instead of RRF —
+        # 0.7·norm(bm25) + 0.3·norm(cosine), window 20, missing recall
+        # contributes 0
+        c = _docsvec_cluster(sf)
+        qq = SearchQuery("db", "docsvec", keyword="merge sort",
+                         fields=["text"], vector=_query_vector(sf),
+                         vectorField="vector", limit=10)
+        out = c.linear_search("db", "docsvec", qq, weight_keyword=0.7,
+                              weight_vector=0.3, window=20,
+                              precision="float64")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "score": pa.array([float(np.round(o["_score"], 4))
+                               for o in out], pa.float64()),
+        })
+    q["hybrid_linear"] = hybrid_linear
+
+    def bm25_random(sf):
+        # deterministic random_score (ES >= 7 seed+field form), boost_mode
+        # replace: the match set re-ranked by the SQL-replicable
+        # fmix32(Horner31('42:' || doc_id)) / 2^32 hash
+        c = _docs_cluster(sf)
+        qq = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.function_search("db", "docs", qq,
+                                {"random_score": {"seed": 42,
+                                                  "field": "doc_id"},
+                                 "mode": "replace"},
+                                precision="float64")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "score": pa.array([float(np.round(o["_score"], 4))
+                               for o in out], pa.float64()),
+        })
+    q["bm25_random"] = bm25_random
+
+    def bm25_named(sf):
+        # matched_queries (ES named-queries _name annotation): each top-10
+        # hit lists which named filter trees it satisfies — annotations
+        # only, never narrowing; hit ids broadcast once, each shard ships
+        # back <= F × limit ids
+        c = _docs_cluster(sf)
+        qq = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.search_named("db", "docs", qq, {
+            "en": {"and": [{"field": "lang", "value": "en"}]},
+            "long": {"and": [{"field": "n_chars", "min": 150}]},
+        }, precision="float64")
+        return pa.table({
+            "doc_id": pa.array([o["doc_id"] for o in out], pa.int64()),
+            "score": pa.array([float(np.round(o["_score"], 4))
+                               for o in out], pa.float64()),
+            "matched": pa.array([",".join(o["matched_queries"])
+                                 for o in out], pa.string()),
+        })
+    q["bm25_named"] = bm25_named
+
     # --- multi-field search (fields list, per-field stats) ---
     def bm25_multi_field(sf):
         c = _docs2_cluster(sf)
@@ -3788,6 +3847,70 @@ ver AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r 
 fused AS (SELECT doc_id, SUM(1.0e0 / (CAST(r AS DOUBLE) + 60.0e0)) AS score
           FROM (SELECT * FROM kwr UNION ALL SELECT * FROM ver) GROUP BY doc_id)
 SELECT doc_id, ROUND(score, 4) AS score FROM fused ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # linear retriever: per recall the GLOBAL top-20 (score desc, doc_id
+    # asc), min-max normalized over that window (all-equal -> 1.0), fused
+    # 0.7·kw + 0.3·vec with missing-window docs contributing 0
+    sql["hybrid_linear"] = f"""
+WITH {_SQL_TOKS}, {_sql_term_scores(["merge", "sort"])},
+kw AS (SELECT s.doc_id, s.score FROM scored s
+       JOIN embeddings e ON s.doc_id = e.vec_id
+       ORDER BY s.score DESC, s.doc_id LIMIT 20),
+kn AS (SELECT doc_id,
+              CASE WHEN MAX(score) OVER () = MIN(score) OVER () THEN 1.0e0
+                   ELSE (score - MIN(score) OVER ())
+                        / (MAX(score) OVER () - MIN(score) OVER ()) END AS ns
+       FROM kw),
+vec AS (SELECT d.doc_id,
+               (1.0e0 + list_cosine_similarity(e.embedding::DOUBLE[], {_vec})) / 2.0e0 AS score
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ORDER BY score DESC, d.doc_id LIMIT 20),
+vn AS (SELECT doc_id,
+              CASE WHEN MAX(score) OVER () = MIN(score) OVER () THEN 1.0e0
+                   ELSE (score - MIN(score) OVER ())
+                        / (MAX(score) OVER () - MIN(score) OVER ()) END AS ns
+       FROM vec),
+fused AS (SELECT COALESCE(kn.doc_id, vn.doc_id) AS doc_id,
+                 0.7e0 * COALESCE(kn.ns, 0.0e0)
+                 + 0.3e0 * COALESCE(vn.ns, 0.0e0) AS score
+          FROM kn FULL OUTER JOIN vn ON kn.doc_id = vn.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM fused
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # random_score boost_mode=replace: fmix32(Horner31('42:' || doc_id))
+    # / 2^32 over the match set — the ops/hll hash chain, per doc
+    sql["bm25_random"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+s0 AS (SELECT doc_id, '42:' || CAST(doc_id AS VARCHAR) AS s FROM m),
+h0 AS (SELECT doc_id,
+              list_reduce(list_transform(range(1, length(s) + 1),
+                          i -> CAST(unicode(s[i]) AS HUGEINT)),
+                          (a, b) -> (a * 31 + b) % 4294967296) AS h
+       FROM s0),
+f1 AS (SELECT doc_id, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT doc_id, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS b FROM f1),
+f3 AS (SELECT doc_id, xor(b, b >> 13) AS c FROM f2),
+f4 AS (SELECT doc_id, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS d FROM f3),
+k AS (SELECT doc_id, xor(d, d >> 16) AS key FROM f4)
+SELECT doc_id, ROUND(CAST(key AS DOUBLE) / 4294967296.0e0, 4) AS score
+FROM k ORDER BY CAST(key AS DOUBLE) / 4294967296.0e0 DESC, doc_id LIMIT 10"""
+
+    # matched_queries: BM25 top-10 with per-hit named-filter membership
+    # (comma-joined in name order; annotations never narrow the match)
+    sql["bm25_named"] = ("WITH " + _SQL_TOKS + ", "
+                         + _sql_term_scores(["merge", "sort"]) + """
+SELECT s.doc_id, ROUND(s.score, 4) AS score,
+       COALESCE(array_to_string(list_filter(
+         [CASE WHEN d.lang = 'en' THEN 'en' END,
+          CASE WHEN d.n_chars >= 150 THEN 'long' END],
+         x -> x IS NOT NULL), ','), '') AS matched
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id LIMIT 10""")
 
     def _sql_multi_field(title_boost: str) -> str:
         # shared title/content split oracle; ``title_boost`` multiplies the

@@ -181,6 +181,9 @@ class SegmentActorImpl:
         return [s.filters_agg_keyword(query, named, other_bucket, precision)
                 for s in self.searchers]
 
+    def named_matches(self, named: dict, ids) -> list:
+        return [s.named_matches(named, ids) for s in self.searchers]
+
     def adjacency_keyword(self, q: dict, named: dict,
                           separator: str = "&",
                           precision: str = "float32") -> list:

@@ -71,6 +71,41 @@ def run_query(searcher_results: dict[str, list[tuple[np.ndarray, np.ndarray]]],
     return all_ids[order], final[order]
 
 
+def run_linear(searcher_results: dict[str, list[tuple[np.ndarray, np.ndarray]]],
+               q: SearchQuery, weights: dict[str, float], window: int,
+               precision: str = "float32") -> tuple[np.ndarray, np.ndarray]:
+    """Weighted min-max-normalized score fusion (the elasticsearch 8.x
+    ``linear`` retriever with the ``minmax`` normalizer; extension — the
+    reference fuses with RRF only): each recall's GLOBAL top-``window``
+    list (exact from per-bucket top-window partials) is normalized to
+    (s − min)/(max − min) over that window — all-equal windows normalize
+    to 1.0 — and a doc scores Σ_r weight_r · norm_r(d), contributing 0
+    from windows it missed (the ES convention). Final order
+    (score desc, doc_id asc), truncated to ``q.limit``. Float64
+    throughout, cast to the query precision at the end."""
+    dtype = np.float32 if precision == "float32" else np.float64
+    score_maps: list[tuple[np.ndarray, np.ndarray]] = []
+    for recall in ("keyword", "vector"):
+        if recall not in searcher_results:
+            continue
+        ids, scores = _merge_recall(searcher_results[recall], np.float64)
+        ids, scores = ids[:window], scores[:window].astype(np.float64)
+        if ids.size == 0:
+            continue
+        mx, mn = float(scores[0]), float(scores[-1])   # sorted desc
+        norm = (np.ones_like(scores) if mx == mn
+                else (scores - mn) / (mx - mn))
+        score_maps.append((ids, float(weights.get(recall, 1.0)) * norm))
+    if not score_maps:
+        return np.empty(0, np.int64), np.empty(0, dtype)
+    all_ids = np.unique(np.concatenate([m[0] for m in score_maps]))
+    acc = np.zeros(all_ids.size, dtype=np.float64)
+    for ids, scores in score_maps:
+        np.add.at(acc, np.searchsorted(all_ids, ids), scores)
+    order = np.lexsort((all_ids, -acc))[:q.limit]
+    return all_ids[order], acc[order].astype(dtype)
+
+
 def attach_scores(doc_tbl: pa.Table, doc_ids: np.ndarray, scores: np.ndarray) -> pa.Table:
     """Materialized docs (any order) → result table ordered like doc_ids, plus _score."""
     got = doc_tbl["doc_id"].to_numpy()

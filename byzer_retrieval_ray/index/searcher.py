@@ -2746,6 +2746,26 @@ class BucketSearcher:
         return {"n": int(va.size), "vw": float(np.sum(va * wa)),
                 "w": float(np.sum(wa))}
 
+    def named_matches(self, named: dict, ids) -> dict:
+        """For each named filter tree, which of the given doc_ids (this
+        bucket's subset) satisfy it — the elasticsearch ``matched_queries``
+        per-hit annotation. Ships ≤ len(named)·len(ids) int64s (ids are a
+        top-k hit list, so the payload is bounded by F × limit); an empty
+        tree is match-all (every given id that lives in this bucket
+        matches)."""
+        ids = np.sort(np.asarray(ids, dtype=np.int64))
+        out: dict[str, np.ndarray] = {}
+        for name, tree in named.items():
+            cand = self.filter_candidates(tree)
+            if cand is None:
+                # match-all filter: restrict to ids present in this bucket
+                mine = self.fetch_docs(ids, columns=["doc_id"])["doc_id"] \
+                    .to_numpy()
+                out[name] = ids[np.isin(ids, mine)]
+            else:
+                out[name] = ids[np.isin(ids, cand, assume_unique=True)]
+        return out
+
     def adjacency_keyword(self, q: SearchQuery, named: dict,
                           separator: str = "&",
                           precision: str = "float32") -> dict:
@@ -2907,11 +2927,25 @@ class BucketSearcher:
         (algebraically identical to the published σ/λ/s forms but written so
         the float64 op sequence is SQL-replicable verbatim). Docs missing
         the field get function value 1.0 — the documented elasticsearch
-        behavior for decay functions."""
+        behavior for decay functions.
+
+        A spec with ``random_score`` instead selects the elasticsearch
+        ``random_score`` function (deterministic, seed + field — ES since
+        7.0 requires both for consistent scores):
+
+            boost = fmix32(Horner31(f"{seed}:{value}")) / 2^32  ∈ [0, 1)
+
+        — the repo's SQL-replicable hash family (ops/hll.py uses the same
+        one), over the STRING rendering of the field value (nulls render
+        as the empty string; values must not contain newlines, the
+        poly_hash separator). With ``mode="replace"`` (ES boost_mode
+        replace, supported for every function kind) the hit's score IS the
+        boost — a deterministic per-seed shuffle of the match set."""
         from dataclasses import replace
 
         dtype = np.float32 if precision == "float32" else np.float64
-        field = spec["field"]
+        rnd = spec.get("random_score")
+        field = spec["field"] if rnd is None else rnd["field"]
         factor = float(spec.get("factor", 1.0))
         missing = float(spec.get("missing", 1.0))
         modifier = spec.get("modifier", "none")
@@ -2936,11 +2970,15 @@ class BucketSearcher:
                 raise ValueError("decay 'scale' must be > 0")
             if not (0.0 < d_decay < 1.0):
                 raise ValueError("'decay' must be in (0, 1)")
+        elif rnd is not None:
+            if "seed" not in rnd or "field" not in rnd:
+                raise ValueError("random_score needs 'seed' and 'field' "
+                                 "(the ES >= 7 deterministic form)")
         elif modifier not in mods:
             raise ValueError(f"unknown modifier {modifier!r} "
                              f"(one of {sorted(mods)})")
-        if mode not in ("multiply", "sum"):
-            raise ValueError("mode must be 'multiply' or 'sum'")
+        if mode not in ("multiply", "sum", "replace"):
+            raise ValueError("mode must be 'multiply', 'sum' or 'replace'")
         qq = replace(q, limit=int(1 << 62), search_after=None)
         ids, scores = self.search_keyword(qq, precision=precision,
                                           algorithm="taat")
@@ -2976,12 +3014,24 @@ class BucketSearcher:
             else:
                 boost = np.maximum(0.0, 1.0 - (1.0 - d_decay) * r)
             boost[isnull] = 1.0
+        elif rnd is not None:
+            from byzer_retrieval_ray.functions.polyhash import (fmix32_np,
+                                                                poly_hash_np)
+            seed = str(rnd["seed"])
+            svals = pc.fill_null(pc.cast(col, pa.string()), "").to_pylist()
+            h = fmix32_np(poly_hash_np([f"{seed}:{v}" for v in svals],
+                                       bits=32))
+            boost = h.astype(np.float64) / 4294967296.0
         else:
             vals = pc.cast(col, pa.float64()).fill_null(missing) \
                 .to_numpy(zero_copy_only=False)
             boost = mods[modifier](factor * vals)
-        new = (scores.astype(np.float64) * boost if mode == "multiply"
-               else scores.astype(np.float64) + boost)
+        if mode == "replace":
+            new = boost.astype(np.float64)
+        elif mode == "multiply":
+            new = scores.astype(np.float64) * boost
+        else:
+            new = scores.astype(np.float64) + boost
         top = np.lexsort((ids, -new))[: q.limit]
         return ids[top], new[top].astype(dtype)
 

@@ -737,6 +737,112 @@ class RetrievalCluster:
                 out.append(self._materialize(database, table, ids, scores, False))
         return out
 
+    def search_named(self, database: str, table: str, query, named: dict,
+                     precision: str = "float32", algorithm: str = "bmw",
+                     **search_kw) -> list[dict]:
+        """:meth:`search` plus per-hit ``matched_queries`` (the
+        elasticsearch named-queries ``_name`` annotation; extension): each
+        hit dict gains a ``matched_queries`` list naming which of the
+        given filter trees (full filter DSL, incl. analyzed/not/exists
+        leaves) the doc satisfies, in ``named`` insertion order. The named
+        trees are ANNOTATIONS only — they never narrow or rescore the
+        match (put narrowing filters in the query itself).
+
+        Scale shape: the top-k hit ids are broadcast once; each bucket
+        ships back ≤ F × limit ids (its own hits per name) — candidate
+        sets never leave the shard."""
+        hits = self.search(database, table, query, precision=precision,
+                           algorithm=algorithm, **search_kw)[0]
+        if not hits or not named:
+            for h in hits:
+                h["matched_queries"] = []
+            return hits
+        ids = np.asarray([h["doc_id"] for h in hits], dtype=np.int64)
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.named_matches.remote(named, ids)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.named_matches(named, ids)
+                     for s in self._searchers(database, table)]
+        matched: dict[str, set] = {name: set() for name in named}
+        for p in parts:
+            for name, arr in p.items():
+                matched[name].update(int(d) for d in arr)
+        for h in hits:
+            h["matched_queries"] = [name for name in named
+                                    if h["doc_id"] in matched[name]]
+        return hits
+
+    def linear_search(self, database: str, table: str, query,
+                      weight_keyword: float = 1.0,
+                      weight_vector: float = 1.0, window: int = 100,
+                      precision: str = "float32", algorithm: str = "bmw",
+                      vector_algorithm: str = "brute", nprobe: int = 4,
+                      n_centroids: int = 16, ef: int = 100) -> list[dict]:
+        """Hybrid search fused by WEIGHTED NORMALIZED SCORES instead of RRF
+        (the elasticsearch 8.x ``linear`` retriever, ``minmax`` normalizer;
+        extension — the reference fuses with RRF only): each recall
+        retrieves its global top ``window`` (per-bucket top-window
+        partials, so the window is exact), scores normalize to
+        (s − min)/(max − min) over that window (all-equal → 1.0), and a
+        doc's final score is wk·norm_kw + wv·norm_vec — 0 from any window
+        it missed. Returns doc dicts ordered (score desc, doc_id asc),
+        top ``query.limit``.
+
+        Scale shape identical to :meth:`search`: each bucket ships top
+        ``window`` per recall; normalization and the weighted sum touch
+        ≤ 2·window driver-side rows."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("linear_search takes exactly one query")
+        q = qs[0]
+        if not (q.has_keyword and q.has_vector):
+            raise ValueError("linear_search needs BOTH keyword and vector "
+                             "recalls (use search() for single-recall)")
+        if int(window) < 1:
+            raise ValueError("window must be >= 1")
+        from dataclasses import replace
+        qw = replace(q, limit=int(window), search_after=None)
+        use_actors = (database, table) in self._actors
+        recalls: dict[str, list] = {}
+        if use_actors:
+            import ray
+            actors = self._actors[(database, table)]
+            futs = {"keyword": [a.search_keyword.remote(qw.__dict__,
+                                                        precision,
+                                                        algorithm, False)
+                                for a in actors],
+                    "vector": [a.search_vector.remote(qw.__dict__, precision,
+                                                      False,
+                                                      vector_algorithm,
+                                                      nprobe, n_centroids,
+                                                      ef)
+                               for a in actors]}
+            for name, fs in futs.items():
+                per_bucket = [t for r in ray.get(fs,
+                                                 timeout=QUERY_TIMEOUT_SEC)
+                              for t in r]
+                recalls[name] = [(t[0], t[1]) for t in per_bucket]
+        else:
+            searchers = self._searchers(database, table)
+            recalls["keyword"] = [s.search_keyword(qw, precision, algorithm)
+                                  for s in searchers]
+            recalls["vector"] = [s.search_vector(qw, precision,
+                                                 algorithm=vector_algorithm,
+                                                 nprobe=nprobe,
+                                                 n_centroids=n_centroids,
+                                                 ef=ef)
+                                 for s in searchers]
+        ids, scores = M.run_linear(recalls, q,
+                                   {"keyword": float(weight_keyword),
+                                    "vector": float(weight_vector)},
+                                   int(window), precision)
+        return self._materialize(database, table, ids, scores, use_actors)
+
     def multi_search(self, database: str, tables: list, query,
                      precision: str = "float32",
                      algorithm: str = "bmw") -> list[dict]:
@@ -1238,6 +1344,19 @@ class RetrievalCluster:
         Docs missing the field get function value 1.0 (the documented ES
         decay behavior); timestamps measure distance in epoch microseconds.
 
+        Passing ``random_score`` selects the elasticsearch deterministic
+        ``random_score`` function (seed + field, ES >= 7 form)::
+
+            score_function = {"random_score": {"seed": 42,
+                                               "field": "doc_id"},
+                              "mode": "replace"}   # or multiply | sum
+
+        boost = fmix32(Horner31(f"{seed}:{value}")) / 2^32 ∈ [0, 1) — the
+        repo's SQL-replicable hash family; ``mode="replace"`` (ES
+        boost_mode replace, accepted for every function kind) makes the
+        boost the final score: a deterministic per-seed sample/shuffle of
+        the match set.
+
         Scale shape: rescoring is non-monotone in BM25 order, so each
         bucket rescored its FULL match set locally (exact TAAT, one narrow
         docstore column) but ships only its top ``limit`` — the
@@ -1249,8 +1368,10 @@ class RetrievalCluster:
         q = qs[0]
         if not q.has_keyword or q.has_vector:
             raise ValueError("function_search is keyword-only")
-        if "field" not in score_function:
-            raise ValueError("score_function needs a 'field'")
+        if "field" not in score_function \
+                and "random_score" not in score_function:
+            raise ValueError("score_function needs a 'field' "
+                             "(or a 'random_score' spec)")
         use_actors = (database, table) in self._actors
         if use_actors:
             import ray
