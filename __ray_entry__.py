@@ -655,6 +655,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["bm25_facets"] = bm25_facets
 
+    def facet_highcard(sf):
+        # HIGH-CARDINALITY facet — the bounded exact threshold fold
+        # (round-5): n_chars has ~260 distinct values in the 'the' match
+        # set, so shard_size=8 forces the truncated path (top-S partials →
+        # candidate probe → provable-exactness check, escalating S until
+        # exact); no bucket ever ships a vocabulary-sized partial
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="the", fields=["text"],
+                         limit=10)
+        out = c.facet_counts("db", "docs", q2, "n_chars", limit=10,
+                             precision="float64", shard_size=8)
+        return pa.table({
+            "value": pa.array([o["value"] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["facet_highcard"] = facet_highcard
+
     def bm25_field_stats(sf):
         # numeric stats (count/min/max/sum/mean) of a stored field over the
         # WHOLE match set — the Lucene stats-aggregation shape; each bucket
@@ -2870,6 +2887,20 @@ m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
 SELECT d.lang AS lang, count(*) AS cnt
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 GROUP BY d.lang ORDER BY cnt DESC, lang LIMIT 10"""
+
+    # high-cardinality facet over n_chars (string labels) — the engine side
+    # runs the bounded threshold fold with shard_size=8; exact either way
+    sql["facet_highcard"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'the')
+SELECT CAST(d.n_chars AS VARCHAR) AS value, count(*) AS cnt
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, value LIMIT 10"""
 
     # full match-set export: every doc containing merge OR sort, pruned to
     # three columns (row order irrelevant — the gate canon-sorts)

@@ -151,6 +151,27 @@ class SegmentActorImpl:
         return [s.facet_keyword(query, facet_field, precision)
                 for s in self.searchers]
 
+    def facet_top_keyword(self, q: dict, facet_field: str, shard_size: int,
+                          precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.facet_top_keyword(query, facet_field, shard_size,
+                                    precision)
+                for s in self.searchers]
+
+    def facet_probe_keyword(self, q: dict, facet_field: str, values: list,
+                            precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.facet_probe_keyword(query, facet_field, values, precision)
+                for s in self.searchers]
+
+    def rare_partial_keyword(self, q: dict, facet_field: str,
+                             max_doc_count: int,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.rare_partial_keyword(query, facet_field, max_doc_count,
+                                       precision)
+                for s in self.searchers]
+
     def collapse_keyword(self, q: dict, collapse_field: str,
                          precision: str = "float32",
                          group_size: int = 1) -> list:
@@ -236,6 +257,18 @@ class SegmentActorImpl:
         query = SearchQuery.from_dict(q)
         return [s.sigterms_keyword(query, field, precision,
                                    shard_min_doc_count)
+                for s in self.searchers]
+
+    def sigterms_top_keyword(self, q: dict, field: str, shard_size: int,
+                             precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.sigterms_top_keyword(query, field, shard_size, precision)
+                for s in self.searchers]
+
+    def sigterms_probe_keyword(self, q: dict, field: str, terms: list,
+                               precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.sigterms_probe_keyword(query, field, terms, precision)
                 for s in self.searchers]
 
     def cardinality_keyword(self, q: dict, field: str, p: int = 12,

@@ -2642,6 +2642,55 @@ class BucketSearcher:
             t = t.filter(pc.greater(t["value"], pa.scalar(str(after))))
         return t.sort_by("value").slice(0, int(size))
 
+    def facet_top_keyword(self, q: SearchQuery, facet_field: str,
+                          shard_size: int,
+                          precision: str = "float32") -> pa.Table:
+        """Per-bucket BOUNDED facet partial — phase 1 of the exact
+        threshold-algorithm facet fold (the Fagin/TPUT distributed-top-k
+        family): this bucket's top ``shard_size`` (value, count) rows by
+        (count desc, value asc) over the ENTIRE match set, sorted in that
+        order so the master can read the truncation threshold off the
+        LAST row. Local compute is still the full value_counts (bounded
+        by the bucket's own data) — what's bounded is the SHIPPED
+        partial: ≤ shard_size rows instead of the full match-set
+        vocabulary. The master detects truncation as len == shard_size
+        (conservatively — an exactly-shard_size vocabulary re-scatters
+        once at 4× and then folds exactly)."""
+        t = self.facet_keyword(q, facet_field, precision)
+        t = t.sort_by([("cnt", "descending"), ("value", "ascending")])
+        return t.slice(0, int(shard_size))
+
+    def facet_probe_keyword(self, q: SearchQuery, facet_field: str,
+                            values: list,
+                            precision: str = "float32") -> pa.Table:
+        """Per-bucket EXACT counts of the requested candidate values over
+        the ENTIRE match set — phase 2 of the threshold-algorithm facet
+        fold (and of the bounded rare_terms fold): values this bucket
+        never saw are simply absent (count 0). Ships ≤ len(values) rows;
+        the bucket's own vocabulary never leaves the shard."""
+        t = self.facet_keyword(q, facet_field, precision)
+        if len(t) == 0 or not values:
+            return t.slice(0, 0)
+        vs = pa.array([str(v) for v in values], pa.string())
+        return t.filter(pc.is_in(t["value"], value_set=vs))
+
+    def rare_partial_keyword(self, q: SearchQuery, facet_field: str,
+                             max_doc_count: int,
+                             precision: str = "float32") -> pa.Table:
+        """Per-bucket LOCALLY-RARE facet partial — phase 1 of the bounded
+        exact rare_terms fold: only values with a local match-set count
+        ≤ ``max_doc_count`` ship. Exactness: a value with GLOBAL count
+        ≤ max_doc_count necessarily has count ≤ max_doc_count in every
+        bucket, so every bucket where it appears ships it — the candidate
+        union is a superset of the answer, and the probe phase
+        (``facet_probe_keyword``) supplies exact global counts to drop
+        locally-rare-but-globally-common values. Common values never
+        leave their shard."""
+        t = self.facet_keyword(q, facet_field, precision)
+        if len(t) == 0:
+            return t
+        return t.filter(pc.less_equal(t["cnt"], int(max_doc_count)))
+
     def filters_agg_keyword(self, q: SearchQuery, named: dict,
                             other_bucket: bool = False,
                             precision: str = "float32") -> dict:
@@ -3124,6 +3173,34 @@ class BucketSearcher:
             out = out.filter(pc.greater_equal(out["fg"],
                                               int(shard_min_doc_count)))
         return out, int(ids.size)
+
+    def sigterms_top_keyword(self, q: SearchQuery, field: str,
+                             shard_size: int,
+                             precision: str = "float32") \
+            -> tuple[pa.Table, int]:
+        """Per-bucket BOUNDED significant-terms partial — phase 1 of the
+        exact threshold fold (see ``facet_top_keyword``): the bucket's top
+        ``shard_size`` (term, fg) rows by (fg desc, term asc), sorted so
+        the master reads the truncation threshold off the last row, plus
+        the bucket's match count. Ships ≤ shard_size rows instead of the
+        full foreground vocabulary."""
+        t, n = self.sigterms_keyword(q, field, precision)
+        t = t.sort_by([("fg", "descending"), ("term", "ascending")])
+        return t.slice(0, int(shard_size)), n
+
+    def sigterms_probe_keyword(self, q: SearchQuery, field: str,
+                               terms: list,
+                               precision: str = "float32") \
+            -> tuple[pa.Table, int]:
+        """Per-bucket EXACT foreground counts for the requested candidate
+        terms over the ENTIRE match set — phase 2 of the threshold
+        significant-terms fold. Ships ≤ len(terms) rows; the bucket's own
+        foreground vocabulary never leaves the shard."""
+        t, n = self.sigterms_keyword(q, field, precision)
+        if len(t) == 0 or not terms:
+            return t.slice(0, 0), n
+        ts = pa.array([str(x) for x in terms], pa.string())
+        return t.filter(pc.is_in(t["term"], value_set=ts)), n
 
     def cardinality_keyword(self, q: SearchQuery, field: str, p: int = 12,
                             precision: str = "float32") -> np.ndarray:

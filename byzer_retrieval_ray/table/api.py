@@ -26,6 +26,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from byzer_retrieval_ray.index import master as M
@@ -1158,8 +1159,19 @@ class RetrievalCluster:
             max_sim = np.maximum(max_sim, (1.0 + V @ V[best]) / 2.0)
         return out
 
+    @staticmethod
+    def _fold_facet(tbls: list[pa.Table], limit: int) -> list[dict]:
+        """Sum (value, cnt) partials and rank (count desc, value asc)."""
+        df = pa.concat_tables(tbls).to_pandas()
+        agg = df.groupby("value", as_index=False)["cnt"].sum() \
+            .sort_values(["cnt", "value"], ascending=[False, True],
+                         kind="mergesort")
+        return [{"value": str(r.value), "count": int(r.cnt)}
+                for r in agg.head(limit).itertuples()]
+
     def facet_counts(self, database: str, table: str, query, facet_field: str,
-                     limit: int = 10, precision: str = "float32") -> list[dict]:
+                     limit: int = 10, precision: str = "float32",
+                     shard_size: int | None = None) -> list[dict]:
         """Facet counts of a stored field over a keyword query's ENTIRE match
         set (the Lucene faceting shape — FacetsCollector + SSDV facets count
         every hit, not the top-k; the reference exposes no facet API:
@@ -1167,10 +1179,25 @@ class RetrievalCluster:
         (count desc, value asc), top ``limit``; values are strings (Lucene
         facet labels); docs with a null/missing field don't count.
 
-        Scale shape: each bucket ships only its (distinct value, count)
-        partial — match ids never leave the shard; the master fold is
-        |values|-sized. Keyword recall only (filters supported; a vector
-        recall's "match set" is its top-k, which is ranking, not faceting)."""
+        Scale shape — EXACT bounded distributed top-k (the Fagin/TPUT
+        threshold-algorithm family), never a full-vocabulary partial:
+        phase 1 scatters for each bucket's top ``shard_size`` (value,
+        count) rows (default max(4·limit, 64)). If no bucket hit the cut
+        the union IS the complete fold — sum and return (the small-field
+        fast path, one scatter, identical shipping to a plain facet). If
+        some bucket was truncated, T = Σ truncated-bucket minimum shipped
+        counts bounds any UNSHIPPED value's possible global count; phase 2
+        probes every bucket for exact counts of the candidate union
+        (≤ buckets × shard_size values), and the fold is provably exact
+        when the ``limit``-th candidate's count strictly exceeds T —
+        otherwise shard_size quadruples and both phases repeat,
+        terminating at the full vocabulary in the adversarial worst case
+        (uniform counts) and in one round on real zipfian fields. Per
+        round each bucket ships O(shard_size + candidates) rows, so a
+        billion-key field costs O(buckets × shard_size) per round instead
+        of a vocabulary-sized partial. Keyword recall only (filters
+        supported; a vector recall's "match set" is its top-k, which is
+        ranking, not faceting)."""
         qs = self._as_queries(database, table, query)
         if len(qs) != 1:
             raise ValueError("facet_counts takes exactly one query")
@@ -1178,24 +1205,46 @@ class RetrievalCluster:
         if not q.has_keyword or q.has_vector:
             raise ValueError("facet_counts is keyword-only")
         use_actors = (database, table) in self._actors
-        if use_actors:
-            import ray
-            futs = [a.facet_keyword.remote(q.__dict__, facet_field, precision)
-                    for a in self._actors[(database, table)]]
-            tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
-                    for t in r]
-        else:
-            tbls = [s.facet_keyword(q, facet_field, precision)
-                    for s in self._searchers(database, table)]
-        tbls = [t for t in tbls if len(t)]
-        if not tbls:
-            return []
-        df = pa.concat_tables(tbls).to_pandas()
-        agg = df.groupby("value", as_index=False)["cnt"].sum() \
-            .sort_values(["cnt", "value"], ascending=[False, True],
-                         kind="mergesort")
-        return [{"value": str(r.value), "count": int(r.cnt)}
-                for r in agg.head(limit).itertuples()]
+        S = int(shard_size) if shard_size else max(4 * int(limit), 64)
+        while True:
+            if use_actors:
+                import ray
+                futs = [a.facet_top_keyword.remote(q.__dict__, facet_field,
+                                                   S, precision)
+                        for a in self._actors[(database, table)]]
+                tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                        for t in r]
+            else:
+                tbls = [s.facet_top_keyword(q, facet_field, S, precision)
+                        for s in self._searchers(database, table)]
+            tbls = [t for t in tbls if len(t)]
+            if not tbls:
+                return []
+            trunc = [t for t in tbls if len(t) == S]
+            if not trunc:
+                # no bucket hit the cut → the union is the full vocabulary
+                return self._fold_facet(tbls, int(limit))
+            # any value a truncated bucket did NOT ship has local count ≤
+            # that bucket's minimum shipped count (ties sort after by name)
+            T = sum(int(t["cnt"][len(t) - 1].as_py()) for t in trunc)
+            cand = pc.unique(
+                pa.concat_tables(tbls)["value"].combine_chunks()).to_pylist()
+            if use_actors:
+                import ray
+                futs = [a.facet_probe_keyword.remote(q.__dict__, facet_field,
+                                                     cand, precision)
+                        for a in self._actors[(database, table)]]
+                probes = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                          for t in r]
+            else:
+                probes = [s.facet_probe_keyword(q, facet_field, cand,
+                                                precision)
+                          for s in self._searchers(database, table)]
+            probes = [t for t in probes if len(t)]
+            out = self._fold_facet(probes, int(limit)) if probes else []
+            if len(out) >= int(limit) and out[-1]["count"] > T:
+                return out
+            S *= 4
 
     def top_hits(self, database: str, table: str, query, key_field: str,
                  num_keys: int = 10, per_key: int = 3,
@@ -1447,19 +1496,30 @@ class RetrievalCluster:
 
         ranked (score desc, term asc), top ``limit``; ``min_doc_count``
         drops rare foreground terms (elasticsearch defaults to 3 — here 1,
-        exact). ``shard_min_doc_count`` > 0 additionally drops shard-rare
-        terms BEFORE they ship (the elasticsearch knob of the same name) —
-        a memory/recall trade for broad queries whose foreground vocabulary
-        would swamp the driver fold: a term can then be under-counted only
-        if its occurrences are split below the cut across buckets; 0
+        exact). ``shard_min_doc_count`` > 0 drops shard-rare terms BEFORE
+        they ship (the elasticsearch knob of the same name) and selects the
+        LEGACY full-vocabulary partial fold — a term is then under-counted
+        only if its occurrences split below the cut across buckets; 0
         (default) keeps the fold exact.
         Returns ``[{"term", "score", "fg_count", "bg_count"}, ...]``.
 
-        Scale shape: each bucket ships (term, fg) distinct-vocabulary count
-        partials over its exact TAAT match set (no shard_size recall cut —
-        counts fold exactly, unlike elasticsearch's shard-truncated
-        candidates); the driver fold is |fg vocabulary| rows plus ONE
-        termstats probe for the background dfs. Keyword recall only."""
+        Scale shape (default path) — EXACT bounded threshold fold, the
+        facet_counts algorithm adapted to the JLH objective: phase 1
+        scatters for each bucket's top ``shard_size`` (fg desc, term asc)
+        foreground partial (internal start max(8·limit, 128)). With no
+        truncation the union is the complete foreground vocabulary — fold
+        directly. Otherwise T = Σ truncated-bucket minimum shipped fg
+        bounds any unshipped term's global fg; phase 2 probes exact fg for
+        the candidate union, JLH scores are computed from exact counts,
+        and the fold is provably exact when the ``limit``-th score
+        strictly exceeds the best score an unseen term could reach —
+        JLH(fg, bg) = (fg/fgt − bg/n)(fg·n/(fgt·bg)) is maximal at
+        bg = fg = T, i.e. bound = (T/fgt − T/n)·(n/fgt) (fg ≤ bg always:
+        the match set is a subset of the corpus) — or when unseen terms
+        cannot qualify at all (T < min_doc_count, or T/fgt ≤ T/n). Else
+        shard_size quadruples and the phases repeat. Per round each bucket
+        ships O(shard_size + candidates) rows plus ONE termstats probe for
+        background dfs. Keyword recall only."""
         from byzer_retrieval_ray.index.searcher import StatsView
 
         qs = self._as_queries(database, table, query)
@@ -1476,44 +1536,90 @@ class RetrievalCluster:
             raise ValueError(
                 f"significant_terms field {field!r} must be analyzed")
         use_actors = (database, table) in self._actors
-        if use_actors:
-            import ray
-            futs = [a.sigterms_keyword.remote(q.__dict__, field, precision,
-                                              int(shard_min_doc_count))
-                    for a in self._actors[(database, table)]]
-            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
-                     for p in r]
-        else:
-            parts = [s.sigterms_keyword(q, field, precision,
-                                        int(shard_min_doc_count))
-                     for s in self._searchers(database, table)]
-        fgt = sum(p[1] for p in parts)
-        tbls = [p[0] for p in parts if len(p[0])]
-        if fgt == 0 or not tbls:
-            return []
-        df = pa.concat_tables(tbls).to_pandas()
-        agg = df.groupby("term", as_index=False)["fg"].sum()
-        agg = agg[agg["fg"] >= int(min_doc_count)]
-        if not len(agg):
-            return []
-        terms = [str(t) for t in agg["term"]]
-        m = self.manifest(database, table)
-        sv = StatsView(m.data, GenerationReader(m.data))
-        st = sv.term_stats([(field, t) for t in terms])
-        n = float(sv.stats["n_docs"])
-        out = []
-        for t, fg in zip(terms, agg["fg"].to_numpy()):
-            bg = int(st[(field, t)][0])
-            if bg == 0:       # not indexed (possible across generations)
-                continue
-            a = float(fg) / float(fgt)
-            b = float(bg) / n
-            if a <= b:
-                continue
-            out.append({"term": t, "score": (a - b) * (a / b),
-                        "fg_count": int(fg), "bg_count": bg})
-        out.sort(key=lambda r: (-r["score"], r["term"]))
-        return out[: int(limit)]
+
+        def _scatter(method: str, *args):
+            if use_actors:
+                import ray
+                futs = [getattr(a, method).remote(q.__dict__, field, *args,
+                                                  precision)
+                        for a in self._actors[(database, table)]]
+                return [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                        for p in r]
+            return [getattr(s, method)(q, field, *args, precision)
+                    for s in self._searchers(database, table)]
+
+        def _score(tbls: list[pa.Table], fgt: int) -> list[dict]:
+            df = pa.concat_tables(tbls).to_pandas()
+            agg = df.groupby("term", as_index=False)["fg"].sum()
+            agg = agg[agg["fg"] >= int(min_doc_count)]
+            if not len(agg):
+                return []
+            terms = [str(t) for t in agg["term"]]
+            m = self.manifest(database, table)
+            sv = StatsView(m.data, GenerationReader(m.data))
+            st = sv.term_stats([(field, t) for t in terms])
+            n = float(sv.stats["n_docs"])
+            out = []
+            for t, fg in zip(terms, agg["fg"].to_numpy()):
+                bg = int(st[(field, t)][0])
+                if bg == 0:   # not indexed (possible across generations)
+                    continue
+                a = float(fg) / float(fgt)
+                b = float(bg) / n
+                if a <= b:
+                    continue
+                out.append({"term": t, "score": (a - b) * (a / b),
+                            "fg_count": int(fg), "bg_count": bg})
+            out.sort(key=lambda r: (-r["score"], r["term"]))
+            return out
+
+        if int(shard_min_doc_count) > 0:
+            # legacy recall-trade path: shard-rare cut, full-vocab partials
+            if use_actors:
+                import ray
+                futs = [a.sigterms_keyword.remote(q.__dict__, field,
+                                                  precision,
+                                                  int(shard_min_doc_count))
+                        for a in self._actors[(database, table)]]
+                parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                         for p in r]
+            else:
+                parts = [s.sigterms_keyword(q, field, precision,
+                                            int(shard_min_doc_count))
+                         for s in self._searchers(database, table)]
+            fgt = sum(p[1] for p in parts)
+            tbls = [p[0] for p in parts if len(p[0])]
+            if fgt == 0 or not tbls:
+                return []
+            return _score(tbls, fgt)[: int(limit)]
+
+        S = max(8 * int(limit), 128)
+        while True:
+            parts = _scatter("sigterms_top_keyword", S)
+            fgt = sum(p[1] for p in parts)
+            tbls = [p[0] for p in parts if len(p[0])]
+            if fgt == 0 or not tbls:
+                return []
+            trunc = [t for t in tbls if len(t) == S]
+            if not trunc:
+                return _score(tbls, fgt)[: int(limit)]
+            T = sum(int(t["fg"][len(t) - 1].as_py()) for t in trunc)
+            cand = pc.unique(
+                pa.concat_tables(tbls)["term"].combine_chunks()).to_pylist()
+            probes = _scatter("sigterms_probe_keyword", cand)
+            tbls = [p[0] for p in probes if len(p[0])]
+            out = _score(tbls, fgt)[: int(limit)] if tbls else []
+            n = float(StatsView(self.manifest(database, table).data,
+                                GenerationReader(
+                                    self.manifest(database, table).data))
+                      .stats["n_docs"])
+            a_u, b_u = float(T) / float(fgt), float(T) / n
+            if T < int(min_doc_count) or a_u <= b_u:
+                return out
+            bound = (a_u - b_u) * (a_u / b_u)
+            if len(out) >= int(limit) and out[-1]["score"] > bound:
+                return out
+            S *= 4
 
     def cardinality(self, database: str, table: str, query, field: str,
                     p: int = 12, precision: str = "float32") -> dict:
@@ -2015,11 +2121,21 @@ class RetrievalCluster:
         extension): values of a stored field appearing in at most
         ``max_doc_count`` docs of a keyword query's ENTIRE match set,
         ranked by (count asc, value asc), top ``limit``. EXACT — unlike
-        elasticsearch's CuckooFilter approximation, the per-bucket
-        (value, count) partials fold precisely (a value rare in one shard
-        but common globally is correctly dropped); the high-cardinality
-        exchange trade is the one documented in facet_counts. Nulls don't
-        count; multi-valued fields count once per distinct element.
+        elasticsearch's CuckooFilter approximation. Nulls don't count;
+        multi-valued fields count once per distinct element.
+
+        Scale shape — bounded two-phase fold, never a full-vocabulary
+        partial: phase 1 ships each bucket's LOCALLY-RARE values only
+        (local count ≤ max_doc_count — a value with global count ≤
+        max_doc_count necessarily clears that cut in every bucket, so the
+        candidate union is a superset of the answer; common values never
+        leave their shard). Phase 2 probes every bucket for the exact
+        global counts of the candidates, dropping
+        locally-rare-but-globally-common values. Per-bucket shipping is
+        O(locally-rare vocabulary + candidates) — on a high-cardinality
+        field that is the answer's own order of magnitude, not the match
+        set's vocabulary (elasticsearch bounds the same phase with
+        max_doc_count ≤ 100 for the same reason).
 
         Returns ``[{"value", "count"}, ...]``."""
         if int(max_doc_count) < 1:
@@ -2031,21 +2147,38 @@ class RetrievalCluster:
         if not q.has_keyword or q.has_vector:
             raise ValueError("rare_terms is keyword-only")
         use_actors = (database, table) in self._actors
+        M_ = int(max_doc_count)
         if use_actors:
             import ray
-            futs = [a.facet_keyword.remote(q.__dict__, field, precision)
+            futs = [a.rare_partial_keyword.remote(q.__dict__, field, M_,
+                                                  precision)
                     for a in self._actors[(database, table)]]
             tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
                     for t in r]
         else:
-            tbls = [s.facet_keyword(q, field, precision)
+            tbls = [s.rare_partial_keyword(q, field, M_, precision)
                     for s in self._searchers(database, table)]
         tbls = [t for t in tbls if len(t)]
         if not tbls:
             return []
-        df = pa.concat_tables(tbls).to_pandas()
+        cand = pc.unique(
+            pa.concat_tables(tbls)["value"].combine_chunks()).to_pylist()
+        if use_actors:
+            import ray
+            futs = [a.facet_probe_keyword.remote(q.__dict__, field, cand,
+                                                 precision)
+                    for a in self._actors[(database, table)]]
+            probes = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                      for t in r]
+        else:
+            probes = [s.facet_probe_keyword(q, field, cand, precision)
+                      for s in self._searchers(database, table)]
+        probes = [t for t in probes if len(t)]
+        if not probes:
+            return []
+        df = pa.concat_tables(probes).to_pandas()
         agg = df.groupby("value", as_index=False)["cnt"].sum()
-        agg = agg[agg["cnt"] <= int(max_doc_count)] \
+        agg = agg[agg["cnt"] <= M_] \
             .sort_values(["cnt", "value"], ascending=[True, True],
                          kind="mergesort")
         return [{"value": str(r.value), "count": int(r.cnt)}
