@@ -177,7 +177,7 @@ def _get_cluster(sf_dir: str, table: str, schema: str, key: str, source_fn) -> R
     cache_key = (sf_dir, table)
     if cache_key in _CLUSTERS:
         return _CLUSTERS[cache_key]
-    tag = hashlib.md5(f"{sf_dir}:{table}:v7".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:{table}:v8".encode()).hexdigest()[:10]
     loc = f"/tmp/byzer_ray_gate/{tag}"
     c = RetrievalCluster(loc)
     try:
@@ -201,7 +201,7 @@ def _docs_fed_cluster(sf_dir: str) -> RetrievalCluster:
     cache_key = (sf_dir, "__fed__")
     if cache_key in _CLUSTERS:
         return _CLUSTERS[cache_key]
-    tag = hashlib.md5(f"{sf_dir}:fed:v7".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:fed:v8".encode()).hexdigest()[:10]
     loc = f"/tmp/byzer_ray_gate/{tag}"
     c = RetrievalCluster(loc)
     for table, parity in (("docsa", 0), ("docsb", 1)):

@@ -146,26 +146,40 @@ class HNSWIndex:
     def _select_neighbors(self, q: np.ndarray, cands: list[tuple[float, int]],
                           cap: int) -> list[tuple[float, int]]:
         """Diversity heuristic: keep c only if it is closer to q than to any
-        already-kept neighbor (falls back to plain top-cap fill)."""
-        kept: list[tuple[float, int]] = []
-        for s, c in cands:
-            if len(kept) >= cap:
+        already-kept neighbor (falls back to plain top-cap fill).
+
+        Vectorized (round-5): ONE m×m float32 GEMM computes every
+        candidate↔candidate similarity up front, and the selection loop is
+        pure scalar bookkeeping — each kept candidate folds its GEMM row
+        into a running max-sim-to-kept vector (max is exact in floats, so
+        only the GEMM's rounding differs from the old per-candidate
+        matvecs; the graph stays fully deterministic per input). This
+        replaced ~4.5M tiny gather+matvec+max calls per 4k-vector build —
+        the round-4 verdict's #1 constant-factor item."""
+        m = len(cands)
+        if m == 0:
+            return []
+        ids = np.fromiter((c for _, c in cands), np.int64, m)
+        sims = [s for s, _ in cands]
+        C = self.unit[ids]
+        G = C @ C.T
+        best = np.full(m, -np.inf, dtype=np.float64)
+        kept_pos: list[int] = []
+        for pos in range(m):
+            if len(kept_pos) >= cap:
                 break
-            if not kept:
-                kept.append((s, c))
+            if kept_pos and best[pos] > sims[pos]:
                 continue
-            kept_ids = [k for _, k in kept]
-            to_kept = self.unit[kept_ids] @ self.unit[c]
-            if float(to_kept.max()) <= s:
-                kept.append((s, c))
-        if len(kept) < cap:     # fill remaining slots with the nearest skipped
-            chosen = {c for _, c in kept}
-            for s, c in cands:
-                if len(kept) >= cap:
+            kept_pos.append(pos)
+            np.maximum(best, G[pos], out=best)
+        if len(kept_pos) < cap:  # fill remaining slots with the nearest skipped
+            chosen = set(kept_pos)
+            for pos in range(m):
+                if len(kept_pos) >= cap:
                     break
-                if c not in chosen:
-                    kept.append((s, c))
-        return kept
+                if pos not in chosen:
+                    kept_pos.append(pos)
+        return [(sims[p], int(ids[p])) for p in kept_pos]
 
     # ---------- persistence (build once, serve from disk) ----------
 
