@@ -298,6 +298,54 @@ class SegmentActorImpl:
         return np.sum([s.phrase_pair_counts(pairs, field)
                        for s in self.searchers], axis=0)
 
+    # ---------- suggest family: actor-cached termstats dictionary ----------
+    # The master splits the termstats parquet parts round-robin across the
+    # actor pool and passes each actor ITS assigned subset per call; the
+    # actor loads a part once (column-pruned) and keeps it in memory — the
+    # BucketSearcher pattern applied to the term dictionary, so a suggest
+    # call is an RPC over cached arrays instead of a per-query Ray Data
+    # scan. NRT/compaction safety: unknown paths load on demand, paths no
+    # longer assigned are evicted, so the cache tracks the live manifest.
+    # Memory contract: one actor holds |assigned parts| dictionary slices
+    # (term+df+ttf columns only) — the same ≤-heap sizing knob as the
+    # posting caches (add actors to shrink the per-actor slice).
+
+    def _termstats(self, paths: list) -> list:
+        import pyarrow.parquet as pq
+        cache = getattr(self, "_ts_dict_cache", None)
+        if cache is None:
+            cache = self._ts_dict_cache = {}
+        out = []
+        for p in paths:
+            t = cache.get(p)
+            if t is None:
+                t = cache[p] = pq.read_table(
+                    p, columns=["field", "term", "df", "ttf"])
+            out.append(t)
+        want = set(paths)
+        for k in [k for k in cache if k not in want]:
+            del cache[k]
+        return out
+
+    def suggest_candidates(self, paths: list, field: str, term: str,
+                           max_edits: int, transpositions: bool) -> list:
+        from byzer_retrieval_ray.functions import suggest_kernels as K
+        return [K.spell_candidates(t, field, term, max_edits, transpositions)
+                for t in self._termstats(paths)]
+
+    def complete_candidates(self, paths: list, field: str,
+                            prefix: str) -> list:
+        from byzer_retrieval_ray.functions import suggest_kernels as K
+        return [K.prefix_candidates(t, field, prefix)
+                for t in self._termstats(paths)]
+
+    def phrase_token_candidates(self, paths: list, field: str, tokens: list,
+                                max_edits: int, transpositions: bool) -> list:
+        from byzer_retrieval_ray.functions import suggest_kernels as K
+        return [K.token_candidates(t, field, tokens, max_edits,
+                                   transpositions)
+                for t in self._termstats(paths)]
+
     def histogram_keyword(self, q: dict, field: str, interval: int,
                           offset: int = 0,
                           precision: str = "float32") -> list:

@@ -2735,6 +2735,36 @@ class RetrievalCluster:
         return [{"lo": edges[i], "hi": edges[i + 1], "count": int(total[i])}
                 for i in range(len(edges) - 1)]
 
+    def _termstats_paths(self, database: str, table: str) -> list[str]:
+        """Existing termstats parquet parts across active generations,
+        sorted for a deterministic round-robin actor assignment."""
+        man = self.manifest(database, table)
+        paths = []
+        for g in man.active_generations():
+            info = man.data["generations"][str(g)]
+            for e in info.get("postings", {}).values():
+                p = e.get("termstats_path")
+                if p and os.path.exists(p):
+                    paths.append(p)
+        return sorted(paths)
+
+    def _suggest_scatter(self, database: str, table: str, paths: list[str],
+                         method: str, args: tuple) -> list | None:
+        """Scatter a suggest-family candidate call over the segment actors
+        (each actor receives — and caches — its round-robin slice of the
+        termstats parts). Returns the non-empty candidate tables, or None
+        when the table isn't activated (caller falls back to the Dataset
+        scan of the same kernel)."""
+        actors = self._actors.get((database, table))
+        if not actors:
+            return None
+        import ray
+        assign = [paths[i::len(actors)] for i in range(len(actors))]
+        futs = [getattr(a, method).remote(assign[i], *args)
+                for i, a in enumerate(actors) if assign[i]]
+        return [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                for t in r if len(t)]
+
     def suggest(self, database: str, table: str, field: str, term: str,
                 max_edits: int = 2, limit: int = 5,
                 transpositions: bool = True) -> list[dict]:
@@ -2749,51 +2779,36 @@ class RetrievalCluster:
         deletes don't decrement it until compaction, exactly like Lucene's
         docFreq.
 
-        Scale shape: ONE column-pruned distributed scan of the term
-        dictionary (the termstats parquet parts); every batch runs the
-        vectorized length-band + bag-distance prefilter and ships only its
-        few surviving (term, df, dist) rows to a tiny driver fold — no
-        full-dictionary DP, no shuffle."""
-        import ray.data
+        Scale shape — two serving modes, one kernel
+        (``functions/suggest_kernels.py``): on an ACTIVATED table the
+        termstats parts are split round-robin across the segment actors,
+        each of which caches its slice in memory (loaded once, evicted on
+        compaction) and answers with its few surviving (term, df, dist)
+        rows — an RPC-shaped suggest, no per-query Dataset launch.
+        Otherwise ONE column-pruned distributed scan of the dictionary
+        runs the identical kernel per batch. Both ways the vectorized
+        length-band + bag-distance prefilter means no full-dictionary DP
+        and no shuffle; the driver fold is |candidates|-sized."""
+        from byzer_retrieval_ray.functions import suggest_kernels as K
 
-        from byzer_retrieval_ray.functions.fuzzy import (edit_distances,
-                                                         fuzzy_candidates)
-        man = self.manifest(database, table)
-        paths = []
-        for g in man.active_generations():
-            info = man.data["generations"][str(g)]
-            for e in info.get("postings", {}).values():
-                p = e.get("termstats_path")
-                if p and os.path.exists(p):
-                    paths.append(p)
+        paths = self._termstats_paths(database, table)
         if not paths:
             return []
         q, ne, fld = str(term), int(max_edits), str(field)
-
-        def cands(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            empty = pa.table({"term": pa.array([], pa.string()),
-                              "df": pa.array([], pa.int64()),
-                              "dist": pa.array([], pa.int64())})
-            sub = batch.filter(pc.equal(batch["field"], fld))
-            terms = sub["term"].to_pylist()
-            if not terms:
-                return empty
-            lens = np.array([len(t) for t in terms], dtype=np.int64)
-            idx = fuzzy_candidates(q, terms, lens, ne)
-            if idx.size == 0:
-                return empty
-            cand = [terms[i] for i in idx]
-            d = edit_distances(q, cand, ne, transpositions)
-            keep = (d >= 1) & (d <= ne)
-            kidx = idx[keep]
-            return pa.table({
-                "term": pa.array([terms[i] for i in kidx], pa.string()),
-                "df": sub["df"].take(pa.array(kidx)).cast(pa.int64()),
-                "dist": pa.array(d[keep], pa.int64())})
-
-        out = ray.data.read_parquet(paths, columns=["field", "term", "df"]) \
-            .map_batches(cands, batch_format="pyarrow").to_pandas()
+        tbls = self._suggest_scatter(
+            database, table, paths, "suggest_candidates",
+            (fld, q, ne, bool(transpositions)))
+        if tbls is not None:
+            if not tbls:
+                return []
+            out = pa.concat_tables(tbls).to_pandas()
+        else:
+            import ray.data
+            out = ray.data.read_parquet(
+                paths, columns=["field", "term", "df"]) \
+                .map_batches(lambda b: K.spell_candidates(
+                    b, fld, q, ne, bool(transpositions)),
+                    batch_format="pyarrow").to_pandas()
         if not len(out):
             return []
         agg = out.groupby("term", as_index=False) \
@@ -2814,39 +2829,34 @@ class RetrievalCluster:
         build-time df — deletes don't decrement it until compaction,
         exactly like Lucene's docFreq (same convention as ``suggest``).
 
-        Scale shape: ONE column-pruned distributed scan of the term
-        dictionary (termstats parquet parts); every batch ships only its
-        prefix-matching (term, df) rows to a tiny driver fold. The fold is
-        |matching terms|-sized — bounded for realistic prefixes; a
-        one-character prefix over a web-scale dictionary ships that
-        dictionary slice (cap it client-side with a longer prefix)."""
-        import ray.data
+        Scale shape: the same two serving modes as :meth:`suggest` —
+        actor-cached dictionary slices on an activated table (RPC-shaped),
+        else ONE column-pruned distributed scan; both run the identical
+        kernel and ship only prefix-matching (term, df) rows to a tiny
+        driver fold. The fold is |matching terms|-sized — bounded for
+        realistic prefixes; a one-character prefix over a web-scale
+        dictionary ships that dictionary slice (cap it client-side with a
+        longer prefix)."""
+        from byzer_retrieval_ray.functions import suggest_kernels as K
 
         if not prefix:
             raise ValueError("prefix must be a non-empty string")
-        man = self.manifest(database, table)
-        paths = []
-        for g in man.active_generations():
-            info = man.data["generations"][str(g)]
-            for e in info.get("postings", {}).values():
-                p = e.get("termstats_path")
-                if p and os.path.exists(p):
-                    paths.append(p)
+        paths = self._termstats_paths(database, table)
         if not paths:
             return []
         pre, fld = str(prefix), str(field)
-
-        def cands(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            sub = batch.filter(pc.equal(batch["field"], fld))
-            sub = sub.filter(pc.starts_with(
-                pc.cast(sub["term"], pa.string()), pre))
-            return pa.table({
-                "term": pc.cast(sub["term"], pa.string()),
-                "df": pc.cast(sub["df"], pa.int64())})
-
-        out = ray.data.read_parquet(paths, columns=["field", "term", "df"]) \
-            .map_batches(cands, batch_format="pyarrow").to_pandas()
+        tbls = self._suggest_scatter(database, table, paths,
+                                     "complete_candidates", (fld, pre))
+        if tbls is not None:
+            if not tbls:
+                return []
+            out = pa.concat_tables(tbls).to_pandas()
+        else:
+            import ray.data
+            out = ray.data.read_parquet(
+                paths, columns=["field", "term", "df"]) \
+                .map_batches(lambda b: K.prefix_candidates(b, fld, pre),
+                             batch_format="pyarrow").to_pandas()
         if not len(out):
             return []
         agg = out.groupby("term", as_index=False).agg(df=("df", "sum")) \
@@ -2886,9 +2896,11 @@ class RetrievalCluster:
         positional postings with tombstones applied), a divergence that
         vanishes at compaction.
 
-        Scale shape: (1) ONE column-pruned distributed scan of the term
-        dictionary ships per-token candidate (term, df, ttf, dist) rows —
-        the same vectorized length-band prefilter as ``suggest``; (2) ONE
+        Scale shape: (1) the candidate stage runs in the same two serving
+        modes as ``suggest`` — actor-cached dictionary slices (RPC-shaped)
+        on an activated table, else ONE column-pruned distributed scan —
+        shipping per-token candidate (term, df, ttf, dist) rows with the
+        same vectorized length-band prefilter; (2) ONE
         ``phrase_pair_counts`` round ships (tokens-1)·max_candidates² int64
         bigram counts per serving bucket, each an ExactPhraseMatcher
         positional intersection served from the postings cache — no corpus
@@ -2898,69 +2910,37 @@ class RetrievalCluster:
         positions=False opts out and phrase counting raises there)."""
         import itertools
 
-        import ray.data
-
-        from byzer_retrieval_ray.functions.fuzzy import (edit_distances,
-                                                         fuzzy_candidates)
+        from byzer_retrieval_ray.functions import suggest_kernels as K
 
         tokens = [t for t in str(text).split() if t]
         if not tokens:
             raise ValueError("text must contain at least one token")
         man = self.manifest(database, table)
-        paths = []
         total_tokens = 0
         for g in man.active_generations():
             info = man.data["generations"][str(g)]
             fstats = info.get("stats", {}).get("fields", {}).get(field)
             if fstats:
                 total_tokens += int(fstats["sum_ttf"])
-            for e in info.get("postings", {}).values():
-                p = e.get("termstats_path")
-                if p and os.path.exists(p):
-                    paths.append(p)
+        paths = self._termstats_paths(database, table)
         if not paths or total_tokens == 0:
             return []
         ne, fld = int(max_edits), str(field)
         toks = list(tokens)
-
-        def cands(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            empty = pa.table({"tok": pa.array([], pa.int64()),
-                              "term": pa.array([], pa.string()),
-                              "df": pa.array([], pa.int64()),
-                              "ttf": pa.array([], pa.int64()),
-                              "dist": pa.array([], pa.int64())})
-            sub = batch.filter(pc.equal(batch["field"], fld))
-            terms = sub["term"].to_pylist()
-            if not terms:
-                return empty
-            lens = np.array([len(t) for t in terms], dtype=np.int64)
-            cols = {k: [] for k in ("tok", "term", "df", "ttf", "dist")}
-            for ti, tok in enumerate(toks):
-                idx = fuzzy_candidates(tok, terms, lens, ne)
-                if idx.size == 0:
-                    continue
-                cand = [terms[i] for i in idx]
-                d = edit_distances(tok, cand, ne, transpositions)
-                keep = d <= ne                       # distance 0 included
-                kidx = idx[keep]
-                cols["tok"].extend([ti] * int(kidx.size))
-                cols["term"].extend(terms[i] for i in kidx)
-                cols["df"].extend(
-                    sub["df"].take(pa.array(kidx)).to_pylist())
-                cols["ttf"].extend(
-                    sub["ttf"].take(pa.array(kidx)).to_pylist())
-                cols["dist"].extend(int(x) for x in d[keep])
-            return pa.table({
-                "tok": pa.array(cols["tok"], pa.int64()),
-                "term": pa.array(cols["term"], pa.string()),
-                "df": pa.array(cols["df"], pa.int64()),
-                "ttf": pa.array(cols["ttf"], pa.int64()),
-                "dist": pa.array(cols["dist"], pa.int64())})
-
-        raw = ray.data.read_parquet(
-            paths, columns=["field", "term", "df", "ttf"]) \
-            .map_batches(cands, batch_format="pyarrow").to_pandas()
+        tbls = self._suggest_scatter(
+            database, table, paths, "phrase_token_candidates",
+            (fld, toks, ne, bool(transpositions)))
+        if tbls is not None:
+            if not tbls:
+                return []
+            raw = pa.concat_tables(tbls).to_pandas()
+        else:
+            import ray.data
+            raw = ray.data.read_parquet(
+                paths, columns=["field", "term", "df", "ttf"]) \
+                .map_batches(lambda b: K.token_candidates(
+                    b, fld, toks, ne, bool(transpositions)),
+                    batch_format="pyarrow").to_pandas()
         if not len(raw):
             return []
         # fold duplicate terms across generations: df/ttf sum, dist is

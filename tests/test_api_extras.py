@@ -263,3 +263,70 @@ class TestPhraseSuggest:
                                           max_edits=1) == inproc
         finally:
             cluster.deactivate("db", "j")
+
+
+class TestSuggestActorCache:
+    """Round-5: on an activated table the suggest family serves from
+    actor-CACHED termstats slices (round-robin part assignment, shared
+    kernels in functions/suggest_kernels.py) instead of launching a Ray
+    Data scan per call — results must be identical in both modes and the
+    actor cache must actually populate and stick."""
+
+    def test_all_three_match_inproc(self, cluster):
+        spell = cluster.suggest("db", "j", "content", "shred", max_edits=2)
+        comp = cluster.complete("db", "j", "content", "5", limit=5)
+        phrase = cluster.phrase_suggest("db", "j", "content", "jsno doc",
+                                        max_edits=1)
+        cluster.activate("db", "j")
+        try:
+            assert cluster.suggest("db", "j", "content", "shred",
+                                   max_edits=2) == spell
+            assert cluster.complete("db", "j", "content", "5",
+                                    limit=5) == comp
+            assert cluster.phrase_suggest("db", "j", "content", "jsno doc",
+                                          max_edits=1) == phrase
+        finally:
+            cluster.deactivate("db", "j")
+
+    def test_cache_populates_and_persists(self, cluster):
+        import ray
+        cluster.activate("db", "j")
+        try:
+            cluster.complete("db", "j", "content", "j")
+            actors = cluster._actors[("db", "j")]
+            sizes = ray.get([a.__ray_call__.remote(
+                lambda self: len(getattr(self, "_ts_dict_cache", {})))
+                for a in actors])
+            # every termstats part is cached by exactly one actor
+            paths = cluster._termstats_paths("db", "j")
+            assert sum(sizes) == len(paths) > 0
+            cluster.suggest("db", "j", "content", "shred")
+            sizes2 = ray.get([a.__ray_call__.remote(
+                lambda self: len(getattr(self, "_ts_dict_cache", {})))
+                for a in actors])
+            assert sizes2 == sizes          # reused, not reloaded/evicted
+        finally:
+            cluster.deactivate("db", "j")
+
+    def test_cache_tracks_delta_generations(self, ray_session, tmp_path):
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "sg", "st(field(_id,long),field(content,string,analyze))",
+            loc))
+        c.build_from_local("db", "sg", [
+            {"_id": i, "content": "alpha common"} for i in range(10)],
+            key_field="_id", num_doc_parts=2, num_term_parts=2)
+        c.activate("db", "sg", nrt_poll_sec=0)
+        try:
+            assert c.complete("db", "sg", "content", "com") == \
+                   [{"term": "common", "df": 10}]
+            c.build_from_local("db", "sg", [
+                {"_id": 100 + i, "content": "beta common"} for i in range(5)],
+                key_field="_id", num_doc_parts=2, num_term_parts=2)
+            # build invalidation reloads/respawns the pool; the new
+            # generation's termstats parts load on demand and df sums
+            assert c.complete("db", "sg", "content", "com") == \
+                   [{"term": "common", "df": 15}]
+        finally:
+            c.deactivate("db", "sg")
