@@ -1253,6 +1253,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["terms_stats_agg"] = terms_stats_agg
 
+    def agg_composite_stats(sf):
+        # composable sub-aggregation (round-5): composite bucket source ×
+        # metric sub-aggs — first page of lang keys (asc) each carrying
+        # n_chars avg/sum/min/max over its whole match-set slice; phase 1
+        # ships <= size keys per serving bucket (composite partial),
+        # phase 2 <= keys x fields moment rows (bucket_metrics_keyword)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.aggregate("db", "docs", q2,
+                          {"composite": {"field": "lang", "size": 3}},
+                          {"st": {"stats": {"field": "n_chars"}}},
+                          precision="float64")
+        bs = out["buckets"]
+        return pa.table({
+            "lang": pa.array([b["key"] for b in bs], pa.string()),
+            "cnt": pa.array([b["doc_count"] for b in bs], pa.int64()),
+            "sum_n": pa.array([int(b["st"]["sum"]) for b in bs], pa.int64()),
+            "avg_n": pa.array([float(np.round(b["st"]["avg"], 4))
+                               for b in bs], pa.float64()),
+            "min_n": pa.array([int(b["st"]["min"]) for b in bs], pa.int64()),
+            "max_n": pa.array([int(b["st"]["max"]) for b in bs], pa.int64()),
+        })
+    q["agg_composite_stats"] = agg_composite_stats
+
+    def agg_histo_stats(sf):
+        # composable sub-aggregation (round-5): date_histogram bucket
+        # source × extended_stats sub-agg — one-day ts bins of the click
+        # match set, each with user_id count/sum/variance/stddev (integer
+        # column: float64 moment sums are exact below 2^53, so the fold
+        # matches SQL bit-for-bit before ROUND)
+        c = _events_cluster(sf)
+        q2 = SearchQuery("db", "events", keyword="*",
+                         filters={"and": [{"field": "event_type",
+                                           "value": "click"}]},
+                         fields=[], limit=10)
+        out = c.aggregate("db", "events", q2,
+                          {"date_histogram": {"field": "ts",
+                                              "interval": 86_400_000_000}},
+                          {"st": {"extended_stats": {"field": "user_id"}}},
+                          precision="float64")
+        bs = out["buckets"]
+        return pa.table({
+            "bucket_us": pa.array([b["key"] for b in bs], pa.int64()),
+            "cnt": pa.array([b["doc_count"] for b in bs], pa.int64()),
+            "s_cnt": pa.array([b["st"]["count"] for b in bs], pa.int64()),
+            "s_sum": pa.array([int(b["st"]["sum"]) for b in bs], pa.int64()),
+            "s_min": pa.array([int(b["st"]["min"]) for b in bs], pa.int64()),
+            "s_max": pa.array([int(b["st"]["max"]) for b in bs], pa.int64()),
+            "s_avg": pa.array([float(np.round(b["st"]["avg"], 4))
+                               for b in bs], pa.float64()),
+            "var_pop": pa.array([float(np.round(b["st"]["variance"], 4))
+                                 for b in bs], pa.float64()),
+            "stddev": pa.array([float(np.round(b["st"]["std_deviation"], 4))
+                                for b in bs], pa.float64()),
+        })
+    q["agg_histo_stats"] = agg_histo_stats
+
     def match_percentiles(sf):
         # EXACT percentiles over the whole 'merge sort' match set
         # (elasticsearch percentiles shape but exact, not t-digest):
@@ -2854,6 +2912,52 @@ SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS cnt,
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 WHERE d.lang IS NOT NULL
 GROUP BY d.lang ORDER BY cnt DESC, lang LIMIT 10"""
+
+    # composable agg: composite(lang, size 3) x stats(n_chars) — ascending
+    # key order, first page
+    sql["agg_composite_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_n,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars), 4) AS avg_n,
+       CAST(MIN(d.n_chars) AS BIGINT) AS min_n,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_n
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang ORDER BY lang LIMIT 3"""
+
+    # composable agg: date_histogram(ts, 1 day) x extended_stats(user_id)
+    # over the click match set — naive population variance in DOUBLE,
+    # clamped at 0, identical formula on both sides
+    sql["agg_histo_stats"] = """
+WITH m AS (
+  SELECT CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS b,
+         user_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT b AS bucket_us, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(user_id) AS BIGINT) AS s_cnt,
+       CAST(SUM(user_id) AS BIGINT) AS s_sum,
+       CAST(MIN(user_id) AS BIGINT) AS s_min,
+       CAST(MAX(user_id) AS BIGINT) AS s_max,
+       ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id), 4) AS s_avg,
+       ROUND(GREATEST(0.0e0,
+             CAST(SUM(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)) AS DOUBLE)
+               / COUNT(user_id)
+             - (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id))
+               * (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id))), 4) AS var_pop,
+       ROUND(SQRT(GREATEST(0.0e0,
+             CAST(SUM(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)) AS DOUBLE)
+               / COUNT(user_id)
+             - (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id))
+               * (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id)))), 4) AS stddev
+FROM m
+GROUP BY b ORDER BY bucket_us"""
 
     # exact match-set percentiles: q -> the floor(q·(n-1))-th (0-based)
     # smallest n_chars over the merge-OR-sort match set (lower discrete

@@ -354,6 +354,14 @@ class SegmentActorImpl:
                                     precision)
                 for s in self.searchers]
 
+    def bucket_metrics_keyword(self, q: dict, key_spec: dict, keys: list,
+                               fields: list,
+                               precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.bucket_metrics_keyword(query, key_spec, keys, fields,
+                                         precision)
+                for s in self.searchers]
+
     def terms_metric_keyword(self, q: dict, key_field: str,
                              metric_field: str,
                              precision: str = "float32") -> list:

@@ -3443,6 +3443,105 @@ class BucketSearcher:
                                  0.0),
         })
 
+    def bucket_metrics_keyword(self, q: SearchQuery, key_spec: dict,
+                               keys: list, fields: list,
+                               precision: str = "float32") -> pa.Table:
+        """Per-bucket PARTIAL metric moments for the REQUESTED bucket keys
+        — phase 2 of the composable sub-aggregation pass (elasticsearch
+        bucket-agg × metric-sub-agg composition; the bucket keys were
+        selected in phase 1 by the bounded facet/composite/histogram
+        fold). ``key_spec`` names the bucketing:
+
+            {"kind": "terms", "field": f}                   — string keys
+            {"kind": "histogram", "field": f,
+             "interval": i, "offset": o}                    — int64 bin keys
+
+        For every (requested key × metric field) with at least one
+        non-null metric value this bucket ships ONE
+        (key, field, mcnt, msum, mmin, mmax, msumsq) row — ≤ |keys|·|fields|
+        rows regardless of match count or key cardinality; unrequested
+        keys never leave the shard. Sums/moments accumulate in float64
+        (exact for integer columns while |Σ| < 2^53 — the terms_stats
+        convention); timestamps aggregate as epoch microseconds. Docs with
+        a null key belong to no bucket; null metric values don't count
+        (SQL COUNT(col) semantics)."""
+        from dataclasses import replace
+
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "field": pa.array([], pa.string()),
+                          "mcnt": pa.array([], pa.int64()),
+                          "msum": pa.array([], pa.float64()),
+                          "mmin": pa.array([], pa.float64()),
+                          "mmax": pa.array([], pa.float64()),
+                          "msumsq": pa.array([], pa.float64())})
+        if not keys or not fields:
+            return empty
+        kind = key_spec["kind"]
+        key_field = key_spec["field"]
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        ids, _ = self.search_keyword(qq, precision=precision,
+                                     algorithm="taat")
+        if ids.size == 0:
+            return empty
+        cols = sorted({key_field, *fields})
+        tbl = self.fetch_docs(ids, columns=cols)
+        if key_field not in tbl.column_names:
+            return empty
+        raw_keys = tbl[key_field].combine_chunks()
+        if pa.types.is_list(raw_keys.type) or \
+                pa.types.is_large_list(raw_keys.type):
+            raise ValueError(
+                f"bucket key {key_field!r} is list-typed — a doc can only "
+                "belong to one bucket")
+        if kind == "histogram":
+            kcol = raw_keys
+            if pa.types.is_timestamp(kcol.type):
+                kcol = pc.cast(pc.cast(kcol, pa.timestamp("us")), pa.int64())
+            elif not pa.types.is_integer(kcol.type):
+                raise ValueError(
+                    f"histogram key {key_field!r} must be a timestamp or "
+                    f"integer stored column, got {kcol.type}")
+            valid = pc.is_valid(kcol)
+            vals = pc.fill_null(pc.cast(kcol, pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            step = np.int64(int(key_spec["interval"]))
+            off = np.int64(int(key_spec.get("offset", 0)))
+            bins = (vals - off) // step * step + off
+            kstr = pa.array([str(b) for b in bins], pa.string())
+        else:
+            kstr = pc.cast(raw_keys, pa.string())
+            valid = pc.is_valid(kstr)
+        want = pa.array([str(k) for k in keys], pa.string())
+        sel = pc.and_(valid, pc.is_in(kstr, value_set=want))
+        if not pc.any(sel).as_py():
+            return empty
+        parts = []
+        kept_keys = kstr.filter(sel)
+        for f in fields:
+            if f not in tbl.column_names:
+                raise ValueError(f"metric field {f!r} is not a stored column")
+            m = tbl[f].combine_chunks()
+            if pa.types.is_timestamp(m.type):
+                m = pc.cast(pc.cast(m, pa.timestamp("us")), pa.int64())
+            m = pc.cast(m, pa.float64()).filter(sel)
+            grp = pa.table({"key": kept_keys, "v": m,
+                            "v2": pc.multiply(m, m)}) \
+                .filter(pc.is_valid(m))
+            if len(grp) == 0:
+                continue
+            agg = grp.group_by("key").aggregate([
+                ("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max"),
+                ("v2", "sum")])
+            parts.append(pa.table({
+                "key": agg["key"],
+                "field": pa.array([f] * len(agg), pa.string()),
+                "mcnt": pc.cast(agg["v_count"], pa.int64()),
+                "msum": pc.cast(agg["v_sum"], pa.float64()),
+                "mmin": pc.cast(agg["v_min"], pa.float64()),
+                "mmax": pc.cast(agg["v_max"], pa.float64()),
+                "msumsq": pc.cast(agg["v2_sum"], pa.float64())}))
+        return pa.concat_tables(parts) if parts else empty
+
     def _matchset_values(self, q: SearchQuery, field: str,
                          precision: str) -> np.ndarray:
         """float64 values of ``field`` over the ENTIRE keyword match set

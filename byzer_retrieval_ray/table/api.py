@@ -2299,6 +2299,218 @@ class RetrievalCluster:
                         else None})
         return out
 
+    _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "stats",
+                     "extended_stats")
+
+    def aggregate(self, database: str, table: str, query, source: dict,
+                  aggs: dict, precision: str = "float32") -> dict:
+        """Composable bucket aggregation with nested sub-aggregations (the
+        elasticsearch bucket-agg × sub-agg composition the fixed two-phase
+        shapes — terms_stats, top_hits — special-case; the reference
+        exposes no aggregation API: extension). ``source`` picks ONE
+        bucketing:
+
+            {"terms":          {"field": f, "size": n}}
+            {"composite":      {"field": f, "size": n, "after": key|None}}
+            {"date_histogram": {"field": f, "interval": i, "offset": o,
+                                "min_doc_count": m}}
+
+        and ``aggs`` maps result names to sub-aggregations over each
+        bucket's ENTIRE match-set slice:
+
+            {"<name>": {"avg"|"sum"|"min"|"max"|"value_count"|"stats"|
+                        "extended_stats": {"field": f}}}
+            {"<name>": {"top_hits": {"size": n}}}     # terms/composite only
+
+        Returns ``{"buckets": [{"key", "doc_count", "<name>": …}, ...]}``
+        (+ ``after_key`` for composite) in the source's bucket order —
+        terms by (count desc, key asc), composite/histogram by key asc.
+        ``stats`` folds to {count,min,max,sum,avg}; ``extended_stats`` adds
+        {sum_of_squares, variance, std_deviation} (population, the naive
+        float64 ES formula). Sums are float64 (exact for integer columns
+        while |Σ| < 2^53); timestamps aggregate as epoch microseconds;
+        null metric values don't count (SQL COUNT(col) semantics); docs
+        with a null bucket key belong to no bucket.
+
+        Scale shape — two bounded scatter/gather rounds: phase 1 selects
+        the bucket keys with the BOUNDED fold of the underlying source
+        (facet_counts' threshold algorithm / composite's paged partial /
+        the histogram's bin-bounded partial — never a vocabulary-sized
+        ship); phase 2 ships per bucket at most |keys| × |metric fields|
+        moment rows (``bucket_metrics_keyword``) plus, for top_hits,
+        |keys| × size hit rows (``tophits_keyword``, exact per the
+        per-key top-k argument). Keyword recall only (filters
+        supported)."""
+        if len(source) != 1:
+            raise ValueError("source must contain exactly one bucketing")
+        kind, spec = next(iter(source.items()))
+        if kind not in ("terms", "composite", "date_histogram"):
+            raise ValueError(f"unknown bucket source {kind!r}")
+        if not aggs:
+            raise ValueError("aggs must name at least one sub-aggregation")
+        metric_aggs: dict[str, tuple[str, str]] = {}
+        hit_aggs: dict[str, int] = {}
+        for name, sub in aggs.items():
+            if len(sub) != 1:
+                raise ValueError(
+                    f"sub-aggregation {name!r} must have exactly one kind")
+            skind, sspec = next(iter(sub.items()))
+            if skind == "top_hits":
+                if kind == "date_histogram":
+                    raise ValueError(
+                        "top_hits composes with terms/composite sources "
+                        "(histogram bins are not stored field values)")
+                hit_aggs[name] = max(1, int(sspec.get("size", 3)))
+            elif skind in self._METRIC_KINDS:
+                metric_aggs[name] = (skind, str(sspec["field"]))
+            else:
+                raise ValueError(f"unknown sub-aggregation kind {skind!r}")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("aggregate takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("aggregate is keyword-only")
+        key_field = str(spec["field"])
+
+        # ---- phase 1: bounded bucket-key selection ----
+        after_key = None
+        if kind == "terms":
+            sel = self.facet_counts(database, table, q, key_field,
+                                    limit=int(spec.get("size", 10)),
+                                    precision=precision)
+            buckets = [(b["value"], b["count"]) for b in sel]
+        elif kind == "composite":
+            page = self.composite_agg(database, table, q, key_field,
+                                      size=int(spec.get("size", 10)),
+                                      after=spec.get("after"),
+                                      precision=precision)
+            buckets = [(b["key"], b["count"]) for b in page["buckets"]]
+            after_key = page["after_key"]
+        else:
+            bins = self.date_histogram(
+                database, table, q, key_field,
+                interval=int(spec["interval"]),
+                offset=int(spec.get("offset", 0)),
+                min_doc_count=int(spec.get("min_doc_count", 1)),
+                precision=precision)
+            buckets = [(b["bucket"], b["count"]) for b in bins]
+        if not buckets:
+            out = {"buckets": []}
+            if kind == "composite":
+                out["after_key"] = None
+            return out
+        key_strs = [str(k) for k, _ in buckets]
+
+        # ---- phase 2: bounded per-key partials for the sub-aggs ----
+        folded: dict[tuple[str, str], dict] = {}
+        if metric_aggs:
+            fields = sorted({f for _, f in metric_aggs.values()})
+            if kind == "date_histogram":
+                key_spec = {"kind": "histogram", "field": key_field,
+                            "interval": int(spec["interval"]),
+                            "offset": int(spec.get("offset", 0))}
+            else:
+                key_spec = {"kind": "terms", "field": key_field}
+            use_actors = (database, table) in self._actors
+            if use_actors:
+                import ray
+                futs = [a.bucket_metrics_keyword.remote(
+                            q.__dict__, key_spec, key_strs, fields, precision)
+                        for a in self._actors[(database, table)]]
+                parts = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                         for t in r]
+            else:
+                parts = [s.bucket_metrics_keyword(q, key_spec, key_strs,
+                                                  fields, precision)
+                         for s in self._searchers(database, table)]
+            parts = [t for t in parts if len(t)]
+            if parts:
+                df = pa.concat_tables(parts).to_pandas()
+                g = df.groupby(["key", "field"], as_index=False).agg(
+                    mcnt=("mcnt", "sum"), msum=("msum", "sum"),
+                    mmin=("mmin", "min"), mmax=("mmax", "max"),
+                    msumsq=("msumsq", "sum"))
+                for r in g.itertuples():
+                    folded[(str(r.key), str(r.field))] = {
+                        "count": int(r.mcnt), "sum": float(r.msum),
+                        "min": float(r.mmin), "max": float(r.mmax),
+                        "sumsq": float(r.msumsq)}
+        hits_by_key: dict[str, dict[str, list]] = {}
+        for name, per_key in hit_aggs.items():
+            # per-key top hits for THIS source's keys (phase-1 selection may
+            # be a composite page, not the top-by-count keys top_hits picks)
+            use_actors = (database, table) in self._actors
+            if use_actors:
+                import ray
+                futs = [a.tophits_keyword.remote(q.__dict__, key_field,
+                                                 key_strs, per_key, precision)
+                        for a in self._actors[(database, table)]]
+                tbls = [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                        for t in r]
+            else:
+                tbls = [s.tophits_keyword(q, key_field, key_strs, per_key,
+                                          precision)
+                        for s in self._searchers(database, table)]
+            tbls = [t for t in tbls if len(t)]
+            per: dict[str, list] = {k: [] for k in key_strs}
+            if tbls:
+                t = pa.concat_tables(tbls)
+                ids = t["doc_id"].to_numpy()
+                scores = t["score"].to_numpy()
+                kcol = t["key"].to_pylist()
+                order = np.lexsort((ids, -scores.astype(np.float64)))
+                for i in order:
+                    lst = per.get(kcol[int(i)])
+                    if lst is not None and len(lst) < per_key:
+                        lst.append({"doc_id": int(ids[i]),
+                                    "_score": float(scores[i])})
+            hits_by_key[name] = per
+
+        # ---- fold ----
+        import math
+        out_buckets = []
+        for (key, cnt), kstr_ in zip(buckets, key_strs):
+            row: dict = {"key": key, "doc_count": int(cnt)}
+            for name, (mk, f) in metric_aggs.items():
+                p = folded.get((kstr_, f))
+                n = p["count"] if p else 0
+                if mk == "value_count":
+                    row[name] = n
+                elif mk == "sum":
+                    row[name] = p["sum"] if p else 0.0
+                elif mk == "min":
+                    row[name] = p["min"] if p else None
+                elif mk == "max":
+                    row[name] = p["max"] if p else None
+                elif mk == "avg":
+                    row[name] = (p["sum"] / n) if n else None
+                else:
+                    st = {"count": n,
+                          "min": p["min"] if n else None,
+                          "max": p["max"] if n else None,
+                          "sum": p["sum"] if p else 0.0,
+                          "avg": (p["sum"] / n) if n else None}
+                    if mk == "extended_stats":
+                        if n:
+                            mean = p["sum"] / n
+                            var = max(0.0, p["sumsq"] / n - mean * mean)
+                            st.update({"sum_of_squares": p["sumsq"],
+                                       "variance": var,
+                                       "std_deviation": math.sqrt(var)})
+                        else:
+                            st.update({"sum_of_squares": None,
+                                       "variance": None,
+                                       "std_deviation": None})
+                    row[name] = st
+            for name in hit_aggs:
+                row[name] = hits_by_key[name][kstr_]
+            out_buckets.append(row)
+        out = {"buckets": out_buckets}
+        if kind == "composite":
+            out["after_key"] = after_key
+        return out
+
     def percentiles(self, database: str, table: str, query, field: str,
                     qs: list[float], n_candidates: int = 256,
                     collect_limit: int = 4096, max_rounds: int = 8,
