@@ -231,6 +231,72 @@ def run_bench() -> dict:
     tq = time.perf_counter()
     cluster.complete("web", "pages", "text", qs[0][:3])
     queries["suggest_complete"] = round(time.perf_counter() - tq, 3)
+
+    # ---- concurrent serving (QPS leg): mixed keyword/agg/suggest load ----
+    # The reference's master fans concurrent clients out to the actor pool
+    # (RetrievalMaster.java:290-324 virtual-thread handoff). A single
+    # Python driver folds ~1 query at a time (GIL) — measured flat ~90 QPS
+    # from 4 to 32 client threads at sf0.1 — so serving at QPS is the
+    # COORDINATOR tier (index/coordinator.py, K parallel folds) over
+    # REPLICATED segment pools (every query scatters to one whole pool, so
+    # one pool saturates at ~1/per-actor-work regardless of actor count;
+    # replicas multiply the ceiling). Reported: driver-fold saturation at
+    # 32 threads (the contrast number), then coordinator throughput + tail
+    # latency at two in-flight levels. Workload 12:2:1:1
+    # search:facet:complete:terms_stats over the corpus mix.
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_coord = int(os.environ.get("BYZER_BENCH_COORDINATORS",
+                                 str(min(16, max(2, NUM_CPUS // 2)))))
+    n_rep = int(os.environ.get("BYZER_BENCH_REPLICAS",
+                               str(max(1, NUM_CPUS // 16))))
+    cluster.deactivate("web", "pages")
+    cluster.activate("web", "pages", preload=True, num_replicas=n_rep)
+
+    def _one_query(i: int) -> float:
+        kw = qs[i % len(qs)]
+        t1 = time.perf_counter()
+        k = i % 16
+        if k < 12:
+            cluster.search("web", "pages",
+                           SearchQuery("web", "pages", keyword=kw,
+                                       fields=["text"], limit=10),
+                           algorithm="bmw")
+        elif k < 14:
+            cluster.facet_counts("web", "pages",
+                                 SearchQuery("web", "pages", keyword=kw,
+                                             fields=["text"], limit=10),
+                                 "lang")
+        elif k == 14:
+            cluster.complete("web", "pages", "text", kw.split()[0][:3] or "a")
+        else:
+            cluster.terms_stats("web", "pages",
+                                SearchQuery("web", "pages", keyword=kw,
+                                            fields=["text"], limit=10),
+                                "lang", "warc_ts")
+        return time.perf_counter() - t1
+
+    n_qps = int(os.environ.get("BYZER_BENCH_QPS_QUERIES", "192"))
+
+    def _qps_level(level: int, tag: str) -> None:
+        with ThreadPoolExecutor(max_workers=level) as ex:
+            tw = time.perf_counter()
+            qlat = np.array(list(ex.map(_one_query, range(n_qps))))
+            wall = time.perf_counter() - tw
+        queries[f"qps_{tag}"] = round(n_qps / wall, 1)
+        queries[f"qps_{tag}_p50_ms"] = round(
+            float(np.percentile(qlat, 50)) * 1000, 2)
+        queries[f"qps_{tag}_p99_ms"] = round(
+            float(np.percentile(qlat, 99)) * 1000, 2)
+
+    _one_query(0)                                 # untimed pool warm-up
+    _qps_level(32, "driver_c32")                  # GIL-bound contrast
+    cluster.add_coordinators("web", "pages", n_coord)
+    _one_query(0)                                 # untimed coordinator warm-up
+    for level in (4, 32):
+        _qps_level(level, f"c{level}")
+    queries["qps_coordinators"] = n_coord
+    queries["qps_replicas"] = n_rep
     cluster.deactivate("web", "pages")
 
     # ---- vector build + ANN-persistence serving ----

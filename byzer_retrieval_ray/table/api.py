@@ -50,16 +50,43 @@ def _match_bucket_ids(man_data: dict, bucket: int, gen: int, q_dict: dict,
     return np.sort(np.asarray(ids, dtype=np.int64))
 
 
+def _coordinated(fn):
+    """Route this read endpoint through the coordinator tier when one is
+    active for (database, table): the call's actor-mode scatter + fold
+    runs inside a coordinator process (index/coordinator.py) and the
+    driver's only per-query work is one RPC — K coordinators give K
+    parallel folds where the driver's GIL allows ~1. Transparent: the
+    coordinator executes this very method on its own cluster handle, so
+    results are byte-identical to driver-side serving."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, database, table, *args, **kwargs):
+        coords = getattr(self, "_coordinators", {}).get((database, table))
+        if coords:
+            import ray
+            i = next(self._coord_rr) % len(coords)
+            return ray.get(
+                coords[i].call.remote(fn.__name__, database, table,
+                                      *args, **kwargs),
+                timeout=QUERY_TIMEOUT_SEC)
+        return fn(self, database, table, *args, **kwargs)
+    return wrap
+
+
 class RetrievalCluster:
     """A named retrieval cluster rooted at a storage location."""
 
     def __init__(self, location: str, name: str = "cluster"):
+        import itertools
         self.location = location
         self.name = name
         self._manifests: dict[tuple[str, str], Manifest] = {}
         self._local_searchers: dict[tuple[str, str], list[BucketSearcher]] = {}
         self._fed_searchers: dict[tuple[str, tuple], list] = {}
         self._actors: dict[tuple[str, str], list] = {}
+        self._coordinators: dict[tuple[str, str], list] = {}
+        self._coord_rr = itertools.count()
         os.makedirs(location, exist_ok=True)
 
     # ------------- lifecycle (M7/M8/M9) -------------
@@ -568,7 +595,9 @@ class RetrievalCluster:
     def activate(self, database: str, table: str, mode: str = "actors",
                  preload: bool = False, num_actors: int | None = None,
                  nrt_poll_sec: float = 1.0,
-                 node_ips: list[str] | None = None) -> int:
+                 node_ips: list[str] | None = None,
+                 num_coordinators: int = 0,
+                 num_replicas: int = 1) -> int:
         """Spawn the serving actor pool. Actors are sized to the CLUSTER (≈ one per
         core by default), each owning a contiguous slice of the table's serving
         buckets — storage partitioning (chosen for build balance, possibly
@@ -581,7 +610,23 @@ class RetrievalCluster:
         ``node_ips`` pins actor i to node_ips[i % len] via Ray's built-in
         ``node:<ip>`` resource — the reference's node-locality scheme for
         node-local index dirs (RetrievalMaster.java:54-56); unnecessary on a
-        shared filesystem."""
+        shared filesystem.
+
+        ``num_coordinators`` > 0 additionally spawns that many query
+        coordinators (index/coordinator.py) — slim actors that run the
+        scatter-gather-FOLD of every read endpoint off the driver, the
+        reference's virtual-thread master shape (RetrievalMaster.java:
+        290-324). One Python driver folds ~1 query at a time (GIL); K
+        coordinators fold K. Size to the expected concurrent-client
+        count, not the data.
+
+        ``num_replicas`` > 1 spawns that many INDEPENDENT segment pools
+        over the same buckets (the elasticsearch replica shape): every
+        query still scatters to one whole pool, so a single pool saturates
+        at ~1/per-actor-work QPS no matter how many actors it has —
+        replicas multiply that ceiling. Coordinators round-robin across
+        pools (coordinator i owns pool i mod R); the driver's own fold
+        path uses pool 0. Replicas share nothing but the on-disk index."""
         import ray
 
         from byzer_retrieval_ray.index.actors import make_segment_actor
@@ -589,22 +634,36 @@ class RetrievalCluster:
         m = self.manifest(database, table)
         pairs = self._gen_buckets(m)
         total_cpus = ray.cluster_resources().get("CPU", 8)
+        n_rep = max(1, int(num_replicas))
         n_actors = num_actors or min(len(pairs), max(1, int(total_cpus)))
-        per_actor = min(1.0, round(max(total_cpus * 0.8 / max(n_actors, 1), 0.05), 2))
+        # keep ≥1 whole CPU outside the serving reservation: NRT delta
+        # builds submit 1-CPU tasks while the pool is live — a pool sized
+        # to total×0.8 on a small node starves them into a permanent pend
+        # (observed: 8 actors × 0.4 on a 4-CPU box deadlocked a rebuild)
+        per_actor = min(1.0, round(
+            max((total_cpus * 0.8 - 1.0) / max(n_actors * n_rep, 1),
+                0.05), 2))
         groups = [(i, pairs[i::n_actors]) for i in range(n_actors)]
         groups = [(i, g) for i, g in groups if g]
-        actors = [make_segment_actor(m.data, g, num_cpus=per_actor,
-                                     location=self.location, poll_sec=nrt_poll_sec,
+        pools = [[make_segment_actor(m.data, g, num_cpus=per_actor,
+                                     location=self.location,
+                                     poll_sec=nrt_poll_sec,
                                      assignment=(i, n_actors),
                                      node_ip=(node_ips[i % len(node_ips)]
                                               if node_ips else None))
                   for i, g in groups]
-        self._actors[(database, table)] = actors
+                 for _ in range(n_rep)]
+        self._actor_pools = getattr(self, "_actor_pools", {})
+        self._actor_pools[(database, table)] = pools
+        self._actors[(database, table)] = pools[0]
         self._actor_buckets = getattr(self, "_actor_buckets", {})
         self._actor_buckets[(database, table)] = pairs
         if preload:
-            ray.get([a.preload.remote() for a in actors])
-        return len(actors)
+            ray.get([a.preload.remote() for p in pools for a in p])
+        if num_coordinators > 0:
+            self._respawn_coordinators(database, table,
+                                       int(num_coordinators))
+        return len(pools[0])
 
     @staticmethod
     def _gen_buckets(m: Manifest) -> list[tuple[int, int]]:
@@ -617,7 +676,12 @@ class RetrievalCluster:
 
     def deactivate(self, database: str, table: str) -> None:
         import ray
-        for a in self._actors.pop((database, table), []):
+        key = (database, table)
+        for c in self._coordinators.pop(key, []):
+            ray.kill(c)
+        pools = getattr(self, "_actor_pools", {}).pop(key, None)
+        primary = self._actors.pop(key, [])
+        for a in (a for p in pools for a in p) if pools else primary:
             ray.kill(a)
 
     def _searchers(self, database: str, table: str) -> list[BucketSearcher]:
@@ -642,6 +706,9 @@ class RetrievalCluster:
         key = (database, table)
         if key in self._actors:
             import ray
+            n_coord = len(self._coordinators.get(key, []))
+            pools = getattr(self, "_actor_pools", {}).get(
+                key, [self._actors[key]])
             m = self.manifest(database, table)
             try:
                 GenerationReader(m.data)
@@ -652,10 +719,50 @@ class RetrievalCluster:
             if buckets != getattr(self, "_actor_buckets", {}).get(key):
                 # generation changed the serving bucket set → respawn the pool
                 self.deactivate(database, table)
-                self.activate(database, table)
+                self.activate(database, table, num_coordinators=n_coord,
+                              num_replicas=len(pools))
             else:
-                ray.get([a.reload.remote(m.data) for a in self._actors[key]])
+                ray.get([a.reload.remote(m.data)
+                         for p in pools for a in p])
+                if n_coord:
+                    # coordinators cache manifests/searcher state in their
+                    # inner cluster — respawn them against the live pools
+                    # (slim actors, construction is cheap)
+                    self._respawn_coordinators(database, table, n_coord)
 
+    def add_coordinators(self, database: str, table: str, n: int) -> int:
+        """(Re)spawn the query-coordinator tier for an ACTIVATED table —
+        same effect as ``activate(..., num_coordinators=n)`` without
+        touching the segment pool. Returns the coordinator count."""
+        if (database, table) not in self._actors:
+            raise RuntimeError(
+                f"table {database}.{table} is not activated — coordinators "
+                "front the segment-actor pool")
+        self._respawn_coordinators(database, table, int(n))
+        return len(self._coordinators.get((database, table), []))
+
+    def _respawn_coordinators(self, database: str, table: str,
+                              n: int) -> None:
+        import ray
+
+        from byzer_retrieval_ray.index.coordinator import make_coordinator_actor
+        for c in self._coordinators.pop((database, table), []):
+            ray.kill(c)
+        pools = getattr(self, "_actor_pools", {}).get(
+            (database, table)) or [self._actors.get((database, table), [])]
+        if not pools[0] or n <= 0:
+            return
+        total_cpus = ray.cluster_resources().get("CPU", 8)
+        per_coord = min(0.5, round(max(total_cpus * 0.1 / n, 0.01), 2))
+        # coordinator i fronts replica pool i mod R — replicas multiply the
+        # pool-saturation QPS ceiling; each coordinator folds over ONE pool
+        self._coordinators[(database, table)] = [
+            make_coordinator_actor(self.location, database, table,
+                                   pools[i % len(pools)],
+                                   num_cpus=per_coord)
+            for i in range(int(n))]
+
+    @_coordinated
     def search(self, database: str, table: str, queries,
                precision: str = "float32", algorithm: str = "bmw",
                vector_algorithm: str = "brute", nprobe: int = 4,
@@ -738,6 +845,7 @@ class RetrievalCluster:
                 out.append(self._materialize(database, table, ids, scores, False))
         return out
 
+    @_coordinated
     def search_named(self, database: str, table: str, query, named: dict,
                      precision: str = "float32", algorithm: str = "bmw",
                      **search_kw) -> list[dict]:
@@ -778,6 +886,7 @@ class RetrievalCluster:
                                     if h["doc_id"] in matched[name]]
         return hits
 
+    @_coordinated
     def linear_search(self, database: str, table: str, query,
                       weight_keyword: float = 1.0,
                       weight_vector: float = 1.0, window: int = 100,
@@ -923,6 +1032,7 @@ class RetrievalCluster:
                 out[int(slot)] = d
         return [d for d in out if d is not None]
 
+    @_coordinated
     def more_like_this(self, database: str, table: str, like_text: str,
                        field: str = "text", limit: int = 10,
                        max_query_terms: int = 5, **search_kwargs):
@@ -969,6 +1079,7 @@ class RetrievalCluster:
                         fields=[field], limit=limit)
         return self.search(database, table, q, **search_kwargs)[0], chosen
 
+    @_coordinated
     def highlight(self, database: str, table: str, query, field: str,
                   window: int = 16, **search_kwargs) -> list[dict]:
         """Keyword search + best-passage snippets (the Lucene
@@ -1032,6 +1143,7 @@ class RetrievalCluster:
                         "snippet": snip, "n_matched": m})
         return out
 
+    @_coordinated
     def explain(self, database: str, table: str, query, doc_id: int,
                 precision: str = "float32",
                 fuzzy_transpositions: bool = True) -> dict:
@@ -1064,6 +1176,7 @@ class RetrievalCluster:
                 "in_candidates": False, "excluded": False,
                 "note": "doc_id not present in any generation bucket"}
 
+    @_coordinated
     def count(self, database: str, table: str, query,
               precision: str = "float32") -> int:
         """Total-hits count for a keyword query over the ENTIRE match set
@@ -1087,6 +1200,7 @@ class RetrievalCluster:
         return int(sum(s.count_keyword(q, precision)
                        for s in self._searchers(database, table)))
 
+    @_coordinated
     def mmr_search(self, database: str, table: str, query,
                    mmr_lambda: float = 0.7, pool: int = 50,
                    precision: str = "float64") -> list[dict]:
@@ -1169,6 +1283,7 @@ class RetrievalCluster:
         return [{"value": str(r.value), "count": int(r.cnt)}
                 for r in agg.head(limit).itertuples()]
 
+    @_coordinated
     def facet_counts(self, database: str, table: str, query, facet_field: str,
                      limit: int = 10, precision: str = "float32",
                      shard_size: int | None = None) -> list[dict]:
@@ -1246,6 +1361,7 @@ class RetrievalCluster:
                 return out
             S *= 4
 
+    @_coordinated
     def top_hits(self, database: str, table: str, query, key_field: str,
                  num_keys: int = 10, per_key: int = 3,
                  precision: str = "float32") -> list[dict]:
@@ -1305,6 +1421,7 @@ class RetrievalCluster:
         return [{"key": b["value"], "count": b["count"],
                  "hits": hits_by_key[b["value"]]} for b in buckets]
 
+    @_coordinated
     def collapse_search(self, database: str, table: str, query,
                         collapse_field: str,
                         precision: str = "float32",
@@ -1360,6 +1477,7 @@ class RetrievalCluster:
         return [{"doc_id": int(ids[i]), "_score": float(scores[i]),
                  collapse_field: keys[int(i)].as_py()} for i in sel]
 
+    @_coordinated
     def function_search(self, database: str, table: str, query,
                         score_function: dict,
                         precision: str = "float32") -> list[dict]:
@@ -1437,6 +1555,7 @@ class RetrievalCluster:
         ids, scores = ids[: q.limit], scores[: q.limit]
         return self._materialize(database, table, ids, scores, False)
 
+    @_coordinated
     def boosting_search(self, database: str, table: str, query,
                         negative_keyword: str, negative_boost: float = 0.5,
                         precision: str = "float32") -> list[dict]:
@@ -1479,6 +1598,7 @@ class RetrievalCluster:
         ids, scores = ids[: q.limit], scores[: q.limit]
         return self._materialize(database, table, ids, scores, False)
 
+    @_coordinated
     def significant_terms(self, database: str, table: str, query,
                           field: str, limit: int = 10,
                           min_doc_count: int = 1,
@@ -1621,6 +1741,7 @@ class RetrievalCluster:
                 return out
             S *= 4
 
+    @_coordinated
     def cardinality(self, database: str, table: str, query, field: str,
                     p: int = 12, precision: str = "float32") -> dict:
         """Approximate distinct count of a stored field over a keyword
@@ -1661,6 +1782,7 @@ class RetrievalCluster:
             regs = merge_registers(regs, np.asarray(r, dtype=np.int64))
         return _estimate(regs, int(p))
 
+    @_coordinated
     def field_stats(self, database: str, table: str, query, field: str,
                     precision: str = "float32") -> dict:
         """Numeric stats (count / min / max / sum / mean) of a stored field
@@ -1700,6 +1822,7 @@ class RetrievalCluster:
                 "max": max(p["max"] for p in parts), "sum": vsum,
                 "mean": float(vsum) / cnt}
 
+    @_coordinated
     def extended_stats(self, database: str, table: str, query, field: str,
                        precision: str = "float32") -> dict:
         """:meth:`field_stats` plus second-moment statistics (the
@@ -1746,6 +1869,7 @@ class RetrievalCluster:
                 "variance": variance,
                 "std_deviation": math.sqrt(variance)}
 
+    @_coordinated
     def composite_agg(self, database: str, table: str, query, field: str,
                       size: int = 10, after: str | None = None,
                       precision: str = "float32") -> dict:
@@ -1798,6 +1922,7 @@ class RetrievalCluster:
                 "after_key": None if (exhausted or not buckets)
                 else buckets[-1]["key"]}
 
+    @_coordinated
     def filters_agg(self, database: str, table: str, query, filters: dict,
                     other_bucket: bool = False,
                     precision: str = "float32") -> list[dict]:
@@ -1838,6 +1963,7 @@ class RetrievalCluster:
         return [{"key": k, "count": sum(p.get(k, 0) for p in parts)}
                 for k in keys]
 
+    @_coordinated
     def adjacency_matrix(self, database: str, table: str, query,
                          filters: dict, separator: str = "&",
                          precision: str = "float32") -> list[dict]:
@@ -1888,6 +2014,7 @@ class RetrievalCluster:
                for k in keys]
         return [o for o in out if o["count"] > 0]
 
+    @_coordinated
     def top_metrics(self, database: str, table: str, query,
                     sort_field: str, metric_fields: list,
                     ascending: bool = False, size: int = 1,
@@ -1946,6 +2073,7 @@ class RetrievalCluster:
             out.append(row)
         return out
 
+    @_coordinated
     def string_stats(self, database: str, table: str, query, field: str,
                      precision: str = "float32") -> dict:
         """String statistics of a stored OR analyzed string field over a
@@ -1998,6 +2126,7 @@ class RetrievalCluster:
                 "avg_length": float(sum_len) / cnt,
                 "entropy": entropy}
 
+    @_coordinated
     def matrix_stats(self, database: str, table: str, query, fields: list,
                      precision: str = "float32") -> dict:
         """Multi-field joint statistics over a keyword query's ENTIRE match
@@ -2079,6 +2208,7 @@ class RetrievalCluster:
                            for i, f in enumerate(fields)},
                 "covariance": cov, "correlation": corr}
 
+    @_coordinated
     def weighted_avg(self, database: str, table: str, query,
                      value_field: str, weight_field: str,
                      precision: str = "float32") -> dict:
@@ -2114,6 +2244,7 @@ class RetrievalCluster:
         return {"count": int(n),
                 "weighted_avg": (vw / w) if w != 0.0 else None}
 
+    @_coordinated
     def rare_terms(self, database: str, table: str, query, field: str,
                    max_doc_count: int = 1, limit: int = 10,
                    precision: str = "float32") -> list[dict]:
@@ -2184,6 +2315,7 @@ class RetrievalCluster:
         return [{"value": str(r.value), "count": int(r.cnt)}
                 for r in agg.head(limit).itertuples()]
 
+    @_coordinated
     def date_histogram(self, database: str, table: str, query, field: str,
                        interval: int, offset: int = 0,
                        min_doc_count: int = 1,
@@ -2243,6 +2375,7 @@ class RetrievalCluster:
         return [{"bucket": int(b), "count": int(c)}
                 for b, c in zip(buckets, counts)]
 
+    @_coordinated
     def terms_stats(self, database: str, table: str, query, key_field: str,
                     metric_field: str, limit: int = 10,
                     precision: str = "float32") -> list[dict]:
@@ -2302,6 +2435,7 @@ class RetrievalCluster:
     _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "stats",
                      "extended_stats")
 
+    @_coordinated
     def aggregate(self, database: str, table: str, query, source: dict,
                   aggs: dict, precision: str = "float32") -> dict:
         """Composable bucket aggregation with nested sub-aggregations (the
@@ -2511,6 +2645,7 @@ class RetrievalCluster:
             out["after_key"] = after_key
         return out
 
+    @_coordinated
     def percentiles(self, database: str, table: str, query, field: str,
                     qs: list[float], n_candidates: int = 256,
                     collect_limit: int = 4096, max_rounds: int = 8,
@@ -2665,6 +2800,7 @@ class RetrievalCluster:
         return [{"q": x, "value": s["val"]}
                 for x, s in zip(qs_in, states)]
 
+    @_coordinated
     def median_absolute_deviation(self, database: str, table: str, query,
                                   field: str, n_candidates: int = 256,
                                   collect_limit: int = 4096,
@@ -2784,6 +2920,7 @@ class RetrievalCluster:
                 "generations": m.active_generations(),
                 "fields": fields, "bytes": nbytes}
 
+    @_coordinated
     def search_by_field(self, database: str, table: str, query, field: str,
                         ascending: bool = False,
                         precision: str = "float32") -> list[dict]:
@@ -2825,6 +2962,7 @@ class RetrievalCluster:
         return [{"doc_id": int(dids[i]), field: float(vals[i])}
                 for i in order]
 
+    @_coordinated
     def rerank(self, database: str, table: str, query, rerank_fn,
                depth: int = 50, limit: int | None = None,
                **search_kwargs) -> list[dict]:
@@ -2865,6 +3003,7 @@ class RetrievalCluster:
             out.append(h)
         return out
 
+    @_coordinated
     def term_vectors(self, database: str, table: str, doc_ids, field: str) -> pa.Table:
         """Per-document term vectors (the Lucene TermVectors shape — Fields
         per doc with term→freq; the reference never enables
@@ -2909,6 +3048,7 @@ class RetrievalCluster:
         agg = agg.sort_by([("doc_id", "ascending"), ("term", "ascending")])
         return agg.set_column(2, "tf", pc.cast(agg["tf"], pa.int64()))
 
+    @_coordinated
     def range_facets(self, database: str, table: str, query, field: str,
                      edges: list, precision: str = "float32") -> list[dict]:
         """Histogram facet of a numeric stored field over a keyword query's
@@ -2977,6 +3117,7 @@ class RetrievalCluster:
         return [t for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
                 for t in r if len(t)]
 
+    @_coordinated
     def suggest(self, database: str, table: str, field: str, term: str,
                 max_edits: int = 2, limit: int = 5,
                 transpositions: bool = True) -> list[dict]:
@@ -3030,6 +3171,7 @@ class RetrievalCluster:
         return [{"term": str(r.term), "df": int(r.df), "dist": int(r.dist)}
                 for r in agg.head(limit).itertuples()]
 
+    @_coordinated
     def complete(self, database: str, table: str, field: str, prefix: str,
                  limit: int = 5) -> list[dict]:
         """Prefix completion (the Lucene ``suggest`` prefix-lookup /
@@ -3077,6 +3219,7 @@ class RetrievalCluster:
         return [{"term": str(r.term), "df": int(r.df)}
                 for r in agg.head(limit).itertuples()]
 
+    @_coordinated
     def phrase_suggest(self, database: str, table: str, field: str,
                        text: str, max_edits: int = 1,
                        max_candidates: int = 3, limit: int = 5,
@@ -3219,6 +3362,7 @@ class RetrievalCluster:
         # the same doc can arrive from both recalls — attach_scores dedups by id
         return M.attach_scores(docs, np.asarray(ids), np.asarray(scores)).to_pylist()
 
+    @_coordinated
     def search_arrow(self, database: str, table: str, queries,
                      precision: str = "float32", algorithm: str = "bmw"):
         """S8 equivalent (RetrievalFlightServer.java:369-407): per query an Arrow
@@ -3235,6 +3379,7 @@ class RetrievalCluster:
             }))
         return out
 
+    @_coordinated
     def filter(self, database: str, table: str, queries) -> list[list[dict]]:
         """Q4: unscored filter + sort + limit; master concatenates and re-sorts
         (RetrievalMaster.java:201-250)."""
