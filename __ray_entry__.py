@@ -2624,6 +2624,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["multimodal_image"] = multimodal_image
 
+    def multimodal_png(sf):
+        # round-5: REAL stdlib PNG decode (zlib inflate + per-row numpy
+        # defilter, no external image library) — the synth payloads cycle
+        # ALL five PNG filter types (None/Sub/Up/Average/Paeth) across
+        # rows, so every defilter branch runs; solid colors keep the
+        # channel-mean oracle analytic, same as the PPM entry
+        import ray.data
+        from byzer_retrieval_ray.ops.multimodal import ImageDecode, synth_media_table
+        ds = ray.data.from_arrow(synth_media_table(64, "png"))
+        out = ds.map_batches(ImageDecode(), batch_format="pyarrow",
+                             batch_size=16, concurrency=2).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        cm = np.stack(out["channel_mean"].to_numpy())
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "r_mean": pa.array(cm[:, 0], pa.float64()),
+            "g_mean": pa.array(cm[:, 1], pa.float64()),
+            "b_mean": pa.array(cm[:, 2], pa.float64()),
+        })
+    q["multimodal_png"] = multimodal_png
+
     def multimodal_audio(sf):
         # real PCM WAV decode (stdlib) through the actor-pool frame sampler over
         # constant-amplitude (DC) tones: every sample of row i quantizes to
@@ -5156,6 +5177,10 @@ SELECT CAST(range AS BIGINT) AS media_id,
        CAST((range * 59) % 256 AS DOUBLE) AS g_mean,
        CAST((range * 83) % 256 AS DOUBLE) AS b_mean
 FROM range(64) ORDER BY media_id"""
+
+    # solid-color PNGs (all five row filters cycled): the real stdlib
+    # decode must reproduce the same exact generating colors
+    sql["multimodal_png"] = sql["multimodal_image"]
 
     # DC tones: duration_ms = 50+(i*17)%350 → total frames = ms//20 (20 ms @
     # 8 kHz), sampled every 4th frame capped at 64; every sample quantizes to

@@ -587,6 +587,98 @@ def _lucene_sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
     return freq
 
 
+def _lucene_sloppy_freq_rpts(pos_lists: list[np.ndarray],
+                             group_ids: list[int], slop: int) -> float:
+    """One doc's sloppy frequency under Lucene's SloppyPhraseMatcher stream
+    WITH repeating phrase terms (SloppyPhraseMatcher.java's repeats
+    machinery — collide/lesser/advanceRpts — reimplemented from its
+    documented behavior). ``group_ids[j]`` labels phrase slot j's repeat
+    group (same id ⇔ same term); two slots of one group may never consume
+    the same TOKEN occurrence, i.e. collide when adjusted_pos+offset is
+    equal — the colliding pair's LESSER member (by (adjusted pos, offset))
+    advances until its group is collision-free, and a slot exhausting
+    during resolution ends the stream. Everything else is the
+    non-repeating stream of ``_lucene_sloppy_freq``: pop the minimum
+    (position, offset), score ``end − min`` ≤ slop at weight
+    1/(1+length) whenever the advanced slot overshoots the new minimum,
+    plus once at stream end."""
+    n = len(pos_lists)
+    ptr = [1] * n
+    pos = [int(pl[0]) for pl in pos_lists]
+    end = max(pos)
+    groups: dict[int, list[int]] = {}
+    for j, g in enumerate(group_ids):
+        groups.setdefault(g, []).append(j)
+    rpt = {j for js in groups.values() if len(js) > 1 for j in js}
+
+    def advance(j: int) -> bool:
+        nonlocal end
+        pl = pos_lists[j]
+        if ptr[j] >= len(pl):
+            return False
+        pos[j] = int(pl[ptr[j]])
+        ptr[j] += 1
+        if pos[j] > end:
+            end = pos[j]
+        return True
+
+    def collide(j: int) -> int:
+        tp = pos[j] + j                       # original token position
+        for j2 in groups[group_ids[j]]:
+            if j2 != j and pos[j2] + j2 == tp:
+                return j2
+        return -1
+
+    def advance_rpts(j: int) -> bool:
+        if j not in rpt:
+            return True
+        while True:
+            j2 = collide(j)
+            if j2 < 0:
+                return True
+            lj = j if (pos[j], j) < (pos[j2], j2) else j2
+            if not advance(lj):
+                return False
+            j = lj                             # keep resolving from the mover
+
+    # init: place first positions, then make every repeat group
+    # collision-free (slots in offset order — a deterministic stand-in for
+    # Lucene's rptStack order)
+    for j in sorted(rpt):
+        if not advance_rpts(j):
+            return 0.0
+    heap = [(pos[j], j) for j in range(n)]
+    heapq.heapify(heap)
+    freq = 0.0
+    p, j = heapq.heappop(heap)
+    match_length = end - p
+    next_pos = heap[0][0]
+    while True:
+        if not advance(j):
+            break
+        if not advance_rpts(j):
+            break
+        # collision resolution may have moved slots sitting IN the heap —
+        # rebuild it (Lucene pops and re-adds the changed members); the
+        # in-hand slot j stays out
+        heap = [(pos[k], k) for k in range(n) if k != j]
+        heapq.heapify(heap)
+        if pos[j] > next_pos:                  # done minimizing this match
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos[j], j))
+            p, j = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - p
+        else:
+            ml2 = end - pos[j]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 def _diversified_select(codes: np.ndarray, limit: int, g: int,
                         key_budget: bool) -> np.ndarray:
     """Indices (ascending = rank order preserved) of the diversified
@@ -1528,8 +1620,8 @@ class BucketSearcher:
         SloppyPhraseMatcher: transposed (out-of-order) matches don't match, and
         repeated-term window enumeration differs. Opt-in Lucene parity:
         ``SearchQuery(slop_in_order=False)`` routes to
-        ``_sloppy_posting_unordered`` (the published stream algorithm,
-        non-repeating terms only)."""
+        ``_sloppy_posting_unordered`` (the published stream algorithm;
+        repeated terms use the collide/lesser/advanceRpts grouping)."""
         if not getattr(self, "_slop_ordered", True):
             return self._sloppy_posting_unordered(fld, terms, slop, posts)
         plist = [posts.get((fld, t), _EMPTY) for t in terms]
@@ -1591,15 +1683,15 @@ class BucketSearcher:
         out-of-order alignments match, with tf from the SloppyPhraseMatcher
         stream (``_lucene_sloppy_freq``) over ADJUSTED positions (pos − term
         offset) — ``"b a"~2`` matches a doc containing ``a b`` at cost 2.
-        NON-REPEATING terms only (Lucene's repeats machinery is not
-        reproduced; repeated terms raise). Candidate docs are the same
-        all-terms intersection as the ordered path; the per-doc stream is a
-        Python loop by nature (Lucene's own matcher is a per-doc stream) and
-        runs only on that intersection."""
-        if len(set(terms)) != len(terms):
-            raise ValueError(
-                "slop_in_order=False does not support repeated terms in a "
-                f"sloppy phrase: {' '.join(terms)!r}")
+        REPEATED terms route through the repeats-aware stream
+        (``_lucene_sloppy_freq_rpts``: Lucene's collide/lesser/advanceRpts
+        grouping — two slots of the same term never consume one token
+        occurrence). Candidate docs are the same all-terms intersection as
+        the ordered path; the per-doc stream is a Python loop by nature
+        (Lucene's own matcher is a per-doc stream) and runs only on that
+        intersection."""
+        has_rpts = len(set(terms)) != len(terms)
+        gid = [terms.index(t) for t in terms]      # same term → same group
         plist = [posts.get((fld, t), _EMPTY) for t in terms]
         docs = plist[0].docs
         for p in plist[1:]:
@@ -1617,7 +1709,15 @@ class BucketSearcher:
         for di in range(docs.size):
             pls = [pos_all[int(st[di]):int(st[di]) + int(tf[di])] - j
                    for pos_all, st, tf, j in per_term]
-            freqs[di] = _lucene_sloppy_freq(pls, slop)
+            if has_rpts:
+                # a doc with fewer occurrences of a repeated term than its
+                # phrase slots can never align collision-free
+                if any(len(pls[j]) < sum(1 for g in gid if g == gid[j])
+                       for j in range(len(pls))):
+                    continue
+                freqs[di] = _lucene_sloppy_freq_rpts(pls, gid, slop)
+            else:
+                freqs[di] = _lucene_sloppy_freq(pls, slop)
         keep = freqs > 0
         if not keep.any():
             return None

@@ -478,6 +478,70 @@ class TestRealMultimodalCodecs:
             assert data[:2] == b"BM"
             assert np.array_equal(multimodal.decode_bmp(data), px)
 
+    def test_png_roundtrip_every_filter(self):
+        # round-5 stdlib PNG: each of the five row filters must invert
+        # exactly (encode applies the filter, decode the defilter)
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4):
+            data = multimodal.encode_png(px, row_filters=[ft])
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+            assert np.array_equal(multimodal.decode_png(data), px), ft
+        # mixed filters across rows
+        data = multimodal.encode_png(px, row_filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(multimodal.decode_png(data), px)
+
+    def test_png_color_types(self):
+        # grayscale (type 0), gray+alpha (4), RGBA (6) and palette (3)
+        # payloads built by hand; decode must widen/drop to (h, w, 3)
+        import struct as _struct
+        import zlib as _zlib
+
+        def _chunk(typ, payload):
+            return _struct.pack(">I", len(payload)) + typ + payload + \
+                _struct.pack(">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF)
+
+        def _png(w, h, ctype, raw, plte=None):
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            if plte is not None:
+                out += _chunk(b"PLTE", plte)
+            return out + _chunk(b"IDAT", _zlib.compress(raw)) + \
+                _chunk(b"IEND", b"")
+
+        gray = bytes([0, 10, 20, 0, 30, 40])          # 2x2 gray, filter 0
+        px = multimodal.decode_png(_png(2, 2, 0, gray))
+        assert np.array_equal(px[:, :, 0], [[10, 20], [30, 40]])
+        assert np.array_equal(px[:, :, 0], px[:, :, 1])
+        ga = bytes([0, 10, 255, 20, 0])               # 2x1 gray+alpha
+        px = multimodal.decode_png(_png(2, 1, 4, ga))
+        assert np.array_equal(px[0, :, 0], [10, 20])
+        rgba = bytes([0, 1, 2, 3, 255, 4, 5, 6, 0])   # 2x1 RGBA
+        px = multimodal.decode_png(_png(2, 1, 6, rgba))
+        assert np.array_equal(px[0], [[1, 2, 3], [4, 5, 6]])
+        plte = bytes([255, 0, 0, 0, 0, 255])          # palette: red, blue
+        pal = bytes([0, 1, 0])                        # 2x1 indices 1, 0
+        px = multimodal.decode_png(_png(2, 1, 3, pal, plte))
+        assert np.array_equal(px[0], [[0, 0, 255], [255, 0, 0]])
+
+    def test_png_rejects_unsupported(self):
+        with pytest.raises(ValueError, match="not a PNG"):
+            multimodal.decode_png(b"JUNK")
+        px = np.zeros((2, 2, 3), np.uint8)
+        data = bytearray(multimodal.encode_png(px))
+        data[24] = 16                                  # IHDR bit depth byte
+        with pytest.raises(ValueError, match="bit depth"):
+            multimodal.decode_png(bytes(data))
+
+    def test_image_stage_decodes_real_png(self, ray_mod):
+        ds = ray_mod.from_arrow(multimodal.synth_media_table(12, "png"))
+        out = ds.map_batches(multimodal.ImageDecode(), batch_format="pyarrow",
+                             batch_size=4, concurrency=2).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        for i, cm in enumerate(out["channel_mean"]):
+            assert list(cm) == [(i * 37) % 256, (i * 59) % 256, (i * 83) % 256]
+        assert all(max(cs) == 0.0 for cs in out["channel_std"])
+
     def test_wav_roundtrip_and_rms(self):
         rate = 8000
         t = np.arange(rate // 4) / rate

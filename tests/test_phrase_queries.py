@@ -355,9 +355,64 @@ class TestUnorderedSlop:
             assert [(r["_id"], r["_score"]) for r in a] == \
                    [(r["_id"], r["_score"]) for r in b], kw
 
-    def test_repeated_terms_raise(self, cluster):
-        with pytest.raises(ValueError, match="repeated terms"):
-            cluster.search("db", "p", self._q('"quick quick"~2', False))
+    def _score_of(self, tf: float, doc_id: int, terms: list[str]) -> float:
+        toks = {i: t.split() for i, t in DOCS}
+        n = len(DOCS)
+        dls = {i: len(tt) for i, tt in toks.items()}
+        avgdl = bm25.avg_field_length(sum(dls.values()), n, dtype=np.float64)
+        cache = bm25.norm_inverse_cache(avgdl, dtype=np.float64)
+        df = {t: sum(1 for tt in toks.values() if t in tt) for t in terms}
+        w = sum(bm25.term_weight(n, df[t], dtype=np.float64) for t in terms)
+        nb = int(int_to_byte4_np(np.array([dls[doc_id]]))[0])
+        return float(bm25.score_tf_norm(np.array([tf]),
+                                        np.array([nb], np.uint8), cache,
+                                        np.float64(w), dtype=np.float64)[0])
+
+    def test_repeated_terms_hand_traced(self, cluster):
+        # round-5: Lucene's repeats grouping (collide/lesser/advanceRpts) —
+        # two slots of one term never consume the same token occurrence.
+        # "quick quick"~0: doc 6 (quick@0,1,2) has two exact adjacent pairs
+        # → stream freq 2; doc 2 (quick@1,5) spans 3 > 0 → no match.
+        res = cluster.search("db", "p", self._q('"quick quick"~0', False),
+                             precision="float64")[0]
+        got = {r["_id"]: r["_score"] for r in res}
+        assert set(got) == {6}
+        assert got[6] == pytest.approx(
+            self._score_of(2.0, 6, ["quick", "quick"]), abs=1e-12)
+        # "quick quick"~3 additionally matches doc 2 at matchLength 3
+        # (quick@1 + quick@5, adjusted span (5-1)-1 = 3) → weight 1/4
+        res3 = cluster.search("db", "p", self._q('"quick quick"~3', False),
+                              precision="float64")[0]
+        got3 = {r["_id"]: r["_score"] for r in res3}
+        assert set(got3) == {2, 6}
+        assert got3[2] == pytest.approx(
+            self._score_of(0.25, 2, ["quick", "quick"]), abs=1e-12)
+        # triple repeat: only doc 6 can place three collision-free slots —
+        # exactly one exact occurrence (hand-traced stream: freq 1)
+        rt = cluster.search("db", "p",
+                            self._q('"quick quick quick"~0', False),
+                            precision="float64")[0]
+        gt = {r["_id"]: r["_score"] for r in rt}
+        assert set(gt) == {6}
+        assert gt[6] == pytest.approx(
+            self._score_of(1.0, 6, ["quick", "quick", "quick"]), abs=1e-12)
+
+    def test_repeated_terms_fewer_occurrences_never_match(self, cluster):
+        # docs with ONE quick (0, 1, 3, 5) can never fill two quick slots
+        # at any slop — the collision rule, not a span bound
+        res = cluster.search("db", "p", self._q('"quick quick"~100', False),
+                             precision="float64")[0]
+        assert sorted(r["_id"] for r in res) == [2, 6]
+
+    def test_repeated_terms_taat_bmw_parity(self, cluster):
+        for kw in ('"quick quick"~0', '"quick quick"~3',
+                   '"quick quick quick"~1'):
+            a = cluster.search("db", "p", self._q(kw, False),
+                               precision="float64", algorithm="bmw")[0]
+            b = cluster.search("db", "p", self._q(kw, False),
+                               precision="float64", algorithm="taat")[0]
+            assert [(r["_id"], r["_score"]) for r in a] == \
+                   [(r["_id"], r["_score"]) for r in b], kw
 
     def test_flag_does_not_leak_between_queries(self, cluster):
         # an unordered query followed by a DEFAULT query on the same
