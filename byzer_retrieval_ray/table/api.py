@@ -2389,46 +2389,24 @@ class RetrievalCluster:
         asc), top ``limit``. Docs with a null key don't count (elasticsearch
         missing-value semantics).
 
-        Scale shape: each bucket ships |distinct keys| narrow partial rows —
-        match ids never leave the shard; the driver fold is keys-sized.
-        Unlike elasticsearch's default shard_size cut this fold is EXACT
-        (every shard ships all its keys — the high-cardinality trade is
-        documented in facet_counts). Keyword recall only (filters
-        supported)."""
-        qs = self._as_queries(database, table, query)
-        if len(qs) != 1:
-            raise ValueError("terms_stats takes exactly one query")
-        q = qs[0]
-        if not q.has_keyword or q.has_vector:
-            raise ValueError("terms_stats is keyword-only")
-        use_actors = (database, table) in self._actors
-        if use_actors:
-            import ray
-            futs = [a.terms_metric_keyword.remote(q.__dict__, key_field,
-                                                  metric_field, precision)
-                    for a in self._actors[(database, table)]]
-            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
-                     for p in r]
-        else:
-            parts = [s.terms_metric_keyword(q, key_field, metric_field,
-                                            precision)
-                     for s in self._searchers(database, table)]
-        parts = [p for p in parts if len(p)]
-        if not parts:
-            return []
-        t = pa.concat_tables(parts)
-        df = t.to_pandas()
-        agg = df.groupby("key", as_index=False).agg(
-            cnt=("cnt", "sum"), mcnt=("mcnt", "sum"), msum=("msum", "sum"))
-        agg = agg.sort_values(["cnt", "key"], ascending=[False, True],
-                              kind="mergesort").head(limit)
+        Scale shape — EXACT and bounded (round-5: the composable
+        ``aggregate`` pass under the legacy result shape): phase 1 selects
+        the top-``limit`` keys with facet_counts' threshold fold (never a
+        vocabulary-sized partial), phase 2 ships ≤ |keys| metric-moment
+        rows per bucket (``bucket_metrics_keyword``). Keyword recall only
+        (filters supported)."""
+        res = self.aggregate(
+            database, table, query,
+            {"terms": {"field": key_field, "size": int(limit)}},
+            {"m": {"stats": {"field": metric_field}}},
+            precision=precision)
         out = []
-        for r in agg.itertuples():
-            mcnt = int(r.mcnt)
-            out.append({"key": str(r.key), "count": int(r.cnt),
+        for b in res["buckets"]:
+            mcnt = int(b["m"]["count"])
+            out.append({"key": str(b["key"]), "count": int(b["doc_count"]),
                         "metric_count": mcnt,
-                        "metric_sum": float(r.msum),
-                        "metric_avg": (float(r.msum) / mcnt) if mcnt
+                        "metric_sum": float(b["m"]["sum"]),
+                        "metric_avg": (float(b["m"]["sum"]) / mcnt) if mcnt
                         else None})
         return out
 
