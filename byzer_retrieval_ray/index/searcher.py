@@ -2564,8 +2564,73 @@ class BucketSearcher:
 
     # ---------- result materialization ----------
 
+    def _matchset(self, q: SearchQuery, precision: str):
+        """(ids, scores) of the ENTIRE keyword match set — the exact TAAT
+        run with an unbounded limit every full-match-set endpoint starts
+        from — memoized per searcher instance (≤ 4 entries, keyed by the
+        full query dict + precision). The round-5 bounded facet folds
+        legitimately scatter 2-3 rounds per call (top-S → probe →
+        escalate) and each round re-ran the identical TAAT; the memo makes
+        the re-rounds O(partial) instead of O(match set). Safe lifetime:
+        every mutation path (build/delete/compact/NRT reload) constructs
+        NEW BucketSearcher instances, so a cache can never serve a stale
+        generation. Callers must not mutate the returned arrays."""
+        from dataclasses import replace
+
+        qq = replace(q, limit=int(1 << 62), search_after=None)
+        try:
+            import json
+            key = (json.dumps(qq.__dict__, sort_keys=True, default=repr),
+                   precision)
+        except TypeError:
+            key = None
+        cache = getattr(self, "_matchset_cache", None)
+        if cache is None:
+            cache = self._matchset_cache = {}
+        if key is not None and key in cache:
+            return cache[key]
+        ids, scores = self.search_keyword(qq, precision=precision,
+                                          algorithm="taat")
+        out = (np.asarray(ids), np.asarray(scores))
+        if key is not None:
+            if len(cache) >= 4:
+                cache.pop(next(iter(cache)))
+            cache[key] = out
+        return out
+
+    def _memo_partial(self, kind: str, q: SearchQuery, extra: tuple, fn):
+        """Memoize a full-match-set PARTIAL (facet value_counts, sigterms
+        foreground counts) per searcher instance, ≤ 2 entries per kind —
+        the bounded threshold folds call the same partial 2-3 times per
+        query (top-S round, probe round, escalation) and the docstore
+        read + tokenize dominates, not the TAAT. Same safe lifetime as
+        ``_matchset`` (mutations construct new searcher instances)."""
+        import json
+        try:
+            key = (kind, json.dumps(q.__dict__, sort_keys=True,
+                                    default=repr), extra)
+        except TypeError:
+            return fn()
+        cache = getattr(self, "_partial_cache", None)
+        if cache is None:
+            cache = self._partial_cache = {}
+        if key in cache:
+            return cache[key]
+        out = fn()
+        mine = [k for k in cache if k[0] == kind]
+        if len(mine) >= 2:
+            del cache[mine[0]]
+        cache[key] = out
+        return out
+
     def facet_keyword(self, q: SearchQuery, facet_field: str,
                       precision: str = "float32") -> pa.Table:
+        return self._memo_partial(
+            "facet", q, (facet_field, precision),
+            lambda: self._facet_keyword_impl(q, facet_field, precision))
+
+    def _facet_keyword_impl(self, q: SearchQuery, facet_field: str,
+                            precision: str = "float32") -> pa.Table:
         """Per-bucket PARTIAL facet counts over the ENTIRE keyword match set
         (the Lucene facets shape: FacetsCollector counts every hit, not the
         top-k). Returns (value, cnt) rows for this bucket — the master sums
@@ -2580,9 +2645,7 @@ class BucketSearcher:
 
         empty = pa.table({"value": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64())})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[facet_field])
@@ -2634,9 +2697,7 @@ class BucketSearcher:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "score": pa.array([], score_t),
                           "key": pa.array([], pa.string())})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, scores = self.search_keyword(qq, precision=precision,
-                                          algorithm="taat")
+        ids, scores = self._matchset(q, precision)
         ids, scores = np.asarray(ids), np.asarray(scores)
         if ids.size == 0:
             return empty
@@ -2686,9 +2747,7 @@ class BucketSearcher:
         empty = pa.table({"key": pa.array([], pa.string()),
                           "doc_id": pa.array([], pa.int64()),
                           "score": pa.array([], score_t)})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, scores = self.search_keyword(qq, precision=precision,
-                                          algorithm="taat")
+        ids, scores = self._matchset(q, precision)
         ids, scores = np.asarray(ids), np.asarray(scores)
         if ids.size == 0:
             return empty
@@ -2803,9 +2862,7 @@ class BucketSearcher:
         per bucket — match ids never leave the shard."""
         from dataclasses import replace
 
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         ids = np.sort(np.asarray(ids))
         out: dict[str, int] = {}
         in_any = np.zeros(ids.size, dtype=bool) if other_bucket else None
@@ -2838,9 +2895,7 @@ class BucketSearcher:
         k = len(fields)
         empty = {"n": 0, "sums": [0.0] * k,
                  "prods": [0.0] * (k * (k + 1) // 2)}
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=list(fields))
@@ -2876,9 +2931,7 @@ class BucketSearcher:
         from dataclasses import replace
 
         empty = {"n": 0, "vw": 0.0, "w": 0.0}
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[value_field, weight_field])
@@ -2927,9 +2980,7 @@ class BucketSearcher:
         them after the global fold, not per shard)."""
         from dataclasses import replace
 
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         ids = np.sort(np.asarray(ids))
         names = list(named)
         masks = []
@@ -2970,9 +3021,7 @@ class BucketSearcher:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "sort_value": pa.array([], pa.float64()),
                           **{f: pa.array([], pa.float64()) for f in fields}})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[sort_field] + fields)
@@ -3019,9 +3068,7 @@ class BucketSearcher:
 
         empty = {"cnt": 0, "sum_len": 0, "min_len": None, "max_len": None,
                  "chars": {}}
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         if field in self.gen.analyzed:
@@ -3128,9 +3175,7 @@ class BucketSearcher:
                              f"(one of {sorted(mods)})")
         if mode not in ("multiply", "sum", "replace"):
             raise ValueError("mode must be 'multiply', 'sum' or 'replace'")
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, scores = self.search_keyword(qq, precision=precision,
-                                          algorithm="taat")
+        ids, scores = self._matchset(q, precision)
         ids, scores = np.asarray(ids), np.asarray(scores)
         if ids.size == 0:
             return ids, scores.astype(dtype)
@@ -3208,9 +3253,7 @@ class BucketSearcher:
         if not 0.0 <= beta <= 1.0:
             raise ValueError(
                 f"negative_boost must be in [0, 1], got {beta}")
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, scores = self.search_keyword(qq, precision=precision,
-                                          algorithm="taat")
+        ids, scores = self._matchset(q, precision)
         ids, scores = np.asarray(ids), np.asarray(scores)
         if ids.size == 0:
             return ids, scores.astype(dtype)
@@ -3230,6 +3273,15 @@ class BucketSearcher:
     def sigterms_keyword(self, q: SearchQuery, field: str,
                          precision: str = "float32",
                          shard_min_doc_count: int = 0) -> tuple[pa.Table, int]:
+        return self._memo_partial(
+            "sigterms", q, (field, precision, int(shard_min_doc_count)),
+            lambda: self._sigterms_keyword_impl(q, field, precision,
+                                                shard_min_doc_count))
+
+    def _sigterms_keyword_impl(self, q: SearchQuery, field: str,
+                               precision: str = "float32",
+                               shard_min_doc_count: int = 0) \
+            -> tuple[pa.Table, int]:
         """Per-bucket PARTIAL foreground term counts for significant-terms
         aggregation (the elasticsearch ``significant_terms`` shape): for
         every term of ``field`` appearing in the ENTIRE match set, the
@@ -3247,9 +3299,7 @@ class BucketSearcher:
 
         empty = pa.table({"term": pa.array([], pa.string()),
                           "fg": pa.array([], pa.int64())})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         ids = np.asarray(ids)
         if ids.size == 0:
             return empty, 0
@@ -3318,9 +3368,7 @@ class BucketSearcher:
         from byzer_retrieval_ray.ops.hll import _registers
 
         m = 1 << p
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         ids = np.asarray(ids)
         if ids.size == 0:
             return np.zeros(m, dtype=np.int64)
@@ -3346,9 +3394,7 @@ class BucketSearcher:
         FILTER semantics), exactly as they appear in search results."""
         from dataclasses import replace
 
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         return int(ids.size)
 
     def stats_keyword(self, q: SearchQuery, field: str,
@@ -3365,9 +3411,7 @@ class BucketSearcher:
 
         empty = {"cnt": 0, "min": None, "max": None, "sum": None,
                  "sumsq": 0.0}
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[field])
@@ -3403,9 +3447,7 @@ class BucketSearcher:
         from dataclasses import replace
 
         nbins = len(edges) - 1
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return np.zeros(nbins, np.int64)
         tbl = self.fetch_docs(ids, columns=[field])
@@ -3458,9 +3500,7 @@ class BucketSearcher:
 
         empty = pa.table({"bucket": pa.array([], pa.int64()),
                           "cnt": pa.array([], pa.int64())})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[field])
@@ -3505,9 +3545,7 @@ class BucketSearcher:
                           "cnt": pa.array([], pa.int64()),
                           "mcnt": pa.array([], pa.int64()),
                           "msum": pa.array([], pa.float64())})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[key_field, metric_field])
@@ -3578,9 +3616,7 @@ class BucketSearcher:
             return empty
         kind = key_spec["kind"]
         key_field = key_spec["field"]
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         cols = sorted({key_field, *fields})
@@ -3649,9 +3685,7 @@ class BucketSearcher:
         read for the percentile probes."""
         from dataclasses import replace
 
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return np.empty(0, np.float64)
         tbl = self.fetch_docs(ids, columns=[field])
@@ -3727,9 +3761,7 @@ class BucketSearcher:
         limit = q.limit
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "value": pa.array([], pa.float64())})
-        qq = replace(q, limit=int(1 << 62), search_after=None)
-        ids, _ = self.search_keyword(qq, precision=precision,
-                                     algorithm="taat")
+        ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
         tbl = self.fetch_docs(ids, columns=[field])
