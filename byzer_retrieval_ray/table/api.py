@@ -785,8 +785,25 @@ class RetrievalCluster:
         opts into Lucene SloppyPhraseMatcher parity (out-of-order matches,
         stream-enumerated windows) for phrases with non-repeating terms.
         Exact phrases (~0) and all other clause types are Lucene-faithful
-        either way."""
+        either way.
+
+        ``SearchQuery(offset=N)`` (the elasticsearch ``from`` shape) pages
+        EVERY query kind incl. hybrid RRF: shards ship their top
+        (offset + limit) and the fused/merged ranking is sliced. Keyword
+        and vector pages tile the identical order a deeper single query
+        produces; hybrid-RRF pages slice the fused ranking computed at
+        window offset+limit (ES rank_window_size semantics — RRF ranks
+        shift with recall depth, see SearchQuery.offset)."""
+        from dataclasses import replace as _replace
+
         qs = self._as_queries(database, table, queries)
+        offs = [max(0, int(getattr(q, "offset", 0) or 0)) for q in qs]
+        for q, off in zip(qs, offs):
+            if off and q.search_after is not None:
+                raise ValueError("offset and search_after are mutually "
+                                 "exclusive (ES from vs search_after)")
+        qs = [(_replace(q, limit=q.limit + off, offset=0) if off else q)
+              for q, off in zip(qs, offs)]
         use_actors = (database, table) in self._actors
         # multi-query fan-out (Q8): in actor mode every recall of every query is
         # submitted before any gather, with the reference's 30 s deadline
@@ -839,6 +856,8 @@ class RetrievalCluster:
                 out.append([])
                 continue
             ids, scores = M.run_query(recalls, q, precision)
+            if offs[qi]:
+                ids, scores = ids[offs[qi]:], scores[offs[qi]:]
             if use_actors:
                 out.append(self._attach_from(doc_tbls, ids, scores))
             else:
@@ -3360,11 +3379,17 @@ class RetrievalCluster:
     @_coordinated
     def filter(self, database: str, table: str, queries) -> list[list[dict]]:
         """Q4: unscored filter + sort + limit; master concatenates and re-sorts
-        (RetrievalMaster.java:201-250)."""
+        (RetrievalMaster.java:201-250). ``offset`` pages the sorted order
+        (shards ship top offset+limit, the merge slices)."""
+        from dataclasses import replace as _replace
+
         qs = self._as_queries(database, table, queries)
         use_actors = (database, table) in self._actors
         out = []
         for q in qs:
+            off = max(0, int(getattr(q, "offset", 0) or 0))
+            if off:
+                q = _replace(q, limit=q.limit + off, offset=0)
             if use_actors:
                 import ray
                 tbls = ray.get([a.filter_op.remote(q.__dict__)
@@ -3380,7 +3405,7 @@ class RetrievalCluster:
             keys = [(list(s.keys())[0], "descending" if list(s.values())[0] == "desc"
                      else "ascending") for s in q.sorts]
             keys.append(("doc_id", "ascending"))
-            merged = merged.sort_by(keys).slice(0, q.limit)
+            merged = merged.sort_by(keys).slice(off, q.limit - off)
             out.append(merged.to_pylist())
         return out
 

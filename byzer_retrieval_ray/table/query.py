@@ -55,6 +55,22 @@ class SearchQuery:
     # the (score desc, doc_id asc) total order are returned. Keyword-only —
     # hybrid RRF re-scores by rank, where a score cursor is meaningless.
     search_after: Optional[list] = None
+    # Deep pagination for EVERY query kind (the elasticsearch ``from``
+    # shape — extension; round-5): skip the first ``offset`` rows of the
+    # final ranking. Works for keyword, vector, hybrid-RRF and unscored
+    # filter queries — each shard ships its top (offset + limit), the
+    # master merges/fuses the deepened lists and slices. Keyword/vector/
+    # filter pages tile EXACTLY the ranking a deeper single query produces
+    # (scores are depth-independent). Hybrid-RRF scores depend on the
+    # fusion window (rank r in a depth-8 list ≠ absent from it), so an
+    # offset page equals the [offset, offset+limit) slice of the fused
+    # ranking computed at window offset+limit — the elasticsearch
+    # rank_window_size semantics with the window pinned to offset+limit;
+    # adjacent pages agree wherever recall membership does. Per-shard cost
+    # grows with offset + limit — keyword queries should prefer
+    # ``search_after`` for very deep pages (bounded cursor, no deepening);
+    # the two are mutually exclusive.
+    offset: int = 0
     # Lucene BooleanQuery.setMinimumNumberShouldMatch (extension — the
     # reference's SearchQuery has no knob for it): a hit must satisfy at
     # least this many of the keyword's SHOULD clauses (terms, phrases,
@@ -100,9 +116,9 @@ class SearchQuery:
     # SloppyPhraseMatcher parity for NON-REPEATING terms — out-of-order
     # alignments match (a transposed adjacent pair costs 2, so ``"b a"~2``
     # matches ``a b``), matches enumerated by the published stream
-    # algorithm with sloppy freq Σ 1/(1+matchLength); phrases with repeated
-    # terms raise (Lucene's repeats handling is not reproduced). Exact
-    # phrases (~0 or no slop) are unaffected by this knob.
+    # algorithm with sloppy freq Σ 1/(1+matchLength); repeated phrase
+    # terms use Lucene's collide/lesser/advanceRpts repeats grouping
+    # (round-5). Exact phrases (~0 or no slop) are unaffected by this knob.
     slop_in_order: bool = True
 
     def to_json(self) -> str:

@@ -1924,3 +1924,86 @@ class TestPercentiles:
         c.activate("db", "p")
         assert c.percentiles("db", "p", q, "n", qs, n_candidates=8,
                              collect_limit=16, max_rounds=40) == inproc
+
+
+class TestOffsetPagination:
+    """Round-5: SearchQuery(offset=N) — the elasticsearch `from` shape for
+    EVERY query kind (keyword, vector, hybrid RRF, unscored filter).
+    Pages must tile the exact ranking a single deep query produces."""
+
+    def _corpus(self, loc, n=80):
+        rng = np.random.default_rng(11)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "o", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long,sort),field(vector,array(float)))", loc))
+        docs = [{"_id": i, "content": "hit w%d" % (i % 9), "n": i * 7 % 53,
+                 "vector": rng.standard_normal(8).tolist()}
+                for i in range(n)]
+        c.build_from_local("db", "o", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c, docs
+
+    def test_keyword_pages_tile_deep_ranking(self, ray_session, tmp_path):
+        c, _ = self._corpus(str(tmp_path))
+        deep = c.search("db", "o", SearchQuery(
+            "db", "o", keyword="hit", fields=["content"], limit=30),
+            precision="float64")[0]
+        pages = []
+        for off in (0, 10, 20):
+            pages += c.search("db", "o", SearchQuery(
+                "db", "o", keyword="hit", fields=["content"], limit=10,
+                offset=off), precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in pages] == \
+               [(r["_id"], r["_score"]) for r in deep]
+
+    def test_vector_and_hybrid_pages(self, ray_session, tmp_path):
+        c, docs = self._corpus(str(tmp_path))
+        v = docs[3]["vector"]
+        deep_v = c.search("db", "o", SearchQuery(
+            "db", "o", vector=v, vectorField="vector", limit=20),
+            precision="float64")[0]
+        page2_v = c.search("db", "o", SearchQuery(
+            "db", "o", vector=v, vectorField="vector", limit=10,
+            offset=10), precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in page2_v] == \
+               [(r["_id"], r["_score"]) for r in deep_v[10:20]]
+        # hybrid RRF: scores depend on the fusion window, so an offset
+        # page equals the [off, off+limit) slice of the ranking computed
+        # at window off+limit (ES rank_window_size semantics) — NOT of an
+        # arbitrarily deeper query
+        for off in (0, 8, 16):
+            deep_h = c.search("db", "o", SearchQuery(
+                "db", "o", keyword="hit", fields=["content"], vector=v,
+                vectorField="vector", limit=off + 8),
+                precision="float64")[0]
+            page = c.search("db", "o", SearchQuery(
+                "db", "o", keyword="hit", fields=["content"], vector=v,
+                vectorField="vector", limit=8, offset=off),
+                precision="float64")[0]
+            assert [(r["_id"], r["_score"]) for r in page] == \
+                   [(r["_id"], r["_score"]) for r in deep_h[off:off + 8]]
+
+    def test_filter_pages_and_actor_parity(self, ray_session, tmp_path):
+        c, _ = self._corpus(str(tmp_path))
+        deep = c.filter("db", "o", {"filters": {}, "sorts": [{"n": "desc"}],
+                                    "limit": 30})[0]
+        page = c.filter("db", "o", {"filters": {}, "sorts": [{"n": "desc"}],
+                                    "limit": 10, "offset": 10})[0]
+        assert page == deep[10:20]
+        q = SearchQuery("db", "o", keyword="hit", fields=["content"],
+                        limit=10, offset=15)
+        inproc = c.search("db", "o", q, precision="float64")[0]
+        c.activate("db", "o")
+        try:
+            assert c.search("db", "o", q, precision="float64")[0] == inproc
+        finally:
+            c.deactivate("db", "o")
+
+    def test_offset_conflicts_with_search_after(self, ray_session,
+                                                tmp_path):
+        c, _ = self._corpus(str(tmp_path), n=20)
+        with pytest.raises(ValueError, match="mutually"):
+            c.search("db", "o", SearchQuery(
+                "db", "o", keyword="hit", fields=["content"], limit=5,
+                offset=5, search_after=[1.0, 0]))
