@@ -1322,6 +1322,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["agg_histo_stats"] = agg_histo_stats
 
+    def agg_nested_terms(sf):
+        # nested bucket aggs (round-5): terms(lang, top 3 by count) →
+        # terms(source, top 2 per lang) → avg(n_chars); each outer key
+        # recurses with an exact-value filter push-down so every level is
+        # exact (no shard_size approximation); flattened to one row per
+        # (lang, source) pair
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.aggregate(
+            "db", "docs", q2, {"terms": {"field": "lang", "size": 3}},
+            {"by_src": {"terms": {"field": "source", "size": 2},
+                        "aggs": {"st": {"stats": {"field": "n_chars"}}}}},
+            precision="float64")
+        rows = []
+        for b in out["buckets"]:
+            for s in b["by_src"]["buckets"]:
+                rows.append((b["key"], int(b["doc_count"]), s["key"],
+                             int(s["doc_count"]),
+                             float(np.round(s["st"]["avg"], 4))))
+        return pa.table({
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "lang_cnt": pa.array([r[1] for r in rows], pa.int64()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "cnt": pa.array([r[3] for r in rows], pa.int64()),
+            "avg_n": pa.array([r[4] for r in rows], pa.float64()),
+        })
+    q["agg_nested_terms"] = agg_nested_terms
+
     def match_percentiles(sf):
         # EXACT percentiles over the whole 'merge sort' match set
         # (elasticsearch percentiles shape but exact, not t-digest):
@@ -3002,6 +3031,36 @@ SELECT b AS bucket_us, CAST(COUNT(*) AS BIGINT) AS cnt,
                * (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id)))), 4) AS stddev
 FROM m
 GROUP BY b ORDER BY bucket_us"""
+
+    # nested terms→terms→stats: top-3 langs by match count, top-2 sources
+    # per lang, avg n_chars — ROW_NUMBER per level mirrors the engine's
+    # exact per-key recursion
+    sql["agg_nested_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+d2 AS (SELECT d.* FROM documents d JOIN m ON m.doc_id = d.doc_id),
+outer_k AS (
+  SELECT lang, COUNT(*) AS lang_cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM d2 WHERE lang IS NOT NULL GROUP BY lang
+),
+inner_k AS (
+  SELECT lang, source, COUNT(*) AS cnt,
+         ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 4) AS avg_n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY COUNT(*) DESC, source) AS rn
+  FROM d2 WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+)
+SELECT o.lang AS lang, CAST(o.lang_cnt AS BIGINT) AS lang_cnt,
+       i.source AS source, CAST(i.cnt AS BIGINT) AS cnt, i.avg_n AS avg_n
+FROM outer_k o JOIN inner_k i ON i.lang = o.lang
+WHERE o.rn <= 3 AND i.rn <= 2
+ORDER BY o.rn, i.rn"""
 
     # exact match-set percentiles: q -> the floor(q·(n-1))-th (0-based)
     # smallest n_chars over the merge-OR-sort match set (lower discrete

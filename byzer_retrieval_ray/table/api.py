@@ -2452,6 +2452,10 @@ class RetrievalCluster:
             {"<name>": {"avg"|"sum"|"min"|"max"|"value_count"|"stats"|
                         "extended_stats": {"field": f}}}
             {"<name>": {"top_hits": {"size": n}}}     # terms/composite only
+            {"<name>": {"terms"|"composite"|"date_histogram": {...},
+                        "aggs": {...}}}   # NESTED bucket agg, any depth —
+                                          # outer must be terms/composite
+                                          # on a string-typed key field
 
         Returns ``{"buckets": [{"key", "doc_count", "<name>": …}, ...]}``
         (+ ``after_key`` for composite) in the source's bucket order —
@@ -2481,7 +2485,26 @@ class RetrievalCluster:
             raise ValueError("aggs must name at least one sub-aggregation")
         metric_aggs: dict[str, tuple[str, str]] = {}
         hit_aggs: dict[str, int] = {}
+        nested_aggs: dict[str, tuple[dict, dict]] = {}
         for name, sub in aggs.items():
+            inner_src = {k: v for k, v in sub.items()
+                         if k in ("terms", "composite", "date_histogram")}
+            if inner_src:
+                # nested bucket agg: {"terms": {...}, "aggs": {...}} — any
+                # depth; each outer bucket recurses with its key pushed
+                # down as a filter (see the fold below)
+                if len(inner_src) != 1 or set(sub) - set(inner_src) - \
+                        {"aggs"}:
+                    raise ValueError(
+                        f"nested bucket agg {name!r} must be one bucket "
+                        "source plus an optional 'aggs'")
+                if kind == "date_histogram":
+                    raise ValueError(
+                        "nested bucket aggregations need a terms/composite "
+                        "OUTER source (the outer key pushes down as an "
+                        "exact-value filter; histogram bins are ranges)")
+                nested_aggs[name] = (inner_src, sub.get("aggs") or {})
+                continue
             if len(sub) != 1:
                 raise ValueError(
                     f"sub-aggregation {name!r} must have exactly one kind")
@@ -2598,6 +2621,78 @@ class RetrievalCluster:
                                     "_score": float(scores[i])})
             hits_by_key[name] = per
 
+        # ---- nested bucket sub-aggs: recurse per outer key with the key
+        # pushed down as an exact-value filter (string-typed key fields —
+        # the facet-label convention; the filter composes with the query's
+        # own tree, so the inner match set is exactly the outer bucket).
+        # Cost: |outer keys| bounded inner passes — the exactness-per-level
+        # price; ES's per-shard shard_size heuristic trades that for
+        # approximation, this engine keeps every level exact.
+        nested_by_key: dict[str, dict] = {}
+        if nested_aggs:
+            from dataclasses import replace as _replace
+
+            from byzer_retrieval_ray.functions.queryparser import parse_keyword
+
+            # Filter semantics pitfall: a pure-SHOULD keyword with a filter
+            # follows ES bool{should, filter} msm=0 — filter-only docs
+            # enter at score 0, which would make the inner bucket "all
+            # docs with the outer key" instead of "the outer bucket".
+            # Bump min_should_match to 1 for exactly that case (keyword
+            # matching then gates, reproducing the filterless match set ∩
+            # key). Match-all, must-bearing, already-filtered or msm≥1
+            # queries intersect correctly as-is.
+            kw = (q.keyword or "").strip()
+            bump_msm = (not q.filters
+                        and int(q.min_should_match or 0) == 0
+                        and kw not in ("", "*")
+                        and not parse_keyword(kw)._has_must())
+            for name, (src, inner) in nested_aggs.items():
+                per: dict = {}
+                for (key, _cnt), kstr_ in zip(buckets, key_strs):
+                    leaf = {"field": key_field, "value": key}
+                    subf = {"and": [q.filters, leaf]} if q.filters \
+                        else {"and": [leaf]}
+                    subq = _replace(q, filters=subf,
+                                    min_should_match=(
+                                        1 if bump_msm
+                                        else q.min_should_match))
+                    if inner:
+                        per[kstr_] = self.aggregate(database, table, subq,
+                                                    src, inner,
+                                                    precision=precision)
+                        continue
+                    ikind, ispec = next(iter(src.items()))
+                    if ikind == "terms":
+                        sel = self.facet_counts(
+                            database, table, subq, str(ispec["field"]),
+                            limit=int(ispec.get("size", 10)),
+                            precision=precision)
+                        per[kstr_] = {"buckets": [
+                            {"key": b["value"], "doc_count": b["count"]}
+                            for b in sel]}
+                    elif ikind == "composite":
+                        page = self.composite_agg(
+                            database, table, subq, str(ispec["field"]),
+                            size=int(ispec.get("size", 10)),
+                            after=ispec.get("after"), precision=precision)
+                        per[kstr_] = {
+                            "buckets": [{"key": b["key"],
+                                         "doc_count": b["count"]}
+                                        for b in page["buckets"]],
+                            "after_key": page["after_key"]}
+                    else:
+                        bins = self.date_histogram(
+                            database, table, subq, str(ispec["field"]),
+                            interval=int(ispec["interval"]),
+                            offset=int(ispec.get("offset", 0)),
+                            min_doc_count=int(ispec.get("min_doc_count", 1)),
+                            precision=precision)
+                        per[kstr_] = {"buckets": [
+                            {"key": b["bucket"], "doc_count": b["count"]}
+                            for b in bins]}
+                nested_by_key[name] = per
+
         # ---- fold ----
         import math
         out_buckets = []
@@ -2636,6 +2731,8 @@ class RetrievalCluster:
                     row[name] = st
             for name in hit_aggs:
                 row[name] = hits_by_key[name][kstr_]
+            for name in nested_aggs:
+                row[name] = nested_by_key[name][kstr_]
             out_buckets.append(row)
         out = {"buckets": out_buckets}
         if kind == "composite":

@@ -166,3 +166,94 @@ class TestValidationAndActors:
             assert cluster.aggregate("db", "t", _q(), *hist) == ih
         finally:
             cluster.deactivate("db", "t")
+
+
+class TestNestedBucketAggs:
+    """Round-5: bucket agg under bucket agg, any depth — each outer key
+    recurses with an exact-value filter push-down, so every level stays
+    exact (no ES shard_size approximation)."""
+
+    def test_terms_terms_metric(self, cluster):
+        docs = _docs()
+        out = cluster.aggregate(
+            "db", "t", _q(),
+            {"terms": {"field": "cat", "size": 2}},
+            {"days": {"terms": {"field": "cat", "size": 1}},   # trivial self
+             "by": {"date_histogram": {"field": "ts", "interval": DAY},
+                    "aggs": {"a": {"avg": {"field": "n"}}}}})
+        assert [b["key"] for b in out["buckets"]] == ["a", "b"]
+        for b in out["buckets"]:
+            # trivial self-nesting: one bucket = the outer key itself
+            assert b["days"]["buckets"] == [{"key": b["key"],
+                                            "doc_count": 20}]
+            inner = b["by"]["buckets"]
+            assert len(inner) == 5 and sum(
+                x["doc_count"] for x in inner) == 20
+            for x in inner:
+                day_idx = datetime.datetime.utcfromtimestamp(
+                    x["key"] / 1e6).day - 1
+                ns = [d["n"] for d in docs
+                      if d["cat"] == b["key"] and d["_id"] % 5 == day_idx
+                      and d["n"] is not None]
+                assert x["doc_count"] == 4
+                assert x["a"] == pytest.approx(np.mean(ns))
+
+    def test_counts_only_nesting(self, cluster):
+        out = cluster.aggregate(
+            "db", "t", _q(), {"composite": {"field": "cat", "size": 3}},
+            {"hist": {"date_histogram": {"field": "ts",
+                                         "interval": DAY}}})
+        for b in out["buckets"]:
+            assert sum(x["doc_count"] for x in b["hist"]["buckets"]) == \
+                b["doc_count"]
+
+    def test_outer_histogram_rejected(self, cluster):
+        with pytest.raises(ValueError, match="OUTER"):
+            cluster.aggregate(
+                "db", "t", _q(),
+                {"date_histogram": {"field": "ts", "interval": DAY}},
+                {"x": {"terms": {"field": "cat"}}})
+
+    def test_actor_parity(self, cluster):
+        spec = ({"terms": {"field": "cat", "size": 2}},
+                {"by": {"date_histogram": {"field": "ts", "interval": DAY},
+                        "aggs": {"s": {"sum": {"field": "n"}}}}})
+        inproc = cluster.aggregate("db", "t", _q(), *spec)
+        cluster.activate("db", "t")
+        try:
+            assert cluster.aggregate("db", "t", _q(), *spec) == inproc
+        finally:
+            cluster.deactivate("db", "t")
+
+    def test_inner_buckets_are_outer_slices_not_filter_sets(
+            self, ray_session, tmp_path):
+        # regression: a pure-SHOULD keyword + pushed-down filter follows
+        # ES bool{should,filter} msm=0 (filter-only docs at score 0) —
+        # without the msm bump the inner buckets would count ALL docs of
+        # the outer key, not the keyword matches
+        loc = str(tmp_path)
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings("db", "nb", SCHEMA, loc))
+        docs = []
+        for i in range(40):
+            docs.append({"_id": i,
+                         "content": "match" if i % 2 == 0 else "miss",
+                         "cat": ["a", "b"][i % 2 == 0 and i % 4 == 0],
+                         "n": i, "ts": datetime.datetime(2020, 1, 1)})
+        # cats: i%4==0 → 'b' (matching), else 'a' (mixed match/miss)
+        c.build_from_local("db", "nb", docs, key_field="_id",
+                           num_doc_parts=2, num_term_parts=2)
+        q = SearchQuery("db", "nb", keyword="match", fields=["content"],
+                        limit=5)
+        out = c.aggregate(
+            "db", "nb", q, {"terms": {"field": "cat", "size": 2}},
+            {"inner": {"terms": {"field": "cat", "size": 2},
+                       "aggs": {"vc": {"value_count": {"field": "n"}}}}})
+        for b in out["buckets"]:
+            want = sum(1 for d in docs
+                       if d["cat"] == b["key"] and d["content"] == "match")
+            assert b["doc_count"] == want
+            # trivial self-nesting: the inner bucket must be the OUTER
+            # bucket (keyword matches with that cat), not every cat doc
+            assert b["inner"]["buckets"] == [
+                {"key": b["key"], "doc_count": want, "vc": want}]
