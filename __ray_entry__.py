@@ -1371,6 +1371,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_percentiles"] = match_percentiles
 
+    def match_percentile_ranks(sf):
+        # EXACT percentile_ranks (inverse percentiles, round-5): rank(x) =
+        # 100·|{v ≤ x}|/n over the match set's n_chars — each bucket ships
+        # len(xs)+1 integers
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.percentile_ranks("db", "docs", q2, "n_chars",
+                                 [100.0, 250.0, 400.0], precision="float64")
+        return pa.table({
+            "value": pa.array([o["value"] for o in out], pa.float64()),
+            "rank": pa.array([float(np.round(o["rank"], 4)) for o in out],
+                             pa.float64()),
+        })
+    q["match_percentile_ranks"] = match_percentile_ranks
+
+    def match_missing(sf):
+        # missing aggregation (round-5): docs of the match set with a null
+        # lang — two integers per bucket
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.missing_count("db", "docs", q2, "lang", precision="float64")
+        return pa.table({
+            "missing": pa.array([out["missing"]], pa.int64()),
+            "doc_count": pa.array([out["doc_count"]], pa.int64()),
+        })
+    q["match_missing"] = match_missing
+
     def sig_terms(sf):
         # significant_terms aggregation (elasticsearch shape, JLH heuristic):
         # terms overrepresented in the 'merge' match set vs the corpus —
@@ -3031,6 +3060,36 @@ SELECT b AS bucket_us, CAST(COUNT(*) AS BIGINT) AS cnt,
                * (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id)))), 4) AS stddev
 FROM m
 GROUP BY b ORDER BY bucket_us"""
+
+    # exact percentile_ranks: 100·count(v<=x)/n over match-set n_chars
+    sql["match_percentile_ranks"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+vals AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+         FROM documents d JOIN m ON m.doc_id = d.doc_id
+         WHERE d.n_chars IS NOT NULL),
+n AS (SELECT count(*) AS c FROM vals),
+xs AS (SELECT unnest([100.0e0, 250.0e0, 400.0e0]) AS x)
+SELECT xs.x AS value,
+       ROUND(100.0e0 * (SELECT count(*) FROM vals WHERE v <= xs.x)
+             / CAST(n.c AS DOUBLE), 4) AS rank
+FROM xs CROSS JOIN n ORDER BY value"""
+
+    # missing agg: match-set docs with null lang + total match count
+    sql["match_missing"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT CAST(SUM(CASE WHEN d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
 
     # nested terms→terms→stats: top-3 langs by match count, top-2 sources
     # per lang, avg n_chars — ROW_NUMBER per level mirrors the engine's

@@ -376,6 +376,18 @@ class SegmentActorImpl:
         return [s.range_facets_keyword(query, field, edges, precision)
                 for s in self.searchers]
 
+    def rank_counts_keyword(self, q: dict, field: str, xs: list,
+                            precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.rank_counts_keyword(query, field, xs, precision)
+                for s in self.searchers]
+
+    def missing_count_keyword(self, q: dict, field: str,
+                              precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.missing_count_keyword(query, field, precision)
+                for s in self.searchers]
+
     def range_counts_keyword(self, q: dict, field: str, brackets: list,
                              precision: str = "float32",
                              center: float | None = None) -> list:

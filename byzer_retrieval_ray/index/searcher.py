@@ -3699,6 +3699,39 @@ class BucketSearcher:
         v = col.to_numpy(zero_copy_only=False).astype(np.float64)
         return v[~np.isnan(v)]
 
+    def rank_counts_keyword(self, q: SearchQuery, field: str, xs: list,
+                            precision: str = "float32") \
+            -> tuple[np.ndarray, int]:
+        """Per-bucket PARTIAL for the ``percentile_ranks`` aggregation
+        (elasticsearch shape, EXACT instead of t-digest): for each probe
+        value x, how many match-set values of ``field`` are ≤ x, plus the
+        bucket's non-null value count. ONE exact TAAT + ONE narrow
+        docstore read serves every probe; the bucket ships len(xs)+1
+        integers — values never leave the shard. Timestamps compare as
+        epoch microseconds; float64 comparisons (ints above 2^53 lose
+        ulps, same caveat as percentiles)."""
+        vals = self._matchset_values(q, field, precision)
+        probes = np.asarray([float(x) for x in xs], np.float64)
+        counts = np.array([int(np.count_nonzero(vals <= x))
+                           for x in probes], np.int64)
+        return counts, int(vals.size)
+
+    def missing_count_keyword(self, q: SearchQuery, field: str,
+                              precision: str = "float32") -> tuple[int, int]:
+        """Per-bucket PARTIAL for the ``missing`` aggregation
+        (elasticsearch shape): (docs with a null/absent ``field``, match
+        count) over the ENTIRE match set — any field type; a list-typed
+        field counts as missing when the list itself is null (empty lists
+        are present, matching ES exists semantics). Two integers ship."""
+        ids, _ = self._matchset(q, precision)
+        ids = np.asarray(ids)
+        if ids.size == 0:
+            return 0, 0
+        tbl = self.fetch_docs(ids, columns=[field])
+        if field not in tbl.column_names:
+            return int(ids.size), int(ids.size)
+        return int(tbl[field].null_count), int(ids.size)
+
     def range_counts_keyword(self, q: SearchQuery, field: str,
                              brackets: list,
                              precision: str = "float32",

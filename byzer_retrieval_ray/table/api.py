@@ -2895,6 +2895,79 @@ class RetrievalCluster:
                 for x, s in zip(qs_in, states)]
 
     @_coordinated
+    def percentile_ranks(self, database: str, table: str, query, field: str,
+                         values: list,
+                         precision: str = "float32") -> list[dict]:
+        """Percentile ranks of probe values over a keyword query's ENTIRE
+        match set (the elasticsearch ``percentile_ranks`` aggregation —
+        EXACT, not the t-digest approximation): for each x,
+        ``rank = 100 · |{v : v ≤ x}| / n`` over non-null values of
+        ``field`` (the inverse of :meth:`percentiles`). Returns
+        ``[{"value", "rank"}, ...]`` in input order; rank is None when the
+        match set has no values. Timestamps compare as epoch microseconds.
+
+        Scale shape: each bucket ships len(values)+1 integers — values
+        never leave the shard; the driver fold is O(buckets · probes).
+        Keyword recall only (filters supported)."""
+        if not values:
+            raise ValueError("percentile_ranks needs at least one value")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("percentile_ranks takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("percentile_ranks is keyword-only")
+        xs = [float(x) for x in values]
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.rank_counts_keyword.remote(q.__dict__, field, xs,
+                                                 precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.rank_counts_keyword(q, field, xs, precision)
+                     for s in self._searchers(database, table)]
+        n = sum(p[1] for p in parts)
+        if n == 0:
+            return [{"value": x, "rank": None} for x in xs]
+        tot = np.sum(np.stack([np.asarray(p[0], np.int64) for p in parts]),
+                     axis=0)
+        return [{"value": x, "rank": 100.0 * int(c) / n}
+                for x, c in zip(xs, tot)]
+
+    @_coordinated
+    def missing_count(self, database: str, table: str, query,
+                      field: str, precision: str = "float32") -> dict:
+        """Count of match-set docs with a null/absent ``field`` (the
+        elasticsearch ``missing`` aggregation; extension). Returns
+        ``{"missing", "doc_count"}`` (doc_count = the match-set size).
+        Any field type; empty lists count as present (exists semantics).
+
+        Scale shape: each bucket ships TWO integers. Keyword recall only
+        (filters supported)."""
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("missing_count takes exactly one query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("missing_count is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.missing_count_keyword.remote(q.__dict__, field,
+                                                   precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.missing_count_keyword(q, field, precision)
+                     for s in self._searchers(database, table)]
+        return {"missing": sum(p[0] for p in parts),
+                "doc_count": sum(p[1] for p in parts)}
+
+    @_coordinated
     def median_absolute_deviation(self, database: str, table: str, query,
                                   field: str, n_candidates: int = 256,
                                   collect_limit: int = 4096,

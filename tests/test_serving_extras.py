@@ -2007,3 +2007,61 @@ class TestOffsetPagination:
             c.search("db", "o", SearchQuery(
                 "db", "o", keyword="hit", fields=["content"], limit=5,
                 offset=5, search_after=[1.0, 0]))
+
+
+class TestPercentileRanksAndMissing:
+    """Round-5: exact percentile_ranks (inverse percentiles) and the
+    missing aggregation — both O(integers) per-bucket partials."""
+
+    def _cluster(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "pr", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long),field(tag,string))", loc))
+        docs = [{"_id": i, "content": "hit", "n": (i * 13) % 97,
+                 "tag": None if i % 7 == 0 else f"t{i % 3}"}
+                for i in range(70)]
+        docs[5]["n"] = None
+        c.build_from_local("db", "pr", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        return c, docs
+
+    def test_ranks_match_brute(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "pr", keyword="hit", fields=["content"],
+                        limit=5)
+        vals = [d["n"] for d in docs if d["n"] is not None]
+        xs = [0.0, 25.0, 48.0, 96.0, 200.0]
+        out = c.percentile_ranks("db", "pr", q, "n", xs)
+        assert [o["value"] for o in out] == xs
+        for o in out:
+            want = 100.0 * sum(1 for v in vals if v <= o["value"]) / len(vals)
+            assert o["rank"] == pytest.approx(want)
+        assert out[-1]["rank"] == 100.0
+
+    def test_missing_counts(self, ray_session, tmp_path):
+        c, docs = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "pr", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.missing_count("db", "pr", q, "tag")
+        assert out == {"missing": sum(1 for d in docs if d["tag"] is None),
+                       "doc_count": len(docs)}
+        # absent column: everything is missing
+        assert c.missing_count("db", "pr", q, "nope") == \
+               {"missing": len(docs), "doc_count": len(docs)}
+
+    def test_actor_parity_and_validation(self, ray_session, tmp_path):
+        c, _ = self._cluster(str(tmp_path))
+        q = SearchQuery("db", "pr", keyword="hit", fields=["content"],
+                        limit=5)
+        pr = c.percentile_ranks("db", "pr", q, "n", [10.0, 50.0])
+        mc = c.missing_count("db", "pr", q, "tag")
+        c.activate("db", "pr")
+        try:
+            assert c.percentile_ranks("db", "pr", q, "n",
+                                      [10.0, 50.0]) == pr
+            assert c.missing_count("db", "pr", q, "tag") == mc
+        finally:
+            c.deactivate("db", "pr")
+        with pytest.raises(ValueError, match="at least one value"):
+            c.percentile_ranks("db", "pr", q, "n", [])
