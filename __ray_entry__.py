@@ -1351,6 +1351,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["agg_nested_terms"] = agg_nested_terms
 
+    def agg_bucket_selector(sf):
+        # bucket_selector + bucket_sort pipeline (round-5): HAVING-style
+        # predicate over aggregate() buckets at reduce time (where ES runs
+        # pipeline aggs) — keep langs whose avg n_chars >= 280, order by
+        # avg desc (ties lang asc)
+        from byzer_retrieval_ray.ops.pipeline_agg import (bucket_selector,
+                                                          bucket_sort)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.aggregate(
+            "db", "docs", q2, {"terms": {"field": "lang", "size": 100}},
+            {"st": {"stats": {"field": "n_chars"}}}, precision="float64")
+        kept = bucket_selector(out["buckets"], "st.avg", "gte", 280.0)
+        for b in kept:
+            b["_avg"] = b["st"]["avg"]
+        kept = bucket_sort(kept, key="_avg", ascending=False,
+                           tie_key="key")
+        return pa.table({
+            "lang": pa.array([b["key"] for b in kept], pa.string()),
+            "cnt": pa.array([b["doc_count"] for b in kept], pa.int64()),
+            "avg_n": pa.array([float(np.round(b["_avg"], 4))
+                               for b in kept], pa.float64()),
+        })
+    q["agg_bucket_selector"] = agg_bucket_selector
+
     def match_percentiles(sf):
         # EXACT percentiles over the whole 'merge sort' match set
         # (elasticsearch percentiles shape but exact, not t-digest):
@@ -3060,6 +3086,22 @@ SELECT b AS bucket_us, CAST(COUNT(*) AS BIGINT) AS cnt,
                * (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id)))), 4) AS stddev
 FROM m
 GROUP BY b ORDER BY bucket_us"""
+
+    # bucket_selector (HAVING) + bucket_sort over the lang terms buckets
+    sql["agg_bucket_selector"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars), 4) AS avg_n
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang
+HAVING CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars) >= 280.0e0
+ORDER BY CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars) DESC, lang"""
 
     # exact percentile_ranks: 100·count(v<=x)/n over match-set n_chars
     sql["match_percentile_ranks"] = """

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["derivative", "cumulative_sum", "moving_avg", "bucket_sort",
-           "serial_diff"]
+           "serial_diff", "bucket_selector"]
 
 
 def _vals(buckets: list[dict], key: str) -> np.ndarray:
@@ -85,3 +85,47 @@ def bucket_sort(buckets: list[dict], key: str = "count",
                  key=lambda b: ((b[key] if ascending else -b[key]),
                                 b[tie_key]))
     return out if size is None else out[:int(size)]
+
+
+def _resolve(b: dict, path: str):
+    """Dotted-path lookup into a bucket dict (``st.avg`` reaches a stats
+    sub-dict's field; ``_count`` resolves the doc-count key whatever the
+    parent named it) — the ES buckets_path convention."""
+    if path == "_count":
+        for k in ("doc_count", "count", "cnt"):
+            if k in b:
+                return b[k]
+        raise KeyError("no doc-count key in bucket")
+    cur = b
+    for part in path.split("."):
+        cur = cur[part]
+    return cur
+
+
+_OPS = {"gt": lambda a, v: a > v, "gte": lambda a, v: a >= v,
+        "lt": lambda a, v: a < v, "lte": lambda a, v: a <= v,
+        "eq": lambda a, v: a == v, "ne": lambda a, v: a != v}
+
+
+def bucket_selector(buckets: list[dict], path: str, op: str,
+                    value: float) -> list[dict]:
+    """Keep only buckets whose ``path`` metric satisfies the predicate
+    (the elasticsearch ``bucket_selector`` pipeline — its script reduced
+    to one comparison, which covers the HAVING-style use it exists for).
+    ``path`` is a dotted buckets_path (``a``, ``st.avg``, ``_count``);
+    ``op`` ∈ gt/gte/lt/lte/eq/ne. Buckets whose metric is None drop (the
+    ES skip gap policy). Composes with ``RetrievalCluster.aggregate``
+    output and the histogram pipelines alike — runs at reduce time over
+    the already-folded bucket list, exactly where ES runs it."""
+    if op not in _OPS:
+        raise ValueError(f"unknown bucket_selector op {op!r} "
+                         f"(use one of {sorted(_OPS)})")
+    pred = _OPS[op]
+    out = []
+    for b in buckets:
+        m = _resolve(b, path)
+        if m is None:
+            continue
+        if pred(float(m), float(value)):
+            out.append(b)
+    return out

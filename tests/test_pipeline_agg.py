@@ -56,3 +56,30 @@ def test_chaining_preserves_prior_outputs():
     assert set(out[0]) == {"bucket", "count", "derivative",
                            "cumulative_sum", "moving_avg"}
     assert [o["cumulative_sum"] for o in out] == [1.0, 3.0, 7.0]
+
+
+class TestBucketSelector:
+    """Round-5: bucket_selector (HAVING predicate) with dotted
+    buckets_path resolution, composing with aggregate() output shapes."""
+
+    def test_predicates_and_paths(self):
+        from byzer_retrieval_ray.ops.pipeline_agg import bucket_selector
+        bs = [{"key": "a", "doc_count": 5, "st": {"avg": 10.0}},
+              {"key": "b", "doc_count": 2, "st": {"avg": 30.0}},
+              {"key": "c", "doc_count": 9, "st": {"avg": None}}]
+        assert [b["key"] for b in
+                bucket_selector(bs, "st.avg", "gte", 10.0)] == ["a", "b"]
+        assert [b["key"] for b in
+                bucket_selector(bs, "st.avg", "gt", 10.0)] == ["b"]
+        # None metric drops (ES skip gap policy)
+        assert [b["key"] for b in
+                bucket_selector(bs, "st.avg", "lt", 1e9)] == ["a", "b"]
+        # _count resolves the doc-count key whatever its name
+        assert [b["key"] for b in
+                bucket_selector(bs, "_count", "gte", 5)] == ["a", "c"]
+        hist = [{"bucket": 1, "count": 3}, {"bucket": 2, "count": 7}]
+        assert [b["bucket"] for b in
+                bucket_selector(hist, "_count", "ne", 3)] == [2]
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown bucket_selector"):
+            bucket_selector(bs, "st.avg", "between", 1.0)
