@@ -1377,6 +1377,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["agg_bucket_selector"] = agg_bucket_selector
 
+    def multi_terms_agg(sf):
+        # multi_terms (round-5): (lang, source) tuple buckets over the
+        # merge-OR-sort match set through the bounded threshold fold
+        # (shard_size=8 forces the truncated path over ~100 tuples)
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.multi_terms("db", "docs", q2, ["lang", "source"], limit=10,
+                            precision="float64", shard_size=8)
+        return pa.table({
+            "lang": pa.array([o["key"][0] for o in out], pa.string()),
+            "source": pa.array([o["key"][1] for o in out], pa.string()),
+            "cnt": pa.array([o["count"] for o in out], pa.int64()),
+        })
+    q["multi_terms_agg"] = multi_terms_agg
+
     def match_percentiles(sf):
         # EXACT percentiles over the whole 'merge sort' match set
         # (elasticsearch percentiles shape but exact, not t-digest):
@@ -3086,6 +3102,22 @@ SELECT b AS bucket_us, CAST(COUNT(*) AS BIGINT) AS cnt,
                * (CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id)))), 4) AS stddev
 FROM m
 GROUP BY b ORDER BY bucket_us"""
+
+    # multi_terms: (lang, source) tuple buckets, count desc then tuple asc
+    # (engine ties break on the \\x1f-joined key whose order equals tuple
+    # order for printable values)
+    sql["multi_terms_agg"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))
+SELECT d.lang AS lang, d.source AS source, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY d.lang, d.source
+ORDER BY cnt DESC, lang, source LIMIT 10"""
 
     # bucket_selector (HAVING) + bucket_sort over the lang terms buckets
     sql["agg_bucket_selector"] = """

@@ -2623,13 +2623,15 @@ class BucketSearcher:
         cache[key] = out
         return out
 
-    def facet_keyword(self, q: SearchQuery, facet_field: str,
+    def facet_keyword(self, q: SearchQuery, facet_field,
                       precision: str = "float32") -> pa.Table:
+        extra = (tuple(facet_field) if isinstance(facet_field, (list, tuple))
+                 else facet_field)
         return self._memo_partial(
-            "facet", q, (facet_field, precision),
+            "facet", q, (extra, precision),
             lambda: self._facet_keyword_impl(q, facet_field, precision))
 
-    def _facet_keyword_impl(self, q: SearchQuery, facet_field: str,
+    def _facet_keyword_impl(self, q: SearchQuery, facet_field,
                             precision: str = "float32") -> pa.Table:
         """Per-bucket PARTIAL facet counts over the ENTIRE keyword match set
         (the Lucene facets shape: FacetsCollector counts every hit, not the
@@ -2639,7 +2641,14 @@ class BucketSearcher:
         exact TAAT path with an unbounded limit — facets need every match's
         id, never its rank — and reads ONE narrow stored column per bucket
         (fetch_docs column pruning), so the per-bucket payload is
-        (distinct values × 16B), independent of match count."""
+        (distinct values × 16B), independent of match count.
+
+        ``facet_field`` may be a LIST of fields (the elasticsearch
+        ``multi_terms`` shape): the bucket key is the value tuple, shipped
+        as a \\x1f-joined string; a doc with a null in ANY component
+        belongs to no bucket (ES multi_terms semantics); list-typed
+        components are rejected. Every downstream fold (bounded threshold
+        facet, composite paging, rare_terms) composes unchanged."""
         import pyarrow.compute as pc
         from dataclasses import replace
 
@@ -2648,6 +2657,32 @@ class BucketSearcher:
         ids, _ = self._matchset(q, precision)
         if ids.size == 0:
             return empty
+        if isinstance(facet_field, (list, tuple)):
+            fields = [str(f) for f in facet_field]
+            tbl = self.fetch_docs(ids, columns=sorted(set(fields)))
+            if any(f not in tbl.column_names for f in fields):
+                return empty
+            cols, valid = [], None
+            for f in fields:
+                c = tbl[f].combine_chunks()
+                if pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
+                    raise ValueError(
+                        f"multi_terms component {f!r} is list-typed — a "
+                        "doc can only belong to one tuple bucket")
+                c = pc.cast(c, pa.string())
+                v = pc.is_valid(c)
+                valid = v if valid is None else pc.and_(valid, v)
+                cols.append(c)
+            key = cols[0]
+            for c in cols[1:]:
+                key = pc.binary_join_element_wise(key, c, "\x1f")
+            key = key.filter(valid)
+            if len(key) == 0:
+                return empty
+            vc = pc.value_counts(key)
+            return pa.table({
+                "value": pc.cast(vc.field("values"), pa.string()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64())})
         tbl = self.fetch_docs(ids, columns=[facet_field])
         if facet_field not in tbl.column_names:
             return empty

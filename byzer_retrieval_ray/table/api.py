@@ -1381,6 +1381,34 @@ class RetrievalCluster:
             S *= 4
 
     @_coordinated
+    def multi_terms(self, database: str, table: str, query, fields: list,
+                    limit: int = 10, precision: str = "float32",
+                    shard_size: int | None = None) -> list[dict]:
+        """Multi-field terms aggregation (the elasticsearch ``multi_terms``
+        shape; extension): buckets keyed by the VALUE TUPLE of ≥ 2 stored
+        fields over a keyword query's ENTIRE match set, ranked
+        (count desc, key tuple asc), top ``limit``. A doc with a null in
+        any component belongs to no bucket (ES semantics); components are
+        rejected if list-typed. Returns
+        ``[{"key": [v1, v2, …], "count"}, ...]`` (values as strings — the
+        facet-label convention).
+
+        Scale shape: the tuple key rides the SAME bounded exact threshold
+        fold as facet_counts (per-bucket top-S partials → candidate probe
+        → provable acceptance; the key is composed server-side as a
+        \\x1f-joined string, whose lexicographic order equals tuple order
+        for printable values) — no vocabulary-sized partial even though
+        tuple cardinality multiplies. Keyword recall only."""
+        fl = [str(f) for f in fields]
+        if len(fl) < 2:
+            raise ValueError("multi_terms needs at least two fields "
+                             "(use facet_counts for one)")
+        rows = self.facet_counts(database, table, query, fl, limit=limit,
+                                 precision=precision, shard_size=shard_size)
+        return [{"key": r["value"].split("\x1f"), "count": r["count"]}
+                for r in rows]
+
+    @_coordinated
     def top_hits(self, database: str, table: str, query, key_field: str,
                  num_keys: int = 10, per_key: int = 3,
                  precision: str = "float32") -> list[dict]:

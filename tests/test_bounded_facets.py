@@ -223,3 +223,47 @@ class TestBoundedSigTerms:
         c.activate("db", "hc")
         assert c.significant_terms("db", "hc", q, "content",
                                    limit=5) == inproc
+
+
+class TestMultiTerms:
+    """Round-5: multi_terms — tuple bucket keys through the same bounded
+    threshold fold (composed \\x1f-joined keys)."""
+
+    def _corpus(self, loc):
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "mt", "st(field(_id,long),field(content,string,analyze),"
+            "field(a,string),field(b,string))", loc))
+        docs = [{"_id": i, "content": "hit",
+                 "a": None if i % 11 == 0 else f"a{i % 3}",
+                 "b": f"b{i % 4}"} for i in range(120)]
+        c.build_from_local("db", "mt", docs, key_field="_id",
+                           num_doc_parts=4, num_term_parts=2)
+        return c, docs
+
+    def test_matches_naive_and_null_components(self, ray_session, tmp_path):
+        c, docs = self._corpus(str(tmp_path))
+        q = SearchQuery("db", "mt", keyword="hit", fields=["content"],
+                        limit=5)
+        cnt = Counter((d["a"], d["b"]) for d in docs if d["a"] is not None)
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+        out = c.multi_terms("db", "mt", q, ["a", "b"], limit=6)
+        assert [(tuple(o["key"]), o["count"]) for o in out] == want
+        # forced bounded path gives identical results
+        assert c.multi_terms("db", "mt", q, ["a", "b"], limit=6,
+                             shard_size=2) == out
+
+    def test_actor_parity_and_validation(self, ray_session, tmp_path):
+        c, _ = self._corpus(str(tmp_path))
+        q = SearchQuery("db", "mt", keyword="hit", fields=["content"],
+                        limit=5)
+        inproc = c.multi_terms("db", "mt", q, ["a", "b"], limit=4,
+                               shard_size=3)
+        c.activate("db", "mt")
+        try:
+            assert c.multi_terms("db", "mt", q, ["a", "b"], limit=4,
+                                 shard_size=3) == inproc
+        finally:
+            c.deactivate("db", "mt")
+        with pytest.raises(ValueError, match="at least two"):
+            c.multi_terms("db", "mt", q, ["a"])
