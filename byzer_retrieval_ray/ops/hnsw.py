@@ -113,34 +113,61 @@ class HNSWIndex:
         out returns None and the caller falls back to an exact scan of the
         filtered set (Lucene's visitedLimit rule)."""
         adj = self.adj[level]
-        visited = set(entries)
+        unit = self.unit
+        push, pop = heapq.heappush, heapq.heappop
+        # version-stamped visited marks (round-5): one persistent int32
+        # array per index instead of a per-call set — membership is an
+        # array read, no hashing, no per-call allocation. Pure data
+        # structure; visit ORDER and all arithmetic are unchanged, so the
+        # traversal (and the built graph) stays byte-identical.
+        stamp = getattr(self, "_vstamp", None)
+        if stamp is None or len(stamp) != len(unit):
+            stamp = self._vstamp = [0] * len(unit)
+            self._vgen = 0
+        self._vgen += 1
+        gen = self._vgen
         out: list[tuple[float, int]] = []      # min-heap of (sim, node)
         cand: list[tuple[float, int]] = []     # max-heap via negated sim
         for e in entries:
-            s = float(self.unit[e] @ q)
+            stamp[e] = gen
+            s = float(unit[e] @ q)
             if allowed is None or allowed[e]:
-                heapq.heappush(out, (s, e))
-            heapq.heappush(cand, (-s, e))
+                push(out, (s, e))
+            push(cand, (-s, e))
         while cand:
-            negs, c = heapq.heappop(cand)
+            negs, c = pop(cand)
             if len(out) >= ef and -negs < out[0][0]:
                 break
-            nbrs = [x for x in adj.get(c, []) if x not in visited]
+            lst = adj.get(c)
+            if not lst:
+                continue
+            nbrs = [x for x in lst if stamp[x] != gen]
             if not nbrs:
                 continue
-            visited.update(nbrs)
+            for x in nbrs:
+                stamp[x] = gen
             if budget is not None:
                 budget[0] -= len(nbrs)
                 if budget[0] < 0:
                     return None
-            sims = self.unit[nbrs] @ q
-            for x, s in zip(nbrs, sims.tolist()):
-                if len(out) < ef or s > out[0][0]:
-                    if allowed is None or allowed[x]:
-                        heapq.heappush(out, (s, x))
-                        if len(out) > ef:
-                            heapq.heappop(out)
-                    heapq.heappush(cand, (-s, x))
+            sims = unit[nbrs] @ q
+            if len(out) >= ef:
+                floor = out[0][0]
+                for x, s in zip(nbrs, sims.tolist()):
+                    if s > floor:
+                        if allowed is None or allowed[x]:
+                            push(out, (s, x))
+                            pop(out)
+                            floor = out[0][0]
+                        push(cand, (-s, x))
+            else:
+                for x, s in zip(nbrs, sims.tolist()):
+                    if len(out) < ef or s > out[0][0]:
+                        if allowed is None or allowed[x]:
+                            push(out, (s, x))
+                            if len(out) > ef:
+                                pop(out)
+                        push(cand, (-s, x))
         return sorted(out, reverse=True)
 
     def _select_neighbors(self, q: np.ndarray, cands: list[tuple[float, int]],
