@@ -1244,6 +1244,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["date_histogram"] = date_histogram
 
+    def auto_date_histogram(sf):
+        # auto_date_histogram (round-5): the engine picks the smallest
+        # ladder interval whose floor-rounded bucket count fits 10 — one
+        # stats partial per shard then one histogram pass; gaps zero-fill
+        c = _events_cluster(sf)
+        q2 = SearchQuery("db", "events", keyword="*",
+                         filters={"and": [{"field": "event_type",
+                                           "value": "click"}]},
+                         fields=[], limit=10)
+        out = c.auto_date_histogram("db", "events", q2, "ts", buckets=10,
+                                    precision="float64")
+        return pa.table({
+            "interval": pa.array([out["interval"]] * len(out["buckets"]),
+                                 pa.int64()),
+            "bucket_us": pa.array([b["bucket"] for b in out["buckets"]],
+                                  pa.int64()),
+            "cnt": pa.array([b["count"] for b in out["buckets"]],
+                            pa.int64()),
+        })
+    q["auto_date_histogram"] = auto_date_histogram
+
     def terms_stats_agg(sf):
         # terms bucket agg + metric sub-agg (elasticsearch terms + avg/sum
         # shape): per-lang doc count and n_chars sum/avg over the whole
@@ -3039,6 +3060,33 @@ SELECT CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS bucket_us,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM events WHERE event_type = 'click'
 GROUP BY 1 ORDER BY bucket_us"""
+
+    # auto_date_histogram: smallest ladder interval with
+    # floor(mx/iv)-floor(mn/iv)+1 <= 10 over the click match set, then
+    # floor-rounded bins with generate_series gap-fill
+    sql["auto_date_histogram"] = """
+WITH m AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+mm AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM m),
+lad AS (SELECT unnest([1000000, 5000000, 10000000, 30000000, 60000000,
+                       300000000, 600000000, 1800000000, 3600000000,
+                       10800000000, 43200000000, 86400000000,
+                       604800000000, 2592000000000, 7776000000000,
+                       31536000000000]) AS iv),
+pick AS (SELECT COALESCE(
+           (SELECT iv FROM lad, mm
+            WHERE (mx // iv) - (mn // iv) + 1 <= 10
+            ORDER BY iv LIMIT 1), 31536000000000) AS iv),
+series AS (SELECT CAST(unnest(generate_series(
+             (SELECT (mm.mn // p.iv) * p.iv FROM mm, pick p),
+             (SELECT (mm.mx // p.iv) * p.iv FROM mm, pick p),
+             (SELECT iv FROM pick))) AS BIGINT) AS b),
+cnts AS (SELECT CAST((t // (SELECT iv FROM pick)) * (SELECT iv FROM pick)
+                     AS BIGINT) AS b, COUNT(*) AS c
+         FROM m GROUP BY 1)
+SELECT CAST((SELECT iv FROM pick) AS BIGINT) AS interval,
+       s.b AS bucket_us, CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
+FROM series s LEFT JOIN cnts c ON c.b = s.b
+ORDER BY bucket_us"""
 
     # terms agg + metric sub-agg: per-lang doc count and n_chars sum/avg
     # over the merge-OR-sort match set (null langs excluded, SQL COUNT(col)

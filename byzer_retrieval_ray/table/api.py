@@ -2422,6 +2422,51 @@ class RetrievalCluster:
         return [{"bucket": int(b), "count": int(c)}
                 for b, c in zip(buckets, counts)]
 
+    # fixed-interval ladder for auto_date_histogram, epoch MICROseconds
+    # (the elasticsearch auto_date_histogram rounding set with the three
+    # calendar units approximated as fixed 30d/90d/365d — a documented
+    # divergence that keeps the choice SQL-replicable)
+    _AUTO_HISTO_LADDER = (
+        1_000_000, 5_000_000, 10_000_000, 30_000_000,          # 1/5/10/30 s
+        60_000_000, 300_000_000, 600_000_000, 1_800_000_000,   # 1/5/10/30 m
+        3_600_000_000, 10_800_000_000, 43_200_000_000,         # 1/3/12 h
+        86_400_000_000, 604_800_000_000,                       # 1 d, 7 d
+        2_592_000_000_000, 7_776_000_000_000,                  # 30 d, 90 d
+        31_536_000_000_000)                                    # 365 d
+
+    @_coordinated
+    def auto_date_histogram(self, database: str, table: str, query,
+                            field: str, buckets: int = 10,
+                            precision: str = "float32") -> dict:
+        """Date histogram that PICKS its interval (the elasticsearch
+        ``auto_date_histogram`` shape; extension): the smallest interval
+        of the fixed ladder whose floor-rounded bucket count
+        ``floor(max/iv) − floor(min/iv) + 1`` fits within ``buckets``
+        (falling back to the largest rung when nothing fits). Returns
+        ``{"interval", "buckets": [{"bucket", "count"}, ...]}`` — buckets
+        ascending, gaps zero-filled (the ES auto shape always emits the
+        contiguous range). Timestamps bucket as epoch microseconds.
+
+        Scale shape: ONE 4-value stats partial per shard picks the
+        interval, then one date_histogram pass (bin-bounded partials) —
+        two scatter/gather rounds total. Keyword recall only."""
+        if int(buckets) < 1:
+            raise ValueError("buckets must be >= 1")
+        st = self.field_stats(database, table, query, field,
+                              precision=precision)
+        if st["count"] == 0:
+            return {"interval": None, "buckets": []}
+        mn, mx = int(st["min"]), int(st["max"])
+        iv = self._AUTO_HISTO_LADDER[-1]
+        for cand in self._AUTO_HISTO_LADDER:
+            if (mx // cand) - (mn // cand) + 1 <= int(buckets):
+                iv = cand
+                break
+        bins = self.date_histogram(database, table, query, field,
+                                   interval=iv, min_doc_count=0,
+                                   precision=precision)
+        return {"interval": iv, "buckets": bins}
+
     @_coordinated
     def terms_stats(self, database: str, table: str, query, key_field: str,
                     metric_field: str, limit: int = 10,

@@ -2065,3 +2065,47 @@ class TestPercentileRanksAndMissing:
             c.deactivate("db", "pr")
         with pytest.raises(ValueError, match="at least one value"):
             c.percentile_ranks("db", "pr", q, "n", [])
+
+
+class TestAutoDateHistogram:
+    """Round-5: auto_date_histogram — smallest ladder interval whose
+    floor-rounded bucket count fits the target."""
+
+    def _cluster(self, loc, minutes):
+        import datetime
+        c = RetrievalCluster(loc)
+        c.create_table(TableSettings(
+            "db", "ah", "st(field(_id,long),field(content,string,analyze),"
+            "field(ts,date))", loc))
+        docs = [{"_id": i, "content": "hit",
+                 "ts": datetime.datetime(2021, 3, 1) +
+                 datetime.timedelta(minutes=m)}
+                for i, m in enumerate(minutes)]
+        c.build_from_local("db", "ah", docs, key_field="_id",
+                           num_doc_parts=2, num_term_parts=2)
+        return c
+
+    def test_picks_smallest_fitting_interval(self, ray_session, tmp_path):
+        # span 0..95 minutes → 10-minute bins give 10 buckets (fits), 5-min
+        # gives 20 (doesn't): pick 600s
+        c = self._cluster(str(tmp_path), [0, 7, 23, 48, 95])
+        q = SearchQuery("db", "ah", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.auto_date_histogram("db", "ah", q, "ts", buckets=10)
+        assert out["interval"] == 600_000_000
+        bs = out["buckets"]
+        assert len(bs) == 10                      # gap-filled range
+        assert sum(b["count"] for b in bs) == 5
+        assert [b["count"] for b in bs] == [2, 0, 1, 0, 1, 0, 0, 0, 0, 1]
+
+    def test_single_value_and_empty(self, ray_session, tmp_path):
+        c = self._cluster(str(tmp_path), [42])
+        q = SearchQuery("db", "ah", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.auto_date_histogram("db", "ah", q, "ts", buckets=10)
+        assert out["interval"] == 1_000_000       # smallest rung fits
+        assert len(out["buckets"]) == 1
+        qa = SearchQuery("db", "ah", keyword="zzz_absent",
+                         fields=["content"], limit=5)
+        assert c.auto_date_histogram("db", "ah", qa, "ts") == \
+               {"interval": None, "buckets": []}
