@@ -444,7 +444,15 @@ def make_segment_actor(manifest_data: dict, buckets: list, num_cpus: float = 1,
     shared filesystem none of these are needed."""
     import ray
 
-    opts: dict = {"num_cpus": num_cpus}
+    # Fault tolerance (the reference's master restarts dead workers and
+    # re-pins them to their shard dirs — RetrievalMaster.java:54-56): Ray
+    # restarts a crashed segment actor up to 4 times, re-running __init__
+    # from the by-value (manifest_data, buckets, …) args; serving methods
+    # are read-only/idempotent, so in-flight calls retry transparently
+    # (max_task_retries) instead of surfacing an ActorDiedError to every
+    # concurrent client.
+    opts: dict = {"num_cpus": num_cpus, "max_restarts": 4,
+                  "max_task_retries": 2}
     res = dict(resources) if resources else {}
     if node_ip is not None:
         # fractional demand: pinning must not consume schedulable capacity

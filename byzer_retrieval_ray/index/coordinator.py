@@ -44,5 +44,10 @@ def make_coordinator_actor(location: str, database: str, table: str,
     the whole tier must always schedule alongside it."""
     import ray
 
-    cls = ray.remote(num_cpus=num_cpus)(CoordinatorImpl)
+    # same fault-tolerance contract as the segment pool: coordinators are
+    # stateless between calls, so Ray restarting one (re-running __init__
+    # with the by-value args + actor handles) and retrying the idempotent
+    # read call is always safe
+    cls = ray.remote(num_cpus=num_cpus, max_restarts=4,
+                     max_task_retries=2)(CoordinatorImpl)
     return cls.remote(location, database, table, segment_actors)

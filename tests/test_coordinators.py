@@ -119,3 +119,37 @@ class TestReplicas:
         c = _build(str(tmp_path), n=20)
         with pytest.raises(RuntimeError, match="not activated"):
             c.add_coordinators("db", "t", 2)
+
+
+class TestFaultTolerance:
+    """Round-5: segment actors and coordinators restart on crash
+    (max_restarts + idempotent-read task retries) — queries issued after
+    (or racing) a crash succeed instead of raising ActorDiedError."""
+
+    def test_segment_actor_crash_recovers(self, ray_session, tmp_path):
+        import ray
+        c = _build(str(tmp_path), n=80)
+        c.activate("db", "t")
+        try:
+            before = c.search("db", "t", _q())
+            # crash (not a graceful kill): restart-eligible
+            victim = c._actors[("db", "t")][0]
+            ray.kill(victim, no_restart=False)
+            assert c.search("db", "t", _q()) == before
+            assert c.count("db", "t", _q()) == 80
+        finally:
+            c.deactivate("db", "t")
+
+    def test_coordinator_crash_recovers(self, ray_session, tmp_path):
+        import ray
+        c = _build(str(tmp_path), n=60)
+        c.activate("db", "t", num_coordinators=2)
+        try:
+            before = c.facet_counts("db", "t", _q(), "cat")
+            for co in c._coordinators[("db", "t")]:
+                ray.kill(co, no_restart=False)
+            outs = [c.facet_counts("db", "t", _q(), "cat")
+                    for _ in range(4)]
+            assert all(o == before for o in outs)
+        finally:
+            c.deactivate("db", "t")
