@@ -1450,6 +1450,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["match_percentile_ranks"] = match_percentile_ranks
 
+    def match_boxplot(sf):
+        # EXACT boxplot (round-5): five-number summary via distributed
+        # selection + Tukey IQR whiskers clamped to observed values — one
+        # float per bucket per whisker probe
+        c = _docs_cluster(sf)
+        q2 = SearchQuery("db", "docs", keyword="merge sort",
+                         fields=["text"], limit=10)
+        out = c.boxplot("db", "docs", q2, "n_chars", precision="float64",
+                        n_candidates=8, collect_limit=16, max_rounds=40)
+        return pa.table({k: pa.array([float(np.round(out[k], 4))],
+                                     pa.float64())
+                         for k in ("min", "q1", "median", "q3", "max",
+                                   "lower", "upper")})
+    q["match_boxplot"] = match_boxplot
+
     def match_missing(sf):
         # missing aggregation (round-5): docs of the match set with a null
         # lang — two integers per bucket
@@ -3182,6 +3197,35 @@ WHERE d.lang IS NOT NULL
 GROUP BY d.lang
 HAVING CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars) >= 280.0e0
 ORDER BY CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(d.n_chars) DESC, lang"""
+
+    # exact boxplot: discrete lower quantiles (rank floor(q*(n-1))+1) +
+    # Tukey fences clamped to observed values
+    sql["match_boxplot"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort')),
+vals AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+         FROM documents d JOIN m ON m.doc_id = d.doc_id
+         WHERE d.n_chars IS NOT NULL),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals),
+n AS (SELECT count(*) AS c FROM vals),
+qv AS (SELECT
+  (SELECT v FROM ranked, n WHERE rn = CAST(floor(0.0e0  * (c - 1)) AS BIGINT) + 1) AS mn,
+  (SELECT v FROM ranked, n WHERE rn = CAST(floor(0.25e0 * (c - 1)) AS BIGINT) + 1) AS q1,
+  (SELECT v FROM ranked, n WHERE rn = CAST(floor(0.5e0  * (c - 1)) AS BIGINT) + 1) AS med,
+  (SELECT v FROM ranked, n WHERE rn = CAST(floor(0.75e0 * (c - 1)) AS BIGINT) + 1) AS q3,
+  (SELECT v FROM ranked, n WHERE rn = CAST(floor(1.0e0  * (c - 1)) AS BIGINT) + 1) AS mx)
+SELECT ROUND(qv.mn, 4) AS min, ROUND(qv.q1, 4) AS q1,
+       ROUND(qv.med, 4) AS median, ROUND(qv.q3, 4) AS q3,
+       ROUND(qv.mx, 4) AS max,
+       ROUND((SELECT MIN(v) FROM vals
+              WHERE v >= qv.q1 - 1.5e0 * (qv.q3 - qv.q1)), 4) AS lower,
+       ROUND((SELECT MAX(v) FROM vals
+              WHERE v <= qv.q3 + 1.5e0 * (qv.q3 - qv.q1)), 4) AS upper
+FROM qv"""
 
     # exact percentile_ranks: 100·count(v<=x)/n over match-set n_chars
     sql["match_percentile_ranks"] = """

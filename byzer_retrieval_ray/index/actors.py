@@ -388,6 +388,12 @@ class SegmentActorImpl:
         return [s.missing_count_keyword(query, field, precision)
                 for s in self.searchers]
 
+    def whisker_keyword(self, q: dict, field: str, fence: float, low: bool,
+                        precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.whisker_keyword(query, field, fence, low, precision)
+                for s in self.searchers]
+
     def range_counts_keyword(self, q: dict, field: str, brackets: list,
                              precision: str = "float32",
                              center: float | None = None) -> list:

@@ -3751,6 +3751,19 @@ class BucketSearcher:
                            for x in probes], np.int64)
         return counts, int(vals.size)
 
+    def whisker_keyword(self, q: SearchQuery, field: str, fence: float,
+                        low: bool, precision: str = "float32") \
+            -> float | None:
+        """Per-bucket PARTIAL for the boxplot whisker clamp: the smallest
+        match-set value ≥ ``fence`` (low) / largest ≤ ``fence`` (high), or
+        None when no value qualifies in this bucket. One float ships."""
+        vals = self._matchset_values(q, field, precision)
+        if low:
+            v = vals[vals >= fence]
+            return float(v.min()) if v.size else None
+        v = vals[vals <= fence]
+        return float(v.max()) if v.size else None
+
     def missing_count_keyword(self, q: SearchQuery, field: str,
                               precision: str = "float32") -> tuple[int, int]:
         """Per-bucket PARTIAL for the ``missing`` aggregation

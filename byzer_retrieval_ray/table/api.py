@@ -2968,6 +2968,69 @@ class RetrievalCluster:
                 for x, s in zip(qs_in, states)]
 
     @_coordinated
+    def boxplot(self, database: str, table: str, query, field: str,
+                precision: str = "float32", **kw) -> dict:
+        """Five-number summary of a stored numeric/timestamp field over a
+        keyword query's ENTIRE match set (the elasticsearch ``boxplot``
+        aggregation shape — EXACT via the distributed-selection
+        percentiles, not the TDigest approximation): min / q1 / median /
+        q3 / max at the engine's lower discrete quantile (rank
+        floor(q·(n-1))), plus the standard Tukey IQR whiskers clamped to
+        observed values (lower = smallest v ≥ q1 − 1.5·IQR, upper =
+        largest v ≤ q3 + 1.5·IQR — the ES boxplot whisker definition).
+        Returns ``{"min","q1","median","q3","max","lower","upper"}``
+        (None everywhere when the match set is empty).
+
+        Scale shape: one :meth:`percentiles` run (histogram-count
+        narrowing rounds) + ONE rank_counts/range probe per whisker —
+        values never leave the shard. Keyword recall only."""
+        qs5 = self.percentiles(database, table, query, field,
+                               [0.0, 0.25, 0.5, 0.75, 1.0],
+                               precision=precision, **kw)
+        vals = [p["value"] for p in qs5]
+        if any(v is None or (isinstance(v, float) and np.isnan(v))
+               for v in vals):
+            return {k: None for k in ("min", "q1", "median", "q3", "max",
+                                      "lower", "upper")}
+        mn, q1, med, q3, mx = (float(v) for v in vals)
+        iqr = q3 - q1
+        lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        # clamp whiskers to OBSERVED values: the smallest value ≥ the low
+        # fence / largest ≤ the high fence — one bounded probe per side
+        # (reuse the percentile value-pull machinery via quantile ranks is
+        # wrong for ties; probe counts instead)
+        lower = self._whisker(database, table, query, field, lo_fence,
+                              low=True, precision=precision)
+        upper = self._whisker(database, table, query, field, hi_fence,
+                              low=False, precision=precision)
+        return {"min": mn, "q1": q1, "median": med, "q3": q3, "max": mx,
+                "lower": lower if lower is not None else mn,
+                "upper": upper if upper is not None else mx}
+
+    def _whisker(self, database: str, table: str, query, field: str,
+                 fence: float, low: bool, precision: str) -> float | None:
+        """Smallest match-set value ≥ fence (low=True) / largest ≤ fence
+        (low=False): ONE bounded scatter — each shard ships one float."""
+        q = self._as_queries(database, table, query)[0]
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.whisker_keyword.remote(q.__dict__, field,
+                                             float(fence), bool(low),
+                                             precision)
+                    for a in self._actors[(database, table)]]
+            parts = [p for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for p in r]
+        else:
+            parts = [s.whisker_keyword(q, field, float(fence), bool(low),
+                                       precision)
+                     for s in self._searchers(database, table)]
+        vals = [p for p in parts if p is not None]
+        if not vals:
+            return None
+        return min(vals) if low else max(vals)
+
+    @_coordinated
     def percentile_ranks(self, database: str, table: str, query, field: str,
                          values: list,
                          precision: str = "float32") -> list[dict]:

@@ -2109,3 +2109,42 @@ class TestAutoDateHistogram:
                          fields=["content"], limit=5)
         assert c.auto_date_histogram("db", "ah", qa, "ts") == \
                {"interval": None, "buckets": []}
+
+
+class TestBoxplot:
+    """Round-5: exact boxplot (five-number summary + Tukey whiskers
+    clamped to observed values)."""
+
+    def test_matches_numpy(self, ray_session, tmp_path):
+        c = RetrievalCluster(str(tmp_path))
+        c.create_table(TableSettings(
+            "db", "bx", "st(field(_id,long),field(content,string,analyze),"
+            "field(n,long))", loc := str(tmp_path)))
+        vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 200]   # one outlier
+        docs = [{"_id": i, "content": "hit", "n": v}
+                for i, v in enumerate(vals)]
+        c.build_from_local("db", "bx", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        q = SearchQuery("db", "bx", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.boxplot("db", "bx", q, "n")
+        sv = sorted(vals)
+        n = len(sv)
+        pick = lambda f: float(sv[int(f * (n - 1))])
+        q1, q3 = pick(0.25), pick(0.75)
+        iqr = q3 - q1
+        assert out["min"] == 1.0 and out["max"] == 200.0
+        assert out["q1"] == q1 and out["q3"] == q3
+        assert out["median"] == pick(0.5)
+        assert out["lower"] == min(v for v in sv if v >= q1 - 1.5 * iqr)
+        assert out["upper"] == max(v for v in sv if v <= q3 + 1.5 * iqr)
+        assert out["upper"] == 12.0               # the outlier is fenced out
+        # actor parity + empty match
+        c.activate("db", "bx")
+        try:
+            assert c.boxplot("db", "bx", q, "n") == out
+        finally:
+            c.deactivate("db", "bx")
+        qa = SearchQuery("db", "bx", keyword="zzz", fields=["content"],
+                         limit=5)
+        assert c.boxplot("db", "bx", qa, "n")["median"] is None
