@@ -1265,6 +1265,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["auto_date_histogram"] = auto_date_histogram
 
+    def cumulative_cardinality(sf):
+        # cumulative_cardinality (round-5): distinct users seen up to each
+        # day of the click stream — per-shard (bin, HLL-register) partials
+        # in ONE pass, prefix-max sketch algebra at the driver; the
+        # deterministic fmix32∘Horner31 sketch is replicated register-for-
+        # register in SQL (same family as the hll_by_lang oracle)
+        c = _events_cluster(sf)
+        q2 = SearchQuery("db", "events", keyword="*",
+                         filters={"and": [{"field": "event_type",
+                                           "value": "click"}]},
+                         fields=[], limit=10)
+        out = c.cumulative_cardinality("db", "events", q2, "ts", "user_id",
+                                       interval=86_400_000_000, p=8,
+                                       precision="float64")
+        return pa.table({
+            "bucket_us": pa.array([o["bucket"] for o in out], pa.int64()),
+            "zeros": pa.array([int(o["zeros"]) for o in out], pa.int64()),
+            "branch": pa.array([o["branch"] for o in out], pa.string()),
+            "estimate": pa.array([float(np.round(o["estimate"], 4))
+                                  for o in out], pa.float64()),
+            "raw": pa.array([float(np.round(o["raw"], 4)) for o in out],
+                            pa.float64()),
+        })
+    q["cumulative_cardinality"] = cumulative_cardinality
+
     def terms_stats_agg(sf):
         # terms bucket agg + metric sub-agg (elasticsearch terms + avg/sum
         # shape): per-lang doc count and n_chars sum/avg over the whole
@@ -3102,6 +3127,71 @@ SELECT CAST((SELECT iv FROM pick) AS BIGINT) AS interval,
        s.b AS bucket_us, CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
 FROM series s LEFT JOIN cnts c ON c.b = s.b
 ORDER BY bucket_us"""
+
+    # cumulative_cardinality: per-day HLL registers (fmix32∘Horner31,
+    # p=8) with a windowed prefix max per register lane, then the exact
+    # estimator per prefix — register-for-register replication of the
+    # engine's sketch algebra
+    sql["cumulative_cardinality"] = """
+WITH mset AS (
+  SELECT CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS b,
+         CAST(user_id AS VARCHAR) AS key
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+keys AS (SELECT DISTINCT b, key FROM mset),
+h0 AS (
+  SELECT b, list_reduce(list_transform(range(1, length(key) + 1),
+         i -> CAST(unicode(key[i]) AS HUGEINT)),
+         (a, bb) -> (a * 31 + bb) % 4294967296) AS h
+  FROM keys
+),
+f1 AS (SELECT b, xor(CAST(h AS BIGINT), CAST(h AS BIGINT) >> 16) AS a FROM h0),
+f2 AS (SELECT b, CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS bb FROM f1),
+f3 AS (SELECT b, xor(bb, bb >> 13) AS c FROM f2),
+f4 AS (SELECT b, CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS d FROM f3),
+kk AS (SELECT b, xor(d, d >> 16) AS hkey FROM f4),
+rho AS (
+  SELECT b, hkey % 256 AS j,
+         CASE WHEN hkey >> 8 > 0 THEN 24 - (length(bin(hkey >> 8)) - 1)
+              ELSE 25 END AS r
+  FROM kk
+),
+binj AS (SELECT b, j, MAX(r) AS m_rho FROM rho GROUP BY b, j),
+grid AS (
+  SELECT bb.b, jj.j
+  FROM (SELECT DISTINCT b FROM keys) bb
+  CROSS JOIN (SELECT unnest(range(0, 256)) AS j) jj
+),
+regs AS (
+  SELECT grid.b, grid.j, COALESCE(binj.m_rho, 0) AS m_rho
+  FROM grid LEFT JOIN binj ON grid.b = binj.b AND grid.j = binj.j
+),
+cum AS (
+  SELECT b, j, MAX(m_rho) OVER (PARTITION BY j ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS cm
+  FROM regs
+),
+agg AS (
+  SELECT b,
+         sum(CAST(1 AS BIGINT) << (25 - cm)) AS s_int,
+         sum(CASE WHEN cm = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM cum GROUP BY b
+),
+est AS (
+  SELECT b,
+         (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 256 * 256 * 33554432.0e0
+           / CAST(s_int AS DOUBLE) AS raw,
+         CAST(zeros AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT b AS bucket_us, zeros,
+  CASE WHEN raw <= 2.5e0 * 256 AND zeros > 0 THEN 'linear' ELSE 'hll' END AS branch,
+  ROUND(CASE WHEN raw <= 2.5e0 * 256 AND zeros > 0
+             THEN 256 * ln(256 / CAST(zeros AS DOUBLE))
+             ELSE raw END, 4) AS estimate,
+  ROUND(raw, 4) AS raw
+FROM est ORDER BY bucket_us"""
 
     # terms agg + metric sub-agg: per-lang doc count and n_chars sum/avg
     # over the merge-OR-sort match set (null langs excluded, SQL COUNT(col)

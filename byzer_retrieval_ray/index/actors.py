@@ -394,6 +394,14 @@ class SegmentActorImpl:
         return [s.whisker_keyword(query, field, fence, low, precision)
                 for s in self.searchers]
 
+    def histogram_hll_keyword(self, q: dict, time_field: str, interval: int,
+                              offset: int, value_field: str, p: int,
+                              precision: str = "float32") -> list:
+        query = SearchQuery.from_dict(q)
+        return [s.histogram_hll_keyword(query, time_field, interval, offset,
+                                        value_field, p, precision)
+                for s in self.searchers]
+
     def range_counts_keyword(self, q: dict, field: str, brackets: list,
                              precision: str = "float32",
                              center: float | None = None) -> list:

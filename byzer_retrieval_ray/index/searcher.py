@@ -3734,6 +3734,52 @@ class BucketSearcher:
         v = col.to_numpy(zero_copy_only=False).astype(np.float64)
         return v[~np.isnan(v)]
 
+    def histogram_hll_keyword(self, q: SearchQuery, time_field: str,
+                              interval: int, offset: int, value_field: str,
+                              p: int, precision: str = "float32") -> list:
+        """Per-bucket PARTIAL (bin, HLL registers) pairs — the distributed
+        leg of ``cumulative_cardinality`` (the elasticsearch pipeline over
+        a date_histogram parent, served in ONE pass): per time bin, the
+        2^p register vector of the bin's non-null ``value_field`` strings
+        (the ops/hll deterministic SQL-replicable sketch). Ships
+        |bins| × 2^p small ints — values never leave the shard; the
+        master max-folds per bin, prefix-max-folds ascending bins, and
+        reads the estimator per prefix. Nulls in either column drop."""
+        from byzer_retrieval_ray.ops.hll import _registers
+
+        ids, _ = self._matchset(q, precision)
+        if np.asarray(ids).size == 0:
+            return []
+        cols = sorted({time_field, value_field})
+        tbl = self.fetch_docs(np.asarray(ids), columns=cols)
+        if time_field not in tbl.column_names or \
+                value_field not in tbl.column_names:
+            return []
+        tcol = tbl[time_field].combine_chunks()
+        if pa.types.is_timestamp(tcol.type):
+            tcol = pc.cast(pc.cast(tcol, pa.timestamp("us")), pa.int64())
+        elif not pa.types.is_integer(tcol.type):
+            raise ValueError(
+                f"histogram field {time_field!r} must be a timestamp or "
+                f"integer stored column, got {tcol.type}")
+        vcol = pc.cast(tbl[value_field].combine_chunks(), pa.string())
+        ok = pc.and_(pc.is_valid(tcol), pc.is_valid(vcol))
+        if not pc.any(ok).as_py():
+            return []
+        tv = pc.fill_null(pc.cast(tcol, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        okm = ok.to_numpy(zero_copy_only=False)
+        step = np.int64(int(interval))
+        off = np.int64(int(offset))
+        bins = (tv - off) // step * step + off
+        vals = vcol.to_pylist()
+        out = []
+        for b in np.unique(bins[okm]):
+            sel = okm & (bins == b)
+            keys = [vals[i] for i in np.flatnonzero(sel)]
+            out.append((int(b), _registers(keys, int(p))))
+        return out
+
     def rank_counts_keyword(self, q: SearchQuery, field: str, xs: list,
                             precision: str = "float32") \
             -> tuple[np.ndarray, int]:

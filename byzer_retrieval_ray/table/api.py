@@ -3074,6 +3074,71 @@ class RetrievalCluster:
                 for x, c in zip(xs, tot)]
 
     @_coordinated
+    def cumulative_cardinality(self, database: str, table: str, query,
+                               time_field: str, value_field: str,
+                               interval: int, offset: int = 0, p: int = 8,
+                               precision: str = "float32") -> list[dict]:
+        """Cumulative approximate distinct count per time bin (the
+        elasticsearch ``cumulative_cardinality`` pipeline over a
+        date_histogram parent — e.g. "distinct users seen up to day t" —
+        served in ONE distributed pass instead of a per-bucket pipeline):
+        each bin's value ``estimate`` covers ALL bins ≤ it, using the
+        repo's deterministic SQL-replicable HLL sketch (``ops/hll.py``:
+        fmix32∘Horner31 hash, integer register sum, linear-counting
+        branch), which makes prefix-merging exact sketch algebra — the
+        cumulative register vector is the element-wise max of the per-bin
+        vectors, so the cumulative estimate equals the estimate of the
+        union stream. Returns ascending
+        ``[{"bucket", "estimate", "raw", "zeros", "branch"}, ...]``.
+
+        Scale shape: each shard ships |bins| × 2^p register bytes —
+        values never leave the shard; the driver fold is
+        O(buckets · bins · 2^p). Keyword recall only."""
+        from byzer_retrieval_ray.ops.hll import _estimate, merge_registers
+
+        if not 4 <= int(p) <= 20:
+            raise ValueError("need 4 <= p <= 20")
+        if int(interval) <= 0:
+            raise ValueError("interval must be a positive integer")
+        qs = self._as_queries(database, table, query)
+        if len(qs) != 1:
+            raise ValueError("cumulative_cardinality takes exactly one "
+                             "query")
+        q = qs[0]
+        if not q.has_keyword or q.has_vector:
+            raise ValueError("cumulative_cardinality is keyword-only")
+        use_actors = (database, table) in self._actors
+        if use_actors:
+            import ray
+            futs = [a.histogram_hll_keyword.remote(
+                        q.__dict__, time_field, int(interval), int(offset),
+                        value_field, int(p), precision)
+                    for a in self._actors[(database, table)]]
+            # each actor answers with one (bin, regs) LIST per searcher it
+            # owns — flatten both levels
+            parts = [pr for r in ray.get(futs, timeout=QUERY_TIMEOUT_SEC)
+                     for sub in r for pr in sub]
+        else:
+            parts = [pr for s in self._searchers(database, table)
+                     for pr in s.histogram_hll_keyword(
+                         q, time_field, int(interval), int(offset),
+                         value_field, int(p), precision)]
+        per_bin: dict[int, np.ndarray] = {}
+        for b, regs in parts:
+            regs = np.asarray(regs, dtype=np.int64)
+            cur = per_bin.get(b)
+            per_bin[b] = regs if cur is None else merge_registers(cur, regs)
+        out = []
+        run = np.zeros(1 << int(p), dtype=np.int64)
+        for b in sorted(per_bin):
+            run = merge_registers(run, per_bin[b])
+            est = _estimate(run, int(p))
+            out.append({"bucket": int(b), "estimate": est["estimate"],
+                        "raw": est["raw"], "zeros": est["zeros"],
+                        "branch": est["branch"]})
+        return out
+
+    @_coordinated
     def missing_count(self, database: str, table: str, query,
                       field: str, precision: str = "float32") -> dict:
         """Count of match-set docs with a null/absent ``field`` (the

@@ -2148,3 +2148,49 @@ class TestBoxplot:
         qa = SearchQuery("db", "bx", keyword="zzz", fields=["content"],
                          limit=5)
         assert c.boxplot("db", "bx", qa, "n")["median"] is None
+
+
+class TestCumulativeCardinality:
+    """Round-5: cumulative distinct-count per time bin — prefix-max HLL
+    sketch algebra (cumulative registers = elementwise max of per-bin
+    registers, so the cumulative estimate equals the union stream's)."""
+
+    def test_matches_prefix_union_sketches(self, ray_session, tmp_path):
+        import datetime
+        from byzer_retrieval_ray.ops.hll import _estimate, _registers
+        c = RetrievalCluster(str(tmp_path))
+        c.create_table(TableSettings(
+            "db", "cc", "st(field(_id,long),field(content,string,analyze),"
+            "field(ts,date),field(u,string))", str(tmp_path)))
+        docs = []
+        for i in range(90):
+            docs.append({"_id": i, "content": "hit",
+                         "ts": datetime.datetime(2022, 5, 1 + i % 3),
+                         "u": f"user{i % 37}"})
+        c.build_from_local("db", "cc", docs, key_field="_id",
+                           num_doc_parts=3, num_term_parts=2)
+        q = SearchQuery("db", "cc", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.cumulative_cardinality("db", "cc", q, "ts", "u",
+                                       interval=86_400_000_000, p=8)
+        assert len(out) == 3
+        assert [o["bucket"] for o in out] == sorted(o["bucket"]
+                                                    for o in out)
+        # reference: single-process sketch of each prefix's value union
+        day = lambda d: d["ts"].day
+        for rank, o in enumerate(out, start=1):
+            prefix = [d["u"] for d in docs if day(d) <= rank]
+            want = _estimate(_registers(prefix, 8), 8)
+            assert o["estimate"] == want["estimate"]
+            assert o["branch"] == want["branch"]
+        # cumulative estimates are monotone non-decreasing
+        ests = [o["estimate"] for o in out]
+        assert ests == sorted(ests)
+        # actor parity
+        c.activate("db", "cc")
+        try:
+            assert c.cumulative_cardinality(
+                "db", "cc", q, "ts", "u",
+                interval=86_400_000_000, p=8) == out
+        finally:
+            c.deactivate("db", "cc")
