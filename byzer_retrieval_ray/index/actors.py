@@ -327,6 +327,12 @@ class SegmentActorImpl:
             del cache[k]
         return out
 
+    def warm_termstats(self, paths: list) -> int:
+        """Preload this actor's assigned dictionary slice (activate
+        preload=True) so the first suggest call doesn't pay the parquet
+        read. Returns the cached part count."""
+        return len(self._termstats(paths))
+
     def suggest_candidates(self, paths: list, field: str, term: str,
                            max_edits: int, transpositions: bool) -> list:
         from byzer_retrieval_ray.functions import suggest_kernels as K

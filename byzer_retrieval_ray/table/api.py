@@ -660,6 +660,16 @@ class RetrievalCluster:
         self._actor_buckets[(database, table)] = pairs
         if preload:
             ray.get([a.preload.remote() for p in pools for a in p])
+            # warm the suggest dictionary caches with the same round-robin
+            # part assignment the suggest scatter uses
+            paths = self._termstats_paths(database, table)
+            if paths:
+                warm = []
+                for p in pools:
+                    assign = [paths[i::len(p)] for i in range(len(p))]
+                    warm += [a.warm_termstats.remote(assign[i])
+                             for i, a in enumerate(p) if assign[i]]
+                ray.get(warm)
         if num_coordinators > 0:
             self._respawn_coordinators(database, table,
                                        int(num_coordinators))
