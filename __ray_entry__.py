@@ -1717,6 +1717,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_rows(c, "docsvec", qq)
     q["vector_knn_offset"] = vector_knn_offset
 
+    def vector_knn_page2(sf):
+        # vector CURSOR pagination (round-5): page 1's last (raw score,
+        # doc_id) is the cursor; page 2 must be EXACTLY rows 6-15 of the
+        # global cosine order (brute = exact, scores depth-independent) —
+        # the same OFFSET-5 oracle as vector_knn_offset
+        c = _docsvec_cluster(sf)
+        q1 = SearchQuery("db", "docsvec", vector=_query_vector(sf),
+                         vectorField="vector", limit=5)
+        page1 = c.search("db", "docsvec", q1, precision="float64")[0]
+        last = page1[-1]
+        q2 = SearchQuery("db", "docsvec", vector=_query_vector(sf),
+                         vectorField="vector", limit=10,
+                         search_after=[float(last["_score"]),
+                                       int(last["doc_id"])])
+        return _search_rows(c, "docsvec", q2)
+    q["vector_knn_page2"] = vector_knn_page2
+
     def vector_knn_ivf(sf):
         # Q2 serving path with the per-bucket coarse IVF index; gate config
         # nprobe = n_centroids probes every cell ⇒ exact ⇒ vector_knn's SQL applies
@@ -4343,6 +4360,9 @@ WITH vec AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM vec
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 5"""
+
+    # cursor page 2 == the same OFFSET-5 oracle
+    sql["vector_knn_page2"] = sql["vector_knn_offset"]
 
     # MMR: 5-step greedy unrolled — step i picks argmax over the remaining
     # pool of 0.5·rel − 0.5·MAX sim to the already-selected, ties

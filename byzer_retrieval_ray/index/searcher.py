@@ -2482,11 +2482,16 @@ class BucketSearcher:
         reference's filtered-KNN semantics (KnnFloatVectorQuery(field, vec,
         k, filter), RetrievalWorker.java:346-366) with Lucene's exact
         fallbacks for selective filters (ops/hnsw.HNSWIndex.search)."""
-        if getattr(q, "search_after", None) is not None:
+        after = getattr(q, "search_after", None)
+        if after is not None and algorithm != "brute":
             # ANN recalls return approximate top-k — a deeper page would need
             # over-fetch heuristics; hybrid RRF re-scores by rank, where a
-            # score cursor is meaningless. Keyword-only, explicitly.
-            raise ValueError("search_after pagination is keyword-only")
+            # score cursor is meaningless. Cursor pagination for vector
+            # recalls is EXACT-scan only (round-5; scores are
+            # depth-independent there, so pages tile the global order).
+            raise ValueError("vector search_after pagination requires the "
+                             "exact brute algorithm (ANN top-k is "
+                             "approximate; use offset for ANN paging)")
         dtype = np.float32 if precision == "float32" else np.float64
         qv = np.asarray(q.vector, dtype=dtype)
         candidates = self.filter_candidates(q.filters)
@@ -2538,6 +2543,9 @@ class BucketSearcher:
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = np.where(norms > 0, dots / norms, 0.0)
         scores = ((1.0 + cos) / 2.0).astype(dtype)
+        if after is not None:
+            keep = _cursor_mask(ids, scores, after)
+            ids, scores = ids[keep], scores[keep]
         order = np.lexsort((ids, -scores.astype(np.float64)))[:q.limit]
         return ids[order], scores[order]
 

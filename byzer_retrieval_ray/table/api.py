@@ -812,6 +812,11 @@ class RetrievalCluster:
             if off and q.search_after is not None:
                 raise ValueError("offset and search_after are mutually "
                                  "exclusive (ES from vs search_after)")
+            if q.search_after is not None and q.has_vector and \
+                    q.has_keyword:
+                raise ValueError(
+                    "search_after is undefined for hybrid RRF (ranks "
+                    "shift with depth — use offset for hybrid paging)")
         qs = [(_replace(q, limit=q.limit + off, offset=0) if off else q)
               for q, off in zip(qs, offs)]
         use_actors = (database, table) in self._actors

@@ -374,13 +374,32 @@ class TestSearchAfter:
         assert [(r["doc_id"], r["_score"]) for r in actors] == \
                [(r["doc_id"], r["_score"]) for r in inproc]
 
-    def test_vector_cursor_rejected(self, ray_session, tmp_path):
+    def test_vector_cursor_brute_exact_ann_rejected(self, ray_session,
+                                                    tmp_path):
+        # round-5: cursor pagination works for the EXACT brute vector path
+        # (scores are depth-independent, pages tile the global order);
+        # approximate ANN paths and hybrid RRF stay rejected
         c, docs = _vec_cluster(str(tmp_path), n=50)
-        q = SearchQuery("db", "v", vector=docs[3]["vector"],
-                        vectorField="vector", limit=5,
-                        search_after=[1.0, 0])
-        with pytest.raises(ValueError, match="keyword-only"):
-            c.search("db", "v", q)
+        base = SearchQuery("db", "v", vector=docs[3]["vector"],
+                          vectorField="vector", limit=10)
+        deep = c.search("db", "v", base, precision="float64")[0]
+        last5 = deep[4]
+        q2 = SearchQuery("db", "v", vector=docs[3]["vector"],
+                         vectorField="vector", limit=5,
+                         search_after=[float(last5["_score"]),
+                                       int(last5["doc_id"])])
+        page2 = c.search("db", "v", q2, precision="float64")[0]
+        assert [(r["_id"], r["_score"]) for r in page2] == \
+               [(r["_id"], r["_score"]) for r in deep[5:10]]
+        with pytest.raises(ValueError, match="brute"):
+            c.search("db", "v", q2, vector_algorithm="hnsw", ef=8)
+        with pytest.raises(ValueError, match="brute"):
+            c.search("db", "v", q2, vector_algorithm="ivf", nprobe=2)
+        qh = SearchQuery("db", "v", keyword="doc", fields=["content"],
+                         vector=docs[3]["vector"], vectorField="vector",
+                         limit=5, search_after=[1.0, 0])
+        with pytest.raises(ValueError, match="hybrid"):
+            c.search("db", "v", qh)
 
 
 class TestFacets:
