@@ -687,11 +687,13 @@ def run_scaling():
         f"build_cpu_util_{hi}": r_hi["queries"].get("build_cpu_util"),
         "sf": r_hi["sf"], "rows": int(rows),
     }
-    print(json.dumps(out))
+    # leading newline: raylet warnings can interleave on stdout with
+    # many-actor configurations — keep the JSON line clean and LAST
+    print("\n" + json.dumps(out))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        print("\n" + json.dumps(run_bench()))
