@@ -1426,7 +1426,8 @@ class RetrievalCluster:
     @_coordinated
     def top_hits(self, database: str, table: str, query, key_field: str,
                  num_keys: int = 10, per_key: int = 3,
-                 precision: str = "float32") -> list[dict]:
+                 precision: str = "float32",
+                 source_fields: list | None = None) -> list[dict]:
         """``terms`` + ``top_hits`` sub-aggregation (the elasticsearch
         two-phase shape; the reference exposes no aggregation API:
         extension): over a keyword query's ENTIRE match set, pick the top
@@ -1447,7 +1448,11 @@ class RetrievalCluster:
         ids never leave the shard in phase 1; the phase-2 fold is exact
         (a hit below a bucket's own per-key top per_key can never enter
         the global per-key top per_key). Keyword recall only (filters
-        supported), like facet_counts."""
+        supported), like facet_counts.
+
+        ``source_fields`` (the ES top_hits ``_source`` filter) attaches
+        the named stored columns to each hit via ONE extra bounded
+        docstore fetch of the ≤ num_keys × per_key chosen ids."""
         buckets = self.facet_counts(database, table, query, key_field,
                                     limit=num_keys, precision=precision)
         if not buckets:
@@ -1480,6 +1485,34 @@ class RetrievalCluster:
                 if lst is not None and len(lst) < per_key:
                     lst.append({"doc_id": int(ids[i]),
                                 "_score": float(scores[i])})
+        if source_fields:
+            chosen = np.array(sorted({h["doc_id"]
+                                      for hs in hits_by_key.values()
+                                      for h in hs}), dtype=np.int64)
+            if chosen.size:
+                cols = sorted({str(f) for f in source_fields})
+                if use_actors:
+                    import ray
+                    dts = [t for t in ray.get(
+                        [a.fetch_docs.remote(chosen)
+                         for a in self._actors[(database, table)]],
+                        timeout=QUERY_TIMEOUT_SEC) if len(t)]
+                else:
+                    dts = [t for s in self._searchers(database, table)
+                           if len(t := s.fetch_docs(chosen, columns=cols))]
+                if dts:
+                    dtbl = pa.concat_tables(dts, promote_options="default")
+                    did = dtbl["doc_id"].to_numpy()
+                    srt = np.argsort(did, kind="stable")
+                    rows = {int(did[j]): j for j in srt}
+                    for hs in hits_by_key.values():
+                        for h in hs:
+                            j = rows.get(h["doc_id"])
+                            if j is None:
+                                continue
+                            for f in cols:
+                                if f in dtbl.column_names:
+                                    h[f] = dtbl[f][j].as_py()
         return [{"key": b["value"], "count": b["count"],
                  "hits": hits_by_key[b["value"]]} for b in buckets]
 

@@ -2213,3 +2213,36 @@ class TestCumulativeCardinality:
                 interval=86_400_000_000, p=8) == out
         finally:
             c.deactivate("db", "cc")
+
+
+class TestTopHitsSource:
+    def test_source_fields_attach(self, ray_session, tmp_path):
+        c = RetrievalCluster(str(tmp_path))
+        c.create_table(TableSettings(
+            "db", "th", "st(field(_id,long),field(content,string,analyze),"
+            "field(cat,string),field(n,long))", str(tmp_path)))
+        docs = [{"_id": i, "content": "hit", "cat": ["a", "b"][i % 2],
+                 "n": i * 3} for i in range(30)]
+        c.build_from_local("db", "th", docs, key_field="_id",
+                           num_doc_parts=2, num_term_parts=2)
+        q = SearchQuery("db", "th", keyword="hit", fields=["content"],
+                        limit=5)
+        out = c.top_hits("db", "th", q, "cat", num_keys=2, per_key=2,
+                         source_fields=["n", "cat"])
+        assert len(out) == 2
+        for b in out:
+            for h in b["hits"]:
+                assert h["cat"] == b["key"]
+                assert h["n"] == ( [d for d in docs
+                                    if d["_id"] == h["doc_id"]][0]["n"] )
+        # default shape unchanged
+        plain = c.top_hits("db", "th", q, "cat", num_keys=2, per_key=2)
+        assert all(set(h) == {"doc_id", "_score"}
+                   for b in plain for h in b["hits"])
+        # actor parity
+        c.activate("db", "th")
+        try:
+            assert c.top_hits("db", "th", q, "cat", num_keys=2, per_key=2,
+                              source_fields=["n", "cat"]) == out
+        finally:
+            c.deactivate("db", "th")
